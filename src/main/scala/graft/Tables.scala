@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Scale posture: every loader is a plain parquet scan — Catalyst prunes
+  * columns and pushes predicates into the scan, so callers should express
+  * projections/filters declaratively and NOT pre-materialize. On a real
+  * cluster these paths would be a partitioned table root; nothing here
+  * assumes single-file layout.
+  */
+final case class Env(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimension tables small enough to broadcast at any realistic scale
+    * factor (region: 5 rows, nation: 25 — fixed-size dims in TPC-H-like
+    * generators regardless of SF).
+    */
+  val broadcastableDims: Set[String] = Set("region", "nation")
+}
