@@ -11,6 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes single-file layout.
   */
 final case class Env(spark: SparkSession, dir: String) {
+  // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+  // reader rejects; read nanos as long (ns since epoch). Comparisons and
+  // min/max on the long are order-identical to the native timestamp, and
+  // wall-clock projections convert explicitly (see Env.events scaladoc).
+  spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
   def region: DataFrame     = table("region")
@@ -20,12 +26,20 @@ final case class Env(spark: SparkSession, dir: String) {
   def part: DataFrame       = table("part")
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
+
+  /** `ts` is LongType = nanoseconds since epoch (see conf above). Use
+    * `Env.eventTs` for a TimestampType view (microsecond truncation).
+    */
   def events: DataFrame     = table("events")
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
 
 object Tables {
+  /** Nanos-since-epoch long → TimestampType (micros; truncates sub-micro). */
+  def eventTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
