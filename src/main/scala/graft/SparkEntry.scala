@@ -9,7 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    _root_.graft.queries.RelationalRegistry.entries
+    _root_.graft.queries.RelationalRegistry.entries ++
+    _root_.graft.queries.Windows.entries ++
+    _root_.graft.queries.Aggregates.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
