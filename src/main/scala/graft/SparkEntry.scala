@@ -11,7 +11,8 @@ object SparkEntry {
   private def registry: Seq[Q] =
     _root_.graft.queries.RelationalRegistry.entries ++
     _root_.graft.queries.Windows.entries ++
-    _root_.graft.queries.Aggregates.entries
+    _root_.graft.queries.Aggregates.entries ++
+    _root_.graft.queries.Functions.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{Env, Q}
+import graft.syntax._
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Correctness queries for the scalar-function layer (SURVEY.md §2.7).
+  * The testdata has no bibliographic strings, so each query first
+  * CONSTRUCTS deterministic messy inputs from the TPC-H-ish tables (same
+  * construction in the oracle), then applies the function under test.
+  * Where the oracle can compute the expected value constructively
+  * (f1, f9) it does — an independent ground truth, not a mirrored
+  * implementation.
+  */
+object Functions {
+
+  /** F1 lifespan extraction through the UDF over synthesized
+    * "Name, birth-death" strings (4 shapes incl. no-lifespan and
+    * unknown-birth, ref `viaf.py:71-96`). */
+  def f1Lifespan(env: Env): DataFrame = {
+    val birth = (lit(1900) + $"c_custkey" % 100).cast("string")
+    val death = (lit(1980) + $"c_custkey" % 40).cast("string")
+    val styled = when($"c_custkey" % 4 === 0, concat($"c_name", lit(", "), birth, lit("-")))
+      .when($"c_custkey" % 4 === 1, concat($"c_name", lit(", "), birth, lit("-"), death))
+      .when($"c_custkey" % 4 === 2, concat($"c_name", lit(", -"), death))
+      .otherwise($"c_name")
+    val parsed = GraftFunctions.parseLifespan(styled)
+    env.customer
+      .select($"c_custkey", styled.as("raw"), parsed.as("p"))
+      .select($"c_custkey", $"raw",
+        $"p._1".as("name"), $"p._2".as("birth"), $"p._3".as("death"))
+      .orderBy($"c_custkey")
+  }
+
+  /** F3 fuzzy-similarity blocked self-join (J10 shape, ref
+    * `oclc/classify.py:1340-1346`, `canonicalize.py:320-321`): part
+    * names ≥ 80 similar within a (brand, first-token) block. Blocking
+    * bounds the pair count (max block ~128 rows at sf0.1) — never an
+    * all-pairs cross join. Uses the codegen'd builtin `levenshtein`
+    * rather than a UDF: functions-not-UDFs on the hot path.
+    */
+  def f3BlockedSimilarity(env: Env): DataFrame = {
+    val p = env.part.select(
+      $"p_partkey", $"p_name", $"p_brand",
+      split($"p_name", " ").getItem(0).as("tok0"))
+    val a = p.as("a")
+    val b = p.as("b")
+    val ratio = round(lit(100.0) *
+      (lit(1.0) - levenshtein($"a.p_name", $"b.p_name").cast("double") /
+        greatest(length($"a.p_name"), length($"b.p_name")))).cast("int")
+    a.join(b,
+        $"a.p_brand" === $"b.p_brand" && $"a.tok0" === $"b.tok0" &&
+        $"a.p_partkey" < $"b.p_partkey")
+      .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+              $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
+              ratio.as("ratio"))
+      .filter($"ratio" >= 80)
+      .orderBy($"key_a", $"key_b")
+  }
+
+  /** F8 permanent work id (ref `scripts.py:396-415`): md5 over the
+    * normalized "title|author" key, via the UDF. */
+  def f8WorkId(env: Env): DataFrame =
+    env.part
+      .select($"p_partkey",
+        GraftFunctions.permanentWorkId($"p_name", $"p_brand").as("work_id"))
+      .orderBy($"p_partkey")
+
+  /** F9 year extraction from messy date strings (ref
+    * `oclc/linked_data.py:408-432`): three formats round-robin by key;
+    * oracle computes the expected year constructively. */
+  def f9YearExtract(env: Env): DataFrame = {
+    val messy = when($"o_orderkey" % 3 === 0,
+        concat(date_format($"o_orderdate", "yyyy"), lit(",")))
+      .when($"o_orderkey" % 3 === 1, date_format($"o_orderdate", "yyyyMMdd"))
+      .otherwise(date_format($"o_orderdate", "yyyy-MM-dd"))
+    env.orders
+      .select($"o_orderkey", messy.as("raw"),
+        GraftFunctions.extractYear(messy).as("year"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** F10 ISBN-10 → ISBN-13 (ref `oclc/linked_data.py:693-702`,
+    * `monitor.py:93`): a deterministic 9-digit core per part key →
+    * ISBN-10 (check digit may be X) → ISBN-13. The oracle recomputes
+    * both check digits with SQL arithmetic.
+    */
+  def f10Isbn13(env: Env): DataFrame = {
+    val core = lpad((($"p_partkey" * 7919) % 1000000000).cast("string"), 9, "0")
+    env.part
+      .select($"p_partkey",
+        GraftFunctions.isbn10FromCore(core).as("isbn10"),
+        GraftFunctions.toIsbn13(GraftFunctions.isbn10FromCore(core)).as("isbn13"))
+      .orderBy($"p_partkey")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("f1_lifespan", f1Lifespan,
+      """SELECT c_custkey,
+        |  CASE c_custkey % 4
+        |    WHEN 0 THEN c_name || ', ' || (1900 + c_custkey % 100) || '-'
+        |    WHEN 1 THEN c_name || ', ' || (1900 + c_custkey % 100) || '-'
+        |                       || (1980 + c_custkey % 40)
+        |    WHEN 2 THEN c_name || ', -' || (1980 + c_custkey % 40)
+        |    ELSE c_name END AS raw,
+        |  c_name AS name,
+        |  CASE WHEN c_custkey % 4 IN (0, 1)
+        |       THEN CAST(1900 + c_custkey % 100 AS VARCHAR) END AS birth,
+        |  CASE WHEN c_custkey % 4 IN (1, 2)
+        |       THEN CAST(1980 + c_custkey % 40 AS VARCHAR) END AS death
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q.sql("f3_blocked_similarity", f3BlockedSimilarity,
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(round(100.0 * (1.0 - levenshtein(a.p_name, b.p_name)
+        |         / greatest(length(a.p_name), length(b.p_name)))) AS INT) AS ratio
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand
+        | AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+        | AND a.p_partkey < b.p_partkey
+        |WHERE CAST(round(100.0 * (1.0 - levenshtein(a.p_name, b.p_name)
+        |         / greatest(length(a.p_name), length(b.p_name)))) AS INT) >= 80
+        |ORDER BY key_a, key_b""".stripMargin),
+
+    Q.sql("f8_work_id", f8WorkId,
+      """SELECT p_partkey,
+        |  md5(trim(regexp_replace(lower(p_name),  '[^a-z0-9]+', ' ', 'g')) || '|' ||
+        |      trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', ' ', 'g'))) AS work_id
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin),
+
+    Q.sql("f9_year_extract", f9YearExtract,
+      """SELECT o_orderkey,
+        |  CASE o_orderkey % 3
+        |    WHEN 0 THEN strftime(o_orderdate, '%Y') || ','
+        |    WHEN 1 THEN strftime(o_orderdate, '%Y%m%d')
+        |    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw,
+        |  strftime(o_orderdate, '%Y') AS year
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q.sql("f10_isbn13", f10Isbn13,
+      """WITH core AS (
+        |  SELECT p_partkey,
+        |         lpad(CAST((p_partkey * 7919) % 1000000000 AS VARCHAR), 9, '0') AS s
+        |  FROM part),
+        |c10 AS (
+        |  SELECT p_partkey, s,
+        |         (11 - list_sum(list_transform(range(1, 10),
+        |            i -> CAST(s[i] AS INT) * (11 - i))) % 11) % 11 AS r
+        |  FROM core)
+        |SELECT p_partkey,
+        |  s || CASE WHEN r = 10 THEN 'X' ELSE CAST(r AS VARCHAR) END AS isbn10,
+        |  '978' || s || CAST((10 - list_sum(list_transform(range(1, 13),
+        |     i -> CAST(('978' || s)[i] AS INT)
+        |          * (CASE WHEN i % 2 = 1 THEN 1 ELSE 3 END))) % 10) % 10 AS VARCHAR)
+        |    AS isbn13
+        |FROM c10
+        |ORDER BY p_partkey""".stripMargin),
+  )
+}
