@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text deduplication operators for the large-scale pipeline brief:
+  * exact (fingerprint groupBy), MinHash+LSH banded near-dup, and
+  * SimHash hamming near-dup. Everything is built from codegen'd
+  * built-in expressions — no UDFs on the hot path, no all-pairs cross
+  * joins (candidates come from band/chunk equality joins).
+  */
+object TextDedup {
+
+  /** Word n-gram shingles (distinct) from a whitespace-tokenized text
+    * column. Short documents (< n tokens) fall back to one whole-text
+    * shingle so they still participate.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Canonical content fingerprint: md5 over the sorted distinct shingle
+    * set. Token-order-insensitive — catches shuffled near-copies that
+    * raw-text hashing misses.
+    */
+  def shingleFingerprint(text: Column, n: Int = 3): Column =
+    md5(concat_ws("|", array_sort(shingles(text, n))))
+
+  /** Exact dedup by fingerprint: one shuffle (groupBy fingerprint),
+    * emits (fingerprint, canonical_id = min id, n_dups) for groups of
+    * ≥ 2. At 100 TB this is the cheapest dedup pass and runs first.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    docs.groupBy(shingleFingerprint(col(textCol), n).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
+      .filter(col("n_dups") >= 2)
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * h_i(S) = min over s∈S of xxhash64(s, i) — one array expression,
+    * no explode, no UDF.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH band keys: hash `rows` consecutive signature slots per band.
+    * Docs sharing any band key become candidate pairs. With k=64,
+    * bands=16, rows=4, a pair at Jaccard s collides with probability
+    * 1-(1-s⁴)¹⁶ — ≥ 0.9999999 at s = 0.9 (the planted-dup regime).
+    */
+  def lshBandKeys(sigCol: Column, bands: Int = 16, rows: Int = 4): Column =
+    array((0 until bands).map(b =>
+      xxhash64((Seq(lit(b)) ++ (0 until rows).map(r =>
+        sigCol.getItem(b * rows + r))): _*)): _*)
+
+  /** Exact Jaccard of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** MinHash-LSH near-duplicate pairs with exact verification:
+    *  1. shingle + sign + band each doc (narrow, codegen);
+    *  2. explode band keys, self-join on (band, key) — the ONLY
+    *     shuffle that grows with collisions, never all-pairs;
+    *  3. distinct candidate pairs, re-join shingle sets by id;
+    *  4. exact Jaccard filter ≥ threshold (precision 1 by
+    *     construction; recall 1-(1-s^rows)^bands).
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.5, n: Int = 3,
+                          k: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = k / bands
+    val sh = docs.select(col(idCol).as("doc_id"),
+                         shingles(col(textCol), n).as("sh"))
+    val banded = sh
+      .select(col("doc_id"),
+              posexplode(lshBandKeys(minhashSignature(col("sh"), k), bands, rows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over the shingle set, derived from md5 hex digits
+    * (engine-portable: any system with md5 computes the identical
+    * value). Bit b is set when more than half the shingles have a high
+    * bit in hex digit b of their md5. Computed via explode + one
+    * grouped aggregation so each shingle is hashed once.
+    */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+              explode(shingles(col(textCol), n)).as("s"))
+      .withColumn("h", md5(col("s")))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(substring(col("h"), b + 1, 1).isin(
+        "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"b$b"))
+    exploded.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b =>
+          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: chunk the 32 bits into 4 bytes; hamming
+    * distance ≤ 3 guarantees (pigeonhole) at least one equal chunk, so
+    * chunk-equality candidates + exact hamming verify give EXACT
+    * results for maxHamming ≤ 3 — no recall loss, no all-pairs.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, n: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 chunks only guarantee recall for hamming <= 3")
+    val sh = simhash32(docs, idCol, textCol, n)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 8).bitwiseAND(0xff)): _*)))
+      .select(col("doc_id"), col("simhash"),
+              col("pos").as("chunk"), col("col").as("key"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.{Env, Q}
+import graft.syntax._
+import graft.operators.TextDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dedup pack over the `documents` table (LLM-pipeline brief). The
+  * oracles are BRUTE-FORCE all-pairs in DuckDB — fine at sf0.01 —
+  * while the Spark side uses banded/chunked candidate joins, so a green
+  * row proves the sub-quadratic plan reproduces the quadratic ground
+  * truth exactly.
+  *
+  * Oracle note: documents all have ≥ 10 tokens, so the SQL skips the
+  * short-text fallback branch that the Scala operator carries.
+  */
+object DedupQueries {
+
+  // Shared DuckDB fragments (3-gram shingle set per doc).
+  private val shingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(s) - 1),
+      |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+      |       FROM toks)""".stripMargin
+
+  /** Exact dedup on the canonical token-set (1-gram) fingerprint —
+    * bag-of-words-identical documents collapse; 3-gram fingerprints are
+    * stricter and find nothing in this corpus (every near-dup pair
+    * differs in ≥ 1 shingle). */
+  def dedupExact(env: Env): DataFrame =
+    TextDedup.exactGroups(env.documents, "doc_id", "text", n = 1)
+      .orderBy($"canonical_id")
+
+  /** MinHash-LSH near-dup pairs, exact-verified at Jaccard ≥ 0.5. */
+  def dedupMinhash(env: Env): DataFrame =
+    TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text", threshold = 0.5)
+      .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+
+  /** SimHash hamming ≤ 3 near-dup pairs (exact by pigeonhole). */
+  def dedupSimhash(env: Env): DataFrame =
+    TextDedup.simhashNearDupPairs(env.documents, "doc_id", "text", maxHamming = 3)
+      .select($"doc_a", $"doc_b", $"hamming".cast("int").as("hamming"))
+      .orderBy($"doc_a", $"doc_b")
+
+  private def simhashSql: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN substr(h, ${b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n         ")
+    val bitsToLong = (0 until 32).map(b =>
+      s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""$shingleCte,
+       |shx AS (SELECT doc_id, unnest(g) AS one FROM sh),
+       |hs AS (SELECT doc_id, md5(one) AS h FROM shx),
+       |bits AS (SELECT doc_id,
+       |         $bitSums
+       |         FROM hs GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $bitsToLong AS simhash FROM bits)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("dedup_exact", dedupExact,
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct(string_split(text, ' ')) AS g FROM documents)
+        |SELECT md5(array_to_string(list_sort(g), '|')) AS fingerprint,
+        |       min(doc_id) AS canonical_id,
+        |       count(*) AS n_dups
+        |FROM t
+        |GROUP BY 1
+        |HAVING count(*) >= 2
+        |ORDER BY canonical_id""".stripMargin),
+
+    Q.sql("dedup_minhash", dedupMinhash,
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    Q.sql("dedup_simhash", dedupSimhash, simhashSql),
+  )
+}
