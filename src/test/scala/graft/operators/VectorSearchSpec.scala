@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine of identical / orthogonal / opposite vectors") {
+    val df = vecDf(Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f))))
+    val pairs = VectorSearch.cosineThresholdPairs(df, -2.0, dim = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) == 0.0)
+    assert(pairs((0L, 3L)) == -1.0)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val base = Seq(1f, 0f, 0f)
+    val df = vecDf(Seq(
+      (0L, base),
+      (1L, Seq(0.9f, 0.1f, 0f)),   // most similar
+      (2L, Seq(0.5f, 0.5f, 0f)),
+      (3L, Seq(0f, 1f, 0f)),       // orthogonal
+      (4L, Seq(0.9f, 0.1f, 0f)))) // duplicate of 1 → tie broken by id
+    val q = df.filter($"vec_id" === 0L).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val top = VectorSearch.bruteForceTopK(df, q, 3, dim = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 1L), (2, 4L), (3, 2L)))
+  }
+
+  test("hyperplanes are deterministic and balanced-ish") {
+    val p1 = VectorSearch.hyperplanes(8, 64)
+    val p2 = VectorSearch.hyperplanes(8, 64)
+    assert(p1 == p2)
+    assert(p1.length == 8 && p1.head.length == 64)
+    val pos = p1.flatten.count(_ > 0)
+    assert(pos > 150 && pos < 360, s"weights badly skewed: $pos/512 positive")
+  }
+
+  test("LSH top-k is internally consistent with exact cosine on real data") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val approx = VectorSearch.lshTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = VectorSearch.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    // ≤ k per query, every reported cosine matches the exact pair cosine
+    val perQuery = approx.groupBy(_._1)
+    perQuery.foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    val exactCos = VectorSearch.bruteForceTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    approx.foreach { case (qid, _, vid, c) =>
+      assert(math.abs(exactCos((qid, vid)) - c) < 1e-9)
+    }
+    // recall is data-dependent (random vectors are LSH-hostile); report,
+    // don't gate.
+    val hit = approx.count { case (qid, _, vid, _) => exact.contains((qid, vid)) }
+    info(s"LSH recall@5 on sf0.001: $hit/${exact.size}")
+  }
+}
