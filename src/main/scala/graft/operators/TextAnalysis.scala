@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline brief:
+  * token counting, quality scoring, language identification, and
+  * document fingerprinting. All pure Column expressions (codegen'd,
+  * engine-portable) so every result is SQL-oracle-checkable.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: word/number/symbol pieces via regex,
+    * the standard pre-tokenizer split (letters runs, digit runs, and
+    * single non-alphanumeric marks each count as one piece), plus the
+    * ~4-chars-per-token budget estimate used for LLM sizing.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def bpeEstimate(text: Column): Column =
+    ceil(length(text).cast("double") / 4.0).cast("long")
+
+  /** English-ish stopword markers present in any corpus. */
+  val StopwordsEn: Seq[String] = Seq("a", "the", "and", "of", "to", "in", "is")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = StopwordsEn): Column = {
+    val set = stopwords.toSet
+    size(filter(tokens(text), t => set.map(s => t === s).reduce(_ || _)))
+  }
+
+  /** Quality score ∈ [0,1]: weighted blend of
+    *  - length factor   (prefers 200–4000 chars),
+    *  - stopword ratio  (natural text has some),
+    *  - mean word length (penalizes gibberish extremes).
+    * Deterministic rational arithmetic; rounded to 6 dp at the edge.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nToks = tokenCount(text).cast("double")
+    val lengthFactor = least(nChars / 200.0, lit(1.0)) *
+      least(lit(4000.0) / greatest(nChars, lit(1.0)), lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nToks, lit(1.0))
+    val meanWordLen = nChars / greatest(nToks, lit(1.0))
+    val wordLenFactor = when(meanWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round(lit(0.4) * lengthFactor + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * wordLenFactor, 6)
+  }
+
+  /** Language marker sets: tiny per-language stopword lists (public
+    * common-word lists). Deterministic argmax with alphabetical
+    * tie-break via the score tuple ordering.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  /** N-gram/stopword-heuristic language ID: score each language by
+    * marker-token hits; predict the highest scorer (ties → first
+    * alphabetically, since candidates are evaluated in sorted order and
+    * only a STRICTLY greater score replaces the leader).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val set = markers.toSet
+      (lang, size(filter(toks, t => set.map(s => t === s).reduce(_ || _))))
+    }
+    // fold: (bestLang, bestScore) — strict > keeps the alphabetical
+    // leader on ties
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }._1
+  }
+
+  /** Rolling-hash document fingerprints over the 3-gram shingle set:
+    *  - `fpMin`: lexicographic min of shingle md5s (1-permutation
+    *    MinHash — cheap near-dup prefilter key);
+    *  - `fpFull`: md5 of the sorted shingle set (exact content
+    *    identity, order-insensitive).
+    */
+  def fpMin(text: Column, n: Int = 3): Column =
+    array_min(transform(TextDedup.shingles(text, n), s => md5(s)))
+
+  def fpFull(text: Column, n: Int = 3): Column =
+    TextDedup.shingleFingerprint(text, n)
+}

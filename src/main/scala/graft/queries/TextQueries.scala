@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{Env, Q}
+import graft.syntax._
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.DataFrame
+
+/** Text-analysis queries over `documents`: token counting + quality
+  * scoring, language ID, and content fingerprints. Oracles mirror the
+  * exact arithmetic (operation order preserved so doubles agree).
+  */
+object TextQueries {
+
+  def textStats(env: Env): DataFrame =
+    env.documents.select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.regexTokenCount($"text").as("n_regex_tokens"),
+      TextAnalysis.bpeEstimate($"text").as("est_bpe"),
+      TextAnalysis.stopwordCount($"text").as("n_stopwords"),
+      TextAnalysis.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+
+  def textLangId(env: Env): DataFrame =
+    env.documents.select(
+      $"doc_id", $"lang".as("claimed_lang"),
+      TextAnalysis.langId($"text").as("predicted_lang"))
+      .orderBy($"doc_id")
+
+  def textFingerprint(env: Env): DataFrame =
+    env.documents.select(
+      $"doc_id",
+      TextAnalysis.fpMin($"text").as("fp_min"),
+      TextAnalysis.fpFull($"text").as("fp_full"))
+      .orderBy($"doc_id")
+
+  private val langIdSql: String = {
+    val markers = TextAnalysis.LangMarkers
+    val scoreCols = markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(s, t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n         ")
+    // fold chain: strictly-greater replaces the leader (alphabetical
+    // tie-break, matching the Scala fold)
+    val folds = markers.tail.zipWithIndex.map { case ((lang, _), i) =>
+      val (prevL, prevS) = if (i == 0) ("bl0", "bs0") else (s"bl$i", s"bs$i")
+      s"""f${i + 1} AS (SELECT doc_id, claimed_lang, ${markers.map("s_" + _._1).mkString(", ")},
+         |  CASE WHEN s_$lang > $prevS THEN '$lang' ELSE $prevL END AS bl${i + 1},
+         |  CASE WHEN s_$lang > $prevS THEN s_$lang ELSE $prevS END AS bs${i + 1}
+         |  FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val n = markers.size - 1
+    s"""WITH t AS (SELECT doc_id, lang AS claimed_lang,
+       |             string_split(text, ' ') AS s FROM documents),
+       |f0 AS (SELECT doc_id, claimed_lang,
+       |         $scoreCols
+       |       FROM t),
+       |f0b AS (SELECT *, '${markers.head._1}' AS bl0, s_${markers.head._1} AS bs0 FROM f0),
+       |${folds.replace("FROM f0)", "FROM f0b)")}
+       |SELECT doc_id, claimed_lang, bl$n AS predicted_lang
+       |FROM f$n
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("text_stats", textStats,
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |m AS (SELECT doc_id, text, s,
+        |        CAST(len(s) AS INT) AS n_tokens,
+        |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |             AS INT) AS n_regex_tokens,
+        |        CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,
+        |        CAST(len(list_filter(s,
+        |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+        |          AS n_stopwords
+        |      FROM t)
+        |SELECT doc_id, n_tokens, n_regex_tokens, est_bpe, n_stopwords,
+        |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+        |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+        |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+        |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+        |                         BETWEEN 3.0 AND 10.0
+        |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
+        |FROM m
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("text_langid", textLangId, langIdSql),
+
+    Q.sql("text_fingerprint", textFingerprint,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(s) - 1),
+        |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+        |       FROM toks)
+        |SELECT doc_id,
+        |       list_min(list_transform(g, x -> md5(x))) AS fp_min,
+        |       md5(array_to_string(list_sort(g), '|')) AS fp_full
+        |FROM sh
+        |ORDER BY doc_id""".stripMargin),
+  )
+}
