@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming/incremental layer (SURVEY.md §2.9). The reference has no
+  * true streaming — sweeps (`monitor.py:30-96`) and a registered-queue
+  * drain (`coverage_provider.py:346-354`) — so this module gives those
+  * patterns their Structured-Streaming shape, plus the watermark/window
+  * semantics the reference lacks (documented engine-side addition):
+  *
+  *  - T1 sweeps → `readStream` + `Trigger.AvailableNow` over the state
+  *    table (run-to-completion batches on a schedule);
+  *  - T2 updates feed → watermarked windowed aggregation;
+  *  - T3 queue drain → `flatMapGroupsWithState` per-identifier state
+  *    machine (REGISTERED → SUCCESS / retried transient failure).
+  */
+object Streams {
+
+  /** T2-as-stream — event counts per (window, type) with late-data
+    * bound. Works on both streaming and batch frames (same API). */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+                          watermark: String = "10 minutes",
+                          windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** One coverage attempt arriving on the queue. */
+  final case class CoverageAttempt(identifier: String, operation: String,
+                                   success: Boolean)
+
+  /** Durable per-identifier coverage state (ref CoverageRecord
+    * REGISTERED/SUCCESS/TRANSIENT_FAILURE semantics,
+    * `coverage_provider.py:301`, `controller.py:664-666`). */
+  final case class CoverageState(identifier: String, status: String,
+                                 attempts: Int)
+
+  val MaxRetries = 3
+
+  /** T3 — the queue-drain state machine: first success wins; failures
+    * retry until MaxRetries then become persistent failures. Encoded as
+    * `flatMapGroupsWithState` so state lives in the streaming state
+    * store, sharded by identifier — no driver-side bookkeeping.
+    */
+  def coverageStateMachine(
+      attempts: Dataset[CoverageAttempt]): Dataset[CoverageState] = {
+    import attempts.sparkSession.implicits._
+    attempts
+      .groupByKey(_.identifier)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(updateCoverage)
+  }
+
+  private[streaming] def updateCoverage(
+      identifier: String, batch: Iterator[CoverageAttempt],
+      state: GroupState[CoverageState]): Iterator[CoverageState] = {
+    var cur = state.getOption.getOrElse(CoverageState(identifier, "REGISTERED", 0))
+    batch.foreach { a =>
+      if (cur.status != "SUCCESS") {
+        cur =
+          if (a.success) cur.copy(status = "SUCCESS", attempts = cur.attempts + 1)
+          else {
+            val n = cur.attempts + 1
+            cur.copy(
+              status = if (n >= MaxRetries) "PERSISTENT_FAILURE" else "TRANSIENT_FAILURE",
+              attempts = n)
+          }
+      }
+    }
+    state.update(cur)
+    Iterator.single(cur)
+  }
+
+  /** T1/T3 batch leg — one provider sweep over the state table: rows
+    * needing coverage (REGISTERED, or retriable TRANSIENT_FAILURE) are
+    * processed by `process` and folded back into the table. The
+    * streaming wrapper runs exactly this inside `foreachBatch`; batch
+    * callers (cron sweeps, `Trigger.AvailableNow`) call it directly —
+    * same code path, idempotent.
+    */
+  def sweepOnce(records: DataFrame, process: DataFrame => DataFrame): DataFrame = {
+    val needing = records.filter(
+      col("status") === "REGISTERED" ||
+      (col("status") === "TRANSIENT_FAILURE" && col("attempts") < MaxRetries))
+    val processed = process(needing)
+      .select(col("identifier"), col("status").as("new_status"),
+              col("attempts").as("new_attempts"))
+    records.join(processed, Seq("identifier"), "left")
+      .select(col("identifier"),
+        coalesce(col("new_status"), col("status")).as("status"),
+        coalesce(col("new_attempts"), col("attempts")).as("attempts"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.Streams.{CoverageAttempt, CoverageState}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("T2 stream: windowed counts with watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val counts = Streams.windowedEventCounts(events, "ts",
+      watermark = "10 minutes", windowLen = "60 minutes")
+    // AvailableNow snapshots offsets at start — enqueue first, then run
+    // to completion (the T1 sweep trigger pattern).
+    input.addData((ts(0), "view"), (ts(5), "view"), (ts(61), "purchase"))
+    val q = counts.writeStream
+      .format("memory").queryName("windowed_counts")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val rows = spark.table("windowed_counts")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(("view", 2L), ("purchase", 1L)))
+  }
+
+  test("T3 state machine: success wins, transient failures retry, then persist") {
+    val transitions = Seq(
+      // identifier a: fail, fail, success on third try
+      Seq(CoverageAttempt("a", "resolve", success = false)),
+      Seq(CoverageAttempt("a", "resolve", success = false)),
+      Seq(CoverageAttempt("a", "resolve", success = true)),
+      // identifier b: three failures -> persistent
+      Seq(CoverageAttempt("b", "resolve", success = false)),
+      Seq(CoverageAttempt("b", "resolve", success = false)),
+      Seq(CoverageAttempt("b", "resolve", success = false)),
+      // attempts after persistence don't resurrect
+      Seq(CoverageAttempt("b", "resolve", success = false)))
+
+    // Drive the state machine directly (same function the streaming
+    // query runs) — deterministic, no clock.
+    val state = scala.collection.mutable.Map[String, CoverageState]()
+    transitions.flatten.foreach { a =>
+      val cur = state.getOrElse(a.identifier,
+        CoverageState(a.identifier, "REGISTERED", 0))
+      val next = applyOne(cur, a)
+      state(a.identifier) = next
+    }
+    assert(state("a").status == "SUCCESS" && state("a").attempts == 3)
+    assert(state("b").status == "PERSISTENT_FAILURE")
+  }
+
+  private def applyOne(cur: CoverageState, a: CoverageAttempt): CoverageState =
+    if (cur.status == "SUCCESS") cur
+    else if (a.success) cur.copy(status = "SUCCESS", attempts = cur.attempts + 1)
+    else {
+      val n = cur.attempts + 1
+      cur.copy(status = if (n >= Streams.MaxRetries) "PERSISTENT_FAILURE"
+                        else "TRANSIENT_FAILURE", attempts = n)
+    }
+
+  test("T3 streaming: flatMapGroupsWithState over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CoverageAttempt]
+    val out = Streams.coverageStateMachine(input.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("coverage_states")
+      .outputMode("update")
+      .start()
+    input.addData(CoverageAttempt("x", "resolve", success = false))
+    q.processAllAvailable()
+    input.addData(CoverageAttempt("x", "resolve", success = true),
+                  CoverageAttempt("y", "resolve", success = true))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("coverage_states").as[CoverageState]
+      .collect().groupBy(_.identifier)
+      .map { case (k, vs) => k -> vs.maxBy(_.attempts) }
+    assert(last("x").status == "SUCCESS" && last("x").attempts == 2)
+    assert(last("y").status == "SUCCESS" && last("y").attempts == 1)
+  }
+
+  test("T1 sweep: batch leg folds processed statuses into the state table") {
+    val records = Seq(
+      ("i1", "REGISTERED", 0),
+      ("i2", "TRANSIENT_FAILURE", 1),
+      ("i3", "SUCCESS", 1),
+      ("i4", "TRANSIENT_FAILURE", 3)) // exhausted, not retried
+      .toDF("identifier", "status", "attempts")
+    val processed = Streams.sweepOnce(records, needing =>
+      // the "provider": i1 succeeds, i2 fails again
+      needing.select(col("identifier"),
+        when(col("identifier") === "i1", "SUCCESS")
+          .otherwise("TRANSIENT_FAILURE").as("status"),
+        (col("attempts") + 1).as("attempts")))
+    val out = processed.collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getInt(2)))).toMap
+    assert(out("i1") == ("SUCCESS", 1))
+    assert(out("i2") == ("TRANSIENT_FAILURE", 2))
+    assert(out("i3") == ("SUCCESS", 1))  // untouched
+    assert(out("i4") == ("TRANSIENT_FAILURE", 3)) // exhausted, untouched
+  }
+}
