@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (pipeline brief; SURVEY.md §1 maps cover
+  * images to `BinaryType`, `content_cafe.py:196-203`): media payloads
+  * are opaque `binary` columns with a typed metadata struct, processed
+  * by batch kernels inside `mapPartitions` — the Scala equivalent of
+  * the `mapInPandas` batch-UDF pattern (iterate a partition in batches,
+  * amortize per-batch setup, never a per-row Python/JNI crossing).
+  *
+  * DECODERS ARE STUBBED: this container has no image/audio libraries,
+  * so `decodeImage`/`sampleFrames` parse a deterministic fake header
+  * format (`GIMG|<w>|<h>|payload`) instead of real JPEG/WAV bytes. The
+  * Spark-side contract — schema, batching, partitioning, feature
+  * shapes — is real and tested; swapping in javax.imageio / ffmpeg
+  * means replacing ONLY the bodies marked "STUB".
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),      // image | audio | video
+    StructField("content", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  /** Encode a fake image payload (STUB stand-in for real codec bytes):
+    * `GIMG|w|h|` header followed by the payload bytes. */
+  def fakeImageBytes(w: Int, h: Int, payload: Array[Byte]): Array[Byte] =
+    (s"GIMG|$w|$h|".getBytes("UTF-8")) ++ payload
+
+  /** Decoded image descriptor. */
+  final case class DecodedImage(mediaId: Long, width: Int, height: Int,
+                                nBytes: Int)
+
+  /** STUB decode — parses the fake header. A real implementation reads
+    * the codec header (e.g. ImageIO.read) and this signature does not
+    * change. Runs per partition so a real decoder's native context
+    * would be initialized once per partition, not per row.
+    */
+  def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (STUB: none needed)
+        it.map { case (id, bytes) =>
+          val s = new String(bytes, "UTF-8")
+          val parts = s.split("\\|", 4)
+          if (parts.length == 4 && parts(0) == "GIMG")
+            DecodedImage(id, parts(1).toInt, parts(2).toInt, bytes.length)
+          else DecodedImage(id, -1, -1, bytes.length)
+        }
+      }
+  }
+
+  /** Byte-histogram feature vector (16 buckets, L1-normalized floats) —
+    * a REAL batch feature kernel: the shape an embedding model would
+    * fill, with the same schema (`Array[Float]`) as the embeddings
+    * table, so downstream ANN (VectorSearch) applies unchanged.
+    */
+  def byteHistogramFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) {
+            hist(((bytes(i) & 0xff) * dim) / 256) += 1f
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toFloat
+          var b = 0
+          while (b < dim) { hist(b) /= n; b += 1 }
+          (id, hist)
+        }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** STUB resize — rewrites the fake header to the new dimensions and
+    * truncates the payload proportionally. Real impl: scaled re-encode.
+    * Signature and distributed shape (narrow map, binary→binary) are
+    * the contract. */
+  def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val s = new String(content, "UTF-8")
+    val parts = s.split("\\|", 4)
+    if (parts.length == 4 && parts(0) == "GIMG")
+      fakeImageBytes(w, h, parts(3).getBytes("UTF-8").take(w * h))
+    else content
+  }
+
+  val resizeUdf = udf((c: Array[Byte], w: Int, h: Int) => resizeImage(c, w, h))
+
+  /** STUB frame sampling — splits the payload into fixed-size chunks
+    * and keeps every `everyN`-th (a real impl keyframe-samples with a
+    * codec). Generator shape: one video row → N frame rows via
+    * explode, preserving frame ordinals. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 8,
+                   everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        bytes.grouped(frameBytes).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (frame, ordinal) => (id, ordinal, frame) }
+      }
+      .toDF("media_id", "frame_ordinal", "frame")
+  }
+}

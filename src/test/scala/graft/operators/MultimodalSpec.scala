@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf(rows: (Long, Array[Byte])*) =
+    rows.toSeq.toDF("media_id", "content")
+
+  test("decode stub parses dimensions from the fake header") {
+    val df = mediaDf(
+      1L -> Multimodal.fakeImageBytes(640, 480, "xyz".getBytes),
+      2L -> "not an image".getBytes)
+    val out = Multimodal.decodeImages(df).collect()
+      .map(d => d.mediaId -> ((d.width, d.height))).toMap
+    assert(out(1L) == (640, 480))
+    assert(out(2L) == (-1, -1)) // undecodable marked, not dropped
+  }
+
+  test("byte histogram features are L1-normalized with stable schema") {
+    val df = mediaDf(1L -> Array.tabulate[Byte](256)(_.toByte))
+    val row = Multimodal.byteHistogramFeatures(df).head()
+    val feats = row.getSeq[Float](1)
+    assert(feats.length == 16)
+    assert(math.abs(feats.sum - 1.0f) < 1e-5) // uniform bytes → 1/16 each
+    assert(feats.forall(f => math.abs(f - 1f / 16) < 1e-5))
+    // schema matches the embeddings table convention
+    val schema = Multimodal.byteHistogramFeatures(df).schema
+    assert(schema("features").dataType.simpleString == "array<float>")
+  }
+
+  test("resize stub rewrites header and bounds payload") {
+    val resized = Multimodal.resizeImage(
+      Multimodal.fakeImageBytes(640, 480, ("p" * 100).getBytes), 4, 5)
+    val s = new String(resized, "UTF-8").split("\\|", 4)
+    assert(s(1) == "4" && s(2) == "5")
+    assert(s(3).length == 20) // w*h payload bound
+  }
+
+  test("frame sampling keeps every Nth chunk with ordinals") {
+    val df = mediaDf(7L -> (0 until 32).map(_.toByte).toArray)
+    val frames = Multimodal.sampleFrames(df, frameBytes = 8, everyN = 2)
+      .orderBy("frame_ordinal").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
+  }
+}
