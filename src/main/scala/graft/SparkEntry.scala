@@ -19,7 +19,8 @@ object SparkEntry {
     _root_.graft.queries.TextQueries.entries ++
     _root_.graft.queries.MergeQueries.entries ++
     _root_.graft.queries.SourceQueries.entries ++
-    _root_.graft.queries.MultimodalQueries.entries
+    _root_.graft.queries.MultimodalQueries.entries ++
+    _root_.graft.queries.OrchestrationQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
