@@ -7,14 +7,21 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class TokenSortRatioSpec extends AnyFunSuite {
 
-  // Own session: extensions must be installed at build time.
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-test")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // Extensions install at session build time, and getOrCreate() would
+  // silently return another suite's extension-less shared session — so
+  // clear the active/default sessions first to force a fresh session
+  // (the underlying SparkContext, if any, is reused).
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   test("SQL function resolves to the native expression and matches the Scala impl") {
     import spark.implicits._
