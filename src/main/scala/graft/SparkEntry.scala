@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.MergeQueries.entries ++
     _root_.graft.queries.SourceQueries.entries ++
     _root_.graft.queries.MultimodalQueries.entries ++
-    _root_.graft.queries.OrchestrationQueries.entries
+    _root_.graft.queries.OrchestrationQueries.entries ++
+    _root_.graft.queries.GapQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
