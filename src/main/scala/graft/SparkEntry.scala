@@ -21,7 +21,9 @@ object SparkEntry {
     _root_.graft.queries.SourceQueries.entries ++
     _root_.graft.queries.MultimodalQueries.entries ++
     _root_.graft.queries.OrchestrationQueries.entries ++
-    _root_.graft.queries.GapQueries.entries
+    _root_.graft.queries.GapQueries.entries ++
+    _root_.graft.queries.ScoringQueries.entries ++
+    _root_.graft.queries.SourceQueries2.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

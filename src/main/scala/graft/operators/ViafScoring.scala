@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M2/M3 — the VIAF cluster scorer and popularity override (ref
+  * `viaf.py:144-231` weigh_contributor, `viaf.py:393-450`
+  * order_candidates). The reference scores each candidate cluster with
+  * a weighted evidence sum and re-sorts; here the whole candidate set
+  * is scored in one vectorized pass (pure Column arithmetic — exactly
+  * the "single vectorizable arithmetic expression" SURVEY.md §2.8 M2
+  * calls for) and the per-request winner comes from one rank window.
+  */
+object ViafScoring {
+
+  /** Evidence weights (ref `viaf.py:183-214`). */
+  val SortNameWeight = 2.0
+  val DisplayNameWeight = 0.5
+  val UnimarcWeight = 0.3
+  val GuessedSortWeight = 0.5
+  val AlternateWeight = 0.2
+  val PopularityPenalty = -10.0
+  val DataQualityBonus = 0.2
+  val AcceptThreshold = 70.0 // ref viaf.py:821-824
+
+  /** M2 — the evidence sum. Null evidence contributes nothing; strict
+    * mode zeroes the score when the sort-name match is below the
+    * "sure match" bar of 90 (ref `viaf.py:189-194`).
+    */
+  def weigh(sortNameMatch: Column, displayNameMatch: Column,
+            unimarcMatch: Column, guessedSortMatch: Column,
+            alternateMatch: Column, libraryPopularity: Column,
+            hasDisplayName: Column, hasViaf: Column, titleEvidence: Column,
+            strict: Boolean = false,
+            ignorePopularity: Column = lit(false)): Column = {
+    def z(c: Column): Column = coalesce(c.cast("double"), lit(0.0))
+    val total =
+      when(ignorePopularity || libraryPopularity.isNull, 0.0)
+        .otherwise(lit(PopularityPenalty) * libraryPopularity) +
+      z(sortNameMatch) * SortNameWeight +
+      z(displayNameMatch) * DisplayNameWeight +
+      z(unimarcMatch) * UnimarcWeight +
+      z(guessedSortMatch) * GuessedSortWeight +
+      z(alternateMatch) * AlternateWeight +
+      when(hasDisplayName, DataQualityBonus).otherwise(0.0) +
+      when(hasViaf, DataQualityBonus).otherwise(0.0) +
+      z(titleEvidence)
+    if (strict)
+      when(sortNameMatch.isNotNull && sortNameMatch < 90, 0.0).otherwise(total)
+    else total
+  }
+
+  /** M3 — per-request popularity override (ref `viaf.py:416-440`): when
+    * the MOST popular candidate (library_popularity = 1) is a bad name
+    * match (sort/guessed < 50, or neither present), popularity is
+    * ignored for the WHOLE request. Computed as a window flag broadcast
+    * from the rank-1 row to its group.
+    */
+  def ignorePopularityFlag(requestCol: Column, libraryPopularity: Column,
+                           sortNameMatch: Column,
+                           guessedSortMatch: Column): Column = {
+    val w = Window.partitionBy(requestCol)
+      .orderBy(libraryPopularity.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val topBad =
+      (sortNameMatch.isNotNull && sortNameMatch < 50) ||
+      (guessedSortMatch.isNotNull && guessedSortMatch < 50) ||
+      (sortNameMatch.isNull && guessedSortMatch.isNull)
+    first(when(libraryPopularity === 1, topBad), ignoreNulls = true).over(w)
+  }
+
+  /** Score a candidate frame and pick the per-request winner
+    * (score desc, popularity asc tie-break), keeping only accepted
+    * scores (≥ 70). Expected columns: request_id, candidate_id,
+    * library_popularity (1-based encounter order), sort_name_match,
+    * guessed_sort_match, has_display_name, has_viaf, title_evidence.
+    */
+  def rankCandidates(candidates: DataFrame, strict: Boolean = false): DataFrame = {
+    val ignorePop = ignorePopularityFlag(col("request_id"),
+      col("library_popularity"), col("sort_name_match"),
+      col("guessed_sort_match"))
+    val scored = candidates
+      .withColumn("ignore_pop", coalesce(ignorePop, lit(false)))
+      .withColumn("score", round(weigh(
+        col("sort_name_match"), lit(null), lit(null),
+        col("guessed_sort_match"), lit(null), col("library_popularity"),
+        col("has_display_name"), col("has_viaf"), col("title_evidence"),
+        strict, col("ignore_pop")), 2))
+    val w = Window.partitionBy(col("request_id"))
+      .orderBy(col("score").desc, col("library_popularity").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("score") >= AcceptThreshold)
+      .select(col("request_id"), col("candidate_id"), col("score"),
+              col("ignore_pop"))
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{Env, Q}
+import graft.syntax._
+import graft.operators.ViafScoring
+import graft.streaming.Streams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scoring/orchestration queries: M2+M3 candidate ranking, M5
+  * equivalency strength blend, T1 sweep batch leg. Candidate frames
+  * are synthesized deterministically; oracles mirror the arithmetic
+  * term-for-term (addition order preserved).
+  */
+object ScoringQueries {
+
+  /** M2+M3 — score synthesized VIAF candidates per request (customer),
+    * apply the popularity override from the rank-1 candidate, pick the
+    * accepted winner (ref `viaf.py:144-231`, `393-450`). */
+  def m2ViafRank(env: Env): DataFrame = {
+    val cands = env.orders.select(
+      $"o_custkey".as("request_id"),
+      $"o_orderkey".as("candidate_id"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"o_custkey").orderBy($"o_orderkey"))
+        .cast("double").as("library_popularity"),
+      when($"o_orderkey" % 5 =!= 0, ($"o_orderkey" * 7 % 101).cast("double"))
+        .as("sort_name_match"),
+      when($"o_orderkey" % 5 === 0, ($"o_orderkey" * 13 % 101).cast("double"))
+        .as("guessed_sort_match"),
+      ($"o_orderkey" % 2 === 0).as("has_display_name"),
+      ($"o_orderkey" % 3 === 0).as("has_viaf"),
+      when($"o_orderkey" % 4 === 0, lit(48.0)).as("title_evidence"))
+    ViafScoring.rankCandidates(cands)
+      .orderBy($"request_id")
+  }
+
+  /** M5 — equivalency strength setter (ref
+    * `oclc/linked_data.py:1082-1116`): 0.8·title-similarity +
+    * 0.2·author-set overlap over blocked candidate pairs; emits the new
+    * equivalency rows above the 0.5 floor. */
+  def m5EquivStrength(env: Env): DataFrame = {
+    val sups = env.lineitem.groupBy($"l_partkey")
+      .agg(collect_set($"l_suppkey").as("sups"))
+    val p = env.part
+      .select($"p_partkey", $"p_name", $"p_brand",
+              split($"p_name", " ").getItem(0).as("tok0"))
+      .join(sups, $"p_partkey" === $"l_partkey")
+    val a = p.as("a")
+    val b = p.as("b")
+    val titleSim = lit(1.0) -
+      levenshtein($"a.p_name", $"b.p_name").cast("double") /
+        greatest(length($"a.p_name"), length($"b.p_name"))
+    val authorSim = size(array_intersect($"a.sups", $"b.sups")).cast("double") /
+      size(array_union($"a.sups", $"b.sups"))
+    a.join(b,
+        $"a.p_brand" === $"b.p_brand" && $"a.tok0" === $"b.tok0" &&
+        $"a.p_partkey" < $"b.p_partkey")
+      .select($"a.p_partkey".as("src"), $"b.p_partkey".as("dst"),
+        round(titleSim * 0.8 + authorSim * 0.2, 6).as("strength"))
+      .filter($"strength" > 0.5)
+      .orderBy($"src", $"dst")
+  }
+
+  /** T1 — one sweep over a synthesized coverage-state table (ref
+    * `monitor.py:30-96`; batch leg of the streaming drain). */
+  def t1Sweep(env: Env): DataFrame = {
+    val records = env.customer.select(
+      $"c_custkey".cast("string").as("identifier"),
+      when($"c_custkey" % 4 === 0, "REGISTERED")
+        .when($"c_custkey" % 4 === 1, "TRANSIENT_FAILURE")
+        .when($"c_custkey" % 4 === 2, "SUCCESS")
+        .otherwise("TRANSIENT_FAILURE").as("status"),
+      when($"c_custkey" % 4 === 1, 1)
+        .when($"c_custkey" % 4 === 3, 3)
+        .otherwise(lit(1)).as("attempts"))
+    val swept = Streams.sweepOnce(records, needing =>
+      needing.select($"identifier",
+        when($"identifier".cast("long") % 3 =!= 0, "SUCCESS")
+          .otherwise("TRANSIENT_FAILURE").as("status"),
+        ($"attempts" + 1).as("attempts")))
+    swept
+      .select($"identifier".cast("long").as("key"), $"status", $"attempts")
+      .orderBy($"key")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("m2_viaf_rank", m2ViafRank,
+      """WITH cand AS (
+        |  SELECT o_custkey AS request_id, o_orderkey AS candidate_id,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey) AS DOUBLE) AS pop,
+        |    CASE WHEN o_orderkey % 5 <> 0
+        |         THEN CAST(o_orderkey * 7 % 101 AS DOUBLE) END AS sn,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |         THEN CAST(o_orderkey * 13 % 101 AS DOUBLE) END AS gsn,
+        |    o_orderkey % 2 = 0 AS hdn,
+        |    o_orderkey % 3 = 0 AS hv,
+        |    CASE WHEN o_orderkey % 4 = 0 THEN 48.0 END AS te
+        |  FROM orders),
+        |topflag AS (
+        |  SELECT request_id,
+        |    ((sn IS NOT NULL AND sn < 50) OR (gsn IS NOT NULL AND gsn < 50)
+        |     OR (sn IS NULL AND gsn IS NULL)) AS ignore_pop
+        |  FROM cand WHERE pop = 1),
+        |scored AS (
+        |  SELECT c.request_id, c.candidate_id, c.pop,
+        |    COALESCE(t.ignore_pop, FALSE) AS ignore_pop,
+        |    round(
+        |      (CASE WHEN COALESCE(t.ignore_pop, FALSE) OR c.pop IS NULL
+        |            THEN 0.0 ELSE -10.0 * c.pop END)
+        |      + COALESCE(c.sn, 0.0) * 2.0
+        |      + COALESCE(c.gsn, 0.0) * 0.5
+        |      + (CASE WHEN c.hdn THEN 0.2 ELSE 0.0 END)
+        |      + (CASE WHEN c.hv THEN 0.2 ELSE 0.0 END)
+        |      + COALESCE(c.te, 0.0), 2) AS score
+        |  FROM cand c LEFT JOIN topflag t USING (request_id)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY request_id
+        |    ORDER BY score DESC, pop ASC) AS rn
+        |  FROM scored)
+        |SELECT request_id, candidate_id, score, ignore_pop
+        |FROM ranked WHERE rn = 1 AND score >= 70.0
+        |ORDER BY request_id""".stripMargin),
+
+    Q.sql("m5_equiv_strength", m5EquivStrength,
+      """WITH sups AS (
+        |  SELECT l_partkey, array_agg(DISTINCT l_suppkey) AS s
+        |  FROM lineitem GROUP BY l_partkey),
+        |p AS (
+        |  SELECT p_partkey, p_name, p_brand,
+        |         string_split(p_name, ' ')[1] AS tok0, s
+        |  FROM part JOIN sups ON p_partkey = l_partkey)
+        |SELECT a.p_partkey AS src, b.p_partkey AS dst,
+        |  round((1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        |         / greatest(length(a.p_name), length(b.p_name))) * 0.8
+        |      + (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s)))) * 0.2, 6)
+        |    AS strength
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.tok0 = b.tok0
+        | AND a.p_partkey < b.p_partkey
+        |WHERE round((1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        |         / greatest(length(a.p_name), length(b.p_name))) * 0.8
+        |      + (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.s, b.s)))) * 0.2, 6) > 0.5
+        |ORDER BY src, dst""".stripMargin),
+
+    Q.sql("t1_sweep", t1Sweep,
+      """SELECT c_custkey AS key,
+        |  CASE
+        |    WHEN c_custkey % 4 = 2 THEN 'SUCCESS'
+        |    WHEN c_custkey % 4 = 3 THEN 'TRANSIENT_FAILURE'
+        |    WHEN c_custkey % 3 <> 0 THEN 'SUCCESS'
+        |    ELSE 'TRANSIENT_FAILURE' END AS status,
+        |  CAST(CASE
+        |    WHEN c_custkey % 4 = 2 THEN 1
+        |    WHEN c_custkey % 4 = 3 THEN 3
+        |    WHEN c_custkey % 4 = 0 THEN 2
+        |    ELSE 2 END AS INT) AS attempts
+        |FROM customer
+        |ORDER BY key""".stripMargin),
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{Env, Q}
+import graft.syntax._
+import graft.sources.{BiblioXml, HtmlScrape, JsonLd, OpdsXml, OverdriveJson}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Second source pack: snapshot-table extraction queries for the VIAF,
+  * Classify, Overdrive, JSON-LD, and HTML-scrape sources, plus the
+  * OPDS render sink. Payloads constructed from testdata; constructive
+  * oracles.
+  */
+object SourceQueries2 {
+
+  /** S2 — VIAF SRU cluster extraction (two MARC21 100$a names per
+    * cluster, ordinal preserved). */
+  def s2ViafParse(env: Env): DataFrame = {
+    val xml = concat(
+      lit("<VIAFCluster><viafID>"), $"c_custkey",
+      lit("</viafID><datafield dtype=\"MARC21\" tag=\"100\"><subfield code=\"a\">"),
+      $"c_name",
+      lit("</subfield></datafield><datafield dtype=\"MARC21\" tag=\"100\"><subfield code=\"a\">Alt "),
+      $"c_name",
+      lit("</subfield></datafield></VIAFCluster>"))
+    val snap = env.customer.select($"c_custkey".as("k"), xml.as("xml"))
+    BiblioXml.parseViafClusters(snap, "k", "xml")
+      .select($"key".cast("long").as("key"), $"viaf_id", $"ordinal", $"sort_name")
+      .orderBy($"key", $"ordinal")
+  }
+
+  /** S3 — Classify multi-OWI extraction: 2 works for even keys, 1 for
+    * odd; shared ddc/lcc headings. */
+  def s3ClassifyParse(env: Env): DataFrame = {
+    val works = when($"p_partkey" % 2 === 0, concat(
+        lit("<work owi=\"A"), $"p_partkey", lit("\"/><work owi=\"B"),
+        $"p_partkey", lit("\"/>")))
+      .otherwise(concat(lit("<work owi=\"A"), $"p_partkey", lit("\"/>")))
+    val xml = concat(
+      lit("<classify><response code=\"2\"/><works>"), works,
+      lit("</works><ddc><mostPopular sfa=\"8"), $"p_partkey" % 100,
+      lit("\"/></ddc><lcc><mostPopular sfa=\"PS"), $"p_partkey" % 50,
+      lit("\"/></lcc></classify>"))
+    val snap = env.part.select($"p_partkey".as("k"), xml.as("xml"))
+    BiblioXml.parseClassify(snap, "k", "xml")
+      .select($"key".cast("long").as("key"), $"response_code", $"ddc", $"lcc", $"owi")
+      .orderBy($"key", $"owi")
+  }
+
+  /** S6 — Overdrive JSON bibliographic parse: author-role preference
+    * and format count. */
+  def s6Overdrive(env: Env): DataFrame = {
+    val creators = when($"c_custkey" % 3 === 0,
+        concat(lit("""[{"name":"N"""), $"c_custkey",
+               lit("""","role":"Narrator"},{"name":"A"""), $"c_custkey",
+               lit("""","role":"Author"}]""")))
+      .otherwise(concat(lit("""[{"name":"N"""), $"c_custkey",
+                        lit("""","role":"Narrator"}]""")))
+    val json = concat(
+      lit("""{"title":"T"""), $"c_custkey",
+      lit("""","creators":"""), creators,
+      lit(""","languages":[{"code":"en"}],"formats":[{"id":"f1"},{"id":"f2"}]}"""))
+    val snap = env.customer.select($"c_custkey".as("od_id"), json.as("json"))
+    OverdriveJson.parseBibliographic(snap, "od_id", "json")
+      .select($"overdrive_id".cast("long").as("overdrive_id"),
+              $"title", $"author", $"language", $"n_formats")
+      .orderBy($"overdrive_id")
+  }
+
+  /** S4/F14 — JSON-LD graph: per doc a Person node (en+fr names) and a
+    * CreativeWork referencing it; resolve creators through the
+    * internal @id self-join, names restricted to @language=en. */
+  def s4JsonLd(env: Env): DataFrame = {
+    val json = concat(
+      lit("""{"@graph":[{"@id":"p"""), $"c_custkey",
+      lit("""","@type":"Person","name":[{"@language":"fr","@value":"FR """), $"c_name",
+      lit(""""},{"@language":"en","@value":"""" ), $"c_name",
+      lit(""""}]},{"@id":"w"""), $"c_custkey",
+      lit("""","@type":"CreativeWork","name":[{"@language":"en","@value":"Work """), $"c_custkey",
+      lit(""""}],"creator":"p"""), $"c_custkey",
+      lit(""""}]}"""))
+    val docs = env.customer.select($"c_custkey".as("k"), json.as("json"))
+    val nodes = JsonLd.explodeGraph(docs, "k", "json")
+    JsonLd.resolveCreators(nodes)
+      .select($"key".cast("long").as("key"), $"work_id", $"work_name",
+              $"creator_name")
+      .orderBy($"key")
+  }
+
+  /** S5/F15 — HTML scrape: PageHeader2 title + review table cells,
+    * bad-title placeholder pages dropped. */
+  def s5HtmlScrape(env: Env): DataFrame = {
+    val title = when($"p_partkey" % 10 === 0, lit("Unknown")).otherwise($"p_name")
+    val html = concat(
+      lit("<html><body><span class=\"PageHeader2\">"), title,
+      lit("</span><table><tr><td class=\"text\">Review one for "), $"p_brand",
+      lit("</td></tr><tr><td class=\"text\">Review two</td></tr></table></body></html>"))
+    val snap = env.part.select($"p_partkey".as("k"), html.as("html"))
+    HtmlScrape.scrapeReviews(snap, "k", "html")
+      .select($"key".cast("long").as("key"), $"title",
+              $"review_ordinal", $"review")
+      .orderBy($"key", $"review_ordinal")
+  }
+
+  /** S10 — OPDS entry render sink (ref `controller.py:474-489`). */
+  def s10OpdsRender(env: Env): DataFrame = {
+    val rows = env.customer.select(
+      concat(lit("urn:c:"), $"c_custkey").as("entry_id"),
+      $"c_name".as("title"),
+      concat(lit("Author "), $"c_custkey" % 7).as("author"),
+      $"c_custkey")
+    OpdsXml.renderEntries(rows, "entry_id", "title", "author")
+      .orderBy($"entry_xml")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("s2_viaf_parse", s2ViafParse,
+      """SELECT c_custkey AS key, CAST(c_custkey AS VARCHAR) AS viaf_id,
+        |       t.ordinal, t.sort_name
+        |FROM customer, (VALUES (0, ''), (1, 'Alt ')) AS t0(ordinal, prefix),
+        |LATERAL (SELECT t0.ordinal AS ordinal,
+        |                t0.prefix || c_name AS sort_name) AS t
+        |ORDER BY key, t.ordinal""".stripMargin),
+
+    Q.sql("s3_classify_parse", s3ClassifyParse,
+      """WITH base AS (
+        |  SELECT p_partkey AS key, CAST(2 AS INT) AS response_code,
+        |         '8' || (p_partkey % 100) AS ddc,
+        |         'PS' || (p_partkey % 50) AS lcc
+        |  FROM part),
+        |owis AS (
+        |  SELECT key, response_code, ddc, lcc, 'A' || key AS owi FROM base
+        |  UNION ALL
+        |  SELECT key, response_code, ddc, lcc, 'B' || key AS owi FROM base
+        |  WHERE key % 2 = 0)
+        |SELECT key, response_code, ddc, lcc, owi FROM owis
+        |ORDER BY key, owi""".stripMargin),
+
+    Q.sql("s6_overdrive", s6Overdrive,
+      """SELECT c_custkey AS overdrive_id,
+        |  'T' || c_custkey AS title,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'A' || c_custkey
+        |       ELSE 'N' || c_custkey END AS author,
+        |  'en' AS language,
+        |  CAST(2 AS INT) AS n_formats
+        |FROM customer
+        |ORDER BY overdrive_id""".stripMargin),
+
+    Q.sql("s4_jsonld", s4JsonLd,
+      """SELECT c_custkey AS key,
+        |  'w' || c_custkey AS work_id,
+        |  'Work ' || c_custkey AS work_name,
+        |  c_name AS creator_name
+        |FROM customer
+        |ORDER BY key""".stripMargin),
+
+    Q.sql("s5_html_scrape", s5HtmlScrape,
+      """WITH pages AS (SELECT p_partkey AS key, p_name, p_brand FROM part
+        |               WHERE p_partkey % 10 <> 0)
+        |SELECT key, p_name AS title, t.review_ordinal, t.review
+        |FROM pages, LATERAL (SELECT * FROM (VALUES
+        |  (0, 'Review one for ' || p_brand),
+        |  (1, 'Review two')) AS v(review_ordinal, review)) AS t
+        |ORDER BY key, t.review_ordinal""".stripMargin),
+
+    Q.sql("s10_opds_render", s10OpdsRender,
+      """SELECT '<entry><id>urn:c:' || c_custkey || '</id><title>' || c_name
+        |  || '</title><author><name>Author ' || (c_custkey % 7)
+        |  || '</name></author></entry>' AS entry_xml
+        |FROM customer
+        |ORDER BY entry_xml""".stripMargin),
+  )
+}
