@@ -56,7 +56,7 @@ object Functions {
       .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
               $"a.p_name".as("name_a"), $"b.p_name".as("name_b"),
               ratio.as("ratio"))
-      .filter($"ratio" >= 80)
+      .filter(graft.operators.PlanHints.geqNonPushable($"ratio", 80))
       .orderBy($"key_a", $"key_b")
   }
 

@@ -59,7 +59,7 @@ object ScoringQueries {
         $"a.p_partkey" < $"b.p_partkey")
       .select($"a.p_partkey".as("src"), $"b.p_partkey".as("dst"),
         round(titleSim * 0.8 + authorSim * 0.2, 6).as("strength"))
-      .filter($"strength" > 0.5)
+      .filter(graft.operators.PlanHints.gtNonPushable($"strength", 0.5))
       .orderBy($"src", $"dst")
   }
 
