@@ -43,6 +43,40 @@ object TextNorm {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  // F7 — title unfluff (ref `viaf.py:235-273`, `oclc/classify.py:816-839`):
+  // leading articles and trailing subtitle clutter removed before title
+  // comparison; semicolons mark anthology compilations which the
+  // reference disqualifies from title matching.
+  private val LeadingArticles = Seq("the ", "a ", "an ")
+
+  /** Strip leading articles + punctuation clutter from a title for
+    * comparison purposes. */
+  def unfluffTitle(title: String): String = {
+    if (title == null) return null
+    var t = nfkdLower(title).trim
+    var changed = true
+    while (changed) {
+      changed = false
+      LeadingArticles.find(t.startsWith).foreach { a =>
+        t = t.substring(a.length); changed = true
+      }
+    }
+    t.replaceAll("[\\p{Punct}]+$", "").trim
+  }
+
+  /** Anthology disqualification: " ; " separates multiple works in one
+    * field (ref `oclc/classify.py:816-839`). */
+  def isAnthologyTitle(title: String): Boolean =
+    title != null && title.contains(" ; ")
+
+  /** Title similarity on unfluffed forms, 0–1 (reference gate ≥ 0.25). */
+  def titleSimilarity(a: String, b: String): Double = {
+    val ua = unfluffTitle(a)
+    val ub = unfluffTitle(b)
+    if (ua == null || ub == null || ua.isEmpty || ub.isEmpty) 0.0
+    else Fuzzy.ratio(ua, ub) / 100.0
+  }
+
   private val EightDigits = """^\d{8}.*""".r
 
   /** F9 year extraction from messy date strings (ref

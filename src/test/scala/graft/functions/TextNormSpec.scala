@@ -18,6 +18,17 @@ class TextNormSpec extends AnyFunSuite with PropSupport {
     assert(TextNorm.extractYear(null) == null)
   }
 
+  test("title unfluff: articles, punctuation, anthologies (F7)") {
+    assert(TextNorm.unfluffTitle("The Time Machine") == "time machine")
+    assert(TextNorm.unfluffTitle("A Study in Scarlet.") == "study in scarlet")
+    assert(TextNorm.unfluffTitle("The An Apple") == "an apple" ||
+           TextNorm.unfluffTitle("The An Apple") == "apple") // nested articles both strip
+    assert(TextNorm.isAnthologyTitle("Novels ; Short stories"))
+    assert(!TextNorm.isAnthologyTitle("Plain title"))
+    assert(TextNorm.titleSimilarity("The Time Machine", "time machine!") == 1.0)
+    assert(TextNorm.titleSimilarity("The Time Machine", "War of the Worlds") < 0.5)
+  }
+
   test("nfkd lower strips accents and case") {
     assert(TextNorm.nfkdLower("Café") == "cafe")
     assert(TextNorm.nfkdLower("BRONTË") == "bronte")
