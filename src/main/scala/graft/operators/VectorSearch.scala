@@ -167,6 +167,66 @@ object VectorSearch {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF-style approximate top-k: vectors are pre-assigned to coarse
+    * cells (`cellCol` — in production the output of a k-means coarse
+    * quantizer; the embeddings table's `label` column plays that role
+    * here), cell centroids are computed from the data, and each query
+    * scans only the `nProbe` cells whose centroids are most cosine-
+    * similar. The scan fraction is nProbe/nCells — the classic IVF
+    * trade — and the big side is one filtered streaming pass.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              cellCol: String = "label", nProbe: Int = 3,
+              dim: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // Train: centroid per cell (mean per dimension).
+    val centroids: Array[(Int, Array[Float])] = vectors
+      .select(col(cellCol).cast("int").as("cell"), col("embedding"))
+      .as[(Int, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val sum = new Array[Double](dim)
+        var n = 0
+        it.foreach { case (_, e) =>
+          var i = 0
+          while (i < dim) { sum(i) += e(i); i += 1 }
+          n += 1
+        }
+        (cell, sum.map(s => (s / math.max(n, 1)).toFloat))
+      }.collect()
+    // Probe selection per query: top-nProbe centroid cells.
+    val qs = queries.select(col("qid"), col("qe"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) =>
+        val nq = normK(e, dim)
+        val probes = centroids
+          .map { case (cell, c) => (cell, dotK(e, c, dim) / (nq * normK(c, dim))) }
+          .sortBy(-_._2).take(nProbe).map(_._1).toSet
+        (id, e, nq, probes)
+      }
+    val bc = spark.sparkContext.broadcast(qs)
+    val scored = vectors
+      .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        it.flatMap { case (cell, vid, e) =>
+          val nv = normK(e, dim)
+          queries.iterator
+            .filter { case (qid, _, _, probes) => qid != vid && probes.contains(cell) }
+            .map { case (qid, qe, nq, _) =>
+              (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
+            }
+        }
+      }.toDF("qid", "vec_id", "cos")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.
     * Block-matrix shape: vectors are grouped into B hash blocks, the
     * B(B+1)/2 block-cell pairs are enumerated with a join (tiny), and a

@@ -29,6 +29,13 @@ object AnnQueries {
     VectorSearch.lshTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** IVF-probed approximate top-5 (rows-only; centroid means are
+    * data-derived so the probe set is approximate by design —
+    * quality/consistency asserted in VectorSearchSpec). */
+  def annIvfTopK(env: Env): DataFrame =
+    VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.45. */
   def annCosPairs(env: Env): DataFrame =
     VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
@@ -64,6 +71,8 @@ object AnnQueries {
          |ORDER BY qid, rank""".stripMargin),
 
     Q("ann_lsh_topk", annLshTopK, None),
+
+    Q("ann_ivf_topk", annIvfTopK, None),
 
     Q.sql("ann_cos_pairs", annCosPairs,
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -29,6 +29,19 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup with bounded state (LLM-pipeline brief): a
+    * document stream deduplicated on a content fingerprint, keeping
+    * state only within the watermark horizon —
+    * `dropDuplicatesWithinWatermark` evicts fingerprints older than the
+    * event-time bound, so state is O(docs per watermark window), not
+    * O(all history). Pair with `TextDedup.shingleFingerprint` for the
+    * fingerprint column.
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, fingerprintCol: String,
+                     watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(fingerprintCol)
+
   /** One coverage attempt arriving on the queue. */
   final case class CoverageAttempt(identifier: String, operation: String,
                                    success: Boolean)

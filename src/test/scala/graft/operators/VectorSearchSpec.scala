@@ -67,4 +67,25 @@ class VectorSearchSpec extends SparkSpec {
     val hit = approx.count { case (qid, _, vid, _) => exact.contains((qid, vid)) }
     info(s"LSH recall@5 on sf0.001: $hit/${exact.size}")
   }
+
+  test("IVF top-k probes cells and stays consistent with exact cosine") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val approx = VectorSearch.ivfTopK(emb, q, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exactCos = VectorSearch.bruteForceTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    approx.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    approx.foreach { case (qid, _, vid, c) =>
+      assert(math.abs(exactCos((qid, vid)) - c) < 1e-9)
+    }
+    val exact = VectorSearch.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = approx.count { case (qid, _, vid, _) => exact.contains((qid, vid)) }
+    info(s"IVF recall@5 on sf0.001 (3/10 cells probed): $hit/${exact.size}")
+  }
 }
