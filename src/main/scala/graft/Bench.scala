@@ -28,7 +28,9 @@ object Bench {
     // Warm the session once (scan metadata, codegen caches, JIT) so the
     // alphabetically-first query doesn't absorb startup cost — measured
     // ~4s of warmup otherwise attributed to whichever query runs first.
-    Tables.names.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // Env sets the nanosAsLong conf events.parquet needs.
+    val warmEnv = Env(spark, sfDir)
+    Tables.names.foreach(t => warmEnv.table(t).count())
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
