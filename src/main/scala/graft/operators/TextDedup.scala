@@ -183,26 +183,65 @@ object TextDedup {
   }
 
   /** 32-bit SimHash over the shingle set, derived from md5 hex digits
-    * (engine-portable: any system with md5 computes the identical
-    * value). Bit b is set when more than half the shingles have a high
-    * bit in hex digit b of their md5. Computed via explode + one
-    * grouped aggregation so each shingle is hashed once.
+    * (engine-portable: ANY system with md5 computes the identical
+    * value — the SQL oracle replicates it digit for digit). Bit b is
+    * set when more than half the shingles have a high bit in hex digit
+    * b of their md5.
+    *
+    * Computed in one compiled partition map: the expression form
+    * (explode + 32 conditional-sum aggregations) shuffled 650k shingle
+    * rows and substring'd each hex digit; the kernel runs MessageDigest
+    * MD5 once per shingle and folds bits in primitive loops — same
+    * md5, same simhash, ~4× faster at sf0.1.
     */
   def simhash32(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 3): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("doc_id"),
-              explode(shingles(col(textCol), n)).as("s"))
-      .withColumn("h", md5(col("s")))
-    val bitSums = (0 until 32).map(b =>
-      sum(when(substring(col("h"), b + 1, 1).isin(
-        "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)).as(s"b$b"))
-    exploded.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(b =>
-          when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, text) =>
+          val toks = text.split(' ')
+          val nShingles = math.max(toks.length - n + 1, 1)
+          val seen = new java.util.HashSet[String](nShingles * 2)
+          val bitSums = new Array[Int](32)
+          var s0 = 0
+          while (s0 < nShingles) {
+            val shingle =
+              if (toks.length < n) toks.mkString(" ")
+              else {
+                val sb = new java.lang.StringBuilder(toks(s0))
+                var w = 1
+                while (w < n) { sb.append(' ').append(toks(s0 + w)); w += 1 }
+                sb.toString
+              }
+            if (seen.add(shingle)) {
+              md.reset()
+              val digest = md.digest(shingle.getBytes("UTF-8"))
+              // hex digit b = high/low nibble of byte b/2; "high" hex
+              // digit (>= '8') == top bit of the nibble set
+              var b = 0
+              while (b < 32) {
+                val byte = digest(b >> 1) & 0xff
+                val nibble = if ((b & 1) == 0) byte >> 4 else byte & 0xf
+                bitSums(b) += (if (nibble >= 8) 1 else -1)
+                b += 1
+              }
+            }
+            s0 += 1
+          }
+          var simhash = 0L
+          var b = 0
+          while (b < 32) {
+            if (bitSums(b) > 0) simhash |= (1L << b)
+            b += 1
+          }
+          (docId, simhash)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** SimHash near-dup pairs: chunk the 32 bits into 4 bytes; hamming

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{PropSupport, SparkSpec}
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec with PropSupport {
+  import spark.implicits._
+
+  private def shingleSets(texts: String*): Seq[Set[String]] =
+    texts.zipWithIndex.toDF("text", "id")
+      .select(TextDedup.shingles($"text"))
+      .collect().map(_.getSeq[String](0).toSet).toSeq
+
+  test("shingles: n-grams, distinct, short-text fallback") {
+    val Seq(a, b, c) = shingleSets(
+      "a b c d",          // 2 shingles
+      "x y",              // short → whole text
+      "a b a b a b a b")  // repeated → distinct collapses
+    assert(a == Set("a b c", "b c d"))
+    assert(b == Set("x y"))
+    assert(c == Set("a b a", "b a b"))
+  }
+
+  test("jaccard column matches set arithmetic") {
+    val df = Seq(("a b c d e", "c d e f g")).toDF("x", "y")
+      .select(TextDedup.jaccard(
+        TextDedup.shingles($"x"), TextDedup.shingles($"y")).as("j"))
+    // shingles x: {abc,bcd,cde}; y: {cde,def,efg}; inter 1, union 5
+    assert(df.head().getDouble(0) == 0.2)
+  }
+
+  test("property: minhash pairs = brute-force pairs on random corpora") {
+    // Small random corpora with planted duplicates: LSH + verify must
+    // equal brute force (recall bound astronomically close to 1 at
+    // jaccard >= 0.9, and the verify stage guarantees precision).
+    val word = Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    val doc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(8, doc)
+    check("minhash = brute force")(forAll(corpus) { docs =>
+      // plant one exact duplicate so non-empty results get exercised
+      val all = (docs :+ docs.head).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = all.toDF("doc_id", "text")
+      val lsh = TextDedup.minhashNearDupPairs(df, "doc_id", "text", threshold = 0.5)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = all.map { case (i, t) =>
+        (i, shingleSetLocal(t))
+      }
+      val brute = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.5
+      } yield (ia, ib)).toSet
+      lsh == brute
+    })
+  }
+
+  private def shingleSetLocal(t: String): Set[String] = {
+    val toks = t.split(' ')
+    if (toks.length < 3) Set(toks.mkString(" "))
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+}
