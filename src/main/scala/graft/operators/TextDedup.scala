@@ -111,6 +111,37 @@ object TextDedup {
       .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
   }
 
+  /** N-gram-Jaccard near-dup pairs via MIN-SHINGLE blocking (the
+    * third dedup family of the pipeline brief, distinct from banded
+    * MinHash): each doc's block keys are its `keys` lexicographically
+    * smallest shingle md5s; docs at Jaccard j share at least one of
+    * their k smallest shingles with probability ≈ 1−(1−j)^k (documents
+    * above 0.5 virtually always), so candidates come from an equi-join
+    * on those keys and the exact Jaccard verify keeps precision at 1.
+    * Simpler than MinHash (no signatures), same no-all-pairs shape.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5, n: Int = 3,
+                        keys: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+                         shingles(col(textCol), n).as("sh"))
+    val keyed = sh
+      .select(col("doc_id"),
+        explode(slice(array_sort(transform(col("sh"), s => md5(s))), 1, keys))
+          .as("key"))
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+  }
+
   /** Compiled signature+banding kernel: one string hash per shingle
     * (FNV-1a 64), then k min-hashes via universal hashing
     * (h_i = a_i·h + b_i with odd multipliers — same LSH statistics as

@@ -39,6 +39,14 @@ object DedupQueries {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
 
+  /** N-gram Jaccard near-dup via min-shingle blocking — same ground
+    * truth as dedup_minhash (brute-force oracle), different candidate
+    * scheme. */
+  def dedupNgram(env: Env): DataFrame =
+    TextDedup.ngramJaccardPairs(env.documents, "doc_id", "text", threshold = 0.5)
+      .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+
   /** SimHash hamming ≤ 3 near-dup pairs (exact by pigeonhole). */
   def dedupSimhash(env: Env): DataFrame =
     TextDedup.simhashNearDupPairs(env.documents, "doc_id", "text", maxHamming = 3)
@@ -89,5 +97,15 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q.sql("dedup_simhash", dedupSimhash, simhashSql),
+
+    Q.sql("dedup_ngram", dedupNgram,
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin),
   )
 }
