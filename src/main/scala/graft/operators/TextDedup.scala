@@ -17,7 +17,8 @@ object TextDedup {
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val toks = split(text, " ")
-    array_distinct(
+    if (n == 1) array_distinct(toks) // unigram: skip the window transform
+    else array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
