@@ -126,10 +126,8 @@ object TextDedup {
                         keys: Int = 4): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
                          shingles(col(textCol), n).as("sh"))
-    val keyed = sh
-      .select(col("doc_id"),
-        explode(slice(array_sort(transform(col("sh"), s => md5(s))), 1, keys))
-          .as("key"))
+    val keyed = minKeyKernel(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, keys)
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -141,6 +139,55 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"),
               jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+  }
+
+  /** Compiled min-key kernel for [[ngramJaccardPairs]]: the `keys`
+    * lexicographically-smallest shingle md5s per document, computed
+    * with MessageDigest in one partition map (identical md5 values to
+    * the expression form; block keys only feed candidate generation
+    * anyway). */
+  private def minKeyKernel(docs: DataFrame, n: Int, keys: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hexChars = "0123456789abcdef".toCharArray
+    docs.as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val toks = text.split(' ')
+          val nShingles = math.max(toks.length - n + 1, 1)
+          val mins = new java.util.TreeSet[String]()
+          val seen = new java.util.HashSet[String](nShingles * 2)
+          var s0 = 0
+          while (s0 < nShingles) {
+            val shingle =
+              if (toks.length < n) toks.mkString(" ")
+              else {
+                val sb = new java.lang.StringBuilder(toks(s0))
+                var w = 1
+                while (w < n) { sb.append(' ').append(toks(s0 + w)); w += 1 }
+                sb.toString
+              }
+            if (seen.add(shingle)) {
+              md.reset()
+              val digest = md.digest(shingle.getBytes("UTF-8"))
+              val hex = new Array[Char](32)
+              var i = 0
+              while (i < 16) {
+                hex(i * 2) = hexChars((digest(i) >> 4) & 0xf)
+                hex(i * 2 + 1) = hexChars(digest(i) & 0xf)
+                i += 1
+              }
+              mins.add(new String(hex))
+              if (mins.size > keys) mins.pollLast()
+            }
+            s0 += 1
+          }
+          import scala.jdk.CollectionConverters._
+          mins.asScala.iterator.map(k => (docId, k))
+        }
+      }
+      .toDF("doc_id", "key")
   }
 
   /** Compiled signature+banding kernel: one string hash per shingle
