@@ -28,9 +28,15 @@ object Bench {
     // Warm the session once (scan metadata, codegen caches, JIT) so the
     // alphabetically-first query doesn't absorb startup cost — measured
     // ~4s of warmup otherwise attributed to whichever query runs first.
-    // Env sets the nanosAsLong conf events.parquet needs.
-    val warmEnv = Env(spark, sfDir)
-    Tables.names.foreach(t => warmEnv.table(t).count())
+    // Env sets the nanosAsLong conf events.parquet needs. Warmup
+    // failures (missing table) must NOT abort the bench — the affected
+    // queries will report their own errors.
+    try {
+      val warmEnv = Env(spark, sfDir)
+      Tables.names.foreach(t =>
+        try warmEnv.table(t).count()
+        catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -72,7 +72,7 @@ object Names {
     if (name == null) return false
     val l = " " + name.toLowerCase.trim + " "
     CorporateMarkers.exists(m => l.contains(" " + m + " ") || l.contains(" " + m + ",")) ||
-      name.trim.endsWith(")") && name.contains("(firm")
+      l.trim.endsWith(")") && l.contains("(firm")
   }
 
   /** F4 name tidy: trim whitespace and trailing comma/period clutter

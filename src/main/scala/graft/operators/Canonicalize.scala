@@ -49,9 +49,8 @@ object Canonicalize {
     val cands = contributors.select(
       col("display_name").as("cand_name"), col("sort_name").as("cand_sort"),
       blockKey(col("display_name")).as("blk"))
-    val ratio = round(lit(100.0) *
-      (lit(1.0) - levenshtein(col("display_name"), col("cand_name")).cast("double") /
-        greatest(length(col("display_name")), length(col("cand_name"))))).cast("int")
+    val ratio = graft.functions.ColumnFunctions.levenshteinRatio(
+      col("display_name"), col("cand_name"))
     val w = Window.partitionBy(col("request_id"))
       .orderBy(col("ratio").desc, length(col("cand_name")).asc, col("cand_name").asc)
     val fuzzy = unresolved.join(cands, Seq("blk"))

@@ -74,7 +74,6 @@ object MetadataMerge {
     val df = metadata
     val key = col("primaryIdentifier.identifier").as("identifier")
     // first non-empty contributor list by encounter order
-    val w = Window.partitionBy(col("identifier")).orderBy(col(ordCol))
     val firstContribs = df
       .select(key, col(ordCol), col("contributors"))
       .filter(size(col("contributors")) > 0)
@@ -93,8 +92,14 @@ object MetadataMerge {
       .agg(sum(col("m.value")).as("value"))
       .groupBy(col("identifier"))
       .agg(collect_list(struct(col("quantity"), col("value"))).as("measurements"))
+    // One output row per IDENTIFIER: multi-source batches fold too, the
+    // reported dataSource being the first by encounter order (a
+    // per-(identifier, source) grouping would silently duplicate
+    // identifiers and double-count downstream merges).
     df.select(col("primaryIdentifier.identifier").as("identifier"),
-              col("dataSource")).distinct()
+              col("dataSource"), col(ordCol))
+      .groupBy(col("identifier"))
+      .agg(min_by(col("dataSource"), col(ordCol)).as("dataSource"))
       .join(firstContribs, Seq("identifier"), "left")
       .join(subjects, Seq("identifier"), "left")
       .join(measurements, Seq("identifier"), "left")

@@ -48,11 +48,14 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition decoder setup would go here (STUB: none needed)
         it.map { case (id, bytes) =>
-          val s = new String(bytes, "UTF-8")
-          val parts = s.split("\\|", 4)
-          if (parts.length == 4 && parts(0) == "GIMG")
-            DecodedImage(id, parts(1).toInt, parts(2).toInt, bytes.length)
-          else DecodedImage(id, -1, -1, bytes.length)
+          if (bytes == null) DecodedImage(id, -1, -1, 0)
+          else {
+            val s = new String(bytes, "UTF-8")
+            val parts = s.split("\\|", 4)
+            if (parts.length == 4 && parts(0) == "GIMG")
+              DecodedImage(id, parts(1).toInt, parts(2).toInt, bytes.length)
+            else DecodedImage(id, -1, -1, bytes.length)
+          }
         }
       }
   }

@@ -96,8 +96,11 @@ object TextDedup {
                           k: Int = 64, bands: Int = 16): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
                          shingles(col(textCol), n).as("sh"))
+    // localCheckpoint: the kernel output feeds BOTH sides of the
+    // self-join — without it the per-shingle hashing subtree runs twice.
     val banded = bandKeysKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, k, bands)
+      .localCheckpoint()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -126,8 +129,11 @@ object TextDedup {
                         keys: Int = 4): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
                          shingles(col(textCol), n).as("sh"))
+    // localCheckpoint: see minhashNearDupPairs — self-joined kernel
+    // output must not recompute the md5 scan per side.
     val keyed = minKeyKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, keys)
+      .localCheckpoint()
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -154,7 +160,10 @@ object TextDedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (docId, text) =>
-          val toks = text.split(' ')
+          // Match Spark's split()/DuckDB string_split exactly: regex
+          // split with limit -1 KEEPS trailing empty tokens; null text
+          // behaves as empty (the expression forms are null-safe too).
+          val toks = (if (text == null) "" else text).split(" ", -1)
           val nShingles = math.max(toks.length - n + 1, 1)
           val mins = new java.util.TreeSet[String]()
           val seen = new java.util.HashSet[String](nShingles * 2)
@@ -214,7 +223,10 @@ object TextDedup {
           // Tokenize + hash distinct word n-grams without materializing
           // shingle strings: FNV-1a over the token bytes with a
           // separator byte, rolling over a token window.
-          val toks = text.split(' ')
+          // Match Spark's split()/DuckDB string_split exactly: regex
+          // split with limit -1 KEEPS trailing empty tokens; null text
+          // behaves as empty (the expression forms are null-safe too).
+          val toks = (if (text == null) "" else text).split(" ", -1)
           val tokHash = new Array[Long](toks.length)
           var t = 0
           while (t < toks.length) {
@@ -282,7 +294,10 @@ object TextDedup {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (docId, text) =>
-          val toks = text.split(' ')
+          // Match Spark's split()/DuckDB string_split exactly: regex
+          // split with limit -1 KEEPS trailing empty tokens; null text
+          // behaves as empty (the expression forms are null-safe too).
+          val toks = (if (text == null) "" else text).split(" ", -1)
           val nShingles = math.max(toks.length - n + 1, 1)
           val seen = new java.util.HashSet[String](nShingles * 2)
           val bitSums = new Array[Int](32)
@@ -331,7 +346,8 @@ object TextDedup {
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, n: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4 chunks only guarantee recall for hamming <= 3")
-    val sh = simhash32(docs, idCol, textCol, n)
+    // localCheckpoint: chunked feeds both sides of the self-join.
+    val sh = simhash32(docs, idCol, textCol, n).localCheckpoint()
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xff)): _*)))

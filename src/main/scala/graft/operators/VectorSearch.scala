@@ -69,6 +69,7 @@ object VectorSearch {
       .map { case (id, e) => (id, e, normK(e, dim)) }
     val bc = spark.sparkContext.broadcast(qs)
     val scored = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value
@@ -95,10 +96,13 @@ object VectorSearch {
   def hyperplanes(bits: Int, dim: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until bits).map { b =>
-      (0 until dim).map { d =>
-        val hex = md.digest(s"graft-hp-$b-${d / 32}".getBytes("UTF-8"))
+      // one digest per (b, 32-dim block), not per dimension
+      val blocks = (0 to (dim - 1) / 32).map { blk =>
+        md.digest(s"graft-hp-$b-$blk".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
-        if (hex.charAt(d % 32) >= '8') 1.0 else -1.0
+      }
+      (0 until dim).map { d =>
+        if (blocks(d / 32).charAt(d % 32) >= '8') 1.0 else -1.0
       }
     }
   }
@@ -146,6 +150,7 @@ object VectorSearch {
       }
     val bc = spark.sparkContext.broadcast(qs)
     val scored = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value
@@ -183,6 +188,7 @@ object VectorSearch {
     // Train: centroid per cell (mean per dimension).
     val centroids: Array[(Int, Array[Float])] = vectors
       .select(col(cellCol).cast("int").as("cell"), col("embedding"))
+      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Int, Array[Float])]
       .groupByKey(_._1)
       .mapGroups { (cell, it) =>
@@ -208,6 +214,7 @@ object VectorSearch {
     val bc = spark.sparkContext.broadcast(qs)
     val scored = vectors
       .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Int, Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value
@@ -242,6 +249,7 @@ object VectorSearch {
     val spark = vectors.sparkSession
     import spark.implicits._
     val blocked = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Long, Array[Float])]
       .map { case (id, e) => ((id % blocks).toInt, id, e) }
       .toDF("blk", "vec_id", "embedding")

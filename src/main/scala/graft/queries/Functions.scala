@@ -47,9 +47,8 @@ object Functions {
       split($"p_name", " ").getItem(0).as("tok0"))
     val a = p.as("a")
     val b = p.as("b")
-    val ratio = round(lit(100.0) *
-      (lit(1.0) - levenshtein($"a.p_name", $"b.p_name").cast("double") /
-        greatest(length($"a.p_name"), length($"b.p_name")))).cast("int")
+    val ratio = graft.functions.ColumnFunctions.levenshteinRatio(
+      $"a.p_name", $"b.p_name")
     a.join(b,
         $"a.p_brand" === $"b.p_brand" && $"a.tok0" === $"b.tok0" &&
         $"a.p_partkey" < $"b.p_partkey")

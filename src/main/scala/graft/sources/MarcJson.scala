@@ -23,14 +23,17 @@ object MarcJson {
   val recordSchema: StructType = StructType(Seq(
     StructField("varFields", ArrayType(varFieldSchema))))
 
-  /** Parse a JSON column into exploded (recordId, marcTag, subfields)
-    * rows. */
+  /** Parse a JSON column into exploded (recordId, ordinal, marcTag,
+    * subfields) rows. The ordinal preserves field encounter order —
+    * required for deterministic tag-preference picks when a record
+    * repeats a tag. */
   def explodeVarFields(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
     df.select(col(idCol).as("record_id"),
         from_json(col(jsonCol), recordSchema).as("r"))
-      .select(col("record_id"), explode(col("r.varFields")).as("f"))
-      .select(col("record_id"), col("f.marcTag").as("marcTag"),
-              col("f.subfields").as("subfields"))
+      .select(col("record_id"), posexplode(col("r.varFields")))
+      .select(col("record_id"), col("pos").as("ordinal"),
+              col("col.marcTag").as("marcTag"),
+              col("col.subfields").as("subfields"))
 
   /** MARC subfield accessor (ref `shadow_catalog.py:127-148` tag.a /
     * tag.u — F16): first subfield with the given code. `get` (0-based)
@@ -40,12 +43,14 @@ object MarcJson {
       .getField("content")
 
   /** Title per record: first 245$a, falling back to 240$a (ref
-    * `shadow_catalog.py:213-220`). The 245-preference is encoded as a
-    * sort over (tag-priority, ordinal-free) with row_number. */
+    * `shadow_catalog.py:213-220`). The 245-preference sorts on
+    * (tag priority, field ordinal) — the ordinal tie-break keeps the
+    * pick deterministic when a record repeats a tag. */
   def titles(varFields: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("record_id"))
-      .orderBy(when(col("marcTag") === "245", 0).otherwise(1))
+      .orderBy(when(col("marcTag") === "245", 0).otherwise(1),
+               col("ordinal").asc)
     varFields
       .filter(col("marcTag").isin("245", "240"))
       .withColumn("title", subfield(col("subfields"), "a"))
