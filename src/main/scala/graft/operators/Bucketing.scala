@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers (100 TB posture, SURVEY.md §7: "bucketing for
+  * co-located joins"). Writing both sides of a recurring join bucketed
+  * by the join key removes the per-query shuffle: the sort-merge join
+  * reads co-located buckets directly (no Exchange in the plan),
+  * which at cluster scale converts an all-to-all network stage per
+  * query into a one-time write-side cost. Verified in BucketingSpec by
+  * asserting the joined plan is Exchange-free.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed managed table (overwrites). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Join two previously-bucketed tables on their bucket key. With
+    * equal bucket counts Spark plans a shuffle-free sort-merge join. */
+  def coLocatedJoin(spark: SparkSession, leftTable: String,
+                    rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** True when the executed plan contains no shuffle exchange —
+    * the property bucketing buys. */
+  def isExchangeFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
