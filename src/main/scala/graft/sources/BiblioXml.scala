@@ -38,16 +38,14 @@ object BiblioXml {
     xpath_string(xml, lit("string(//*[local-name()='lcc']/*[local-name()='mostPopular']/@sfa)"))
 
   /** Parse a Classify snapshot table (key, xml) into work rows:
-    * one row per OWI with the shared title/author/ddc/lcc. */
+    * one row per OWI with the shared title/author/ddc/lcc. ONE document
+    * parse per row (`XmlKernels.classifyDocs`) — the per-field xpath
+    * expressions above re-parse the doc once per call (6× here) and are
+    * kept for ad-hoc single-field extraction only. */
   def parseClassify(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
-    snapshot.select(
-        col(keyCol).as("key"),
-        classifyResponseCode(col(xmlCol)).as("response_code"),
-        classifyTitle(col(xmlCol)).as("title"),
-        classifyAuthor(col(xmlCol)).as("author"),
-        classifyDdc(col(xmlCol)).as("ddc"),
-        classifyLcc(col(xmlCol)).as("lcc"),
-        explode_outer(classifyOwis(col(xmlCol))).as("owi"))
+    XmlKernels.classifyDocs(snapshot, keyCol, xmlCol)
+      .select(col("key"), col("response_code"), col("title"), col("author"),
+              col("ddc"), col("lcc"), explode_outer(col("owis")).as("owi"))
 
   // ---- VIAF SRU (ref viaf.py:277-304, 584-604) ----
 
@@ -68,12 +66,20 @@ object BiblioXml {
 
   /** Parse a VIAF snapshot table into (key, viaf_id, sort_name) rows —
     * one row per candidate sort name, ordinal preserved (encounter
-    * order drives the reference's popularity prior, `viaf.py:497`). */
+    * order drives the reference's popularity prior, `viaf.py:497`).
+    * ONE document parse per row via `XmlKernels.viafClusters` (covers
+    * MARC21 100 AND 110 corporate headings, ref `viaf.py:288-295`). */
   def parseViafClusters(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
-    snapshot.select(
-        col(keyCol).as("key"),
-        viafId(col(xmlCol)).as("viaf_id"),
-        posexplode_outer(viafSortNames(col(xmlCol))))
+    XmlKernels.viafClusters(snapshot, keyCol, xmlCol)
+      .select(col("key"), col("viaf_id"), posexplode_outer(col("sort_names")))
       .withColumnRenamed("pos", "ordinal")
       .withColumnRenamed("col", "sort_name")
+
+  /** Full single-parse cluster extraction: adds alternate-name forms
+    * (MARC21 400/700 $a, ref `viaf.py:277-285`), UNIMARC nameparts
+    * (ref `viaf.py:707-726`), the Wikipedia source name (ref
+    * `viaf.py:522-530`) and attributed work titles — one row per
+    * cluster with array/struct columns. */
+  def parseViafFull(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    XmlKernels.viafClusters(snapshot, keyCol, xmlCol)
 }

@@ -32,12 +32,14 @@ object HtmlScrape {
     * service serves placeholder pages for unknown ISBNs). */
   val BadTitles: Seq[String] = Seq("Unknown", "", "N/A")
 
+  /** Title + review rows per page. ONE scanner pass per document
+    * (`XmlKernels.scrapedPages` — tag-soup tolerant, like the
+    * reference's BeautifulSoup walk); the xpath expressions above
+    * re-parse the DOM per call and are kept for ad-hoc extraction. */
   def scrapeReviews(snapshot: DataFrame, keyCol: String,
                     htmlCol: String): DataFrame =
-    snapshot.select(
-        col(keyCol).as("key"),
-        pageHeader(col(htmlCol)).as("title"),
-        posexplode_outer(reviewTexts(col(htmlCol))))
+    XmlKernels.scrapedPages(snapshot, keyCol, htmlCol)
+      .select(col("key"), col("title"), posexplode_outer(col("reviews")))
       .withColumnRenamed("pos", "review_ordinal")
       .withColumnRenamed("col", "review")
       .filter(!col("title").isin(BadTitles: _*))
