@@ -74,17 +74,21 @@ object ViafScoring {
     * (score desc, popularity asc tie-break), keeping only accepted
     * scores (≥ 70). Expected columns: request_id, candidate_id,
     * library_popularity (1-based encounter order), sort_name_match,
-    * guessed_sort_match, has_display_name, has_viaf, title_evidence.
+    * guessed_sort_match, has_display_name, has_viaf, title_evidence;
+    * optional evidence columns display_name_match / unimarc_match /
+    * alternate_match are scored when present (null-weight otherwise).
     */
   def rankCandidates(candidates: DataFrame, strict: Boolean = false): DataFrame = {
+    def opt(name: String): Column =
+      if (candidates.columns.contains(name)) col(name) else lit(null)
     val ignorePop = ignorePopularityFlag(col("request_id"),
       col("library_popularity"), col("sort_name_match"),
       col("guessed_sort_match"))
     val scored = candidates
       .withColumn("ignore_pop", coalesce(ignorePop, lit(false)))
       .withColumn("score", round(weigh(
-        col("sort_name_match"), lit(null), lit(null),
-        col("guessed_sort_match"), lit(null), col("library_popularity"),
+        col("sort_name_match"), opt("display_name_match"), opt("unimarc_match"),
+        col("guessed_sort_match"), opt("alternate_match"), col("library_popularity"),
         col("has_display_name"), col("has_viaf"), col("title_evidence"),
         strict, col("ignore_pop")), 2))
     val w = Window.partitionBy(col("request_id"))

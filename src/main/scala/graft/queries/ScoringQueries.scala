@@ -36,6 +36,70 @@ object ScoringQueries {
       .orderBy($"request_id")
   }
 
+  /** M2 end-to-end over PARSED clusters: synthesize one VIAF cluster
+    * per candidate order (MARC21 100$a sort name; odd keys add a
+    * UNIMARC a/b datafield, every 3rd a 400$a alternate form, every
+    * 4th a WKP| source), single-parse with the kernel, compute fuzzy
+    * evidence against the request's working name, and rank with ALL
+    * `weigh` evidence terms live — sort/display/unimarc/alternate
+    * (ref `viaf.py:144-231` weigh_contributor; name extraction
+    * `viaf.py:277-304`, `522-530`, `707-726`). Unlike `m2_viaf_rank`
+    * (which scores a pre-built evidence frame), this exercises the
+    * parse→evidence→score pipeline the reference runs per contributor.
+    */
+  def m2ViafEvidence(env: Env): DataFrame = {
+    val k = $"o_orderkey"
+    val uni = when(k % 2 === 1, concat(
+        lit("<datafield dtype=\"UNIMARC\" tag=\"200\"><subfield code=\"a\">"),
+        $"c_name", lit(",</subfield><subfield code=\"b\">G"), k % 10,
+        lit("</subfield></datafield>"))).otherwise(lit(""))
+    val wkp = when(k % 4 === 0, concat(
+        lit("<sources><source>WKP|"), $"c_name",
+        lit("_(Author)</source></sources>"))).otherwise(lit(""))
+    val alt = when(k % 3 === 0, concat(
+        lit("<datafield dtype=\"MARC21\" tag=\"400\"><subfield code=\"a\">"),
+        $"c_name", lit("y</subfield></datafield>"))).otherwise(lit(""))
+    val sortName = when(k % 2 === 0, $"c_name")
+      .otherwise(concat($"c_name", lit(" X")))
+    val xml = concat(
+      lit("<VIAFCluster><viafID>"), k, lit("</viafID>"), wkp,
+      lit("<datafield dtype=\"MARC21\" tag=\"100\"><subfield code=\"a\">"),
+      sortName, lit("</subfield></datafield>"), uni, alt,
+      lit("</VIAFCluster>"))
+    val requests = env.orders
+      .join(env.customer, $"o_custkey" === $"c_custkey")
+      .select($"o_custkey".as("request_id"), $"c_name".as("working"),
+              k.as("cand_key"), xml.as("xml"))
+    val parsed = graft.sources.BiblioXml.parseViafFull(requests, "cand_key", "xml")
+    val withReq = parsed.join(
+      requests.select($"request_id", $"working", $"cand_key"),
+      parsed("key") === $"cand_key")
+    def ratio(b: org.apache.spark.sql.Column) =
+      graft.functions.ColumnFunctions.levenshteinRatio($"working", b)
+    val cands = withReq.select(
+      $"request_id", $"key".as("candidate_id"),
+      row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"request_id").orderBy($"key"))
+        .cast("double").as("library_popularity"),
+      ratio(get($"sort_names", lit(0))).cast("double").as("sort_name_match"),
+      when($"wikipedia_name".isNotNull,
+        ratio(graft.functions.GraftFunctions.wikipediaToDisplay($"wikipedia_name")))
+        .cast("double").as("display_name_match"),
+      when(size($"unimarc_names") > 0,
+        ratio(get($"unimarc_names", lit(0)).getField("sort_name")))
+        .cast("double").as("unimarc_match"),
+      lit(null).cast("double").as("guessed_sort_match"),
+      when(size($"alternate_names") > 0,
+        ratio(get($"alternate_names", lit(0))))
+        .cast("double").as("alternate_match"),
+      $"wikipedia_name".isNotNull.as("has_display_name"),
+      ($"viaf_id" =!= "").as("has_viaf"),
+      lit(null).cast("double").as("title_evidence"))
+    ViafScoring.rankCandidates(cands)
+      .orderBy($"request_id")
+  }
+
   /** M5 — equivalency strength setter (ref
     * `oclc/linked_data.py:1082-1116`): 0.8·title-similarity +
     * 0.2·author-set overlap over blocked candidate pairs; emits the new
@@ -152,6 +216,59 @@ object ScoringQueries {
         |      + (CASE WHEN c.hv THEN 0.2 ELSE 0.0 END)
         |      + COALESCE(c.te, 0.0), 2) AS score
         |  FROM cand c LEFT JOIN topflag t USING (request_id)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY request_id
+        |    ORDER BY score DESC, pop ASC) AS rn
+        |  FROM scored)
+        |SELECT request_id, candidate_id, score, ignore_pop
+        |FROM ranked WHERE rn = 1 AND score >= 70.0
+        |ORDER BY request_id""".stripMargin),
+
+    Q.sql("m2_viaf_evidence", m2ViafEvidence,
+      """WITH cand AS (
+        |  SELECT o_custkey AS request_id, o_orderkey AS k, c_name AS w,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderkey) AS DOUBLE) AS pop
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |strs AS (
+        |  SELECT request_id, k, pop, w,
+        |    CASE WHEN k % 2 = 0 THEN w ELSE w || ' X' END AS sn_str,
+        |    CASE WHEN k % 4 = 0 THEN w END AS dm_str,
+        |    CASE WHEN k % 2 = 1 THEN w || ', G' || (k % 10) END AS um_str,
+        |    CASE WHEN k % 3 = 0 THEN w || 'y' END AS am_str
+        |  FROM cand),
+        |ev AS (
+        |  SELECT request_id, k, pop,
+        |    CAST(round(100.0 * (1.0 - levenshtein(w, sn_str)
+        |      / greatest(length(w), length(sn_str)))) AS DOUBLE) AS sn,
+        |    CASE WHEN dm_str IS NOT NULL THEN
+        |      CAST(round(100.0 * (1.0 - levenshtein(w, dm_str)
+        |        / greatest(length(w), length(dm_str)))) AS DOUBLE) END AS dm,
+        |    CASE WHEN um_str IS NOT NULL THEN
+        |      CAST(round(100.0 * (1.0 - levenshtein(w, um_str)
+        |        / greatest(length(w), length(um_str)))) AS DOUBLE) END AS um,
+        |    CASE WHEN am_str IS NOT NULL THEN
+        |      CAST(round(100.0 * (1.0 - levenshtein(w, am_str)
+        |        / greatest(length(w), length(am_str)))) AS DOUBLE) END AS am,
+        |    dm_str IS NOT NULL AS hdn
+        |  FROM strs),
+        |topflag AS (
+        |  SELECT request_id,
+        |    ((sn IS NOT NULL AND sn < 50) OR sn IS NULL) AS ignore_pop
+        |  FROM ev WHERE pop = 1),
+        |scored AS (
+        |  SELECT e.request_id, e.k AS candidate_id, e.pop,
+        |    COALESCE(t.ignore_pop, FALSE) AS ignore_pop,
+        |    round(
+        |      (CASE WHEN COALESCE(t.ignore_pop, FALSE) OR e.pop IS NULL
+        |            THEN 0.0 ELSE -10.0 * e.pop END)
+        |      + COALESCE(e.sn, 0.0) * 2.0
+        |      + COALESCE(e.dm, 0.0) * 0.5
+        |      + COALESCE(e.um, 0.0) * 0.3
+        |      + COALESCE(e.am, 0.0) * 0.2
+        |      + (CASE WHEN e.hdn THEN 0.2 ELSE 0.0 END)
+        |      + 0.2, 2) AS score
+        |  FROM ev e LEFT JOIN topflag t USING (request_id)),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY request_id
         |    ORDER BY score DESC, pop ASC) AS rn

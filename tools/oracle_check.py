@@ -27,6 +27,9 @@ def main(sfdir: str, outdir: str) -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.loads((Path(outdir) / "oracle_sql.json").read_text())
+    only = set(sys.argv[3:])  # optional: restrict to named queries
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
     failures = 0
     for name in sorted(oracles):
         sql = oracles[name]
