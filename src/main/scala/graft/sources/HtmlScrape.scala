@@ -43,4 +43,17 @@ object HtmlScrape {
       .withColumnRenamed("pos", "review_ordinal")
       .withColumnRenamed("col", "review")
       .filter(!col("title").isin(BadTitles: _*))
+
+  /** The REAL page shape (ref `content_cafe.py:315-346`): inside
+    * `table#Table_Main`, each `td.SectionHeader` row is followed by a
+    * content row — one output row per section with its inner HTML,
+    * plus the page title. */
+  def scrapeSectioned(snapshot: DataFrame, keyCol: String,
+                      htmlCol: String): DataFrame =
+    XmlKernels.sectionedPages(snapshot, keyCol, htmlCol)
+      .select(col("key"), col("title"), posexplode_outer(col("sections")))
+      .withColumnRenamed("pos", "section_ordinal")
+      .select(col("key"), col("title"), col("section_ordinal"),
+              col("col.section").as("section"),
+              col("col.content").as("content"))
 }

@@ -361,6 +361,75 @@ object XmlKernels {
     runs.result()
   }
 
+  /** One Table_Main section: header cell text + the following row's
+    * first cell's inner HTML. */
+  final case class Section(section: String, content: String)
+
+  /** A page scraped in the reference's real shape. */
+  final case class SectionedPage(key: String, title: String,
+                                 sections: Array[Section])
+
+  /** The reference's review/excerpt table walk (ref
+    * `content_cafe.py:315-336` _scrape_list): inside `table
+    * id="Table_Main"`, each `td.SectionHeader` row is followed by a
+    * content row whose first cell's inner HTML is the resource body.
+    * One linear scan of the page, tag-soup tolerant.
+    */
+  private[sources] def sectionContents(html: String): Array[Section] = {
+    val out = Array.newBuilder[Section]
+    if (html == null) return out.result()
+    val tOpen = html.indexOf("id=\"Table_Main\"")
+    if (tOpen < 0) return out.result()
+    val tEnd0 = html.indexOf("</table>", tOpen)
+    val tEnd = if (tEnd0 < 0) html.length else tEnd0
+    var i = tOpen
+    while (i >= 0 && i < tEnd) {
+      val at = html.indexOf("<td", i)
+      if (at < 0 || at >= tEnd) i = -1
+      else {
+        val gt = html.indexOf('>', at)
+        if (gt < 0) i = -1
+        else {
+          val attrs = html.substring(at + 3, gt)
+          if (attrs.contains("class=\"SectionHeader\"") ||
+              attrs.contains("class='SectionHeader'")) {
+            val hEnd0 = html.indexOf("</td>", gt)
+            val hEnd = if (hEnd0 < 0) tEnd else hEnd0
+            val header = decodeEntities(html.substring(gt + 1, hEnd)).trim
+            // end of the header row, then the next row's first cell
+            val trEnd = html.indexOf("</tr>", hEnd)
+            val nextTr = if (trEnd < 0) -1 else html.indexOf("<tr", trEnd)
+            val cTd = if (nextTr < 0 || nextTr >= tEnd) -1
+                      else html.indexOf("<td", nextTr)
+            val cGt = if (cTd < 0) -1 else html.indexOf('>', cTd)
+            if (cGt > 0) {
+              val cEnd0 = html.indexOf("</td>", cGt)
+              val cEnd = if (cEnd0 < 0) tEnd else cEnd0
+              out += Section(header, html.substring(cGt + 1, cEnd))
+              i = cEnd
+            } else i = hEnd
+          } else i = gt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  def sectionedPages(snapshot: DataFrame, keyCol: String,
+                     htmlCol: String): DataFrame = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val keyType = snapshot.schema(keyCol).dataType
+    keyed(snapshot, keyCol, htmlCol).as[(String, String)]
+      .mapPartitions(it => it.map { case (k, html) =>
+        val headers = classTagTextRuns(html, "span", "PageHeader2")
+        SectionedPage(k, if (headers.isEmpty) "" else headers(0),
+                      sectionContents(html))
+      })
+      .toDF()
+      .withColumn("key", col("key").cast(keyType))
+  }
+
   private[sources] def parsePageDoc(key: String, html: String): ScrapedPage = {
     val headers = classTagTextRuns(html, "span", "PageHeader2")
     // first text node across matching spans; "" when none (xpath_string
