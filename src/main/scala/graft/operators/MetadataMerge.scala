@@ -43,6 +43,45 @@ object MetadataMerge {
         col("author"), col("sortAuthor"), col("permanentWorkId"))
   }
 
+  /** M1 child-list merge (ref `Metadata.apply`'s per-family handling,
+    * gated by `coverage_utils.py:20-49`): `existing` and `incoming` are
+    * child tables keyed (identifier, source) with identical schemas.
+    * replace=true models the reference's "remove this data source's old
+    * rows for the touched identifiers, then add the new ones"; false is
+    * the additive union. Either way the result dedups exact duplicates.
+    * Both legs are equi-joins/unions on (identifier, source) — no
+    * per-edition loop, scales as one shuffle.
+    */
+  def mergeChildRows(existing: DataFrame, incoming: DataFrame,
+                     replace: Boolean): DataFrame = {
+    val kept =
+      if (replace)
+        existing.join(
+          incoming.select(col("identifier"), col("source")).distinct(),
+          Seq("identifier", "source"), "left_anti")
+      else existing
+    kept.unionByName(incoming).distinct()
+  }
+
+  /** Contributions flavor: non-replace leaves the edition's contributor
+    * list untouched (the reference only rewrites contributions when the
+    * policy says so — it never unions two sources' contributor lists).
+    */
+  def mergeContributions(existing: DataFrame, incoming: DataFrame,
+                         replace: Boolean): DataFrame =
+    if (replace) mergeChildRows(existing, incoming, replace = true)
+    else existing
+
+  /** Presentation recalculation dispatcher: the stages of the policy
+    * this operator owns (M6 election). Other flags gate stages that
+    * live elsewhere (A4 classify rollup, S10 render) — callers compose
+    * them the same way. */
+  def applyPresentation(candidates: DataFrame,
+                        policy: PresentationCalculationPolicy,
+                        poolCol: String = "pool_id"): DataFrame =
+    if (policy.chooseEdition) electPresentationEdition(candidates, poolCol)
+    else candidates
+
   /** A4 — additive subject-weight merge (ref `oclc/classify.py:113-128`:
     * "SubjectData and MeasurementData are additive"): explode the
     * nested subjects and sum weights per (identifier, type, subject).

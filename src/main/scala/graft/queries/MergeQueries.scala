@@ -66,6 +66,48 @@ object MergeQueries {
       .orderBy($"editionId")
   }
 
+  /** M1 — child-list merge under a non-trivial ReplacementPolicy
+    * (replaceLinks=true, identifiers additive — the wrangler posture of
+    * `coverage_utils.py:20-49`): srcA's incoming links displace srcA's
+    * old links for the touched identifiers while srcB's survive, and
+    * equivalent identifiers union-dedup. */
+  def m1ChildMerge(env: Env): DataFrame = {
+    val existingLinks = env.customer.select(
+      $"c_custkey".as("identifier"),
+      when($"c_custkey" % 2 === 0, "srcA").otherwise("srcB").as("source"),
+      lit("image").as("rel"),
+      concat(lit("old/"), $"c_custkey").as("href"))
+    val incoming = env.customer.filter($"c_custkey" % 5 =!= 4)
+    val incomingLinks = incoming.select(
+        $"c_custkey".as("identifier"), lit("srcA").as("source"),
+        lit("image").as("rel"), concat(lit("new/"), $"c_custkey").as("href"))
+      .unionByName(incoming.select(
+        $"c_custkey".as("identifier"), lit("srcA").as("source"),
+        lit("description").as("rel"),
+        concat(lit("desc/"), $"c_custkey").as("href")))
+    val mergedLinks = MetadataMerge.mergeChildRows(
+      existingLinks, incomingLinks, replace = true)
+
+    val existingIds = env.customer.select(
+      $"c_custkey".as("identifier"), lit("id").as("source"),
+      lit("isbn").as("rel"), concat(lit("i"), $"c_custkey").as("href"))
+    // every 3rd gains an OWI equivalent; every 6th re-sends its ISBN
+    // (must dedup, not duplicate)
+    val incomingIds = env.customer.filter($"c_custkey" % 3 === 0).select(
+        $"c_custkey".as("identifier"), lit("id").as("source"),
+        lit("owi").as("rel"), concat(lit("w"), $"c_custkey").as("href"))
+      .unionByName(env.customer.filter($"c_custkey" % 6 === 0).select(
+        $"c_custkey".as("identifier"), lit("id").as("source"),
+        lit("isbn").as("rel"), concat(lit("i"), $"c_custkey").as("href")))
+    val mergedIds = MetadataMerge.mergeChildRows(
+      existingIds, incomingIds, replace = false)
+
+    mergedLinks.withColumn("family", lit("link"))
+      .unionByName(mergedIds.withColumn("family", lit("identifier")))
+      .select($"family", $"identifier", $"source", $"rel", $"href")
+      .orderBy($"family", $"identifier", $"source", $"rel", $"href")
+  }
+
   /** M4 — multi-record consolidation: orders play the role of multiple
     * OWI records per customer; contributors first-wins by order key,
     * subjects/measurements additive (ref `oclc/classify.py:97-128`). */
@@ -160,6 +202,45 @@ object MergeQueries {
         |  publisher, author
         |FROM ed LEFT JOIN md ON editionId = mkey
         |ORDER BY editionId""".stripMargin),
+
+    Q.sql("m1_child_merge", m1ChildMerge,
+      """WITH existing AS (
+        |  SELECT c_custkey AS identifier,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'srcA' ELSE 'srcB' END AS source,
+        |    'image' AS rel, 'old/' || c_custkey AS href
+        |  FROM customer),
+        |incoming AS (
+        |  SELECT c_custkey AS identifier, 'srcA' AS source, 'image' AS rel,
+        |         'new/' || c_custkey AS href
+        |  FROM customer WHERE c_custkey % 5 <> 4
+        |  UNION ALL
+        |  SELECT c_custkey, 'srcA', 'description', 'desc/' || c_custkey
+        |  FROM customer WHERE c_custkey % 5 <> 4),
+        |links AS (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT e.* FROM existing e
+        |    WHERE NOT EXISTS (SELECT 1 FROM incoming i
+        |      WHERE i.identifier = e.identifier AND i.source = e.source)
+        |    UNION ALL
+        |    SELECT * FROM incoming)),
+        |eids AS (
+        |  SELECT c_custkey AS identifier, 'id' AS source, 'isbn' AS rel,
+        |         'i' || c_custkey AS href
+        |  FROM customer),
+        |iids AS (
+        |  SELECT c_custkey AS identifier, 'id' AS source, 'owi' AS rel,
+        |         'w' || c_custkey AS href
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'id', 'isbn', 'i' || c_custkey
+        |  FROM customer WHERE c_custkey % 6 = 0),
+        |ids AS (
+        |  SELECT DISTINCT * FROM
+        |    (SELECT * FROM eids UNION ALL SELECT * FROM iids))
+        |SELECT 'link' AS family, identifier, source, rel, href FROM links
+        |UNION ALL
+        |SELECT 'identifier', identifier, source, rel, href FROM ids
+        |ORDER BY family, identifier, source, rel, href""".stripMargin),
 
     Q.sql("m4_owi_fold", m4OwiFold,
       """SELECT o_custkey AS custkey,

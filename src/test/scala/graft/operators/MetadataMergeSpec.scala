@@ -81,6 +81,69 @@ class MetadataMergeSpec extends SparkSpec {
     assert(out(20L) == 4L)
   }
 
+  // ---- full ReplacementPolicy flag surface ----
+
+  private def child(rows: (Long, String, String, String)*) =
+    rows.toDF("identifier", "source", "rel", "href")
+
+  test("M1 children: replace drops same-source rows for touched identifiers only") {
+    val existing = child((1L, "srcA", "image", "old1"),
+                         (1L, "srcB", "image", "keepB"),
+                         (2L, "srcA", "image", "untouched"))
+    val incoming = child((1L, "srcA", "image", "new1"),
+                         (1L, "srcA", "description", "desc1"))
+    val out = MetadataMerge.mergeChildRows(existing, incoming, replace = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3))).toSet
+    assert(out == Set((1L, "srcA", "new1"), (1L, "srcA", "desc1"),
+                      (1L, "srcB", "keepB"), (2L, "srcA", "untouched")))
+  }
+
+  test("M1 children: additive unions and dedups exact duplicates") {
+    val existing = child((1L, "id", "isbn", "i1"))
+    val incoming = child((1L, "id", "isbn", "i1"), (1L, "id", "owi", "w1"))
+    val out = MetadataMerge.mergeChildRows(existing, incoming, replace = false)
+    assert(out.count() == 2)
+  }
+
+  test("M1 contributions: non-replace leaves the edition list untouched") {
+    val existing = child((1L, "srcA", "author", "Old, A."))
+    val incoming = child((1L, "srcB", "author", "New, B."))
+    val kept = MetadataMerge.mergeContributions(existing, incoming, replace = false)
+    assert(kept.collect().map(_.getString(3)).toSeq == Seq("Old, A."))
+    val replaced = MetadataMerge.mergeContributions(existing, incoming, replace = true)
+    assert(replaced.collect().map(_.getString(3)).toSet == Set("Old, A.", "New, B."))
+    // same-source replacement: srcA incoming displaces srcA existing
+    val sameSrc = MetadataMerge.mergeContributions(existing,
+      child((1L, "srcA", "author", "New, B.")), replace = true)
+    assert(sameSrc.collect().map(_.getString(3)).toSeq == Seq("New, B."))
+  }
+
+  test("M1 policy table: flag combinations act independently") {
+    val existing = child((1L, "srcA", "image", "old"))
+    val incoming = child((1L, "srcA", "image", "new"))
+    for (replace <- Seq(true, false)) {
+      val links = MetadataMerge.mergeChildRows(existing, incoming, replace)
+        .collect().map(_.getString(3)).toSet
+      assert(links == (if (replace) Set("new") else Set("old", "new")))
+    }
+    // presets: wrangler posture replaces bibliographic children,
+    // pass-through recalculates nothing
+    assert(ReplacementPolicy.fromMetadataSource.replaceLinks)
+    assert(ReplacementPolicy.fromMetadataSource.replaceContributions)
+    assert(!ReplacementPolicy.fromMetadataSource.replaceIdentifiers)
+    assert(!ReplacementPolicy.passThrough.presentation.chooseEdition)
+    assert(ReplacementPolicy.passThrough.replaceScalars)
+  }
+
+  test("M1 presentation: chooseEdition=false passes candidates through") {
+    val cands = Seq((10L, 1L, "t1", "a1"), (10L, 2L, "t2", "a2"))
+      .toDF("pool_id", "editionId", "title", "author")
+    assert(MetadataMerge.applyPresentation(cands,
+      PresentationCalculationPolicy.recalculateNothing).count() == 2)
+    assert(MetadataMerge.applyPresentation(cands,
+      PresentationCalculationPolicy()).count() == 1)
+  }
+
   private implicit class ToMap2[A, B, C](rows: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = rows.map(t => t._1 -> (t._2, t._3)).toMap
   }
