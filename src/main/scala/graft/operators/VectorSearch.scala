@@ -53,6 +53,24 @@ object VectorSearch {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def dotKD(a: Array[Float], c: Array[Double], dim: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += a(i).toDouble * c(i); i += 1 }
+    s
+  }
+
+  private def normKD(c: Array[Double], dim: Int): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
   /** Exact brute-force top-k. The query set is small by contract: it is
     * collected and broadcast (the explicit form of a broadcast join),
     * the big vector table streams through one compiled map partition —
@@ -185,8 +203,13 @@ object VectorSearch {
               dim: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // Train: centroid per cell (mean per dimension).
-    val centroids: Array[(Int, Array[Float])] = vectors
+    // Train: centroid per cell (mean per dimension), components rounded
+    // to 4dp. The rounding makes training ORDER-INDEPENDENT in practice:
+    // group iteration order varies run to run and double addition is not
+    // associative, but ~1e-13 accumulation jitter can't move a 4dp grid
+    // value — so centroids (and therefore probe selection and the final
+    // result) are stable and SQL-oracle-reproducible.
+    val centroids: Array[(Int, Array[Double])] = vectors
       .select(col(cellCol).cast("int").as("cell"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Int, Array[Float])]
@@ -199,16 +222,19 @@ object VectorSearch {
           while (i < dim) { sum(i) += e(i); i += 1 }
           n += 1
         }
-        (cell, sum.map(s => (s / math.max(n, 1)).toFloat))
+        (cell, sum.map(s => round4(s / math.max(n, 1))))
       }.collect()
-    // Probe selection per query: top-nProbe centroid cells.
+    // Probe selection per query: top-nProbe centroid cells
+    // (similarity desc, cell asc — deterministic tie-break).
     val qs = queries.select(col("qid"), col("qe"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, e) =>
         val nq = normK(e, dim)
         val probes = centroids
-          .map { case (cell, c) => (cell, dotK(e, c, dim) / (nq * normK(c, dim))) }
-          .sortBy(-_._2).take(nProbe).map(_._1).toSet
+          .map { case (cell, c) =>
+            (cell, round6(dotKD(e, c, dim) / (nq * normKD(c, dim)))) }
+          .sortBy { case (cell, sim) => (-sim, cell) }
+          .take(nProbe).map(_._1).toSet
         (id, e, nq, probes)
       }
     val bc = spark.sparkContext.broadcast(qs)

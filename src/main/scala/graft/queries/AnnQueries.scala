@@ -22,16 +22,22 @@ object AnnQueries {
     VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
-  /** LSH-bucketed approximate top-5 (scale path; rows-only check —
-    * the quality bound vs brute force is asserted in VectorSearchSpec,
-    * not by the SQL oracle). */
+  /** LSH-bucketed approximate top-5. Fully ORACLE-VERIFIABLE: the
+    * hyperplanes are md5-seeded ±1 weights, so DuckDB recomputes the
+    * exact bucket of every vector, the multiprobe candidate set
+    * (hamming ≤ 2 on 8 bits), and the within-candidate ranking —
+    * hash-equality on the approximate output itself, not just a recall
+    * floor. Quality (recall vs brute force) additionally reported in
+    * VectorSearchSpec. */
   def annLshTopK(env: Env): DataFrame =
     VectorSearch.lshTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
-  /** IVF-probed approximate top-5 (rows-only; centroid means are
-    * data-derived so the probe set is approximate by design —
-    * quality/consistency asserted in VectorSearchSpec). */
+  /** IVF-probed approximate top-5, also fully ORACLE-VERIFIABLE:
+    * centroid components round to a 4dp grid (absorbing FP
+    * accumulation-order jitter), so DuckDB recomputes the same
+    * centroids, the same top-3 probe cells, and the same ranked
+    * output. */
   def annIvfTopK(env: Env): DataFrame =
     VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
@@ -70,9 +76,92 @@ object AnnQueries {
          |FROM ranked WHERE rn <= 5
          |ORDER BY qid, rank""".stripMargin),
 
-    Q("ann_lsh_topk", annLshTopK, None),
+    // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
+    // the md5 hex digit of the seed string — identical to
+    // VectorSearch.hyperplanes. bit_count(xor(buckets)) <= 2 is exactly
+    // the kernel's multiprobe mask-set membership.
+    Q.sql("ann_lsh_topk", annLshTopK,
+      s"""WITH bitsums AS (
+         |  SELECT v.vec_id, t.b AS b,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(v.embedding[i] AS DOUBLE) *
+         |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+         |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+         |                 THEN 1.0 ELSE -1.0 END))) AS s
+         |  FROM embeddings v, range(0, 8) t(b)),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+         |  FROM bitsums
+         |  GROUP BY vec_id),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |qb AS (
+         |  SELECT q.qid, q.qe, b.bucket AS qbucket
+         |  FROM q JOIN buckets b ON b.vec_id = q.qid),
+         |cand AS (
+         |  SELECT qb.qid, e.vec_id,
+         |         round(${cos("qb.qe", "e.embedding")}, 6) AS cos
+         |  FROM qb
+         |  JOIN buckets vb
+         |    ON vb.vec_id <> qb.qid
+         |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT)) <= 2
+         |  JOIN embeddings e ON e.vec_id = vb.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM cand)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
 
-    Q("ann_ivf_topk", annIvfTopK, None),
+    // Centroids: per-cell per-dimension mean rounded to 4dp (the kernel
+    // rounds identically, making training order-independent); probes:
+    // top-3 cells by rounded cosine, cell-asc tie-break.
+    Q.sql("ann_ivf_topk", annIvfTopK,
+      s"""WITH cent AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM embeddings, range(1, 65) t(d)
+         |    GROUP BY cell, t.d)
+         |  GROUP BY cell),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE e.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM cand)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
 
     Q.sql("ann_cos_pairs", annCosPairs,
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
