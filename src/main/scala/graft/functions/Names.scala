@@ -41,6 +41,31 @@ object Names {
     }
   }
 
+  // Ref oclc/classify.py:64 LIFESPAN = ([0-9]+)-([0-9]*)[.;]?$ — birth
+  // digits REQUIRED (unlike viaf.py's optional-birth form above).
+  private val ClassifyLifespan = """([0-9]+)-([0-9]*)[.;]?$""".r
+
+  /** The Classify path's stricter lifespan strip
+    * (`oclc/classify.py:685-699`): birth year required, so death-only
+    * forms like "Mace, Daniel, -1753" keep the digits as part of the
+    * name — intentionally different from [[parseLifespan]] (the VIAF
+    * path), which strips them. */
+  def parseClassifyLifespan(s: String): ParsedName = {
+    if (s == null) return ParsedName(null, None, None)
+    val trimmed = s.trim
+    ClassifyLifespan.findFirstMatchIn(trimmed) match {
+      case Some(m) =>
+        var name = trimmed.substring(0, m.start).trim
+        if (name.endsWith(",")) name = name.dropRight(1).trim
+        def yr(g: String): Option[String] = Option(g).filter(_.nonEmpty)
+        ParsedName(name, yr(m.group(1)), yr(m.group(2)))
+      case None =>
+        var name = trimmed
+        if (name.endsWith(",")) name = name.dropRight(1).trim
+        ParsedName(name, None, None)
+    }
+  }
+
   /** F6 wikipedia name → display name (ref `viaf.py:639-644`):
     * "Bob_Jones_(Author)" -> "Bob Jones". Only the LAST parenthetical is
     * dropped (rindex in the reference).

@@ -86,15 +86,18 @@ object Roles {
     */
   def parseOne(s: String, defaultRole: String = Author): ParsedContributor = {
     val trimmed = s.trim
+    // classify.py's own lifespan regex (birth year REQUIRED), not the
+    // VIAF one — death-only lifespans stay in the name on this path
+    // (`oclc/classify.py:64,685-699`).
     RoleBracket.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         val name = trimmed.substring(0, m.start).trim
         val roles = m.group(1).split(";").map(r => RoleMapping.getOrElse(r.trim, Unknown))
           .toSeq.distinct
-        val p = Names.parseLifespan(name)
+        val p = Names.parseClassifyLifespan(name)
         ParsedContributor(p.name, p.birth, p.death, roles, defaultRoleUsed = false)
       case None =>
-        val p = Names.parseLifespan(trimmed)
+        val p = Names.parseClassifyLifespan(trimmed)
         val roles = if (defaultRole != null) Seq(defaultRole) else Seq.empty
         ParsedContributor(p.name, p.birth, p.death, roles, defaultRoleUsed = roles.nonEmpty)
     }

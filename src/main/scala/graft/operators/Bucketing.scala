@@ -26,8 +26,21 @@ object Bucketing {
                     rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** True when the executed plan contains no shuffle exchange —
-    * the property bucketing buys. */
-  def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True when the executed plan contains no shuffle exchange node —
+    * the property bucketing buys. Walks the actual plan tree (through
+    * AQE wrappers and materialized query stages) rather than substring-
+    * matching the plan string, so range partitioning, reused exchanges,
+    * and node renames all count. */
+  def isExchangeFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

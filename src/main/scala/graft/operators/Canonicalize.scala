@@ -36,9 +36,17 @@ object Canonicalize {
   def canonicalizeSortNames(requests: DataFrame, contributors: DataFrame,
                             blockKey: Column => Column,
                             fuzzyThreshold: Int = 60): DataFrame = {
+    // Deterministic contributor view: one row per display_name
+    // (min sort_name) — otherwise a duplicated display name fans each
+    // matching request out to several stage-1 rows while stage 2's
+    // window picks exactly one.
+    val canon = contributors
+      .groupBy(col("display_name"))
+      .agg(min(col("sort_name")).as("sort_name"))
+
     // Stage 1: exact
     val exact = requests
-      .join(contributors.select(col("display_name"),
+      .join(canon.select(col("display_name"),
               col("sort_name").as("exact_sort")),
             Seq("display_name"), "left")
 
@@ -46,7 +54,7 @@ object Canonicalize {
     val unresolved = exact.filter(col("exact_sort").isNull)
       .select(col("request_id"), col("display_name"),
               blockKey(col("display_name")).as("blk"))
-    val cands = contributors.select(
+    val cands = canon.select(
       col("display_name").as("cand_name"), col("sort_name").as("cand_sort"),
       blockKey(col("display_name")).as("blk"))
     val ratio = graft.functions.ColumnFunctions.levenshteinRatio(

@@ -71,7 +71,9 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
+        it.map { case (id, bytes0) =>
+          // null content → zero histogram (defined row, not an executor NPE)
+          val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
           val hist = new Array[Float](dim)
           var i = 0
           while (i < bytes.length) {
@@ -111,7 +113,9 @@ object Multimodal {
     import spark.implicits._
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .flatMap { case (id, bytes0) =>
+        // null content → no frames (mirrors decodeImages' null handling)
+        val bytes = if (bytes0 == null) Array.emptyByteArray else bytes0
         bytes.grouped(frameBytes).zipWithIndex
           .filter(_._2 % everyN == 0)
           .map { case (frame, ordinal) => (id, ordinal, frame) }

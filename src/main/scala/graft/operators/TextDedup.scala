@@ -90,6 +90,11 @@ object TextDedup {
     *  4. exact Jaccard filter ≥ threshold (precision 1 by
     *     construction; recall 1-(1-s^rows)^bands).
     * Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * Set `threshold` in the regime the banding guarantees: with the
+    * 16×4 default the miss probability is ≈ 2e-4 at s = 0.8 but ~35%
+    * at s = 0.5 — a 0.5 threshold only reproduces brute-force ground
+    * truth on corpora with no pairs between 0.5 and ~0.85.
     */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.5, n: Int = 3,
@@ -101,10 +106,17 @@ object TextDedup {
     val banded = bandKeysKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, k, bands)
       .localCheckpoint()
+    // Length filter (PPJoin-style): J ≥ t implies min(|A|,|B|) ≥
+    // t·max(|A|,|B|), so size-disparate collisions can never verify —
+    // drop them before the expensive exact-Jaccard stage. Two integer
+    // compares in the join condition; provably no recall loss.
+    val sizeBand =
+      least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh"))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") && sizeBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands
@@ -134,9 +146,14 @@ object TextDedup {
     val keyed = minKeyKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, keys)
       .localCheckpoint()
+    // Same PPJoin-style length filter as minhashNearDupPairs: J ≥ t
+    // implies the shingle-set sizes are within ratio t — no recall loss.
+    val sizeBand =
+      least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh"))
     val cands = keyed.as("a")
       .join(keyed.as("b"),
-        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id") && sizeBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands
@@ -193,10 +210,11 @@ object TextDedup {
             s0 += 1
           }
           import scala.jdk.CollectionConverters._
-          mins.asScala.iterator.map(k => (docId, k))
+          val nDistinct = seen.size
+          mins.asScala.iterator.map(k => (docId, k, nDistinct))
         }
       }
-      .toDF("doc_id", "key")
+      .toDF("doc_id", "key", "n_sh")
   }
 
   /** Compiled signature+banding kernel: one string hash per shingle
@@ -266,11 +284,11 @@ object TextDedup {
             while (r < rows) {
               key = (key ^ sig(b * rows + r)) * 0x100000001B3L; r += 1
             }
-            (docId, b, key)
+            (docId, b, key, seen.size)
           }
         }
       }
-      .toDF("doc_id", "band", "key")
+      .toDF("doc_id", "band", "key", "n_sh")
   }
 
   /** 32-bit SimHash over the shingle set, derived from md5 hex digits

@@ -273,8 +273,10 @@ object MergeQueries {
 
     Q.sql("m7_canonicalize", m7Canonicalize,
       """WITH contrib AS (
-        |  SELECT c_name AS display_name, 'S#' || c_custkey AS sort_name
-        |  FROM customer),
+        |  SELECT display_name, min(sort_name) AS sort_name FROM (
+        |    SELECT c_name AS display_name, 'S#' || c_custkey AS sort_name
+        |    FROM customer)
+        |  GROUP BY display_name),
         |req AS (
         |  SELECT c_custkey AS request_id,
         |    CASE c_custkey % 4

@@ -46,4 +46,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 8))
   }
+
+  test("null content yields defined rows, not executor NPEs") {
+    val df = mediaDf(1L -> null, 2L -> "abcdefgh".getBytes)
+    val hist = Multimodal.byteHistogramFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(hist(1L).forall(_ == 0f)) // zero histogram, row present
+    assert(hist(2L).sum > 0f)
+    val frames = Multimodal.sampleFrames(df)
+    assert(frames.filter(col("media_id") === 1L).count() == 0) // no frames
+    assert(frames.filter(col("media_id") === 2L).count() > 0)
+  }
 }
