@@ -102,6 +102,44 @@ object SourceQueries2 {
       .orderBy($"key", $"review_ordinal")
   }
 
+  /** S13 — Content Cafe SOAP demand history: envelope snapshot →
+    * per-warehouse items → monthly totals → popularity estimate
+    * (as-of 2018-08-15 with a 60-day window: July is recent, June is
+    * not; ref `content_cafe.py:351-424`). */
+  def s13SoapDemand(env: Env): DataFrame = {
+    val k = $"p_partkey"
+    def item(y: Int, m: Int, demand: org.apache.spark.sql.Column, wh: String) =
+      concat(lit("<DemandHistoryItem ID=\""), k, lit("\"><Year>"), lit(y),
+        lit("</Year><Month>"), lit(m),
+        lit("</Month><Supplier Code=\"BTB\">Supplier</Supplier><Warehouse Code=\""),
+        lit(wh), lit("\">W</Warehouse><Demand>"), demand,
+        lit("</Demand></DemandHistoryItem>"))
+    val items = concat(
+      item(2018, 6, k % 100, "SOM"),
+      item(2018, 7, (k * 3) % 100, "SOM"),
+      when(k % 2 === 0, item(2018, 7, (k * 7) % 50, "MOM")).otherwise(lit("")))
+    val xml = concat(
+      lit("<soap:Envelope xmlns:soap=\"http://schemas.xmlsoap.org/soap/envelope/\">" +
+          "<soap:Body><SingleResponse><ContentCafe><RequestItems><RequestItem>" +
+          "<Key Type=\"ISBN\">i"), k,
+      lit("</Key><Content>DemandHistoryDetail</Content><DemandHistoryItems>"),
+      items,
+      lit("</DemandHistoryItems></RequestItem></RequestItems></ContentCafe>" +
+          "</SingleResponse></soap:Body></soap:Envelope>"))
+    val snap = env.part.select(k.as("pk"), xml.as("xml"))
+    val monthly = graft.sources.DemandHistory.gatherPopularity(
+      graft.sources.XmlKernels.demandHistory(snap, "pk", "xml"))
+    val est = graft.sources.DemandHistory.estimatePopularity(
+      monthly, to_date(lit("2018-08-15")), Some(60))
+    val wide = monthly.groupBy($"key").agg(
+      sum(when($"month" === 6, $"monthly_demand")).as("june_demand"),
+      sum(when($"month" === 7, $"monthly_demand")).as("july_demand"))
+    wide.join(est, Seq("key"))
+      .select($"key".cast("long").as("key"), $"june_demand", $"july_demand",
+              $"popularity")
+      .orderBy($"key")
+  }
+
   /** S10 — OPDS entry render sink (ref `controller.py:474-489`). */
   def s10OpdsRender(env: Env): DataFrame = {
     val rows = env.customer.select(
@@ -162,6 +200,21 @@ object SourceQueries2 {
         |  (0, 'Review one for ' || p_brand),
         |  (1, 'Review two')) AS v(review_ordinal, review)) AS t
         |ORDER BY key, t.review_ordinal""".stripMargin),
+
+    Q.sql("s13_soap_demand", s13SoapDemand,
+      """WITH base AS (
+        |  SELECT p_partkey AS key,
+        |    CAST(p_partkey % 100 AS BIGINT) AS june_demand,
+        |    CAST((p_partkey * 3) % 100
+        |      + CASE WHEN p_partkey % 2 = 0 THEN (p_partkey * 7) % 50
+        |             ELSE 0 END AS BIGINT) AS july_demand
+        |  FROM part)
+        |SELECT key, june_demand, july_demand,
+        |  greatest(CAST(july_demand AS DOUBLE),
+        |           CAST(greatest(june_demand, july_demand) AS DOUBLE) * 0.5)
+        |    AS popularity
+        |FROM base
+        |ORDER BY key""".stripMargin),
 
     Q.sql("s10_opds_render", s10OpdsRender,
       """SELECT '<entry><id>urn:c:' || c_custkey || '</id><title>' || c_name

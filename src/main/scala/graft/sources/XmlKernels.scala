@@ -275,6 +275,76 @@ object XmlKernels {
     ClassifyDoc(key, code, z(title), z(author), z(ddc), z(lcc), owis.result())
   }
 
+  /** One DemandHistoryItem from the Content Cafe SOAP demand-history
+    * response (ref `content_cafe.py:384-394` gather_popularity,
+    * envelope shape per `tests/files/content_cafe/demand_info_*.xml`).
+    */
+  final case class DemandItem(
+      key: String, item_id: Option[Long], year: Int, month: Int,
+      supplier_code: String, warehouse_code: String, demand: Long)
+
+  /** Single pull-parse of one SOAP demand-history envelope into its
+    * DemandHistoryItem rows. An empty `DemandHistoryItems` (ISBN
+    * unknown) yields no rows — the "completely unknown" case the
+    * reference distinguishes from measured-zero demand. */
+  private[sources] def parseDemandDoc(factory: XMLInputFactory, key: String,
+                                      xml: String): Iterator[DemandItem] = {
+    val out = Array.newBuilder[DemandItem]
+    if (xml != null) {
+      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      var inItem = false
+      var id: Option[Long] = None
+      var year = -1; var month = -1; var demand = -1L
+      var sup: String = null; var wh: String = null
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              localName(r) match {
+                case "DemandHistoryItem" =>
+                  inItem = true
+                  id = Option(attr(r, "ID")).flatMap(v => scala.util.Try(v.toLong).toOption)
+                  year = -1; month = -1; demand = -1L; sup = null; wh = null
+                case "Year" if inItem =>
+                  year = scala.util.Try(elementText(r).trim.toInt).getOrElse(-1)
+                case "Month" if inItem =>
+                  month = scala.util.Try(elementText(r).trim.toInt).getOrElse(-1)
+                case "Demand" if inItem =>
+                  demand = scala.util.Try(elementText(r).trim.toLong).getOrElse(-1L)
+                case "Supplier" if inItem => sup = attr(r, "Code")
+                case "Warehouse" if inItem => wh = attr(r, "Code")
+                case _ =>
+              }
+            case XMLStreamConstants.END_ELEMENT =>
+              if (localName(r) == "DemandHistoryItem") {
+                if (year >= 0 && month >= 0 && demand >= 0)
+                  out += DemandItem(key, id, year, month, sup, wh, demand)
+                inItem = false
+              }
+            case _ =>
+          }
+        }
+      } catch {
+        case _: javax.xml.stream.XMLStreamException =>
+      } finally r.close()
+    }
+    out.result().iterator
+  }
+
+  /** One row per DemandHistoryItem across all documents. */
+  def demandHistory(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val keyType = snapshot.schema(keyCol).dataType
+    keyed(snapshot, keyCol, xmlCol).as[(String, String)]
+      .mapPartitions { it =>
+        val f = newFactory()
+        it.flatMap { case (k, xml) => parseDemandDoc(f, k, xml) }
+      }
+      .toDF()
+      .withColumn("key", col("key").cast(keyType))
+  }
+
   // ---- HTML scanner -----------------------------------------------------
 
   private def decodeEntities(s: String): String = {

@@ -131,6 +131,37 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(rows.head.getAs[String]("section").contains("Booklist"))
   }
 
+  test("SOAP golden: demand history — monthly totals, recency window, unknown ISBN") {
+    val docs = Seq(
+      (1L, fixture("content_cafe/demand_info_present.xml")),
+      (2L, fixture("content_cafe/demand_info_missing.xml"))).toDF("k", "xml")
+    val items = XmlKernels.demandHistory(docs, "k", "xml")
+    assert(items.count() == 12) // 12 warehouse items in the real payload
+    assert(items.filter(col("key") === 2L).count() == 0) // unknown ISBN → no rows
+
+    val monthly = DemandHistory.gatherPopularity(items)
+    val byMonth = monthly.collect()
+      .map(r => (r.getAs[Int]("year"), r.getAs[Int]("month")) -> r.getAs[Long]("monthly_demand"))
+      .toMap
+    // test_content_cafe.py:491-561: per-month totals and the 1347 peak
+    assert(byMonth == Map((2018, 6) -> 969L, (2018, 7) -> 800L, (2018, 8) -> 1347L))
+
+    // as of the gather date, the answer is the max recent monthly total
+    val now = DemandHistory.estimatePopularity(monthly, to_date(lit("2019-08-04")))
+      .head().getAs[Double]("popularity")
+    assert(now == 1347.0)
+    // six months later with a 90-day window: half the all-time max
+    val later = DemandHistory.estimatePopularity(monthly,
+        to_date(lit("2020-01-31")), Some(90))
+      .head().getAs[Double]("popularity")
+    assert(later == 1347.0 / 2)
+    // a two-year window keeps the data relevant
+    val longWindow = DemandHistory.estimatePopularity(monthly,
+        to_date(lit("2020-01-31")), Some(730))
+      .head().getAs[Double]("popularity")
+    assert(longWindow == 1347.0)
+  }
+
   test("JSON-LD golden: galapagos.jsonld — book node, publisher resolved through graph") {
     val docs = Seq((1L, fixture("jsonld/galapagos.jsonld"))).toDF("k", "json")
     val nodes = JsonLdKernel.normalizeGraph(docs, "k", "json")
