@@ -29,6 +29,10 @@ object GraftFunctions {
   val nameMatchRatio     = udf(Fuzzy.contributorNameMatchRatio _)
   val titleMatchRatio    = udf(Fuzzy.titleMatchRatio _)
 
+  val unfluffTitle       = udf(TextNorm.unfluffTitle _)
+  val isAnthologyTitle   = udf(TextNorm.isAnthologyTitle _)
+  val titleSimilarity    = udf(TextNorm.titleSimilarity _)
+
   val nfkdLower          = udf(TextNorm.nfkdLower _)
   val normalizeMatch     = udf(TextNorm.normalizeForMatching _)
   val permanentWorkId    = udf(TextNorm.permanentWorkId _)

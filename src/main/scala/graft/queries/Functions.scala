@@ -59,6 +59,25 @@ object Functions {
       .orderBy($"key_a", $"key_b")
   }
 
+  /** F7 — title unfluff / anthology flag / title similarity (ref
+    * `viaf.py:235-273`, `oclc/classify.py:816-839`): article-prefixed
+    * and punctuation-suffixed variants of each part name (including a
+    * nested "an the" prefix and an " ; " anthology form), compared
+    * against the clean name. ASCII inputs by construction, so the
+    * oracle's lower() matches the UDF's NFKD-lowercase. */
+  def f7TitleUnfluff(env: Env): DataFrame = {
+    val title = when($"p_partkey" % 4 === 0, concat(lit("The "), $"p_name", lit(".")))
+      .when($"p_partkey" % 4 === 1, concat(lit("A "), $"p_name"))
+      .when($"p_partkey" % 4 === 2, concat(lit("An the "), $"p_name", lit("!!")))
+      .otherwise(concat($"p_name", lit(" ; other works")))
+    env.part
+      .select($"p_partkey", title.as("raw"),
+        GraftFunctions.unfluffTitle(title).as("unfluffed"),
+        GraftFunctions.isAnthologyTitle(title).as("is_anthology"),
+        GraftFunctions.titleSimilarity(title, $"p_name").as("sim"))
+      .orderBy($"p_partkey")
+  }
+
   /** F8 permanent work id (ref `scripts.py:396-415`): md5 over the
     * normalized "title|author" key, via the UDF. */
   def f8WorkId(env: Env): DataFrame =
@@ -124,6 +143,30 @@ object Functions {
         |WHERE CAST(round(100.0 * (1.0 - levenshtein(a.p_name, b.p_name)
         |         / greatest(length(a.p_name), length(b.p_name)))) AS INT) >= 80
         |ORDER BY key_a, key_b""".stripMargin),
+
+    Q.sql("f7_title_unfluff", f7TitleUnfluff,
+      """WITH t AS (
+        |  SELECT p_partkey, p_name,
+        |    CASE p_partkey % 4
+        |      WHEN 0 THEN 'The ' || p_name || '.'
+        |      WHEN 1 THEN 'A ' || p_name
+        |      WHEN 2 THEN 'An the ' || p_name || '!!'
+        |      ELSE p_name || ' ; other works' END AS raw
+        |  FROM part),
+        |u AS (
+        |  SELECT p_partkey, p_name, raw,
+        |    trim(regexp_replace(
+        |      regexp_replace(lower(raw), '^((the|a|an) )+', ''),
+        |      '[[:punct:]]+$', '')) AS unfluffed
+        |  FROM t)
+        |SELECT p_partkey, raw, unfluffed,
+        |  contains(raw, ' ; ') AS is_anthology,
+        |  CAST(round(100.0 * (1.0 -
+        |      CAST(levenshtein(unfluffed, p_name) AS DOUBLE)
+        |      / greatest(length(unfluffed), length(p_name)))) AS INT) / 100.0
+        |    AS sim
+        |FROM u
+        |ORDER BY p_partkey""".stripMargin),
 
     Q.sql("f8_work_id", f8WorkId,
       """SELECT p_partkey,

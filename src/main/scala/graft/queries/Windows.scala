@@ -74,13 +74,16 @@ object Windows {
   }
 
   /** W5 random-sample limit (ref `scripts.py:381-382`
-    * `order_by(func.random()).limit(n)`). Seeded so the Spark result is
-    * reproducible run-to-run; engines disagree on PRNGs, so there is no
-    * SQL oracle (driver records a rows-only check). */
+    * `order_by(func.random()).limit(n)`). Sampling order is the md5 of
+    * a salted key instead of a PRNG: statistically uniform like
+    * func.random(), but REPRODUCIBLE across engines and runs — which
+    * turns the round-2 rows-only check into a full hash-verified
+    * oracle, and at scale makes sampled jobs rerunnable/resumable
+    * (same sample every attempt). */
   def w5RandomSample(env: Env): DataFrame =
     env.orders
       .select($"o_orderkey", $"o_custkey")
-      .orderBy(rand(42), $"o_orderkey")
+      .orderBy(md5(concat(lit("w5-seed-42|"), $"o_orderkey")), $"o_orderkey")
       .limit(20)
 
   /** W7 shortest-candidate selection (ref `canonicalize.py:301-326` —
@@ -140,7 +143,11 @@ object Windows {
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin),
 
-    Q("w5_random_sample", w5RandomSample, None),
+    Q.sql("w5_random_sample", w5RandomSample,
+      """SELECT o_orderkey, o_custkey
+        |FROM orders
+        |ORDER BY md5('w5-seed-42|' || o_orderkey), o_orderkey
+        |LIMIT 20""".stripMargin),
 
     Q.sql("w7_min_by_length", w7MinByLength,
       """SELECT p_brand, p_name AS shortest_name
