@@ -34,6 +34,13 @@ object OpdsXml {
       entryTitle(col(xmlCol)).as("title"),
       entryAuthor(col(xmlCol)).as("author"))
 
+  /** Parse whole FEED documents into one row per entry — single
+    * pull-parse per document, covering the namespaced fields real
+    * lookup feeds carry (simplified:sort_name/pwid,
+    * schema:additionalType, bibframe:distribution provider). */
+  def parseFeedEntries(df: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    XmlKernels.opdsFeedEntries(df, keyCol, xmlCol)
+
   private def xmlEscape(c: Column): Column = {
     // &-escape first, then the rest — order matters.
     val amp = regexp_replace(c, "&", "&amp;")

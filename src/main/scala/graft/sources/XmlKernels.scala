@@ -345,6 +345,89 @@ object XmlKernels {
       .withColumn("key", col("key").cast(keyType))
   }
 
+  /** One Atom/OPDS feed entry (ref `controller.py:566-597` feedparser
+    * consumption; field set per the captured lookup feeds). */
+  final case class OpdsEntry(
+      key: String, entry_id: String, title: String,
+      author_name: Option[String], sort_name: Option[String],
+      pwid: Option[String], additional_type: Option[String],
+      provider: Option[String])
+
+  /** Single pull-parse of an OPDS FEED document into entry rows —
+    * handles namespaced feeds (simplified:sort_name, simplified:pwid,
+    * schema:additionalType, bibframe:distribution) and skips the
+    * feed-level id/title that sit outside any entry. */
+  private[sources] def parseOpdsFeed(factory: XMLInputFactory, key: String,
+                                     xml: String): Iterator[OpdsEntry] = {
+    val out = Array.newBuilder[OpdsEntry]
+    if (xml != null) {
+      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      var inEntry = false; var inAuthor = false
+      var id: String = null; var title: String = null
+      var name: String = null; var sortName: String = null
+      var pwid: String = null; var addType: String = null
+      var provider: String = null
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT =>
+              localName(r) match {
+                case "entry" =>
+                  inEntry = true; inAuthor = false
+                  id = null; title = null; name = null; sortName = null
+                  pwid = null; provider = null
+                  addType = attr(r, "additionalType")
+                case "author" if inEntry => inAuthor = true
+                case "id" if inEntry && !inAuthor =>
+                  if (id == null) id = elementText(r)
+                case "title" if inEntry && !inAuthor =>
+                  if (title == null) title = elementText(r)
+                case "name" if inAuthor =>
+                  if (name == null) name = elementText(r)
+                case "sort_name" if inAuthor =>
+                  if (sortName == null) sortName = elementText(r)
+                case "pwid" if inEntry =>
+                  if (pwid == null) pwid = elementText(r)
+                case "distribution" if inEntry =>
+                  if (provider == null) provider = attr(r, "ProviderName")
+                case _ =>
+              }
+            case XMLStreamConstants.END_ELEMENT =>
+              localName(r) match {
+                case "author" => inAuthor = false
+                case "entry" if inEntry =>
+                  out += OpdsEntry(key,
+                    if (id == null) "" else id,
+                    if (title == null) "" else title,
+                    Option(name).filter(_.nonEmpty), Option(sortName),
+                    Option(pwid), Option(addType), Option(provider))
+                  inEntry = false
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+      } catch {
+        case _: javax.xml.stream.XMLStreamException =>
+      } finally r.close()
+    }
+    out.result().iterator
+  }
+
+  /** One row per feed entry across all documents. */
+  def opdsFeedEntries(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
+    val spark = snapshot.sparkSession
+    import spark.implicits._
+    val keyType = snapshot.schema(keyCol).dataType
+    keyed(snapshot, keyCol, xmlCol).as[(String, String)]
+      .mapPartitions { it =>
+        val f = newFactory()
+        it.flatMap { case (k, xml) => parseOpdsFeed(f, k, xml) }
+      }
+      .toDF()
+      .withColumn("key", col("key").cast(keyType))
+  }
+
   // ---- HTML scanner -----------------------------------------------------
 
   private def decodeEntities(s: String): String = {

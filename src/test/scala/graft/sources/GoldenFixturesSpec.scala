@@ -162,6 +162,56 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(longWindow == 1347.0)
   }
 
+  test("OPDS golden: namespaced lookup feed parses; no-result feed yields no entries") {
+    val feeds = Seq(
+      ("lookup", fixture("opds/content_server_lookup.opds")),
+      ("missing", fixture("opds/no_such_work.opds"))).toDF("key", "xml")
+    val rows = OpdsXml.parseFeedEntries(feeds, "key", "xml").collect()
+    assert(rows.length == 1)
+    val e = rows.head
+    assert(e.getAs[String]("entry_id") == "http://www.gutenberg.org/ebooks/20201")
+    assert(e.getAs[String]("title") == "Mary Gray")
+    assert(e.getAs[String]("author_name") == null) // real feed has <name/>
+    assert(e.getAs[String]("sort_name") == "Tynan, Katharine")
+    assert(e.getAs[String]("pwid") == "e05f1380-5e6b-82f6-70ee-539507f82520")
+    assert(e.getAs[String]("additional_type") == "http://schema.org/Book")
+    assert(e.getAs[String]("provider") == "Gutenberg")
+  }
+
+  test("Overdrive golden: real metadata payload — title, author role, language, formats") {
+    val snap = Seq((1L, fixture("overdrive/overdrive_metadata.json")))
+      .toDF("od", "json")
+    val row = OverdriveJson.parseBibliographic(snap, "od", "json").head()
+    assert(row.getAs[String]("title") == "Agile Documentation")
+    assert(row.getAs[String]("author") == "Andreas R&#252;ping")
+    assert(row.getAs[String]("language") == "en")
+    assert(row.getAs[Int]("n_formats") == 2)
+  }
+
+  test("FAST golden: gzipped n-triples read; junk and corrupt files don't crash the scan") {
+    val dir = getClass.getResource("/fixtures/fast").getPath
+    // *.nt.gz glob mirrors the reference's extension filter (junk files
+    // in the directory are never read); gz decompression is native to
+    // the text source
+    val lines = spark.read.text(s"$dir/not-consolidated/FAST/*.nt.gz")
+    val out = NTriples.parseFast(lines).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("631903", "New Yorker (Fireboat)")))
+    assert(out.contains(("1750175", "Short stories, American")))
+    assert(out.contains(("1726280", "Filmed roundtables")))
+    // a corrupt gz member is skipped under ignoreCorruptFiles — the
+    // production posture for bulk authority loads — not a job failure
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val broken = spark.read.text(s"$dir/broken.nt.gz")
+      assert(NTriples.parseFast(broken).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("JSON-LD golden: galapagos.jsonld — book node, publisher resolved through graph") {
     val docs = Seq((1L, fixture("jsonld/galapagos.jsonld"))).toDF("k", "json")
     val nodes = JsonLdKernel.normalizeGraph(docs, "k", "json")
