@@ -89,6 +89,24 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
+  /** Cover-image suitability (ref `content_cafe.py:308-313`
+    * is_suitable_image): a cover is a stand-in placeholder when its
+    * bytes start with the known stand-in prefix. Pure binary-prefix
+    * Column expression — codegen'd, no kernel needed. */
+  def isStandInImage(content: org.apache.spark.sql.Column,
+                     prefix: Array[Byte]): org.apache.spark.sql.Column =
+    content.isNotNull &&
+      org.apache.spark.sql.functions.substring(content, 1, prefix.length) ===
+        org.apache.spark.sql.functions.lit(prefix)
+
+  /** Keep only real covers: not null, not the stand-in placeholder,
+    * and at least `minBytes` (tiny payloads aren't usable covers). */
+  def suitableCovers(media: DataFrame, prefix: Array[Byte],
+                     minBytes: Int = 0): DataFrame =
+    media.filter(col("content").isNotNull &&
+      !isStandInImage(col("content"), prefix) &&
+      org.apache.spark.sql.functions.length(col("content")) >= minBytes)
+
   /** STUB resize — rewrites the fake header to the new dimensions and
     * truncates the payload proportionally. Real impl: scaled re-encode.
     * Signature and distributed shape (narrow map, binary→binary) are

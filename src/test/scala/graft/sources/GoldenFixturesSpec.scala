@@ -212,6 +212,29 @@ class GoldenFixturesSpec extends SparkSpec {
     }
   }
 
+  test("Covers golden: stand-in placeholder rejected, real cover kept") {
+    def bytes(path: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream("/fixtures/" + path)
+      require(in != null, s"missing fixture $path")
+      try in.readAllBytes() finally in.close()
+    }
+    val prefix = bytes("content_cafe/stand-in-prefix.png")
+    val media = Seq(
+      (1L, bytes("content_cafe/stand-in-image.png")),
+      (2L, bytes("covers/test-book-cover.png")),
+      (3L, bytes("covers/tiny-image-cover.png")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("media_id", "content")
+    // content_cafe.py:308-313: a cover starting with the stand-in
+    // prefix is not a real cover image
+    val kept = graft.operators.Multimodal.suitableCovers(media, prefix)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    val keptBig = graft.operators.Multimodal
+      .suitableCovers(media, prefix, minBytes = 10000)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(keptBig == Set(2L)) // the 3.7KB cover fails the size floor
+  }
+
   test("JSON-LD golden: galapagos.jsonld — book node, publisher resolved through graph") {
     val docs = Seq((1L, fixture("jsonld/galapagos.jsonld"))).toDF("k", "json")
     val nodes = JsonLdKernel.normalizeGraph(docs, "k", "json")
