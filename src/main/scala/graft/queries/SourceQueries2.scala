@@ -127,8 +127,12 @@ object SourceQueries2 {
       lit("</DemandHistoryItems></RequestItem></RequestItems></ContentCafe>" +
           "</SingleResponse></soap:Body></soap:Envelope>"))
     val snap = env.part.select(k.as("pk"), xml.as("xml"))
+    // localCheckpoint: monthly feeds BOTH the month pivot and the
+    // popularity estimate — without it each branch re-parses every
+    // envelope and re-runs the (key, year, month) aggregation.
     val monthly = graft.sources.DemandHistory.gatherPopularity(
       graft.sources.XmlKernels.demandHistory(snap, "pk", "xml"))
+      .localCheckpoint()
     val est = graft.sources.DemandHistory.estimatePopularity(
       monthly, to_date(lit("2018-08-15")), Some(60))
     val wide = monthly.groupBy($"key").agg(
