@@ -102,6 +102,39 @@ object SourceQueries2 {
       .orderBy($"key", $"review_ordinal")
   }
 
+  /** S4b — JSON-LD subject classification (ref
+    * `linked_data.py:508-585` extract_useful_data): genre → TAG,
+    * about-URI patterns → DDC/FAST/LCSH, internal Intangible/Place
+    * nodes → TAG/PLACE with the node's name as id, junk URIs dropped.
+    */
+  def s4SubjectClassify(env: Env): DataFrame = {
+    val k = $"c_custkey"
+    val place = when(k % 2 === 0, concat(
+      lit(""","http://ex.org/g/"""), k, lit("""#P""""))).otherwise(lit(""))
+    val placeNode = when(k % 2 === 0, concat(
+      lit(""",{"@id":"http://ex.org/g/"""), k,
+      lit("""#P","@type":"schema:Place","name":"Place """), k % 3,
+      lit(""""}"""))).otherwise(lit(""))
+    val json = concat(
+      lit("""{"@graph":[{"@id":"b"""), k,
+      lit("""","@type":["schema:CreativeWork","schema:Book"],"genre":{"@language":"en","@value":"Genre """),
+      k % 5,
+      lit("""."},"about":["http://dewey.info/class/8"""), k % 100,
+      lit("""/e23/","http://id.worldcat.org/fast/"""), k,
+      lit("""","http://id.loc.gov/authorities/subjects/sh"""), k,
+      lit("""","http://ex.org/g/"""), k, lit("""#T""""), place,
+      lit(""","http://junk.example/"""), k,
+      lit(""""]},{"@id":"http://ex.org/g/"""), k,
+      lit("""#T","@type":"schema:Intangible","name":{"@language":"en","@value":"Topic """),
+      k % 7, lit(""""}}"""), placeNode, lit("""]}"""))
+    val docs = env.customer.select(k.as("kk"), json.as("json"))
+    val normalized = graft.sources.JsonLdKernel.normalizeGraph(docs, "kk", "json")
+    graft.sources.JsonLdKernel.classifySubjects(normalized)
+      .select($"key".cast("long").as("key"), $"subject_type", $"subject_id",
+              $"subject_name")
+      .orderBy($"key", $"subject_type", $"subject_id")
+  }
+
   /** S13 — Content Cafe SOAP demand history: envelope snapshot →
     * per-warehouse items → monthly totals → popularity estimate
     * (as-of 2018-08-15 with a 60-day window: July is recent, June is
@@ -204,6 +237,28 @@ object SourceQueries2 {
         |  (0, 'Review one for ' || p_brand),
         |  (1, 'Review two')) AS v(review_ordinal, review)) AS t
         |ORDER BY key, t.review_ordinal""".stripMargin),
+
+    Q.sql("s4_subject_classify", s4SubjectClassify,
+      """WITH subs AS (
+        |  SELECT c_custkey AS key, 'TAG' AS subject_type,
+        |         'Genre ' || (c_custkey % 5) AS subject_id,
+        |         NULL AS subject_name
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'DDC', '8' || (c_custkey % 100), NULL FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'FAST', CAST(c_custkey AS VARCHAR), NULL FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'LCSH', 'sh' || c_custkey, NULL FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'TAG', 'Topic ' || (c_custkey % 7), NULL FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'PLACE', 'Place ' || (c_custkey % 3), NULL
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT key, subject_type, subject_id,
+        |       CAST(subject_name AS VARCHAR) AS subject_name
+        |FROM subs
+        |ORDER BY key, subject_type, subject_id""".stripMargin),
 
     Q.sql("s13_soap_demand", s13SoapDemand,
       """WITH base AS (

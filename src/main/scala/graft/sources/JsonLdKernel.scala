@@ -28,6 +28,7 @@ object JsonLdKernel {
       node_types: Array[String],
       names: Array[LdValue],
       descriptions: Array[LdValue],
+      genres: Array[LdValue],
       creator_refs: Array[String],
       publisher_refs: Array[String],
       about_refs: Array[String],
@@ -69,6 +70,7 @@ object JsonLdKernel {
         node_types = strings(node.get("@type")),
         names = values(node.get("name")),
         descriptions = values(node.get("description")),
+        genres = values(node.get("genre")),
         creator_refs = strings(node.get("creator")),
         publisher_refs = strings(node.get("publisher")),
         about_refs = strings(node.get("about")),
@@ -93,6 +95,71 @@ object JsonLdKernel {
       }
       .toDF()
       .withColumn("key", col("key").cast(keyType))
+  }
+
+  // ---- subject classification (ref `linked_data.py:474-600`) ----------
+
+  private val DeweyRe = "^http://dewey\\.info/class/([^/]+).*$"
+  private val FastRe = "^http://id\\.worldcat\\.org/fast/([^/]+)$"
+  private val LcshRe = "^http://id\\.loc\\.gov/authorities/subjects/((?:sh|jc)[^/]+)$"
+
+  private def enName(names: org.apache.spark.sql.Column) =
+    get(filter(names, v =>
+      v.getField("lang").isNull || v.getField("lang") === "en"), lit(0))
+      .getField("value")
+
+  /** Subjects of every book node, the reference's `about`-walk as set
+    * operations (`extract_useful_data`, `linked_data.py:508-585`):
+    *  - genre values (en) become TAG subjects (trailing dot stripped);
+    *  - `about` URIs classify by pattern — dewey.info→DDC,
+    *    id.worldcat.org/fast→FAST, id.loc.gov sh-/jc-prefixed→LCSH — keeping
+    *    the parsed id even with no graph node behind the URI;
+    *  - otherwise the graph-internal node's @type decides (schema:Place
+    *    → PLACE, Topic→TOPIC, Person→PERSON, Organization→ORG,
+    *    Event→EVENT, CreativeWork→WORK, Intangible→TAG; the engine's
+    *    canonical names for the reference's type constants), with the
+    *    node's English name as the id;
+    *  - unclassifiable URIs with no internal node drop.
+    * The internal lookup is one (document, node-id) equi-join — the
+    * reference's per-URI list scan, distributed. */
+  def classifySubjects(nodes: DataFrame): DataFrame = {
+    val books = nodes.filter(array_contains(col("node_types"), "schema:Book"))
+    val genreTags = books
+      .select(col("key"), col("node_id").as("book_id"),
+              explode(col("genres")).as("g"))
+      .filter(col("g.lang").isNull || col("g.lang") === "en")
+      .select(col("key"), col("book_id"), lit("TAG").as("subject_type"),
+              regexp_replace(col("g.value"), "\\.$", "").as("subject_id"),
+              lit(null).cast("string").as("subject_name"))
+      .distinct()
+    val about = books.select(col("key"), col("node_id").as("book_id"),
+                             explode(col("about_refs")).as("uri"))
+    val graphNodes = nodes.select(col("key").as("n_key"),
+      col("node_id").as("n_id"), col("node_types").as("n_types"),
+      col("names").as("n_names"))
+    val joined = about.join(graphNodes,
+      about("key") === col("n_key") && col("uri") === col("n_id"), "left")
+    val patType = when(col("uri").rlike(DeweyRe), "DDC")
+      .when(col("uri").rlike(FastRe), "FAST")
+      .when(col("uri").rlike(LcshRe), "LCSH")
+    val patId = when(col("uri").rlike(DeweyRe), regexp_extract(col("uri"), DeweyRe, 1))
+      .when(col("uri").rlike(FastRe), regexp_extract(col("uri"), FastRe, 1))
+      .when(col("uri").rlike(LcshRe), regexp_extract(col("uri"), LcshRe, 1))
+    val typeFromNode =
+      when(array_contains(col("n_types"), "schema:Topic"), "TOPIC")
+        .when(array_contains(col("n_types"), "schema:Place"), "PLACE")
+        .when(array_contains(col("n_types"), "schema:Person"), "PERSON")
+        .when(array_contains(col("n_types"), "schema:Organization"), "ORG")
+        .when(array_contains(col("n_types"), "schema:Event"), "EVENT")
+        .when(array_contains(col("n_types"), "schema:CreativeWork"), "WORK")
+        .when(array_contains(col("n_types"), "schema:Intangible"), "TAG")
+    val nodeName = when(col("n_id").isNotNull, enName(col("n_names")))
+    genreTags.unionByName(joined
+      .select(about("key"), col("book_id"),
+        coalesce(patType, typeFromNode).as("subject_type"),
+        coalesce(patId, nodeName).as("subject_id"),
+        when(patId.isNotNull, nodeName).as("subject_name"))
+      .filter(col("subject_type").isNotNull && col("subject_id").isNotNull))
   }
 
   /** Book nodes (`@type` contains schema:Book, ref

@@ -253,5 +253,24 @@ class GoldenFixturesSpec extends SparkSpec {
       .length == 2)
     assert(bookNode.getSeq[String](bookNode.fieldIndex("about_refs"))
       .length == 10)
+
+    // subject classification (test_linked_data.py:104-114): 1 DDC,
+    // 1 FAST, 4 TAG (genre + 3 Intangible topics), 1 PLACE, 3 LCSH
+    // (the made-up sh12345678 parses from its URL despite having no
+    // node; the example.wo URI has neither pattern nor node and drops)
+    val subjects = JsonLdKernel.classifySubjects(nodes).collect()
+    val byType = subjects.groupBy(_.getAs[String]("subject_type"))
+    assert(byType("DDC").map(_.getAs[String]("subject_id")).toSeq == Seq("813.54"))
+    assert(byType("FAST").map(_.getAs[String]("subject_id")).toSeq == Seq("1219610"))
+    assert(byType("LCSH").map(_.getAs[String]("subject_id")).toSet ==
+      Set("sh85062975", "sh85118637", "sh12345678"))
+    assert(byType("TAG").map(_.getAs[String]("subject_id")).toSet ==
+      Set("Fiction", "Islands", "Ghosts", "satirical fiction"))
+    assert(byType("PLACE").map(_.getAs[String]("subject_id")).toSeq ==
+      Seq("Galapagos Islands"))
+    assert(!byType.contains("TOPIC")) // topics in this graph are Intangible
+    // pattern-classified subjects keep the node's readable name
+    assert(subjects.exists(r => r.getAs[String]("subject_id") == "sh85062975" &&
+      r.getAs[String]("subject_name") == "Humorous stories"))
   }
 }
