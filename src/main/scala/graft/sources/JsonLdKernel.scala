@@ -2,7 +2,7 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Single-parse JSON-LD graph normalization for REAL worldcat payloads
@@ -99,6 +99,40 @@ object JsonLdKernel {
 
   // ---- subject classification (ref `linked_data.py:474-600`) ----------
 
+  /** Tags that are pointless or mark an unusable record (ref
+    * `linked_data.py:155-173` POINTLESS_TAGS ∪ TAGS_FOR_UNUSABLE_RECORDS). */
+  val FilterTags: Seq[String] = Seq(
+    "large type", "large print", "(binding)", "movable books",
+    "electronic books", "braille books", "board books",
+    "electronic resource", "états-unis", "etats-unis", "ebooks",
+    "audiobook", "audio book", "sound recording", "compact disc",
+    "talking book", "books on cd", "audiocassettes", "playaway", "vhs")
+
+  /** _fix_tag (ref `linked_data.py:616-623`): trailing dot stripped;
+    * null when the lowercase form contains a filtered tag or is cd/cds. */
+  def fixTag(tag: Column): Column = {
+    val stripped = regexp_replace(tag, "\\.$", "")
+    val l = lower(stripped)
+    val filtered = FilterTags
+      .map(t => l.contains(t))
+      .reduce(_ || _) || l === "cd" || l === "cds"
+    when(filtered, lit(null)).otherwise(stripped)
+  }
+
+  /** Publishers whose records are unusable (ref
+    * `linked_data.py:127-137` + the Audio/Video/Tape/Comic/Music
+    * substring rule at the consumption site). */
+  val PublisherBlacklist: Seq[String] = Seq(
+    "General Books", "Cliffs Notes", "North Books", "Emereo",
+    "Emereo Publishing", "Kessinger", "Kessinger Publishing",
+    "Kessinger Pub.", "Recorded Books")
+
+  def isBlacklistedPublisher(name: Column): Column =
+    name.isNotNull && (name.isin(PublisherBlacklist: _*) ||
+      name.contains("Audio") || name.contains("Video") ||
+      name.contains("Tape") || name.contains("Comic") ||
+      name.contains("Music"))
+
   private val DeweyRe = "^http://dewey\\.info/class/([^/]+).*$"
   private val FastRe = "^http://id\\.worldcat\\.org/fast/([^/]+)$"
   private val LcshRe = "^http://id\\.loc\\.gov/authorities/subjects/((?:sh|jc)[^/]+)$"
@@ -129,8 +163,9 @@ object JsonLdKernel {
               explode(col("genres")).as("g"))
       .filter(col("g.lang").isNull || col("g.lang") === "en")
       .select(col("key"), col("book_id"), lit("TAG").as("subject_type"),
-              regexp_replace(col("g.value"), "\\.$", "").as("subject_id"),
+              fixTag(col("g.value")).as("subject_id"),
               lit(null).cast("string").as("subject_name"))
+      .filter(col("subject_id").isNotNull)
       .distinct()
     val about = books.select(col("key"), col("node_id").as("book_id"),
                              explode(col("about_refs")).as("uri"))

@@ -272,5 +272,15 @@ class GoldenFixturesSpec extends SparkSpec {
     // pattern-classified subjects keep the node's readable name
     assert(subjects.exists(r => r.getAs[String]("subject_id") == "sh85062975" &&
       r.getAs[String]("subject_name") == "Humorous stories"))
+
+    // tag filtering and publisher blacklist (linked_data.py:127-173,616-623)
+    val tags = Seq("Fiction.", "Large Print Books", "CD", "Good Tag")
+      .toDF("t").select(JsonLdKernel.fixTag(col("t"))).collect().map(_.getString(0))
+    assert(tags.toSeq == Seq("Fiction", null, null, "Good Tag"))
+    val pubs = Seq("Delacorte Press/Seymour Lawrence", "Kessinger",
+        "Wiley Audio Books", "Wiley")
+      .toDF("p").select(JsonLdKernel.isBlacklistedPublisher(col("p")))
+      .collect().map(_.getBoolean(0))
+    assert(pubs.toSeq == Seq(false, true, true, false))
   }
 }
