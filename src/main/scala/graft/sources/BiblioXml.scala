@@ -47,6 +47,13 @@ object BiblioXml {
       .select(col("key"), col("response_code"), col("title"), col("author"),
               col("ddc"), col("lcc"), explode_outer(col("owis")).as("owi"))
 
+  /** Full single-parse Classify extraction: adds the `<authors>` block
+    * (text + lc/viaf ids, ref `oclc/classify.py:485-529`),
+    * holdings/editions measurements, pswid, DDC/LCC heading weights and
+    * the FAST recommendation headings — one row per document. */
+  def parseClassifyFull(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    XmlKernels.classifyDocs(snapshot, keyCol, xmlCol)
+
   // ---- VIAF SRU (ref viaf.py:277-304, 584-604) ----
 
   /** Cluster VIAF id (`//viafID`). */

@@ -47,6 +47,17 @@ object XmlKernels {
       wikipedia_name: Option[String],  // first WKP| source, wikidata ids excluded
       titles: Array[String])           // titles/work/title text
 
+  /** One contributor row from a Classify `<authors>` block
+    * (ref `oclc/classify.py:485-529`): raw text (name + optional
+    * lifespan + role brackets — `Roles.parseOne` input) with the LC and
+    * VIAF identifiers. */
+  final case class ClassifyAuthor(text: String, lc: Option[String],
+                                  viaf: Option[String])
+
+  /** One FAST recommendation heading (`recommendations/fast/headings`):
+    * identifier, holdings weight, display name. */
+  final case class FastHeading(ident: String, heldby: Long, name: String)
+
   /** One OCLC Classify response document. */
   final case class ClassifyDoc(
       key: String,
@@ -55,7 +66,14 @@ object XmlKernels {
       author: String,
       ddc: String,                     // first ddc//mostPopular@sfa
       lcc: String,
-      owis: Array[String])             // all work@owi, doc order
+      owis: Array[String],             // all work@owi, doc order
+      pswid: Option[String],           // first work@pswid
+      work_holdings: Option[Long],     // holdings/editions measurements
+      work_editions: Option[Long],     //   (ref MEASUREMENT_MAPPING)
+      ddc_holdings: Option[Long],      // mostPopular@holdings weights
+      lcc_holdings: Option[Long],
+      authors: Array[ClassifyAuthor],
+      fast_headings: Array[FastHeading])
 
   /** One scraped Content-Cafe-style page. */
   final case class ScrapedPage(
@@ -77,6 +95,18 @@ object XmlKernels {
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, java.lang.Boolean.FALSE)
     f
   }
+
+  /** The captured payloads contain raw `&` in URLs (Classify's chart
+    * links) — strict XML parsers stop there, where the reference's
+    * lxml `recover=True` continues. Escaping bare ampersands (those not
+    * starting a real entity) before parsing gives the same tolerance
+    * with no other change in semantics. */
+  private val BareAmp =
+    java.util.regex.Pattern.compile("&(?!(?:[a-zA-Z][a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);)")
+
+  private def sanitize(xml: String): String =
+    if (xml == null || xml.indexOf('&') < 0) xml
+    else BareAmp.matcher(xml).replaceAll("&amp;")
 
   private def localName(r: XMLStreamReader): String = {
     val n = r.getLocalName
@@ -150,7 +180,7 @@ object XmlKernels {
     var inTitles = false; var inWork = false; var inSources = false
     var depth = 0
     if (xml != null) {
-      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      val r = factory.createXMLStreamReader(new java.io.StringReader(sanitize(xml)))
       try {
         while (r.hasNext) {
           r.next() match {
@@ -230,8 +260,16 @@ object XmlKernels {
     var ddc: String = null; var lcc: String = null
     val owis = Array.newBuilder[String]
     var inDdc = false; var inLcc = false
+    var pswid: Option[String] = None
+    var workHoldings: Option[Long] = None; var workEditions: Option[Long] = None
+    var ddcHoldings: Option[Long] = None; var lccHoldings: Option[Long] = None
+    val authors = Array.newBuilder[ClassifyAuthor]
+    val fasts = Array.newBuilder[FastHeading]
+    var inAuthors = false; var inFast = false
+    def toL(s: String): Option[Long] =
+      Option(s).flatMap(v => scala.util.Try(v.trim.toLong).toOption)
     if (xml != null) {
-      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      val r = factory.createXMLStreamReader(new java.io.StringReader(sanitize(xml)))
       try {
         while (r.hasNext) {
           r.next() match {
@@ -248,13 +286,27 @@ object XmlKernels {
                   if (title == null && t != null) title = t
                   if (author == null && a != null) author = a
                   if (o != null) owis += o
+                  if (pswid.isEmpty) pswid = Option(attr(r, "pswid"))
+                  if (workHoldings.isEmpty) workHoldings = toL(attr(r, "holdings"))
+                  if (workEditions.isEmpty) workEditions = toL(attr(r, "editions"))
                 case "ddc" => inDdc = true
                 case "lcc" => inLcc = true
+                case "fast" => inFast = true
+                case "authors" => inAuthors = true
+                case "author" if inAuthors =>
+                  val lc = Option(attr(r, "lc")); val viaf = Option(attr(r, "viaf"))
+                  val text = elementText(r)
+                  authors += ClassifyAuthor(text, lc, viaf)
+                case "heading" if inFast =>
+                  val ident = attr(r, "ident"); val heldby = toL(attr(r, "heldby"))
+                  val name = elementText(r)
+                  if (ident != null)
+                    fasts += FastHeading(ident, heldby.getOrElse(0L), name)
                 case "mostPopular" =>
-                  val s = attr(r, "sfa")
+                  val s = attr(r, "sfa"); val h = toL(attr(r, "holdings"))
                   if (s != null) {
-                    if (inDdc && ddc == null) ddc = s
-                    if (inLcc && lcc == null) lcc = s
+                    if (inDdc && ddc == null) { ddc = s; ddcHoldings = h }
+                    if (inLcc && lcc == null) { lcc = s; lccHoldings = h }
                   }
                 case _ =>
               }
@@ -262,6 +314,8 @@ object XmlKernels {
               localName(r) match {
                 case "ddc" => inDdc = false
                 case "lcc" => inLcc = false
+                case "fast" => inFast = false
+                case "authors" => inAuthors = false
                 case _ =>
               }
             case _ =>
@@ -272,7 +326,9 @@ object XmlKernels {
       } finally r.close()
     }
     def z(s: String) = if (s == null) "" else s
-    ClassifyDoc(key, code, z(title), z(author), z(ddc), z(lcc), owis.result())
+    ClassifyDoc(key, code, z(title), z(author), z(ddc), z(lcc), owis.result(),
+      pswid, workHoldings, workEditions, ddcHoldings, lccHoldings,
+      authors.result(), fasts.result())
   }
 
   /** One DemandHistoryItem from the Content Cafe SOAP demand-history
@@ -291,7 +347,7 @@ object XmlKernels {
                                       xml: String): Iterator[DemandItem] = {
     val out = Array.newBuilder[DemandItem]
     if (xml != null) {
-      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      val r = factory.createXMLStreamReader(new java.io.StringReader(sanitize(xml)))
       var inItem = false
       var id: Option[Long] = None
       var year = -1; var month = -1; var demand = -1L
@@ -361,7 +417,7 @@ object XmlKernels {
                                      xml: String): Iterator[OpdsEntry] = {
     val out = Array.newBuilder[OpdsEntry]
     if (xml != null) {
-      val r = factory.createXMLStreamReader(new java.io.StringReader(xml))
+      val r = factory.createXMLStreamReader(new java.io.StringReader(sanitize(xml)))
       var inEntry = false; var inAuthor = false
       var id: String = null; var title: String = null
       var name: String = null; var sortName: String = null

@@ -118,6 +118,48 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(sw.head.getAs[String]("lcc") == "PR6051.D3352")
   }
 
+  test("Classify golden: single-work authors, measurements, heading weights (test_parse)") {
+    val row = BiblioXml.parseClassifyFull(
+      Seq(("swid", fixture("classify/single_work_response.xml"))).toDF("key", "xml"),
+      "key", "xml").head()
+    // measurements (test_classify_xml_parser.py:85-87)
+    assert(row.getAs[Long]("work_holdings") == 46983L)
+    assert(row.getAs[Long]("work_editions") == 2781L)
+    // classification weights (:94-101)
+    assert(row.getAs[String]("ddc") == "813.3" &&
+           row.getAs[Long]("ddc_holdings") == 21183L)
+    assert(row.getAs[String]("lcc") == "PS2384" &&
+           row.getAs[Long]("lcc_holdings") == 22460L)
+    // FAST headings in document order with weights and names (:103-107)
+    val fasts = row.getSeq[Row](row.fieldIndex("fast_headings"))
+    assert(fasts.map(_.getAs[String]("ident")) == Seq("1174284", "1174266",
+      "801923", "1116147", "1174307", "1016699", "1110122", "1356235"))
+    assert(fasts.map(_.getAs[Long]("heldby")) == Seq(32058L, 31482L, 29933L,
+      19086L, 18913L, 17294L, 6893L, 4512L))
+    assert(fasts.head.getAs[String]("name") == "Whaling")
+    // contributors: lc/viaf ids + role brackets through Roles.parseOne
+    // (:59-78)
+    val authors = row.getSeq[Row](row.fieldIndex("authors"))
+    val parsed = authors.map { a =>
+      val p = graft.functions.Roles.parseOne(a.getAs[String]("text"))
+      (p.name, a.getAs[String]("lc"), a.getAs[String]("viaf"), p.roles.toSet,
+       p.birth, p.death)
+    }
+    val byName = parsed.map(p => p._1 -> p).toMap
+    assert(byName("Parker, Hershel") ==
+      (("Parker, Hershel", "n50050335", "4947338",
+        Set(graft.functions.Roles.Editor), None, None)))
+    assert(byName("Tanner, Tony")._4 == Set(
+      graft.functions.Roles.Unknown, graft.functions.Roles.Editor,
+      graft.functions.Roles.Introduction, graft.functions.Roles.Author))
+    assert(byName("Hayford, Harrison")._4 == Set(
+      graft.functions.Roles.Associated, graft.functions.Roles.Editor))
+    val melville = byName("Melville, Herman")
+    assert(melville._2 == "n79006936" && melville._3 == "27068555")
+    assert(melville._4 == Set(graft.functions.Roles.Author)) // default role
+    assert(melville._5 == Some("1819") && melville._6 == Some("1891"))
+  }
+
   test("Content Cafe golden: reviews.html — title + six review sections") {
     val df = HtmlScrape.scrapeSectioned(
       Seq((1L, fixture("content_cafe/reviews.html"))).toDF("k", "html"),
