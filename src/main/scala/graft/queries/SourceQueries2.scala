@@ -47,6 +47,38 @@ object SourceQueries2 {
       .orderBy($"key", $"owi")
   }
 
+  /** S3b — full Classify extraction: authors block (lc/viaf ids),
+    * holdings/editions measurements, pswid, heading weights, FAST
+    * recommendations (ref `oclc/classify.py:253-341, 485-529`). */
+  def s3ClassifyFull(env: Env): DataFrame = {
+    val k = $"p_partkey"
+    val coAuthor = when(k % 3 === 0, concat(
+      lit("""<author viaf=""""), k * 3,
+      lit("""">Co Auth """), k, lit(""" [Editor]</author>"""))).otherwise(lit(""))
+    val xml = concat(
+      lit("""<classify><response code="2"/><work owi="A"""), k,
+      lit("""" holdings=""""), k % 1000, lit("""" editions=""""), k % 50,
+      lit("""" pswid=""""), k, lit(""""/><authors><author lc="n"""), k,
+      lit("""" viaf=""""), k * 2, lit("""">Auth """), k,
+      lit("""</author>"""), coAuthor,
+      lit("""</authors><recommendations><ddc><mostPopular holdings=""""),
+      k % 500, lit("""" sfa="8"""), k % 100,
+      lit(""""/></ddc><fast><headings><heading heldby=""""), k % 200,
+      lit("""" ident="F"""), k, lit("""">Fast """), k,
+      lit("""</heading></headings></fast></recommendations></classify>"""))
+    val snap = env.part.select(k.as("pk"), xml.as("xml"))
+    BiblioXml.parseClassifyFull(snap, "pk", "xml")
+      .select($"key".cast("long").as("key"),
+        $"work_holdings".as("holdings"), $"work_editions".as("editions"),
+        $"pswid", size($"authors").as("n_authors"),
+        get($"authors", lit(0)).getField("viaf").as("first_viaf"),
+        get($"authors", lit(0)).getField("lc").as("first_lc"),
+        $"ddc", $"ddc_holdings".as("ddc_weight"),
+        get($"fast_headings", lit(0)).getField("ident").as("fast_ident"),
+        get($"fast_headings", lit(0)).getField("heldby").as("fast_heldby"))
+      .orderBy($"key")
+  }
+
   /** S6 — Overdrive JSON bibliographic parse: author-role preference
     * and format count. */
   def s6Overdrive(env: Env): DataFrame = {
@@ -210,6 +242,22 @@ object SourceQueries2 {
         |  WHERE key % 2 = 0)
         |SELECT key, response_code, ddc, lcc, owi FROM owis
         |ORDER BY key, owi""".stripMargin),
+
+    Q.sql("s3_classify_full", s3ClassifyFull,
+      """SELECT p_partkey AS key,
+        |  CAST(p_partkey % 1000 AS BIGINT) AS holdings,
+        |  CAST(p_partkey % 50 AS BIGINT) AS editions,
+        |  CAST(p_partkey AS VARCHAR) AS pswid,
+        |  CAST(CASE WHEN p_partkey % 3 = 0 THEN 2 ELSE 1 END AS INT)
+        |    AS n_authors,
+        |  CAST(p_partkey * 2 AS VARCHAR) AS first_viaf,
+        |  'n' || p_partkey AS first_lc,
+        |  '8' || (p_partkey % 100) AS ddc,
+        |  CAST(p_partkey % 500 AS BIGINT) AS ddc_weight,
+        |  'F' || p_partkey AS fast_ident,
+        |  CAST(p_partkey % 200 AS BIGINT) AS fast_heldby
+        |FROM part
+        |ORDER BY key""".stripMargin),
 
     Q.sql("s6_overdrive", s6Overdrive,
       """SELECT c_custkey AS overdrive_id,
