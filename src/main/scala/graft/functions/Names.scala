@@ -18,17 +18,11 @@ object Names {
   // `search` (so it anchors at end of string only).
   private val Lifespan = """([0-9]*)\??-([0-9]*)[?.;]*$""".r
 
-  /** F1 lifespan extraction (ref `viaf.py:71-96`, behavior spec in
-    * `tests/test_viaf.py:32-80`):
-    * "Baxter, Charles, 1947-"  -> ("Baxter, Charles", Some(1947), None)
-    * "Mace, Daniel, -1753"     -> ("Mace, Daniel", None, Some(1753))
-    * "Anonymous, ?-?"          -> ("Anonymous", None, None)
-    * Trailing comma left by the strip is removed.
-    */
-  def parseLifespan(s: String): ParsedName = {
+  private def parseLifespanWith(re: scala.util.matching.Regex,
+                                s: String): ParsedName = {
     if (s == null) return ParsedName(null, None, None)
     val trimmed = s.trim
-    Lifespan.findFirstMatchIn(trimmed) match {
+    re.findFirstMatchIn(trimmed) match {
       case Some(m) =>
         var name = trimmed.substring(0, m.start).trim
         if (name.endsWith(",")) name = name.dropRight(1).trim
@@ -40,6 +34,15 @@ object Names {
         ParsedName(name, None, None)
     }
   }
+
+  /** F1 lifespan extraction (ref `viaf.py:71-96`, behavior spec in
+    * `tests/test_viaf.py:32-80`):
+    * "Baxter, Charles, 1947-"  -> ("Baxter, Charles", Some(1947), None)
+    * "Mace, Daniel, -1753"     -> ("Mace, Daniel", None, Some(1753))
+    * "Anonymous, ?-?"          -> ("Anonymous", None, None)
+    * Trailing comma left by the strip is removed.
+    */
+  def parseLifespan(s: String): ParsedName = parseLifespanWith(Lifespan, s)
 
   // Ref oclc/classify.py:64 LIFESPAN = ([0-9]+)-([0-9]*)[.;]?$ — birth
   // digits REQUIRED (unlike viaf.py's optional-birth form above).
@@ -49,22 +52,9 @@ object Names {
     * (`oclc/classify.py:685-699`): birth year required, so death-only
     * forms like "Mace, Daniel, -1753" keep the digits as part of the
     * name — intentionally different from [[parseLifespan]] (the VIAF
-    * path), which strips them. */
-  def parseClassifyLifespan(s: String): ParsedName = {
-    if (s == null) return ParsedName(null, None, None)
-    val trimmed = s.trim
-    ClassifyLifespan.findFirstMatchIn(trimmed) match {
-      case Some(m) =>
-        var name = trimmed.substring(0, m.start).trim
-        if (name.endsWith(",")) name = name.dropRight(1).trim
-        def yr(g: String): Option[String] = Option(g).filter(_.nonEmpty)
-        ParsedName(name, yr(m.group(1)), yr(m.group(2)))
-      case None =>
-        var name = trimmed
-        if (name.endsWith(",")) name = name.dropRight(1).trim
-        ParsedName(name, None, None)
-    }
-  }
+    * path), which strips them. Same strip logic, different regex. */
+  def parseClassifyLifespan(s: String): ParsedName =
+    parseLifespanWith(ClassifyLifespan, s)
 
   /** F6 wikipedia name → display name (ref `viaf.py:639-644`):
     * "Bob_Jones_(Author)" -> "Bob Jones". Only the LAST parenthetical is

@@ -78,6 +78,17 @@ object TextDedup {
       xxhash64((Seq(lit(b)) ++ (0 until rows).map(r =>
         sigCol.getItem(b * rows + r))): _*)): _*)
 
+  /** PPJoin-style length filter over a self-joined candidate frame
+    * (aliases `a`/`b`, shingle counts in `n_sh`): J ≥ t implies
+    * min(|A|,|B|) ≥ t·max(|A|,|B|), so size-disparate collisions can
+    * never verify — drop them before the expensive exact-Jaccard stage.
+    * Two integer compares in the join condition; provably no recall
+    * loss. Shared by both dedup candidate joins (the inequality is
+    * correctness-critical — one copy only). */
+  private def sizeBand(threshold: Double): Column =
+    least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+      lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh"))
+
   /** Exact Jaccard of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -106,17 +117,10 @@ object TextDedup {
     val banded = bandKeysKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, k, bands)
       .localCheckpoint()
-    // Length filter (PPJoin-style): J ≥ t implies min(|A|,|B|) ≥
-    // t·max(|A|,|B|), so size-disparate collisions can never verify —
-    // drop them before the expensive exact-Jaccard stage. Two integer
-    // compares in the join condition; provably no recall loss.
-    val sizeBand =
-      least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh"))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id") && sizeBand)
+        col("a.doc_id") < col("b.doc_id") && sizeBand(threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands
@@ -146,14 +150,10 @@ object TextDedup {
     val keyed = minKeyKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, keys)
       .localCheckpoint()
-    // Same PPJoin-style length filter as minhashNearDupPairs: J ≥ t
-    // implies the shingle-set sizes are within ratio t — no recall loss.
-    val sizeBand =
-      least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-        lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh"))
     val cands = keyed.as("a")
       .join(keyed.as("b"),
-        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id") && sizeBand)
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id") &&
+        sizeBand(threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cands

@@ -48,29 +48,34 @@ object ScoringQueries {
     * parse→evidence→score pipeline the reference runs per contributor.
     */
   def m2ViafEvidence(env: Env): DataFrame = {
-    val k = $"o_orderkey"
+    // localCheckpoint: the narrow request frame feeds BOTH the cluster
+    // synthesis/parse and the evidence join-back — without it the
+    // orders⋈customer join runs twice.
+    val requests = env.orders
+      .join(env.customer, $"o_custkey" === $"c_custkey")
+      .select($"o_custkey".as("request_id"), $"c_name".as("working"),
+              $"o_orderkey".as("cand_key"))
+      .localCheckpoint()
+    val k = $"cand_key"
     val uni = when(k % 2 === 1, concat(
         lit("<datafield dtype=\"UNIMARC\" tag=\"200\"><subfield code=\"a\">"),
-        $"c_name", lit(",</subfield><subfield code=\"b\">G"), k % 10,
+        $"working", lit(",</subfield><subfield code=\"b\">G"), k % 10,
         lit("</subfield></datafield>"))).otherwise(lit(""))
     val wkp = when(k % 4 === 0, concat(
-        lit("<sources><source>WKP|"), $"c_name",
+        lit("<sources><source>WKP|"), $"working",
         lit("_(Author)</source></sources>"))).otherwise(lit(""))
     val alt = when(k % 3 === 0, concat(
         lit("<datafield dtype=\"MARC21\" tag=\"400\"><subfield code=\"a\">"),
-        $"c_name", lit("y</subfield></datafield>"))).otherwise(lit(""))
-    val sortName = when(k % 2 === 0, $"c_name")
-      .otherwise(concat($"c_name", lit(" X")))
+        $"working", lit("y</subfield></datafield>"))).otherwise(lit(""))
+    val sortName = when(k % 2 === 0, $"working")
+      .otherwise(concat($"working", lit(" X")))
     val xml = concat(
       lit("<VIAFCluster><viafID>"), k, lit("</viafID>"), wkp,
       lit("<datafield dtype=\"MARC21\" tag=\"100\"><subfield code=\"a\">"),
       sortName, lit("</subfield></datafield>"), uni, alt,
       lit("</VIAFCluster>"))
-    val requests = env.orders
-      .join(env.customer, $"o_custkey" === $"c_custkey")
-      .select($"o_custkey".as("request_id"), $"c_name".as("working"),
-              k.as("cand_key"), xml.as("xml"))
-    val parsed = graft.sources.BiblioXml.parseViafFull(requests, "cand_key", "xml")
+    val snap = requests.select(k.as("cand_key"), xml.as("xml"))
+    val parsed = graft.sources.BiblioXml.parseViafFull(snap, "cand_key", "xml")
     val withReq = parsed.join(
       requests.select($"request_id", $"working", $"cand_key"),
       parsed("key") === $"cand_key")

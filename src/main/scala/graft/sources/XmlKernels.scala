@@ -81,6 +81,29 @@ object XmlKernels {
       title: String,                   // first text run of span.PageHeader2
       reviews: Array[String])          // text runs of td.text cells, doc order
 
+  // ---- kernel plumbing --------------------------------------------------
+
+  private def keyed(snapshot: DataFrame, keyCol: String, payloadCol: String) =
+    snapshot.select(col(keyCol).cast("string").as("_1"),
+                    col(payloadCol).cast("string").as("_2"))
+
+  /** The shared per-document kernel shape: (key, payload) strings →
+    * product rows via one mapPartitions, with `key` cast back to the
+    * caller's column type (string round-trip). Every kernel entry point
+    * goes through here — the key handling lives in exactly one place.
+    */
+  private def kernelRows[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      snapshot: DataFrame, keyCol: String, payloadCol: String)(
+      f: Iterator[(String, String)] => Iterator[T]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val keyType = snapshot.schema(keyCol).dataType
+    keyed(snapshot, keyCol, payloadCol)
+      .as[(String, String)](Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .mapPartitions(f)(Encoders.product[T])
+      .toDF()
+      .withColumn("key", col("key").cast(keyType))
+  }
+
   // ---- StAX plumbing ----------------------------------------------------
 
   /** Non-namespace-aware (handles undeclared prefixes in captured
@@ -388,18 +411,11 @@ object XmlKernels {
   }
 
   /** One row per DemandHistoryItem across all documents. */
-  def demandHistory(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    val keyType = snapshot.schema(keyCol).dataType
-    keyed(snapshot, keyCol, xmlCol).as[(String, String)]
-      .mapPartitions { it =>
-        val f = newFactory()
-        it.flatMap { case (k, xml) => parseDemandDoc(f, k, xml) }
-      }
-      .toDF()
-      .withColumn("key", col("key").cast(keyType))
-  }
+  def demandHistory(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    kernelRows[DemandItem](snapshot, keyCol, xmlCol) { it =>
+      val f = newFactory()
+      it.flatMap { case (k, xml) => parseDemandDoc(f, k, xml) }
+    }
 
   /** One Atom/OPDS feed entry (ref `controller.py:566-597` feedparser
     * consumption; field set per the captured lookup feeds). */
@@ -471,18 +487,11 @@ object XmlKernels {
   }
 
   /** One row per feed entry across all documents. */
-  def opdsFeedEntries(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    val keyType = snapshot.schema(keyCol).dataType
-    keyed(snapshot, keyCol, xmlCol).as[(String, String)]
-      .mapPartitions { it =>
-        val f = newFactory()
-        it.flatMap { case (k, xml) => parseOpdsFeed(f, k, xml) }
-      }
-      .toDF()
-      .withColumn("key", col("key").cast(keyType))
-  }
+  def opdsFeedEntries(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    kernelRows[OpdsEntry](snapshot, keyCol, xmlCol) { it =>
+      val f = newFactory()
+      it.flatMap { case (k, xml) => parseOpdsFeed(f, k, xml) }
+    }
 
   // ---- HTML scanner -----------------------------------------------------
 
@@ -519,6 +528,43 @@ object XmlKernels {
     sb.toString
   }
 
+  /** Index (within [from, limit)) of the next REAL `<tag` open-tag
+    * boundary — followed by '>', whitespace, or '/' — so `<tdx>` never
+    * matches a `td` search. -1 when none. */
+  private def findOpenTag(html: String, tag: String, from: Int,
+                          limit: Int): Int = {
+    val needle = "<" + tag
+    var p = math.max(from, 0)
+    while (p < limit) {
+      val at = html.indexOf(needle, p)
+      if (at < 0 || at >= limit) return -1
+      val after = at + needle.length
+      if (after >= html.length || html.charAt(after) == '>' ||
+          html.charAt(after).isWhitespace || html.charAt(after) == '/')
+        return at
+      p = at + 1
+    }
+    -1
+  }
+
+  /** Index of the next real `</tag` close-tag boundary in [from, limit)
+    * (so `</tdx>` never closes a `td`). -1 when none. */
+  private def findCloseTag(html: String, tag: String, from: Int,
+                           limit: Int): Int = {
+    val needle = "</" + tag
+    var p = math.max(from, 0)
+    while (p < limit) {
+      val at = html.indexOf(needle, p)
+      if (at < 0 || at >= limit) return -1
+      val after = at + needle.length
+      if (after >= html.length || html.charAt(after) == '>' ||
+          html.charAt(after).isWhitespace)
+        return at
+      p = at + 1
+    }
+    -1
+  }
+
   /** Text runs (maximal non-empty segments between tags, entity-decoded —
     * i.e. the element's text() nodes for flat content) of the inner HTML
     * of every `<tag ... class="cls" ...>` element, document order. One
@@ -530,24 +576,19 @@ object XmlKernels {
     val runs = Array.newBuilder[String]
     if (html == null) return runs.result()
     val open = "<" + tag
-    val close = "</" + tag
     val needle = "class=\"" + cls + "\""
     val needle2 = "class='" + cls + "'"
     var i = 0
     while (i >= 0 && i < html.length) {
-      val at = html.indexOf(open, i)
+      val at = findOpenTag(html, tag, i, html.length)
       if (at < 0) { i = -1 }
       else {
         val gt = html.indexOf('>', at)
         if (gt < 0) { i = -1 }
         else {
-          // must be a real tag boundary: "<td>" or "<td ...>"
-          val boundary = at + open.length == gt ||
-            html.charAt(at + open.length).isWhitespace ||
-            html.charAt(at + open.length) == '/'
           val attrs = html.substring(at + open.length, gt)
-          if (boundary && (attrs.contains(needle) || attrs.contains(needle2))) {
-            val end0 = html.indexOf(close, gt + 1)
+          if (attrs.contains(needle) || attrs.contains(needle2)) {
+            val end0 = findCloseTag(html, tag, gt + 1, html.length)
             val end = if (end0 < 0) html.length else end0
             val inner = html.substring(gt + 1, end)
             // split inner content into text runs between tags
@@ -591,32 +632,34 @@ object XmlKernels {
     if (tOpen < 0) return out.result()
     val tEnd0 = html.indexOf("</table>", tOpen)
     val tEnd = if (tEnd0 < 0) html.length else tEnd0
+    // every search below is CLAMPED to [.., tEnd] so a truncated or
+    // tag-soup table yields partial sections, never a substring error
     var i = tOpen
     while (i >= 0 && i < tEnd) {
-      val at = html.indexOf("<td", i)
-      if (at < 0 || at >= tEnd) i = -1
+      val at = findOpenTag(html, "td", i, tEnd)
+      if (at < 0) i = -1
       else {
         val gt = html.indexOf('>', at)
-        if (gt < 0) i = -1
+        if (gt < 0 || gt >= tEnd) i = -1
         else {
           val attrs = html.substring(at + 3, gt)
           if (attrs.contains("class=\"SectionHeader\"") ||
               attrs.contains("class='SectionHeader'")) {
-            val hEnd0 = html.indexOf("</td>", gt)
+            val hEnd0 = findCloseTag(html, "td", gt + 1, tEnd)
             val hEnd = if (hEnd0 < 0) tEnd else hEnd0
             val header = decodeEntities(html.substring(gt + 1, hEnd)).trim
             // end of the header row, then the next row's first cell
-            val trEnd = html.indexOf("</tr>", hEnd)
-            val nextTr = if (trEnd < 0) -1 else html.indexOf("<tr", trEnd)
-            val cTd = if (nextTr < 0 || nextTr >= tEnd) -1
-                      else html.indexOf("<td", nextTr)
-            val cGt = if (cTd < 0) -1 else html.indexOf('>', cTd)
+            val trEnd = findCloseTag(html, "tr", hEnd, tEnd)
+            val nextTr = if (trEnd < 0) -1 else findOpenTag(html, "tr", trEnd, tEnd)
+            val cTd = if (nextTr < 0) -1 else findOpenTag(html, "td", nextTr, tEnd)
+            val cGt0 = if (cTd < 0) -1 else html.indexOf('>', cTd)
+            val cGt = if (cGt0 < 0 || cGt0 >= tEnd) -1 else cGt0
             if (cGt > 0) {
-              val cEnd0 = html.indexOf("</td>", cGt)
+              val cEnd0 = findCloseTag(html, "td", cGt + 1, tEnd)
               val cEnd = if (cEnd0 < 0) tEnd else cEnd0
               out += Section(header, html.substring(cGt + 1, cEnd))
               i = cEnd
-            } else i = hEnd
+            } else i = hEnd + 1
           } else i = gt + 1
         }
       }
@@ -625,19 +668,13 @@ object XmlKernels {
   }
 
   def sectionedPages(snapshot: DataFrame, keyCol: String,
-                     htmlCol: String): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    val keyType = snapshot.schema(keyCol).dataType
-    keyed(snapshot, keyCol, htmlCol).as[(String, String)]
-      .mapPartitions(it => it.map { case (k, html) =>
+                     htmlCol: String): DataFrame =
+    kernelRows[SectionedPage](snapshot, keyCol, htmlCol)(it =>
+      it.map { case (k, html) =>
         val headers = classTagTextRuns(html, "span", "PageHeader2")
         SectionedPage(k, if (headers.isEmpty) "" else headers(0),
                       sectionContents(html))
       })
-      .toDF()
-      .withColumn("key", col("key").cast(keyType))
-  }
 
   private[sources] def parsePageDoc(key: String, html: String): ScrapedPage = {
     val headers = classTagTextRuns(html, "span", "PageHeader2")
@@ -649,46 +686,22 @@ object XmlKernels {
 
   // ---- DataFrame entry points ------------------------------------------
 
-  private def keyed(snapshot: DataFrame, keyCol: String, payloadCol: String) =
-    snapshot.select(col(keyCol).cast("string").as("_1"),
-                    col(payloadCol).cast("string").as("_2"))
-
   /** One row per document with the full VIAF-cluster struct; `key` keeps
     * the caller's column type (string round-trip).
     */
-  def viafClusters(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    val keyType = snapshot.schema(keyCol).dataType
-    keyed(snapshot, keyCol, xmlCol).as[(String, String)]
-      .mapPartitions { it =>
-        val f = newFactory()
-        it.map { case (k, xml) => parseViafDoc(f, k, xml) }
-      }
-      .toDF()
-      .withColumn("key", col("key").cast(keyType))
-  }
+  def viafClusters(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    kernelRows[ViafCluster](snapshot, keyCol, xmlCol) { it =>
+      val f = newFactory()
+      it.map { case (k, xml) => parseViafDoc(f, k, xml) }
+    }
 
-  def classifyDocs(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    val keyType = snapshot.schema(keyCol).dataType
-    keyed(snapshot, keyCol, xmlCol).as[(String, String)]
-      .mapPartitions { it =>
-        val f = newFactory()
-        it.map { case (k, xml) => parseClassifyDoc(f, k, xml) }
-      }
-      .toDF()
-      .withColumn("key", col("key").cast(keyType))
-  }
+  def classifyDocs(snapshot: DataFrame, keyCol: String, xmlCol: String): DataFrame =
+    kernelRows[ClassifyDoc](snapshot, keyCol, xmlCol) { it =>
+      val f = newFactory()
+      it.map { case (k, xml) => parseClassifyDoc(f, k, xml) }
+    }
 
-  def scrapedPages(snapshot: DataFrame, keyCol: String, htmlCol: String): DataFrame = {
-    val spark = snapshot.sparkSession
-    import spark.implicits._
-    val keyType = snapshot.schema(keyCol).dataType
-    keyed(snapshot, keyCol, htmlCol).as[(String, String)]
-      .mapPartitions(it => it.map { case (k, html) => parsePageDoc(k, html) })
-      .toDF()
-      .withColumn("key", col("key").cast(keyType))
-  }
+  def scrapedPages(snapshot: DataFrame, keyCol: String, htmlCol: String): DataFrame =
+    kernelRows[ScrapedPage](snapshot, keyCol, htmlCol)(
+      it => it.map { case (k, html) => parsePageDoc(k, html) })
 }
