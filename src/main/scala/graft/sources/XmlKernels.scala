@@ -182,6 +182,42 @@ object XmlKernels {
 
   private val WikidataId = java.util.regex.Pattern.compile("^Q[0-9]")
 
+  // ---- lxml-recover-equivalent salvage (structurally broken payloads) --
+
+  private val SalvageDatafieldRe =
+    """(?s)<(?:[A-Za-z0-9]+:)?datafield\b([^>]*)>(.*?)</(?:[A-Za-z0-9]+:)?datafield>""".r
+  private val SalvageSubfieldRe =
+    """(?s)<(?:[A-Za-z0-9]+:)?subfield\b[^>]*?code="([^"]+)"[^>]*>(.*?)</(?:[A-Za-z0-9]+:)?subfield>""".r
+  private val SalvageAttrRe = """([A-Za-z0-9_]+)="([^"]*)"""".r
+  private val SalvageSourceRe = """<(?:[A-Za-z0-9]+:)?source\b[^>]*>([^<]*)</""".r
+  private val SalvageTitleRe = """<(?:[A-Za-z0-9]+:)?title>([^<]*)</""".r
+
+  /** Regex extraction of VIAF fields from the portion of a document the
+    * stream parser could not reach (mismatched tags mid-cluster — real
+    * VIAF payloads have them; the reference parses with lxml
+    * recover=True). Field classification is shared with the stream path
+    * via the callbacks. */
+  private def salvageViafTail(
+      tail: String,
+      addDatafield: (String, String, Seq[(String, String)]) => Unit,
+      addSource: String => Unit,
+      titles: scala.collection.mutable.ArrayBuilder[String]): Unit = {
+    SalvageDatafieldRe.findAllMatchIn(tail).foreach { m =>
+      val attrs = SalvageAttrRe.findAllMatchIn(m.group(1))
+        .map(a => a.group(1) -> a.group(2)).toMap
+      val subs = SalvageSubfieldRe.findAllMatchIn(m.group(2))
+        .map(s => s.group(1) -> decodeEntities(s.group(2))).toSeq
+      (attrs.get("dtype"), attrs.get("tag")) match {
+        case (Some(dt), Some(tg)) => addDatafield(dt, tg, subs)
+        case _ =>
+      }
+    }
+    SalvageSourceRe.findAllMatchIn(tail)
+      .foreach(m => addSource(decodeEntities(m.group(1))))
+    SalvageTitleRe.findAllMatchIn(tail)
+      .foreach(m => titles += decodeEntities(m.group(1)))
+  }
+
   /** Single pull-parse of one VIAF cluster. Tolerates malformed tails:
     * on a stream error, returns whatever was extracted up to that point
     * (the expression form would instead fail the whole task).
@@ -202,8 +238,33 @@ object XmlKernels {
     // ancestor flags for titles/work/title and sources/source
     var inTitles = false; var inWork = false; var inSources = false
     var depth = 0
+    // shared field dispatch: the StAX path and the salvage path must
+    // classify a datafield's subfields identically
+    def addDatafield(dtype: String, tag: String,
+                     subs: Seq[(String, String)]): Unit = {
+      if (dtype == "MARC21") {
+        subs.foreach { case (code, t) =>
+          if (code == "a" && (tag == "100" || tag == "110")) sortNames += t
+          else if (code == "a" && (tag == "400" || tag == "700")) altNames += t
+        }
+      } else if (dtype == "UNIMARC") {
+        def first(c: String) = subs.collectFirst { case (`c`, t) => t }
+        val a = first("a").map(stripTrailingComma)
+        val b = first("b").map(stripTrailingComma)
+        val c = first("c").map(stripTrailingComma)
+        if (a.nonEmpty || b.nonEmpty || c.nonEmpty)
+          unimarcs += UnimarcName(given = b, family = a, extra = c,
+            sort_name = Seq(a, b, c).flatten.mkString(", "))
+      }
+    }
+    def addSource(t: String): Unit =
+      if (wikipedia == null && t != null && t.startsWith("WKP|")) {
+        val cand = t.substring(4)
+        if (!WikidataId.matcher(cand).find()) wikipedia = cand
+      }
     if (xml != null) {
-      val r = factory.createXMLStreamReader(new java.io.StringReader(sanitize(xml)))
+      val doc = sanitize(xml)
+      val r = factory.createXMLStreamReader(new java.io.StringReader(doc))
       try {
         while (r.hasNext) {
           r.next() match {
@@ -221,10 +282,7 @@ object XmlKernels {
                   val code = attr(r, "code")
                   val t = elementText(r); depth -= 1
                   if (dfDtype == "MARC21") {
-                    if (code == "a" && (dfTag == "100" || dfTag == "110"))
-                      sortNames += t
-                    else if (code == "a" && (dfTag == "400" || dfTag == "700"))
-                      altNames += t
+                    addDatafield("MARC21", dfTag, Seq(code -> t))
                   } else if (dfDtype == "UNIMARC") {
                     // first subfield of each code wins (ref _xpath1)
                     if (code == "a" && uniA == null) uniA = t
@@ -234,10 +292,7 @@ object XmlKernels {
                 case "sources" => inSources = true
                 case "source" if inSources =>
                   val t = elementText(r); depth -= 1
-                  if (wikipedia == null && t != null && t.startsWith("WKP|")) {
-                    val cand = t.substring(4)
-                    if (!WikidataId.matcher(cand).find()) wikipedia = cand
-                  }
+                  addSource(t)
                 case "titles" => inTitles = true
                 case "work" if inTitles => inWork = true
                 case "title" if inWork =>
@@ -247,14 +302,10 @@ object XmlKernels {
             case XMLStreamConstants.END_ELEMENT =>
               localName(r) match {
                 case "datafield" if depth == dfDepth =>
-                  if (dfDtype == "UNIMARC" && (uniA != null || uniB != null || uniC != null)) {
-                    val a = Option(uniA).map(stripTrailingComma)
-                    val b = Option(uniB).map(stripTrailingComma)
-                    val c = Option(uniC).map(stripTrailingComma)
-                    val sort = Seq(a, b, c).flatten.mkString(", ")
-                    unimarcs += UnimarcName(given = b, family = a, extra = c,
-                                            sort_name = sort)
-                  }
+                  if (dfDtype == "UNIMARC")
+                    addDatafield("UNIMARC", dfTag,
+                      Seq("a" -> uniA, "b" -> uniB, "c" -> uniC)
+                        .collect { case (c, v) if v != null => c -> v })
                   dfDtype = null; dfTag = null; dfDepth = -1
                 case "titles" => inTitles = false
                 case "work" => inWork = false
@@ -266,7 +317,16 @@ object XmlKernels {
           }
         }
       } catch {
-        case _: javax.xml.stream.XMLStreamException => // keep partial fields
+        case e: javax.xml.stream.XMLStreamException =>
+          // Real VIAF payloads contain structurally broken fragments
+          // (mismatched tags) that the reference's lxml recover=True
+          // parses past. StAX cannot resume, so regex-salvage the
+          // UNPARSED SUFFIX for the same fields — everything before the
+          // error offset was already extracted, so nothing duplicates.
+          val off = Option(e.getLocation).map(_.getCharacterOffset).getOrElse(-1)
+          if (off > 0 && off < doc.length)
+            salvageViafTail(doc.substring(off), addDatafield, addSource,
+                            titles)
       } finally r.close()
     }
     // xpath_string yields "" (not null) when no node matches — keep that.

@@ -86,6 +86,74 @@ class GoldenFixturesSpec extends SparkSpec {
                            u.getAs[String]("sort_name") == "Aquarius, Paris"))
   }
 
+  /** Run the name-resolution brain on a parsed fixture cluster. */
+  private def nameInfo(file: String, workingSort: Option[String] = None,
+                       workingDisplay: Option[String] = None) = {
+    import graft.functions.ViafNames
+    val row = viafRow(file)
+    val unimarcs = row.getSeq[Row](row.fieldIndex("unimarc_names")).map { u =>
+      ViafNames.UnimarcParts(
+        Option(u.getAs[String]("given")), Option(u.getAs[String]("family")),
+        Option(u.getAs[String]("extra")),
+        Option(u.getAs[String]("sort_name")).filter(_.nonEmpty))
+    }
+    ViafNames.extractNameInfo(
+      Option(row.getAs[String]("viaf_id")).filter(_.nonEmpty),
+      row.getSeq[String](row.fieldIndex("sort_names")),
+      unimarcs, Option(row.getAs[String]("wikipedia_name")),
+      workingSort, workingDisplay)
+  }
+
+  test("VIAF name resolution: the reference's own parse() expectations") {
+    import graft.functions.ViafNames.NameInfo
+    // test_viaf.py:104-139 — wikipedia-present, wikidata-only, plain,
+    // and corporate-via-UNIMARC entries
+    val eisner = nameInfo("will_eisner.xml")
+    assert(eisner.viaf == Some("10455") &&
+      eisner.displayName == Some("Will Eisner") &&
+      eisner.familyName == Some("Eisner") &&
+      eisner.wikipediaName == Some("Will_Eisner"))
+    val belanger = nameInfo("michelle_belanger.xml")
+    assert(belanger.viaf == Some("38770861") &&
+      belanger.displayName == Some("Michelle A. Belanger") &&
+      belanger.familyName == Some("Belanger") &&
+      belanger.wikipediaName == None)
+    val palmer = nameInfo("palmer.xml")
+    assert(palmer.viaf == Some("2506349") &&
+      palmer.displayName == Some("Roy Ernest Palmer") &&
+      palmer.familyName == Some("Palmer") && palmer.wikipediaName == None)
+    val aquarius = nameInfo("aquarius.xml")
+    assert(aquarius.viaf == Some("159591140") &&
+      aquarius.displayName == Some("Aquarius Paris") &&
+      aquarius.familyName == Some("Aquarius"))
+  }
+
+  test("VIAF name resolution: many-names consensus (test_many_names)") {
+    // the Wikipedia name corrects even a 'Sam Clemens' working name
+    val twain = nameInfo("mark_twain.xml",
+      workingDisplay = Some("Sam Clemens"))
+    assert(twain.viaf == Some("50566653") &&
+      twain.displayName == Some("Mark Twain") &&
+      twain.familyName == Some("Twain") &&
+      twain.wikipediaName == Some("Mark_Twain"))
+    // without Wikipedia, popularity consensus wins
+    val noWiki = nameInfo("mark_twain_no_wikipedia.xml")
+    assert(noWiki.displayName == Some("Mark Twain") &&
+      noWiki.familyName == Some("Twain") && noWiki.wikipediaName == None)
+    // a working display name keeps its own display but the family name
+    // follows the resembling UNIMARC records and the sort name follows
+    // the cluster's popularity
+    val clemens = nameInfo("mark_twain_no_wikipedia.xml",
+      workingDisplay = Some("Samuel Langhorne Clemens"))
+    assert(clemens.displayName == Some("Samuel Langhorne Clemens"))
+    assert(clemens.sortName == Some("Twain, Mark"))
+    assert(clemens.familyName == Some("Clemens"))
+    // test_process_contributor: Mindy Kaling's consensus names
+    val mindy = nameInfo("mindy_kaling.xml")
+    assert(mindy.sortName == Some("Kaling, Mindy"))
+    assert(mindy.displayName == Some("Mindy Kaling"))
+  }
+
   test("Classify golden: error status, multi-work owis, single-work headings") {
     val docs = Seq(
       ("not_found", fixture("classify/isbn_not_found.xml")),
