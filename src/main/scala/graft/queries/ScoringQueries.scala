@@ -105,6 +105,48 @@ object ScoringQueries {
       .orderBy($"request_id")
   }
 
+  /** M2c — cluster name RESOLUTION over parsed clusters (ref
+    * `viaf.py:541-640` via `ViafNames.extractNameInfo`): popularity
+    * consensus for the sort name, Wikipedia-beats-reconstruction for
+    * the display name, best_choice nameparts for the family name.
+    * Each customer's cluster carries two identical 100$a headings, a
+    * UNIMARC namepart record, and (every 4th) a Wikipedia source that
+    * overrides the reconstructed display name. */
+  def m2NameResolution(env: Env): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val clusterEnc: org.apache.spark.sql.Encoder[graft.sources.XmlKernels.ViafCluster] =
+      Encoders.product[graft.sources.XmlKernels.ViafCluster]
+    implicit val outEnc: org.apache.spark.sql.Encoder[(Long, String, String, String)] =
+      Encoders.product[(Long, String, String, String)]
+    val k = $"c_custkey"
+    val wkp = when(k % 4 === 0, concat(
+      lit("<sources><source>WKP|Wiki"), k,
+      lit("_Page</source></sources>"))).otherwise(lit(""))
+    val marc = concat(
+      lit("<datafield dtype=\"MARC21\" tag=\"100\"><subfield code=\"a\">"),
+      $"c_name", lit("</subfield></datafield>"))
+    val xml = concat(
+      lit("<VIAFCluster><viafID>"), k, lit("</viafID>"), wkp, marc, marc,
+      lit("<datafield dtype=\"UNIMARC\" tag=\"200\"><subfield code=\"a\">Fam"),
+      k % 50, lit(",</subfield><subfield code=\"b\">Giv"), k % 20,
+      lit("</subfield></datafield></VIAFCluster>"))
+    val snap = env.customer.select(k.as("kk"), xml.as("xml"))
+    graft.sources.BiblioXml.parseViafFull(snap, "kk", "xml")
+      .withColumn("key", $"key".cast("string"))
+      .as[graft.sources.XmlKernels.ViafCluster]
+      .map { c =>
+        val info = graft.functions.ViafNames.extractNameInfo(
+          Some(c.viaf_id).filter(_.nonEmpty), c.sort_names.toSeq,
+          c.unimarc_names.toSeq.map(u => graft.functions.ViafNames.UnimarcParts(
+            u.given, u.family, u.extra, Some(u.sort_name).filter(_.nonEmpty))),
+          c.wikipedia_name)
+        (c.key.toLong, info.sortName.orNull, info.displayName.orNull,
+         info.familyName.orNull)
+      }
+      .toDF("key", "sort_name", "display_name", "family_name")
+      .orderBy($"key")
+  }
+
   /** M5 — equivalency strength setter (ref
     * `oclc/linked_data.py:1082-1116`): 0.8·title-similarity +
     * 0.2·author-set overlap over blocked candidate pairs; emits the new
@@ -281,6 +323,18 @@ object ScoringQueries {
         |SELECT request_id, candidate_id, score, ignore_pop
         |FROM ranked WHERE rn = 1 AND score >= 70.0
         |ORDER BY request_id""".stripMargin),
+
+    Q.sql("m2_name_resolution", m2NameResolution,
+      """SELECT c_custkey AS key,
+        |  c_name AS sort_name,
+        |  CASE WHEN c_custkey % 4 = 0
+        |       THEN 'Wiki' || c_custkey || ' Page'
+        |       ELSE 'Giv' || (c_custkey % 20) || ' Fam' || (c_custkey % 50)
+        |  END AS display_name,
+        |  CASE WHEN c_custkey % 4 = 0 THEN 'Page'
+        |       ELSE 'Fam' || (c_custkey % 50) END AS family_name
+        |FROM customer
+        |ORDER BY key""".stripMargin),
 
     Q.sql("m5_equiv_strength", m5EquivStrength,
       """WITH sups AS (
