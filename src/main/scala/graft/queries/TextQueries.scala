@@ -27,6 +27,48 @@ object TextQueries {
       TextAnalysis.langId($"text").as("predicted_lang"))
       .orderBy($"doc_id")
 
+  /** The composed training-data prep pipeline over `documents` — the
+    * flagship LLM-pipeline flow, every stage an operator verified on
+    * its own elsewhere:
+    *  1. score: token count + quality + language ID (one narrow pass);
+    *  2. filter: predicted English, quality ≥ 0.65;
+    *  3. exact dedup: keep the smallest doc_id per bag-of-words
+    *     fingerprint (one shuffle);
+    *  4. near-dup removal: banded MinHash pairs at Jaccard ≥ 0.8
+    *     (recall-guaranteed regime), dropping the higher id of each
+    *     pair;
+    *  5. emit the surviving corpus with its stats.
+    * The oracle replays the whole flow in SQL with brute-force pairs —
+    * a green row proves the composed sub-quadratic pipeline reproduces
+    * the quadratic ground truth end to end.
+    */
+  def textPrepPipeline(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val base = env.documents.select(
+      $"doc_id", $"text",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.qualityScore($"text").as("quality"),
+      TextAnalysis.langId($"text").as("predicted_lang"))
+    val kept = base.filter($"predicted_lang" === "en" && $"quality" >= 0.65)
+    // exact dedup — keep the lowest doc_id per fingerprint
+    val exact = kept
+      .withColumn("fp",
+        graft.operators.TextDedup.shingleFingerprint($"text", n = 1))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn", "fp")
+      // feeds pair generation (both self-join sides) AND the final
+      // anti-join — pin it so the scoring stages run once
+      .localCheckpoint()
+    val nearDups = graft.operators.TextDedup
+      .minhashNearDupPairs(exact, "doc_id", "text", threshold = 0.8)
+      .select($"doc_b".as("doc_id")).distinct()
+    exact.join(nearDups, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_tokens", $"quality")
+      .orderBy($"doc_id")
+  }
+
   def textFingerprint(env: Env): DataFrame =
     env.documents.select(
       $"doc_id",
@@ -34,7 +76,9 @@ object TextQueries {
       TextAnalysis.fpFull($"text").as("fp_full"))
       .orderBy($"doc_id")
 
-  private val langIdSql: String = {
+  /** Self-contained langid SELECT (no ORDER BY) — reused by the
+    * text_langid oracle and the composed text-prep pipeline oracle. */
+  private[queries] val langIdSelect: String = {
     val markers = TextAnalysis.LangMarkers
     val scoreCols = markers.map { case (lang, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -58,9 +102,10 @@ object TextQueries {
        |f0b AS (SELECT *, '${markers.head._1}' AS bl0, s_${markers.head._1} AS bs0 FROM f0),
        |${folds.replace("FROM f0)", "FROM f0b)")}
        |SELECT doc_id, claimed_lang, bl$n AS predicted_lang
-       |FROM f$n
-       |ORDER BY doc_id""".stripMargin
+       |FROM f$n""".stripMargin
   }
+
+  private val langIdSql: String = langIdSelect + "\nORDER BY doc_id"
 
   val entries: Seq[Q] = Seq(
     Q.sql("text_stats", textStats,
@@ -87,6 +132,48 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("text_langid", textLangId, langIdSql),
+
+    Q.sql("text_prep_pipeline", textPrepPipeline,
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s
+         |           FROM documents),
+         |m AS (SELECT doc_id, text, s,
+         |        CAST(len(s) AS INT) AS n_tokens,
+         |        CAST(len(list_filter(s,
+         |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+         |          AS n_stopwords
+         |      FROM t),
+         |q AS (SELECT doc_id, s, n_tokens,
+         |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+         |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+         |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+         |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+         |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+         |                         BETWEEN 3.0 AND 10.0
+         |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
+         |      FROM m),
+         |lang AS (SELECT doc_id, predicted_lang FROM (
+         |${TextQueries.langIdSelect.linesIterator.map("  " + _).mkString("\n")}
+         |) ll),
+         |kept AS (SELECT q.doc_id, q.s, q.n_tokens, q.quality
+         |         FROM q JOIN lang USING (doc_id)
+         |         WHERE lang.predicted_lang = 'en' AND q.quality >= 0.65),
+         |ex AS (SELECT doc_id, s, n_tokens, quality
+         |       FROM (SELECT *, md5(array_to_string(
+         |               list_sort(list_distinct(s)), '|')) AS fp FROM kept)
+         |       QUALIFY row_number() OVER (PARTITION BY fp
+         |                                  ORDER BY doc_id) = 1),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(s) - 1),
+         |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+         |       FROM ex),
+         |pairs AS (SELECT b.doc_id AS doc_b
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |                / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
+         |SELECT doc_id, n_tokens, quality FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("text_fingerprint", textFingerprint,
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
