@@ -110,8 +110,12 @@ object TextDedup {
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.5, n: Int = 3,
                           k: Int = 64, bands: Int = 16): DataFrame = {
+    // localCheckpoint: the shingle sets join BOTH sides of the verify
+    // stage (doc_a and doc_b) — pin them so the per-doc shingle arrays
+    // materialize once instead of twice.
     val sh = docs.select(col(idCol).as("doc_id"),
                          shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     // localCheckpoint: the kernel output feeds BOTH sides of the
     // self-join — without it the per-shingle hashing subtree runs twice.
     val banded = bandKeysKernel(
@@ -143,8 +147,12 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, n: Int = 3,
                         keys: Int = 4): DataFrame = {
+    // localCheckpoint: the shingle sets join BOTH sides of the verify
+    // stage (doc_a and doc_b) — pin them so the per-doc shingle arrays
+    // materialize once instead of twice.
     val sh = docs.select(col(idCol).as("doc_id"),
                          shingles(col(textCol), n).as("sh"))
+      .localCheckpoint()
     // localCheckpoint: see minhashNearDupPairs — self-joined kernel
     // output must not recompute the md5 scan per side.
     val keyed = minKeyKernel(
