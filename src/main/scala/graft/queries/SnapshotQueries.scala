@@ -72,7 +72,49 @@ object SnapshotQueries {
       .orderBy($"url")
   }
 
+  /** S11/SURVEY §7 hard-part 5 — the children's-books-with-no-age-range
+    * report (ref `monitor.py:100-155`): `target_age` is a (lo, hi)
+    * STRUCT where an unset range (SQL NULL) and an unbounded range
+    * (`NumericRange(None, None)` — struct present, both ends null) are
+    * DIFFERENT states and the report must catch both; audiences
+    * restricted to Children/Young Adult; the first ISBN equivalency is
+    * carried when present. */
+  def s11AgeRangeReport(env: Env): DataFrame = {
+    val k = $"c_custkey"
+    val ageStruct =
+      when(k % 5 === 2, struct(lit(8).as("lo"), lit(12).as("hi")))
+        .when(k % 5 === 3, struct(lit(5).as("lo"), lit(null).cast("int").as("hi")))
+        .when(k % 5 === 1, struct(lit(null).cast("int").as("lo"),
+                                  lit(null).cast("int").as("hi")))
+        .when(k % 5 === 4, struct(lit(13).as("lo"), lit(18).as("hi")))
+    // k % 5 == 0 falls through the when-chain → NULL struct (unset)
+    val works = env.customer.select(
+      k.as("key"), $"c_name".as("title"),
+      concat(lit("A"), k % 7).as("author"),
+      when(k % 3 === 0, "Children").when(k % 3 === 1, "Young Adult")
+        .otherwise("Adult").as("audience"),
+      ageStruct.as("target_age"),
+      when(k % 4 =!= 0, concat(lit("i"), k)).as("isbn"))
+    works
+      .filter($"audience".isin("Children", "Young Adult") &&
+        ($"target_age".isNull ||                       // unset range
+         ($"target_age.lo".isNull && $"target_age.hi".isNull))) // (None,None)
+      .select($"key", $"title", $"author", $"audience", $"isbn")
+      .orderBy($"key")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q.sql("s11_age_range_report", s11AgeRangeReport,
+      """SELECT c_custkey AS key, c_name AS title,
+        |  'A' || (c_custkey % 7) AS author,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'Children'
+        |       ELSE 'Young Adult' END AS audience,
+        |  CASE WHEN c_custkey % 4 <> 0 THEN 'i' || c_custkey END AS isbn
+        |FROM customer
+        |WHERE c_custkey % 3 <> 2
+        |  AND c_custkey % 5 IN (0, 1)
+        |ORDER BY key""".stripMargin),
+
     Q.sql("s4_isbn_redirect", s4IsbnRedirect,
       """WITH redirects AS (
         |  SELECT 'i' || p_partkey AS isbn, p_partkey AS pk,
