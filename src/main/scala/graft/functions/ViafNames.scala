@@ -122,7 +122,16 @@ object ViafNames {
       }
     }
 
-    val sortName = workingSortName.orElse(firstSeenMostCommon(popularity.toSeq))
+    // corroboration gate (ref viaf.py:324-331): a working sort name is
+    // never returned verbatim — it selects the CLUSTER's first sort name
+    // that fuzzy-matches it > 90 (the cluster's matched form, kept
+    // verbatim as the reference does); with no such match the popularity
+    // consensus decides, exactly as in the no-working-name case
+    // (viaf.py:612-613 gates on `not contributor_data.sort_name`).
+    val corroborated = workingSortName.flatMap { w =>
+      sortNamesRaw.find(n => Fuzzy.contributorNameMatchRatio(n, w) > 90)
+    }
+    val sortName = corroborated.orElse(firstSeenMostCommon(popularity.toSeq))
 
     // a clean two-part Wikipedia display name is itself a candidate
     wikiDisplay.foreach { d =>

@@ -34,11 +34,15 @@ object Bucketing {
   def isExchangeFree(df: DataFrame): Boolean = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     def hasShuffle(p: SparkPlan): Boolean = p match {
       case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
       case q: QueryStageExec => hasShuffle(q.plan)
       case _: ShuffleExchangeLike => true
+      // ReusedExchangeExec is a LEAF wrapping the original exchange —
+      // recurse into the referenced exchange or a reused shuffle would
+      // go undetected (only its original elsewhere in the tree is seen).
+      case r: ReusedExchangeExec => hasShuffle(r.child)
       case other => other.children.exists(hasShuffle)
     }
     !hasShuffle(df.queryExecution.executedPlan)

@@ -53,15 +53,18 @@ object StreamQueries {
   /** S8+S11 as a VERIFIED round-trip: the consolidated parquet cache
     * and the CSV report sink each write to a scratch location and read
     * back, and the oracle checks the content that survived the
-    * round-trip — the sinks stop being write-only test code. Fixed
-    * scratch path + overwrite keeps reruns idempotent. */
+    * round-trip — the sinks stop being write-only test code. The
+    * scratch path is per-process (pid suffix) so two concurrent Verify
+    * runs on one host cannot overwrite each other's files mid-read;
+    * within a process the fixed path + overwrite keeps reruns
+    * idempotent. */
   def s8SinkRoundtrip(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
     val rows = env.customer.select(
       $"c_custkey".cast("long").as("fast_id"),
       concat(lit("Subject "), $"c_custkey" % 97).as("name"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip"
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip_${ProcessHandle.current().pid()}"
     graft.sources.NTriples.writeConsolidated(rows, s"$base/consolidated")
     graft.sources.Sinks.writeCsvReport(rows, s"$base/report")
     val pq = graft.sources.NTriples.readConsolidated(spark, s"$base/consolidated")

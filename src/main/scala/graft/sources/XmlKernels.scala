@@ -127,9 +127,30 @@ object XmlKernels {
   private val BareAmp =
     java.util.regex.Pattern.compile("&(?!(?:[a-zA-Z][a-zA-Z0-9]*|#[0-9]+|#[xX][0-9a-fA-F]+);)")
 
-  private def sanitize(xml: String): String =
+  private[sources] def sanitize(xml: String): String =
     if (xml == null || xml.indexOf('&') < 0) xml
-    else BareAmp.matcher(xml).replaceAll("&amp;")
+    else if (xml.indexOf("<![CDATA[") < 0) BareAmp.matcher(xml).replaceAll("&amp;")
+    else {
+      // lxml recover=True (the reference's parser) leaves CDATA text
+      // untouched — escape bare ampersands only OUTSIDE <![CDATA[...]]>
+      // runs, else legal CDATA '&' would surface as '&amp;'.
+      val sb = new java.lang.StringBuilder(xml.length + 16)
+      var p = 0
+      while (p < xml.length) {
+        val start = xml.indexOf("<![CDATA[", p)
+        if (start < 0) {
+          sb.append(BareAmp.matcher(xml.substring(p)).replaceAll("&amp;"))
+          p = xml.length
+        } else {
+          sb.append(BareAmp.matcher(xml.substring(p, start)).replaceAll("&amp;"))
+          val close = xml.indexOf("]]>", start + 9)
+          val end = if (close < 0) xml.length else close + 3
+          sb.append(xml, start, end)
+          p = end
+        }
+      }
+      sb.toString
+    }
 
   private def localName(r: XMLStreamReader): String = {
     val n = r.getLocalName
@@ -625,19 +646,50 @@ object XmlKernels {
     -1
   }
 
+  /** CSS-class membership over a raw attribute string: the class
+    * attribute value is whitespace-tokenized, so `class="text small"`
+    * matches `cls = "text"` — BeautifulSoup's class matching (the
+    * reference's selector semantics), not whole-attribute equality. */
+  private[sources] def hasClassToken(attrs: String, cls: String): Boolean = {
+    var p = 0
+    while (p < attrs.length) {
+      val at = attrs.indexOf("class", p)
+      if (at < 0) return false
+      // must be the attribute name: preceded by start/whitespace, then '='
+      val beforeOk = at == 0 || attrs.charAt(at - 1).isWhitespace
+      var q = at + 5
+      while (q < attrs.length && attrs.charAt(q).isWhitespace) q += 1
+      if (beforeOk && q < attrs.length && attrs.charAt(q) == '=') {
+        q += 1
+        while (q < attrs.length && attrs.charAt(q).isWhitespace) q += 1
+        val value =
+          if (q < attrs.length && (attrs.charAt(q) == '"' || attrs.charAt(q) == '\'')) {
+            val quote = attrs.charAt(q)
+            val close = attrs.indexOf(quote, q + 1)
+            attrs.substring(q + 1, if (close < 0) attrs.length else close)
+          } else {
+            var r = q
+            while (r < attrs.length && !attrs.charAt(r).isWhitespace) r += 1
+            attrs.substring(q, r)
+          }
+        return value.split("\\s+").contains(cls)
+      }
+      p = at + 5
+    }
+    false
+  }
+
   /** Text runs (maximal non-empty segments between tags, entity-decoded —
     * i.e. the element's text() nodes for flat content) of the inner HTML
-    * of every `<tag ... class="cls" ...>` element, document order. One
-    * linear scan, no DOM. Tag-soup tolerant: an unclosed element
-    * contributes runs up to end-of-input.
+    * of every element of `tag` whose class tokens include `cls`,
+    * document order. One linear scan, no DOM. Tag-soup tolerant: an
+    * unclosed element contributes runs up to end-of-input.
     */
   private[sources] def classTagTextRuns(html: String, tag: String,
                                         cls: String): Array[String] = {
     val runs = Array.newBuilder[String]
     if (html == null) return runs.result()
     val open = "<" + tag
-    val needle = "class=\"" + cls + "\""
-    val needle2 = "class='" + cls + "'"
     var i = 0
     while (i >= 0 && i < html.length) {
       val at = findOpenTag(html, tag, i, html.length)
@@ -647,7 +699,7 @@ object XmlKernels {
         if (gt < 0) { i = -1 }
         else {
           val attrs = html.substring(at + open.length, gt)
-          if (attrs.contains(needle) || attrs.contains(needle2)) {
+          if (hasClassToken(attrs, cls)) {
             val end0 = findCloseTag(html, tag, gt + 1, html.length)
             val end = if (end0 < 0) html.length else end0
             val inner = html.substring(gt + 1, end)

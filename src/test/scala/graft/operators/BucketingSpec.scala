@@ -30,4 +30,22 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_dims")
     }
   }
+
+  test("a reused shuffle exchange still counts as a shuffle") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // self-join of one aggregation: AQE materializes the grouped side
+      // once and wires the second consumer through ReusedExchangeExec —
+      // the walk must see the shuffle through the reuse leaf too
+      val grouped = spark.range(1000)
+        .select(($"id" % 10).as("k")).groupBy($"k").count()
+      val joined = grouped.as("a").join(grouped.as("b"), "k")
+      assert(joined.count() == 10)
+      assert(!Bucketing.isExchangeFree(joined),
+        joined.queryExecution.executedPlan.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }

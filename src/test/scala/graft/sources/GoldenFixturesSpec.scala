@@ -104,6 +104,16 @@ class GoldenFixturesSpec extends SparkSpec {
       workingSort, workingDisplay)
   }
 
+  test("working sort name only selects the cluster's matched form (>90 gate)") {
+    // ref viaf.py:324-331: the working name is NEVER returned verbatim —
+    // a cluster sort name fuzzy-matching it > 90 wins in the CLUSTER's
+    // own form; with no such match the popularity consensus decides.
+    val matched = nameInfo("will_eisner.xml", workingSort = Some("Will Eisner"))
+    assert(matched.sortName == Some("Eisner, Will"))
+    val unmatched = nameInfo("will_eisner.xml", workingSort = Some("Austen, Jane"))
+    assert(unmatched.sortName == Some("Eisner, Will"))
+  }
+
   test("VIAF name resolution: the reference's own parse() expectations") {
     import graft.functions.ViafNames.NameInfo
     // test_viaf.py:104-139 — wikipedia-present, wikidata-only, plain,

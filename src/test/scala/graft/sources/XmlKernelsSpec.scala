@@ -70,6 +70,30 @@ class XmlKernelsSpec extends SparkSpec {
     assert(collectSorted(actual) == collectSorted(expected))
   }
 
+  test("sanitize escapes bare ampersands outside CDATA only") {
+    // bare & escaped; real entities untouched
+    assert(XmlKernels.sanitize("<a>AT&T</a>") == "<a>AT&amp;T</a>")
+    assert(XmlKernels.sanitize("<a>&amp; &#38; &#x26;</a>") == "<a>&amp; &#38; &#x26;</a>")
+    // legal CDATA text keeps its & (lxml recover=True preserves it)
+    assert(XmlKernels.sanitize("<a><![CDATA[AT&T & co]]> & out</a>")
+      == "<a><![CDATA[AT&T & co]]> &amp; out</a>")
+    // two CDATA runs with bare & between them
+    assert(XmlKernels.sanitize("<a><![CDATA[&]]>&<![CDATA[&]]></a>")
+      == "<a><![CDATA[&]]>&amp;<![CDATA[&]]></a>")
+    // unterminated CDATA: the rest of the document is left untouched
+    assert(XmlKernels.sanitize("<a><![CDATA[x & y") == "<a><![CDATA[x & y")
+  }
+
+  test("classTagTextRuns matches class tokens, not the whole attribute") {
+    val html = """<table><tr><td class="text small">One &amp; two</td></tr>
+      |<tr><td class='small text'>Three</td></tr>
+      |<tr><td class="textual">Nope</td></tr>
+      |<tr><td class=text>Bare</td></tr>
+      |<tr><td id="x" class="text">Last</td></tr></table>""".stripMargin
+    assert(XmlKernels.classTagTextRuns(html, "td", "text").toSeq ==
+      Seq("One & two", "Three", "Bare", "Last"))
+  }
+
   test("VIAF kernel: 110 corporate headings, 400/700 alternates, UNIMARC, wikipedia") {
     val xml =
       """<ns2:VIAFCluster xmlns:ns2="http://viaf.org/viaf/terms#">
