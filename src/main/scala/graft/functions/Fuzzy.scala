@@ -68,4 +68,9 @@ object Fuzzy {
     */
   def titleMatchRatio(a: String, b: String): Int =
     ratio(TextNorm.normalizeForMatching(a), TextNorm.normalizeForMatching(b))
+
+  /** Identical strings bar periods and case (ref `viaf.py:127-130`). */
+  def nameMatches(a: String, b: String): Boolean =
+    a != null && b != null &&
+      a.replace(".", "").toLowerCase == b.replace(".", "").toLowerCase
 }

@@ -51,6 +51,47 @@ object ViafScoring {
     else total
   }
 
+  /** The title-evidence term of M2 (ref `viaf.py:235-273` weigh_titles):
+    * for each known title, the FIRST contributor title (cluster
+    * document order) that matches contributes — 0.8·90 for an
+    * unfluffed periods-insensitive exact match, else 0.6·ratio when the
+    * plain title ratio exceeds 80 — and contributions ACCUMULATE across
+    * known titles (the reference's outer loop keeps scanning). Strict
+    * mode instead stops entirely at the first exact membership hit
+    * (0.8·100), matching the reference's outer-loop break.
+    */
+  def weighTitles(knownTitles: Seq[String], contributorTitles: Seq[String],
+                  strict: Boolean = false): Double = {
+    import graft.functions.{Fuzzy, TextNorm}
+    if (knownTitles == null || contributorTitles == null) return 0.0
+    // accumulate integer TENTHS (0.8·90 → 720, 0.6·r → 6r): every
+    // contribution has one decimal digit, so the single final division
+    // is exactly reproducible across engines (oracle float-equality)
+    var tenths = 0L
+    var stop = false
+    knownTitles.foreach { kt =>
+      if (!stop && kt != null) {
+        if (strict) {
+          if (contributorTitles.contains(kt)) { tenths += 800L; stop = true }
+        } else {
+          val ktUnfluffed = TextNorm.unfluffTitle(kt)
+          var done = false
+          contributorTitles.foreach { ct =>
+            if (!done && ct != null) {
+              if (Fuzzy.nameMatches(TextNorm.unfluffTitle(ct), ktUnfluffed)) {
+                tenths += 720L; done = true
+              } else {
+                val r = Fuzzy.titleMatchRatio(kt, ct)
+                if (r > 80) { tenths += 6L * r; done = true }
+              }
+            }
+          }
+        }
+      }
+    }
+    tenths / 10.0
+  }
+
   /** M3 — per-request popularity override (ref `viaf.py:416-440`): when
     * the MOST popular candidate (library_popularity = 1) is a bad name
     * match (sort/guessed < 50, or neither present), popularity is

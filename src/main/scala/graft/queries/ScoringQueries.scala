@@ -69,10 +69,23 @@ object ScoringQueries {
         $"working", lit("y</subfield></datafield>"))).otherwise(lit(""))
     val sortName = when(k % 2 === 0, $"working")
       .otherwise(concat($"working", lit(" X")))
+    // cluster titles: k%3==0 an unfluff-exact variant of known title 1,
+    // k%3==1 a fuzzy (>80 ratio) variant, k%3==2 no match; every 4th
+    // cluster adds a second title exactly matching known title 2 so the
+    // per-known-title accumulation of weigh_titles is exercised
+    val titles = concat(
+      lit("<titles><work><title>"),
+      when(k % 3 === 0, concat(lit("The Book "), $"request_id", lit(".")))
+        .when(k % 3 === 1, concat(lit("Book "), $"request_id", lit("x")))
+        .otherwise(concat(lit("Zzz "), k)),
+      lit("</title></work>"),
+      when(k % 4 === 0, concat(lit("<work><title>The Saga "), $"request_id",
+        lit(": special edition!!</title></work>"))).otherwise(lit("")),
+      lit("</titles>"))
     val xml = concat(
       lit("<VIAFCluster><viafID>"), k, lit("</viafID>"), wkp,
       lit("<datafield dtype=\"MARC21\" tag=\"100\"><subfield code=\"a\">"),
-      sortName, lit("</subfield></datafield>"), uni, alt,
+      sortName, lit("</subfield></datafield>"), uni, alt, titles,
       lit("</VIAFCluster>"))
     val snap = requests.select(k.as("cand_key"), xml.as("xml"))
     val parsed = graft.sources.BiblioXml.parseViafFull(snap, "cand_key", "xml")
@@ -81,6 +94,13 @@ object ScoringQueries {
       parsed("key") === $"cand_key")
     def ratio(b: org.apache.spark.sql.Column) =
       graft.functions.ColumnFunctions.levenshteinRatio($"working", b)
+    // the request's known titles (ref weigh_titles known_titles arg);
+    // cluster titles come from the parsed <titles> section
+    val weighTitlesUdf = udf((known: Seq[String], contrib: Seq[String]) =>
+      ViafScoring.weighTitles(known, contrib))
+    val knownTitles = array(
+      concat(lit("Book "), $"request_id"),
+      concat(lit("Saga "), $"request_id", lit(": special edition")))
     val cands = withReq.select(
       $"request_id", $"key".as("candidate_id"),
       row_number().over(
@@ -100,7 +120,8 @@ object ScoringQueries {
         .cast("double").as("alternate_match"),
       $"wikipedia_name".isNotNull.as("has_display_name"),
       ($"viaf_id" =!= "").as("has_viaf"),
-      lit(null).cast("double").as("title_evidence"))
+      weighTitlesUdf(knownTitles, $"titles")
+        .cast("double").as("title_evidence"))
     ViafScoring.rankCandidates(cands)
       .orderBy($"request_id")
   }
@@ -277,6 +298,58 @@ object ScoringQueries {
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_orderkey) AS DOUBLE) AS pop
         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |tl AS (
+        |  SELECT request_id, k,
+        |    'Book ' || request_id AS kt1,
+        |    'Saga ' || request_id || ': special edition' AS kt2,
+        |    CASE WHEN k % 3 = 0 THEN 'The Book ' || request_id || '.'
+        |         WHEN k % 3 = 1 THEN 'Book ' || request_id || 'x'
+        |         ELSE 'Zzz ' || k END AS ct1,
+        |    CASE WHEN k % 4 = 0
+        |         THEN 'The Saga ' || request_id || ': special edition!!'
+        |    END AS ct2
+        |  FROM cand),
+        |tn AS (
+        |  SELECT request_id, k,
+        |    trim(regexp_replace(regexp_replace(lower(kt1),
+        |      '^((the|a|an) )+', ''), '[[:punct:]]+$', '')) AS u_kt1,
+        |    trim(regexp_replace(regexp_replace(lower(kt2),
+        |      '^((the|a|an) )+', ''), '[[:punct:]]+$', '')) AS u_kt2,
+        |    trim(regexp_replace(regexp_replace(lower(ct1),
+        |      '^((the|a|an) )+', ''), '[[:punct:]]+$', '')) AS u_ct1,
+        |    trim(regexp_replace(regexp_replace(lower(ct2),
+        |      '^((the|a|an) )+', ''), '[[:punct:]]+$', '')) AS u_ct2,
+        |    trim(regexp_replace(lower(kt1), '[^a-z0-9]+', ' ', 'g')) AS n_kt1,
+        |    trim(regexp_replace(lower(kt2), '[^a-z0-9]+', ' ', 'g')) AS n_kt2,
+        |    trim(regexp_replace(lower(ct1), '[^a-z0-9]+', ' ', 'g')) AS n_ct1,
+        |    trim(regexp_replace(lower(ct2), '[^a-z0-9]+', ' ', 'g')) AS n_ct2
+        |  FROM tl),
+        |tr AS (
+        |  SELECT request_id, k, u_kt1, u_kt2, u_ct1, u_ct2,
+        |    CAST(round(100.0 * (1.0 - CAST(levenshtein(n_kt1, n_ct1) AS DOUBLE)
+        |      / greatest(length(n_kt1), length(n_ct1)))) AS INT) AS r11,
+        |    CAST(round(100.0 * (1.0 - CAST(levenshtein(n_kt1, n_ct2) AS DOUBLE)
+        |      / greatest(length(n_kt1), length(n_ct2)))) AS INT) AS r12,
+        |    CAST(round(100.0 * (1.0 - CAST(levenshtein(n_kt2, n_ct1) AS DOUBLE)
+        |      / greatest(length(n_kt2), length(n_ct1)))) AS INT) AS r21,
+        |    CAST(round(100.0 * (1.0 - CAST(levenshtein(n_kt2, n_ct2) AS DOUBLE)
+        |      / greatest(length(n_kt2), length(n_ct2)))) AS INT) AS r22
+        |  FROM tn),
+        |te_ AS (
+        |  -- weigh_titles in integer tenths: first matching cluster title
+        |  -- per known title (exact-unfluffed 720, fuzzy>80 6·r),
+        |  -- accumulated across known titles, one exact final division
+        |  SELECT request_id, k, CAST(
+        |      COALESCE(CASE WHEN replace(u_ct1, '.', '') = replace(u_kt1, '.', '')
+        |                    THEN 720 WHEN r11 > 80 THEN 6 * r11 END,
+        |               CASE WHEN replace(u_ct2, '.', '') = replace(u_kt1, '.', '')
+        |                    THEN 720 WHEN r12 > 80 THEN 6 * r12 END, 0)
+        |    + COALESCE(CASE WHEN replace(u_ct1, '.', '') = replace(u_kt2, '.', '')
+        |                    THEN 720 WHEN r21 > 80 THEN 6 * r21 END,
+        |               CASE WHEN replace(u_ct2, '.', '') = replace(u_kt2, '.', '')
+        |                    THEN 720 WHEN r22 > 80 THEN 6 * r22 END, 0)
+        |    AS DOUBLE) / 10.0 AS te
+        |  FROM tr),
         |strs AS (
         |  SELECT request_id, k, pop, w,
         |    CASE WHEN k % 2 = 0 THEN w ELSE w || ' X' END AS sn_str,
@@ -314,8 +387,10 @@ object ScoringQueries {
         |      + COALESCE(e.um, 0.0) * 0.3
         |      + COALESCE(e.am, 0.0) * 0.2
         |      + (CASE WHEN e.hdn THEN 0.2 ELSE 0.0 END)
-        |      + 0.2, 2) AS score
-        |  FROM ev e LEFT JOIN topflag t USING (request_id)),
+        |      + 0.2
+        |      + tt.te, 2) AS score
+        |  FROM ev e LEFT JOIN topflag t USING (request_id)
+        |       JOIN te_ tt ON tt.request_id = e.request_id AND tt.k = e.k),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY request_id
         |    ORDER BY score DESC, pop ASC) AS rn
