@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: flag training
+  * documents that share any exact n-token gram with an evaluation
+  * (benchmark) document — the standard collision check run before
+  * training so eval answers don't leak into the corpus. Beyond the
+  * reference surface; part of the large-scale pipeline brief alongside
+  * [[TextDedup]].
+  *
+  * Scale posture (100 TB corpus, ~10⁴–10⁵ benchmark docs): the
+  * benchmark gram set is tiny relative to the corpus, so it is
+  * deduplicated and BROADCAST — the training side streams through a
+  * map-side hash join with no shuffle of the corpus. Training grams
+  * are deduplicated per document only (array_distinct inside the row),
+  * never globally — the global distinct would be a corpus-sized
+  * shuffle bought for nothing. All expressions are codegen'd
+  * built-ins; grams travel as md5 hex (fixed 32 bytes) instead of the
+  * raw 13-token strings.
+  */
+object Decontaminate {
+
+  /** Distinct n-token gram hashes of a whitespace-tokenized text
+    * column. Documents shorter than n tokens contribute one whole-text
+    * gram (same fallback as [[TextDedup.shingles]]) so a short eval
+    * answer still decontaminates its exact copies.
+    */
+  def gramHashes(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(md5(concat_ws(" ", toks)))))
+  }
+
+  /** Contaminated training docs: (doc_id, n_hits = distinct shared
+    * grams, n_bench_docs = distinct benchmark docs implicated). Clean
+    * docs don't appear — the common case at scale, so the output is a
+    * small flag table to anti-join against the corpus.
+    */
+  def contaminated(train: DataFrame, bench: DataFrame, idCol: String,
+                   textCol: String, n: Int = 13): DataFrame = {
+    val tg = train.select(col(idCol).as("doc_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    tg.join(broadcast(bg), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"),
+           countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{Env, Q}
+import graft.syntax._
+import graft.operators.{Decontaminate, Sessionize}
+import org.apache.spark.sql.DataFrame
+
+/** Round-4 pipeline additions over `documents`/`events`: benchmark
+  * decontamination (13-gram collision check) and gap-based
+  * sessionization. Both fully oracle-verified.
+  */
+object CorpusQueries {
+
+  /** Every 5th document plays the benchmark set; the rest is the
+    * training corpus. Collisions surface exactly the planted
+    * near/exact duplicates (random-vocabulary 13-grams don't collide
+    * by chance). */
+  def textDecontaminate(env: Env): DataFrame = {
+    val docs = env.documents
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    Decontaminate.contaminated(train, bench, "doc_id", "text", n = 13)
+      .orderBy($"doc_id")
+  }
+
+  /** 30-minute-gap sessions over the events stream table (`ts` is
+    * long nanoseconds via the nanosAsLong scan, see Env; truncated to
+    * microseconds here because DuckDB's TIMESTAMP scan of the same
+    * parquet truncates nanos to µs — the oracle can't see finer). */
+  def eventsSessionize(env: Env): DataFrame = {
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    Sessionize.sessionize(
+      env.events.select($"user_id", ($"ts" - $"ts" % 1000).as("ts"),
+                        $"event_id", $"value"), gapNs)
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("text_decontaminate", textDecontaminate,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(s) >= 13
+        |             THEN list_distinct(list_transform(range(1, len(s) - 11),
+        |                    i -> md5(array_to_string(list_slice(s, i, i + 12), ' '))))
+        |             ELSE [md5(array_to_string(s, ' '))] END AS gs
+        |      FROM toks),
+        |tg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 5 <> 0),
+        |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g
+        |       FROM g WHERE doc_id % 5 = 0)
+        |SELECT tg.doc_id,
+        |       CAST(count(DISTINCT tg.g) AS BIGINT) AS n_hits,
+        |       CAST(count(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+        |FROM tg JOIN bg USING (g)
+        |GROUP BY tg.doc_id
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("events_sessionize", eventsSessionize,
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value
+        |           FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |                  OR ts - lag(ts) OVER w > 1800000000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |          AS session_idx
+        |      FROM f)
+        |SELECT user_id, session_idx,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin),
+  )
+}

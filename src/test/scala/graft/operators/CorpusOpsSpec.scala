@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Behavior specs for the round-4 pipeline operators: benchmark
+  * decontamination and gap-based sessionization.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination flags exactly the docs sharing a 13-gram") {
+    val gram = (1 to 13).map(i => s"w$i").mkString(" ")
+    val bench = Seq((100L, gram + " tail tokens here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix " + gram),                 // shares the gram
+      (2L, gram.replace("w7", "x7")),         // one token differs — clean
+      (3L, "totally different text entirely") // clean
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.contaminated(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L)))
+  }
+
+  test("decontamination short-doc fallback: whole-text gram still matches") {
+    val bench = Seq((9L, "short eval answer")).toDF("doc_id", "text")
+    val train = Seq((1L, "short eval answer"), (2L, "short eval answers"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contaminated(train, bench, "doc_id", "text")
+      .collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("sessionize splits on gaps > threshold and aggregates per session") {
+    val m = 60L * 1000 * 1000 * 1000 // one minute in ns
+    val events = Seq(
+      // user 1: events at t=0,10m,50m → sessions {0,10m} and {50m}
+      (1L, 0L, 1L, 1.5), (1L, 10 * m, 2L, 2.0), (1L, 50 * m, 3L, 4.0),
+      // user 2: single event
+      (2L, 5 * m, 4L, 7.25)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Sessionize.sessionize(events, gapNs = 30 * m)
+      .orderBy("user_id", "session_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 10 * m, 2L, 3.5),
+      (1L, 2L, 50 * m, 50 * m, 1L, 4.0),
+      (2L, 1L, 5 * m, 5 * m, 1L, 7.25)))
+  }
+
+  test("sessionize: a gap of exactly the threshold does NOT split") {
+    val m = 60L * 1000 * 1000 * 1000
+    val events = Seq((1L, 0L, 1L, 1.0), (1L, 30 * m, 2L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Sessionize.sessionize(events, gapNs = 30 * m).collect()
+    assert(out.length == 1 && out.head.getLong(4) == 2L)
+  }
+}
