@@ -42,6 +42,33 @@ object Streams {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(fingerprintCol)
 
+  /** Streaming leg of [[graft.operators.Sessionize]] (LLM-pipeline
+    * brief): gap-based session aggregation with `session_window` —
+    * Spark merges overlapping per-event windows into sessions in the
+    * state store, and the watermark closes sessions once no on-time
+    * event can extend them, so state is O(open sessions), not O(all
+    * history). Works on batch frames too (same API).
+    *
+    * Boundary note vs the batch operator: `session_window` ends a
+    * session at last-event + gap and starts a new one when the next
+    * event does not overlap that horizon, so a gap of EXACTLY the
+    * threshold splits here, while the batch operator's `gap > threshold`
+    * keeps it — document, don't paper over.
+    */
+  def sessionizeStream(events: DataFrame, tsCol: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double")
+             .as("total_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("total_value"))
+
   /** One coverage attempt arriving on the queue. */
   final case class CoverageAttempt(identifier: String, operation: String,
                                    success: Boolean)

@@ -33,6 +33,29 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set(("view", 2L), ("purchase", 1L)))
   }
 
+  test("streaming sessionize: session_window merges within gap, splits across") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = Streams.sessionizeStream(events, "ts", gap = "30 minutes")
+    input.addData((1L, ts(0), 1.5), (1L, ts(10), 2.0), (1L, ts(50), 4.0),
+                  (2L, ts(5), 7.25))
+    val q = sessions.writeStream
+      .format("memory").queryName("stream_sessions")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    q.stop()
+    val rows = spark.table("stream_sessions")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getDouble(4)))
+      .toSet
+    // user 1: {t0,t10} one session (gap 10m < 30m), {t50} a second
+    assert(rows == Set(
+      (1L, ts(0), 2L, 3.5), (1L, ts(50), 1L, 4.0), (2L, ts(5), 1L, 7.25)))
+  }
+
   test("T3 state machine: success wins, transient failures retry, then persist") {
     val transitions = Seq(
       // identifier a: fail, fail, success on third try
