@@ -60,7 +60,7 @@ object TextQueries {
       .filter($"rn" === 1).drop("rn", "fp")
       // feeds pair generation (both self-join sides) AND the final
       // anti-join — pin it so the scoring stages run once
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nearDups = graft.operators.TextDedup
       .minhashNearDupPairs(exact, "doc_id", "text", threshold = 0.8)
       .select($"doc_b".as("doc_id")).distinct()
