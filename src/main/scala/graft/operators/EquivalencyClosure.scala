@@ -59,7 +59,7 @@ object EquivalencyClosure {
                 (frontier("strength") * bi("strength")).as("strength"))
         .filter(col("strength") > threshold)
         .groupBy("seed", "node").agg(max("strength").as("strength"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       best = best.unionByName(next)
       frontier = next
       lvl += 1

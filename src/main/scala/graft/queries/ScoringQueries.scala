@@ -55,7 +55,7 @@ object ScoringQueries {
       .join(env.customer, $"o_custkey" === $"c_custkey")
       .select($"o_custkey".as("request_id"), $"c_name".as("working"),
               $"o_orderkey".as("cand_key"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val k = $"cand_key"
     val uni = when(k % 2 === 1, concat(
         lit("<datafield dtype=\"UNIMARC\" tag=\"200\"><subfield code=\"a\">"),

@@ -197,7 +197,7 @@ object SourceQueries2 {
     // envelope and re-runs the (key, year, month) aggregation.
     val monthly = graft.sources.DemandHistory.gatherPopularity(
       graft.sources.XmlKernels.demandHistory(snap, "pk", "xml"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val est = graft.sources.DemandHistory.estimatePopularity(
       monthly, to_date(lit("2018-08-15")), Some(60))
     val wide = monthly.groupBy($"key").agg(
