@@ -391,4 +391,49 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Transitive near-dup CLUSTERS from a pair frame (doc_a, doc_b):
+    * min-label propagation (level-synchronous, the J9 closure shape) —
+    * each doc ends up labeled with the smallest doc_id reachable
+    * through the near-dup graph, i.e. its cluster's canonical id. Pair
+    * dedup alone under-deletes: A≈B and B≈C must collapse {A,B,C} to
+    * ONE survivor even when A≉C directly.
+    *
+    * Scale posture: each iteration is one equi-join + min-aggregation
+    * on the EDGE set (tiny relative to the corpus — only near-dup
+    * members appear), never on the corpus; lineage pinned per level
+    * with lazy localCheckpoint; iteration count is bounded by cluster
+    * diameter, and the loop exits as soon as a sweep changes nothing.
+    * Returns (doc_id, canonical_id) for every doc in some pair.
+    */
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint(eager = false)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint(eager = false)
+      changed = next.join(labels.withColumnRenamed("label", "old_label"),
+          "doc_id")
+        .filter(col("label") =!= col("old_label"))
+        .limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+  }
 }

@@ -53,6 +53,16 @@ object DedupQueries {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
 
+  /** Transitive near-dup clusters: minhash pairs → min-label
+    * propagation. A≈B≈C collapses to one canonical id even when A and
+    * C aren't a direct pair; the oracle replays it with brute-force
+    * pairs + a recursive CTE. */
+  def dedupComponents(env: Env): DataFrame =
+    TextDedup.nearDupComponents(
+      TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text",
+        threshold = 0.8))
+      .orderBy($"doc_id")
+
   /** SimHash hamming ≤ 3 near-dup pairs (exact by pigeonhole). */
   def dedupSimhash(env: Env): DataFrame =
     TextDedup.simhashNearDupPairs(env.documents, "doc_id", "text", maxHamming = 3)
@@ -103,6 +113,26 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q.sql("dedup_simhash", dedupSimhash, simhashSql),
+
+    Q.sql("dedup_components", dedupComponents,
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(root) AS canonical_id
+         |FROM reach
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("dedup_ngram", dedupNgram,
       s"""$shingleCte

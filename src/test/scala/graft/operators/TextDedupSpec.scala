@@ -23,6 +23,23 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     assert(c == Set("a b a", "b a b"))
   }
 
+  test("nearDupComponents: chains collapse transitively to the min id") {
+    // components: {1,2,3} via 1-2, 2-3 (1 and 3 NOT directly paired),
+    // {5,6}; 9 appears in no pair and thus in no component
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.nearDupComponents(pairs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("nearDupComponents: long chain converges within the iteration cap") {
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.nearDupComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 9L).forall(out(_) == 1L))
+  }
+
   test("jaccard column matches set arithmetic") {
     val df = Seq(("a b c d e", "c d e f g")).toDF("x", "y")
       .select(TextDedup.jaccard(
