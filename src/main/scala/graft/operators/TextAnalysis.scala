@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline brief:
@@ -93,4 +93,35 @@ object TextAnalysis {
 
   def fpFull(text: Column, n: Int = 3): Column =
     TextDedup.shingleFingerprint(text, n)
+
+  /** Repetition statistics for quality filtering (the Gopher-rule
+    * family): duplicate-token fraction (1 − distinct/total) and the
+    * fraction of 2-gram occurrences taken by the single most frequent
+    * 2-gram — high values mark boilerplate/degenerate text. Computed
+    * set-oriented (explode → two-level grouped aggregation with
+    * map-side partial combines), not per-row map buffers: the gram
+    * count per doc is bounded by doc length, so the shuffle is corpus-
+    * linear and skew-free.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams2 = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array(concat_ws(" ", toks)))
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        explode(grams2).as("g"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .agg(sum(col("cnt")).as("n_2grams"), max(col("cnt")).as("top_2gram_n"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("top_2gram_n").cast("double") / col("n_2grams"), 6)
+          .as("top_2gram_frac"))
+  }
 }

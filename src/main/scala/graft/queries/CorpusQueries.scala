@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Env, Q}
 import graft.syntax._
-import graft.operators.{Decontaminate, Sessionize}
+import graft.operators.{Decontaminate, Sampling, Sessionize}
 import org.apache.spark.sql.DataFrame
 
 /** Round-4 pipeline additions over `documents`/`events`: benchmark
@@ -35,7 +35,54 @@ object CorpusQueries {
       .orderBy($"user_id", $"session_idx")
   }
 
+  /** 20% stratified sample of documents per (lang, source), hash-order
+    * deterministic with a floor of one doc per stratum. */
+  def corpusSampleStratified(env: Env): DataFrame =
+    Sampling.stratified(
+      env.documents.select($"doc_id", $"lang", $"source"),
+      strata = Seq("lang", "source"), idCol = "doc_id", fraction = 0.2)
+      .orderBy($"doc_id")
+
+  /** Gopher-rule repetition stats over every document. */
+  def textRepetition(env: Env): DataFrame =
+    graft.operators.TextAnalysis
+      .repetitionStats(env.documents, "doc_id", "text")
+      .orderBy($"doc_id")
+
   val entries: Seq[Q] = Seq(
+    Q.sql("text_repetition", textRepetition,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents),
+        |g AS (SELECT doc_id, len(s) AS n_tokens,
+        |        len(list_distinct(s)) AS n_distinct,
+        |        unnest(CASE WHEN len(s) >= 2
+        |               THEN list_transform(range(1, len(s)),
+        |                      i -> s[i] || ' ' || s[i+1])
+        |               ELSE [array_to_string(s, ' ')] END) AS g
+        |      FROM toks),
+        |c AS (SELECT doc_id, n_tokens, n_distinct, g, count(*) AS cnt
+        |      FROM g GROUP BY doc_id, n_tokens, n_distinct, g)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+        |    AS dup_token_frac,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_2gram_frac
+        |FROM c
+        |GROUP BY doc_id, n_tokens, n_distinct
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("corpus_sample_stratified", corpusSampleStratified,
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |      ORDER BY md5('graft-strat' || '|' || lang || '|' || source
+        |                   || '|' || doc_id)) AS rn,
+        |    count(*) OVER (PARTITION BY lang, source) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, lang, source
+        |FROM d
+        |WHERE rn <= greatest(CAST(ceil(0.2 * n_stratum) AS BIGINT), 1)
+        |ORDER BY doc_id""".stripMargin),
+
     Q.sql("text_decontaminate", textDecontaminate,
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
         |              FROM documents),
