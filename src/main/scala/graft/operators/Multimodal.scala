@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * the `mapInPandas` batch-UDF pattern (iterate a partition in batches,
   * amortize per-batch setup, never a per-row Python/JNI crossing).
   *
-  * DECODERS ARE STUBBED: this container has no image/audio libraries,
-  * so `decodeImage`/`sampleFrames` parse a deterministic fake header
-  * format (`GIMG|<w>|<h>|payload`) instead of real JPEG/WAV bytes. The
-  * Spark-side contract — schema, batching, partitioning, feature
-  * shapes — is real and tested; swapping in javax.imageio / ffmpeg
-  * means replacing ONLY the bodies marked "STUB".
+  * IMAGE decode/resize are REAL: `javax.imageio` ships in the JDK
+  * (headless-safe), so PNG/JPEG/BMP/GIF bytes decode to true
+  * dimensions and resize re-encodes a genuinely scaled bitmap. A
+  * deterministic fake header format (`GIMG|<w>|<h>|payload`) is kept
+  * as a fallback so tests can synthesize payloads without codec bytes.
+  * AUDIO/VIDEO frame sampling remains STUBBED (no media-container
+  * codecs in the JDK): `sampleFrames` chunks the payload
+  * deterministically; the Spark-side contract — schema, batching,
+  * partitioning, generator shape — is real and tested, and a real
+  * implementation replaces only the body marked "STUB".
   */
 object Multimodal {
 
@@ -35,10 +39,19 @@ object Multimodal {
   final case class DecodedImage(mediaId: Long, width: Int, height: Int,
                                 nBytes: Int)
 
-  /** STUB decode — parses the fake header. A real implementation reads
-    * the codec header (e.g. ImageIO.read) and this signature does not
-    * change. Runs per partition so a real decoder's native context
-    * would be initialized once per partition, not per row.
+  private val FakePrefix = "GIMG|".getBytes("UTF-8")
+
+  private def isFakeHeader(bytes: Array[Byte]): Boolean =
+    bytes.length >= FakePrefix.length &&
+      java.util.Arrays.equals(bytes, 0, FakePrefix.length,
+                              FakePrefix, 0, FakePrefix.length)
+
+  /** REAL decode via javax.imageio (JDK built-in, headless): PNG/JPEG/
+    * BMP/GIF bytes yield their true dimensions. The `GIMG` fake header
+    * is recognized first (test payloads without codec bytes);
+    * undecodable content degrades to (-1, -1) rather than failing the
+    * task. Runs per partition so decoder setup amortizes across a
+    * batch, never per row.
     */
   def decodeImages(media: DataFrame): Dataset[DecodedImage] = {
     val spark = media.sparkSession
@@ -46,15 +59,19 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder setup would go here (STUB: none needed)
         it.map { case (id, bytes) =>
           if (bytes == null) DecodedImage(id, -1, -1, 0)
-          else {
-            val s = new String(bytes, "UTF-8")
-            val parts = s.split("\\|", 4)
-            if (parts.length == 4 && parts(0) == "GIMG")
+          else if (isFakeHeader(bytes)) {
+            val parts = new String(bytes, "UTF-8").split("\\|", 4)
+            if (parts.length == 4)
               DecodedImage(id, parts(1).toInt, parts(2).toInt, bytes.length)
             else DecodedImage(id, -1, -1, bytes.length)
+          } else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+            if (img == null) DecodedImage(id, -1, -1, bytes.length)
+            else DecodedImage(id, img.getWidth, img.getHeight, bytes.length)
           }
         }
       }
@@ -107,16 +124,37 @@ object Multimodal {
       !isStandInImage(col("content"), prefix) &&
       org.apache.spark.sql.functions.length(col("content")) >= minBytes)
 
-  /** STUB resize — rewrites the fake header to the new dimensions and
-    * truncates the payload proportionally. Real impl: scaled re-encode.
-    * Signature and distributed shape (narrow map, binary→binary) are
+  /** REAL resize for codec images (decode → bilinear scale → PNG
+    * re-encode, all JDK); fake-header payloads rewrite the header and
+    * truncate proportionally. Undecodable content passes through
+    * unchanged. Narrow map, binary→binary — the distributed shape is
     * the contract. */
   def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val s = new String(content, "UTF-8")
-    val parts = s.split("\\|", 4)
-    if (parts.length == 4 && parts(0) == "GIMG")
-      fakeImageBytes(w, h, parts(3).getBytes("UTF-8").take(w * h))
-    else content
+    if (content == null) return null
+    if (isFakeHeader(content)) {
+      val parts = new String(content, "UTF-8").split("\\|", 4)
+      if (parts.length == 4)
+        return fakeImageBytes(w, h, parts(3).getBytes("UTF-8").take(w * h))
+      return content
+    }
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Exception => null }
+    if (img == null) content
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    }
   }
 
   val resizeUdf = udf((c: Array[Byte], w: Int, h: Int) => resizeImage(c, w, h))

@@ -19,6 +19,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) == (-1, -1)) // undecodable marked, not dropped
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  test("real PNG bytes decode to true dimensions via ImageIO") {
+    val df = mediaDf(1L -> pngBytes(17, 9), 2L -> pngBytes(3, 300))
+    val out = Multimodal.decodeImages(df).collect()
+      .map(d => d.mediaId -> ((d.width, d.height))).toMap
+    assert(out(1L) == (17, 9))
+    assert(out(2L) == (3, 300))
+  }
+
+  test("real PNG resize re-encodes a scaled bitmap") {
+    val resized = Multimodal.resizeImage(pngBytes(64, 48), 16, 12)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized))
+    assert(img.getWidth == 16 && img.getHeight == 12)
+  }
+
   test("byte histogram features are L1-normalized with stable schema") {
     val df = mediaDf(1L -> Array.tabulate[Byte](256)(_.toByte))
     val row = Multimodal.byteHistogramFeatures(df).head()
