@@ -30,29 +30,46 @@ object TextQueries {
   /** The composed training-data prep pipeline over `documents` — the
     * flagship LLM-pipeline flow, every stage an operator verified on
     * its own elsewhere:
-    *  1. score: token count + quality + language ID (one narrow pass);
-    *  2. filter: predicted English, quality ≥ 0.65;
-    *  3. exact dedup: keep the smallest doc_id per bag-of-words
+    *  1. split: every 5th doc plays the held-out eval set; the corpus
+    *     is the rest (the text_decontaminate split);
+    *  2. score: token count + quality + language ID (one narrow pass);
+    *  3. filter: predicted English, quality ≥ 0.65;
+    *  4. repetition gate (Gopher rules): top-2-gram fraction ≤ 0.10
+    *     and duplicate-token fraction ≤ 0.70 — drops boilerplate;
+    *  5. decontaminate: remove corpus docs sharing any 13-gram with
+    *     an eval doc (broadcast bench grams);
+    *  6. exact dedup: keep the smallest doc_id per bag-of-words
     *     fingerprint (one shuffle);
-    *  4. near-dup removal: banded MinHash pairs at Jaccard ≥ 0.8
+    *  7. near-dup removal: banded MinHash pairs at Jaccard ≥ 0.8
     *     (recall-guaranteed regime), dropping the higher id of each
     *     pair;
-    *  5. emit the surviving corpus with its stats.
-    * The oracle replays the whole flow in SQL with brute-force pairs —
-    * a green row proves the composed sub-quadratic pipeline reproduces
-    * the quadratic ground truth end to end.
+    *  8. emit the surviving corpus with its stats.
+    * The oracle replays the whole flow in SQL with brute-force grams
+    * and pairs — a green row proves the composed broadcast/banded
+    * plan reproduces the quadratic ground truth end to end.
     */
   def textPrepPipeline(env: Env): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
-    val base = env.documents.select(
+    val bench = env.documents.filter($"doc_id" % 5 === 0)
+    val corpus = env.documents.filter($"doc_id" % 5 =!= 0)
+    val base = corpus.select(
       $"doc_id", $"text",
       TextAnalysis.tokenCount($"text").as("n_tokens"),
       TextAnalysis.qualityScore($"text").as("quality"),
       TextAnalysis.langId($"text").as("predicted_lang"))
     val kept = base.filter($"predicted_lang" === "en" && $"quality" >= 0.65)
+      .localCheckpoint(eager = false) // feeds repetition join + stages below
+    val repOk = TextAnalysis.repetitionStats(kept, "doc_id", "text")
+      .filter($"top_2gram_frac" <= 0.10 && $"dup_token_frac" <= 0.70)
+      .select($"doc_id")
+    val cleaned = kept.join(repOk, "doc_id")
+    val contaminated = graft.operators.Decontaminate
+      .contaminated(cleaned, bench, "doc_id", "text", n = 13)
+      .select($"doc_id")
+    val decon = cleaned.join(contaminated, Seq("doc_id"), "left_anti")
     // exact dedup — keep the lowest doc_id per fingerprint
-    val exact = kept
+    val exact = decon
       .withColumn("fp",
         graft.operators.TextDedup.shingleFingerprint($"text", n = 1))
       .withColumn("rn",
@@ -135,7 +152,7 @@ object TextQueries {
 
     Q.sql("text_prep_pipeline", textPrepPipeline,
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s
-         |           FROM documents),
+         |           FROM documents WHERE doc_id % 5 <> 0),
          |m AS (SELECT doc_id, text, s,
          |        CAST(len(s) AS INT) AS n_tokens,
          |        CAST(len(list_filter(s,
@@ -158,9 +175,37 @@ object TextQueries {
          |kept AS (SELECT q.doc_id, q.s, q.n_tokens, q.quality
          |         FROM q JOIN lang USING (doc_id)
          |         WHERE lang.predicted_lang = 'en' AND q.quality >= 0.65),
+         |rg AS (SELECT doc_id, len(s) AS n, len(list_distinct(s)) AS nd,
+         |         unnest(list_transform(range(1, len(s)),
+         |           i -> s[i] || ' ' || s[i+1])) AS g
+         |       FROM kept),
+         |rc AS (SELECT doc_id, n, nd, g, count(*) AS cnt
+         |       FROM rg GROUP BY doc_id, n, nd, g),
+         |rep AS (SELECT doc_id,
+         |          round(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_frac,
+         |          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top2
+         |        FROM rc GROUP BY doc_id, n, nd),
+         |cleaned AS (SELECT k.* FROM kept k JOIN rep r USING (doc_id)
+         |            WHERE r.top2 <= 0.10 AND r.dup_frac <= 0.70),
+         |btoks AS (SELECT doc_id, string_split(text, ' ') AS s
+         |          FROM documents WHERE doc_id % 5 = 0),
+         |bgrams AS (SELECT DISTINCT unnest(CASE WHEN len(s) >= 13
+         |             THEN list_transform(range(1, len(s) - 11),
+         |                    i -> array_to_string(list_slice(s, i, i + 12), ' '))
+         |             ELSE [array_to_string(s, ' ')] END) AS g
+         |           FROM btoks),
+         |cgrams AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 13
+         |             THEN list_distinct(list_transform(range(1, len(s) - 11),
+         |                    i -> array_to_string(list_slice(s, i, i + 12), ' ')))
+         |             ELSE [array_to_string(s, ' ')] END) AS g
+         |           FROM cleaned),
+         |cont AS (SELECT DISTINCT cg.doc_id
+         |         FROM cgrams cg JOIN bgrams bg USING (g)),
+         |decon AS (SELECT * FROM cleaned
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
          |ex AS (SELECT doc_id, s, n_tokens, quality
          |       FROM (SELECT *, md5(array_to_string(
-         |               list_sort(list_distinct(s)), '|')) AS fp FROM kept)
+         |               list_sort(list_distinct(s)), '|')) AS fp FROM decon)
          |       QUALIFY row_number() OVER (PARTITION BY fp
          |                                  ORDER BY doc_id) = 1),
          |sh AS (SELECT doc_id,
