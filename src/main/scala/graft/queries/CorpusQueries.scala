@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Env, Q}
 import graft.syntax._
-import graft.operators.{Decontaminate, Sampling, Sessionize}
+import graft.operators.{AsOfJoin, Decontaminate, Sampling, Sessionize}
 import org.apache.spark.sql.DataFrame
 
 /** Round-4 pipeline additions over `documents`/`events`: benchmark
@@ -43,6 +43,25 @@ object CorpusQueries {
       strata = Seq("lang", "source"), idCol = "doc_id", fraction = 0.2)
       .orderBy($"doc_id")
 
+  /** As-of alignment over events: each purchase picks up the latest
+    * prior-or-equal view's value per user (feature-at-example-time).
+    * Timestamps µs-truncated for the oracle (see eventsSessionize);
+    * views pre-aggregated to one row per (user, ts) per the operator
+    * contract. */
+  def eventsAsof(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.max
+    val ev = env.events.select($"user_id".as("key"),
+      ($"ts" - $"ts" % 1000).as("ts"), $"event_type", $"value", $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"key", $"ts", $"event_id", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"key", $"ts").agg(max($"value").as("vval"))
+    AsOfJoin.asOf(purchases, views, "key", "ts", Seq("vval"))
+      .select($"key".as("user_id"), $"ts", $"event_id", $"value",
+              $"asof_ts", $"asof_vval".as("view_value"))
+      .orderBy($"user_id", $"ts", $"event_id")
+  }
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -50,6 +69,19 @@ object CorpusQueries {
       .orderBy($"doc_id")
 
   val entries: Seq[Q] = Seq(
+    Q.sql("events_asof", eventsAsof,
+      """WITH e AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
+        |             event_type, value, event_id
+        |           FROM events),
+        |p AS (SELECT key, ts, event_id, value FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT key, ts, max(value) AS vval FROM e
+        |      WHERE event_type = 'view' GROUP BY key, ts)
+        |SELECT p.key AS user_id, p.ts, p.event_id, p.value,
+        |       v.ts AS asof_ts, v.vval AS view_value
+        |FROM p ASOF LEFT JOIN v ON p.key = v.key AND v.ts <= p.ts
+        |ORDER BY user_id, p.ts, event_id""".stripMargin),
+
     Q.sql("text_repetition", textRepetition,
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
         |              FROM documents),

@@ -30,6 +30,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L))
   }
 
+  test("asOf picks the latest right row at or before each left ts") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("key", "ts", "tag")
+    val right = Seq((1L, 8L, 1.0), (1L, 15L, 2.0), (1L, 20L, 3.0))
+      .toDF("key", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, "key", "ts", Seq("v"))
+      .orderBy("key", "ts")
+      .collect()
+      .map(r => (r.getAs[String]("tag"),
+                 Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong),
+                 Option(r.getAs[java.lang.Double]("asof_v")).map(_.toDouble)))
+    assert(out.toSeq == Seq(
+      ("p1", Some(8L), Some(1.0)),   // strictly before
+      ("p2", Some(20L), Some(3.0)),  // equal ts is inclusive
+      ("p3", None, None)))           // no right rows for key 2
+  }
+
   test("sessionize splits on gaps > threshold and aggregates per session") {
     val m = 60L * 1000 * 1000 * 1000 // one minute in ns
     val events = Seq(
