@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Env, Q}
 import graft.syntax._
-import graft.operators.{AsOfJoin, Decontaminate, Sampling, Sessionize}
+import graft.operators.{AsOfJoin, Decontaminate, RangeJoin, Sampling, Sessionize}
 import org.apache.spark.sql.DataFrame
 
 /** Round-4 pipeline additions over `documents`/`events`: benchmark
@@ -62,6 +62,28 @@ object CorpusQueries {
       .orderBy($"user_id", $"ts", $"event_id")
   }
 
+  /** Keyless range join: 25 disjoint 90-minute campaign windows (one
+    * per nation key, spaced 25h over the events month) pick up their
+    * contained events through the bucketized equi-join; per-window
+    * rollup. Value sums in DECIMAL for order-independence. */
+  def eventsRangeJoin(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val base = 1704067200L * 1000000000L // 2024-01-01T00:00:00Z in ns
+    val h25 = 25L * 3600 * 1000000000L
+    val m90 = 90L * 60 * 1000000000L
+    val windows = env.nation.select($"n_nationkey".cast("long").as("window_id"),
+      (lit(base) + $"n_nationkey" * h25).as("w_start"),
+      (lit(base) + $"n_nationkey" * h25 + m90).as("w_end"))
+    val points = env.events.select(
+      $"event_id", ($"ts" - $"ts" % 1000).as("ts"), $"value")
+    RangeJoin.pointInInterval(points, windows, "ts", "w_start", "w_end",
+        bucketWidth = 2L * 3600 * 1000000000L)
+      .groupBy($"window_id")
+      .agg(count(lit(1)).as("n_events"),
+           sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy($"window_id")
+  }
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -81,6 +103,21 @@ object CorpusQueries {
         |       v.ts AS asof_ts, v.vval AS view_value
         |FROM p ASOF LEFT JOIN v ON p.key = v.key AND v.ts <= p.ts
         |ORDER BY user_id, p.ts, event_id""".stripMargin),
+
+    Q.sql("events_range_join", eventsRangeJoin,
+      """WITH w AS (SELECT CAST(n_nationkey AS BIGINT) AS window_id,
+        |             1704067200000000000 + n_nationkey * 90000000000000
+        |               AS w_start,
+        |             1704067200000000000 + n_nationkey * 90000000000000
+        |               + 5400000000000 AS w_end
+        |           FROM nation),
+        |e AS (SELECT event_id, epoch_ns(ts) AS ts, value FROM events)
+        |SELECT window_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_value
+        |FROM e JOIN w ON e.ts BETWEEN w.w_start AND w.w_end
+        |GROUP BY window_id
+        |ORDER BY window_id""".stripMargin),
 
     Q.sql("text_repetition", textRepetition,
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s

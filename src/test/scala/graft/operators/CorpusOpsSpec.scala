@@ -47,6 +47,19 @@ class CorpusOpsSpec extends SparkSpec {
       ("p3", None, None)))           // no right rows for key 2
   }
 
+  test("pointInInterval matches exactly, across bucket boundaries") {
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L))
+      .toDF("pid", "ts")
+    // interval B spans multiple width-10 buckets; C matches nothing
+    val intervals = Seq(("A", 4L, 6L), ("B", 8L, 27L), ("C", 50L, 60L))
+      .toDF("iv", "start", "end")
+    val out = RangeJoin.pointInInterval(points, intervals,
+        "ts", "start", "end", bucketWidth = 10L)
+      .select("pid", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "A"), (2L, "B"), (3L, "B")))
+  }
+
   test("sessionize splits on gaps > threshold and aggregates per session") {
     val m = 60L * 1000 * 1000 * 1000 // one minute in ns
     val events = Seq(
