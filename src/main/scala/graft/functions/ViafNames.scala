@@ -128,6 +128,10 @@ object ViafNames {
     // verbatim as the reference does); with no such match the popularity
     // consensus decides, exactly as in the no-working-name case
     // (viaf.py:612-613 gates on `not contributor_data.sort_name`).
+    // NOTE the reference asymmetry is preserved deliberately: the
+    // corroborated form keeps a trailing comma if the heading has one,
+    // while the consensus path strips it (viaf.py:534-537) — matching
+    // viaf.py exactly beats internal consistency here.
     val corroborated = workingSortName.flatMap { w =>
       sortNamesRaw.find(n => Fuzzy.contributorNameMatchRatio(n, w) > 90)
     }

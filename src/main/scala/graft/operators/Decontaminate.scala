@@ -25,15 +25,19 @@ object Decontaminate {
   /** Distinct n-token gram hashes of a whitespace-tokenized text
     * column. Documents shorter than n tokens contribute one whole-text
     * gram (same fallback as [[TextDedup.shingles]]) so a short eval
-    * answer still decontaminates its exact copies.
+    * answer still decontaminates its exact copies. NULL text yields NO
+    * grams — the concat_ws fallback would otherwise turn null into
+    * md5("") and make every null-text doc "contaminated" by any other
+    * (and SQL `||` NULL propagation disagrees).
     */
   def gramHashes(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(md5(concat_ws(" ", toks)))))
+    when(text.isNull, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => md5(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array(md5(concat_ws(" ", toks))))))
   }
 
   /** Contaminated training docs: (doc_id, n_hits = distinct shared

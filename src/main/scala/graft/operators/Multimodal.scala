@@ -24,6 +24,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache — one temp file per
+  // decode/encode. Keep it in memory: this runs once per executor JVM
+  // when a kernel closure first touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType),      // image | audio | video

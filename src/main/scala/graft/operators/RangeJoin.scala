@@ -19,19 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** @param points    (pointCols..., tsCol)
-    * @param intervals (ivCols..., startCol, endCol), start <= end
+  /** @param points    (pointCols..., tsCol), ts >= 0
+    * @param intervals (ivCols..., startCol, endCol), 0 <= start <= end
     * @return points ⋈ the intervals containing them (inner join,
     *         point dropped when no interval matches)
+    *
+    * Bucket ids use INTEGER division — `long / long` in Column algebra
+    * promotes to double, and ns-epoch values (~1.7e18) exceed 2^53, so
+    * float flooring could shift a boundary point into the wrong bucket
+    * and silently drop its match. Non-negative domain keeps truncating
+    * division equal to floor division.
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
-    val p = points.withColumn("_bucket",
-      floor(col(tsCol).cast("long") / bucketWidth))
+    def bucketOf(c: String) =
+      expr(s"CAST(`$c` AS BIGINT) DIV ${bucketWidth}L")
+    val p = points.withColumn("_bucket", bucketOf(tsCol))
     val iv = intervals.withColumn("_bucket",
-      explode(sequence(floor(col(startCol).cast("long") / bucketWidth),
-                       floor(col(endCol).cast("long") / bucketWidth))))
+      explode(sequence(bucketOf(startCol), bucketOf(endCol))))
     p.join(iv, Seq("_bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")

@@ -21,13 +21,18 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Exact stratified sample: ceil(fraction · stratum size) rows per
-    * stratum, hash order, floor of 1. Emits the input columns. */
+    * stratum, hash order, floor of 1. Emits the input columns.
+    * NULL strata values hash as a sentinel (concat_ws would silently
+    * DROP them, colliding null-stratum rows with other strata and
+    * diverging from SQL `||` NULL propagation); strata values must not
+    * contain the `|` delimiter. */
   def stratified(df: DataFrame, strata: Seq[String], idCol: String,
                  fraction: Double, salt: String = "graft-strat")
       : DataFrame = {
     val parts: Seq[Column] = strata.map(col)
+    val hashed: Seq[Column] = parts.map(c => coalesce(c.cast("string"), lit("␀")))
     val w = Window.partitionBy(parts: _*)
-      .orderBy(md5(concat_ws("|", lit(salt) +: parts :+ col(idCol): _*)))
+      .orderBy(md5(concat_ws("|", lit(salt) +: hashed :+ col(idCol): _*)))
     val wAll = Window.partitionBy(parts: _*)
     df.withColumn("rn", row_number().over(w))
       .withColumn("n_stratum", count(lit(1)).over(wAll))

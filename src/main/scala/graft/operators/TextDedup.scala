@@ -405,8 +405,11 @@ object TextDedup {
     * with lazy localCheckpoint; iteration count is bounded by cluster
     * diameter, and the loop exits as soon as a sweep changes nothing.
     * Returns (doc_id, canonical_id) for every doc in some pair.
+    * THROWS when `maxIter` sweeps don't converge (cluster diameter >
+    * maxIter) — a silent partial answer would split clusters and
+    * under-delete.
     */
-  def nearDupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -434,6 +437,9 @@ object TextDedup {
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
+    if (changed)
+      throw new IllegalStateException(
+        s"nearDupComponents did not converge within $maxIter sweeps — raise maxIter")
     labels.select(col("doc_id"), col("label").as("canonical_id"))
   }
 }

@@ -143,7 +143,8 @@ object CorpusQueries {
       """WITH d AS (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY lang, source
-        |      ORDER BY md5('graft-strat' || '|' || lang || '|' || source
+        |      ORDER BY md5('graft-strat' || '|' || COALESCE(lang, '␀')
+        |                   || '|' || COALESCE(source, '␀')
         |                   || '|' || doc_id)) AS rn,
         |    count(*) OVER (PARTITION BY lang, source) AS n_stratum
         |  FROM documents)

@@ -64,7 +64,7 @@ object StreamQueries {
     val rows = env.customer.select(
       $"c_custkey".cast("long").as("fast_id"),
       concat(lit("Subject "), $"c_custkey" % 97).as("name"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip_${ProcessHandle.current().pid()}"
+    val base = StreamQueries.scratchBase
     graft.sources.NTriples.writeConsolidated(rows, s"$base/consolidated")
     graft.sources.Sinks.writeCsvReport(rows, s"$base/report")
     val pq = graft.sources.NTriples.readConsolidated(spark, s"$base/consolidated")
@@ -74,6 +74,20 @@ object StreamQueries {
       .select(lit("csv").as("sink"), $"fast_id".cast("long").as("fast_id"),
               $"name")
     pq.unionByName(csv).orderBy($"sink", $"fast_id")
+  }
+
+  /** Per-process scratch root, deleted on JVM exit so repeated Verify
+    * runs don't accumulate orphaned pid-suffixed trees in tmpdir. */
+  private lazy val scratchBase: String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip_${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+    }
+    base
   }
 
   val entries: Seq[Q] = Seq(

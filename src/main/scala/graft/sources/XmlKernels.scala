@@ -651,30 +651,35 @@ object XmlKernels {
     * matches `cls = "text"` — BeautifulSoup's class matching (the
     * reference's selector semantics), not whole-attribute equality. */
   private[sources] def hasClassToken(attrs: String, cls: String): Boolean = {
+    // walk name[=value] pairs sequentially — a 'class=' LOOKALIKE inside
+    // another attribute's quoted value is consumed as that value and
+    // never mistaken for the attribute name
     var p = 0
-    while (p < attrs.length) {
-      val at = attrs.indexOf("class", p)
-      if (at < 0) return false
-      // must be the attribute name: preceded by start/whitespace, then '='
-      val beforeOk = at == 0 || attrs.charAt(at - 1).isWhitespace
-      var q = at + 5
-      while (q < attrs.length && attrs.charAt(q).isWhitespace) q += 1
-      if (beforeOk && q < attrs.length && attrs.charAt(q) == '=') {
-        q += 1
-        while (q < attrs.length && attrs.charAt(q).isWhitespace) q += 1
-        val value =
-          if (q < attrs.length && (attrs.charAt(q) == '"' || attrs.charAt(q) == '\'')) {
-            val quote = attrs.charAt(q)
-            val close = attrs.indexOf(quote, q + 1)
-            attrs.substring(q + 1, if (close < 0) attrs.length else close)
-          } else {
-            var r = q
-            while (r < attrs.length && !attrs.charAt(r).isWhitespace) r += 1
-            attrs.substring(q, r)
-          }
-        return value.split("\\s+").contains(cls)
+    val n = attrs.length
+    while (p < n) {
+      while (p < n && (attrs.charAt(p).isWhitespace || attrs.charAt(p) == '/')) p += 1
+      if (p >= n) return false
+      val nameStart = p
+      while (p < n && !attrs.charAt(p).isWhitespace && attrs.charAt(p) != '=') p += 1
+      val name = attrs.substring(nameStart, p)
+      while (p < n && attrs.charAt(p).isWhitespace) p += 1
+      var value: String = null
+      if (p < n && attrs.charAt(p) == '=') {
+        p += 1
+        while (p < n && attrs.charAt(p).isWhitespace) p += 1
+        if (p < n && (attrs.charAt(p) == '"' || attrs.charAt(p) == '\'')) {
+          val quote = attrs.charAt(p)
+          val close = attrs.indexOf(quote, p + 1)
+          value = attrs.substring(p + 1, if (close < 0) n else close)
+          p = if (close < 0) n else close + 1
+        } else {
+          val vs = p
+          while (p < n && !attrs.charAt(p).isWhitespace) p += 1
+          value = attrs.substring(vs, p)
+        }
       }
-      p = at + 5
+      if (name.equalsIgnoreCase("class") && value != null)
+        return value.split("\\s+").contains(cls)
     }
     false
   }

@@ -30,6 +30,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L))
   }
 
+  test("decontamination: null text contributes no grams, matches nothing") {
+    val bench = Seq((9L, null.asInstanceOf[String]), (8L, "real eval text"))
+      .toDF("doc_id", "text")
+    val train = Seq((1L, null.asInstanceOf[String]), (2L, "unrelated words"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.contaminated(train, bench, "doc_id", "text").count() == 0)
+  }
+
   test("asOf picks the latest right row at or before each left ts") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("key", "ts", "tag")

@@ -40,6 +40,13 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     assert((1L to 9L).forall(out(_) == 1L))
   }
 
+  test("nearDupComponents THROWS instead of returning a split cluster") {
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      TextDedup.nearDupComponents(pairs, maxIter = 3).collect()
+    }
+  }
+
   test("jaccard column matches set arithmetic") {
     val df = Seq(("a b c d e", "c d e f g")).toDF("x", "y")
       .select(TextDedup.jaccard(

@@ -92,6 +92,11 @@ class XmlKernelsSpec extends SparkSpec {
       |<tr><td id="x" class="text">Last</td></tr></table>""".stripMargin
     assert(XmlKernels.classTagTextRuns(html, "td", "text").toSeq ==
       Seq("One & two", "Three", "Bare", "Last"))
+    // a 'class =' LOOKALIKE inside another attribute's value must not
+    // shadow the element's real class attribute
+    val tricky = """<table><tr><td title="see class = big" class="text">X</td></tr>
+      |<tr><td title='class="text"'>Nope</td></tr></table>""".stripMargin
+    assert(XmlKernels.classTagTextRuns(tricky, "td", "text").toSeq == Seq("X"))
   }
 
   test("VIAF kernel: 110 corporate headings, 400/700 alternates, UNIMARC, wikipedia") {
