@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Env, Q}
 import graft.syntax._
-import graft.operators.{AsOfJoin, Decontaminate, RangeJoin, Sampling, Sessionize}
+import graft.operators.{AsOfJoin, Decontaminate, RangeJoin, Sampling, SequencePack, Sessionize}
 import org.apache.spark.sql.DataFrame
 
 /** Round-4 pipeline additions over `documents`/`events`: benchmark
@@ -84,6 +84,18 @@ object CorpusQueries {
       .orderBy($"window_id")
   }
 
+  /** Pack documents into 1000-token training sequences across 8
+    * shards, greedy first-fit in doc_id order; the oracle replays the
+    * sequential fill with a recursive CTE. */
+  def corpusPackSequences(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{size, split}
+    val withTokens = env.documents.select(
+      $"doc_id", size(split($"text", " ")).as("n_tokens"))
+    SequencePack.packSequences(withTokens, "doc_id", "n_tokens",
+        shards = 8, capacity = 1000L)
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -91,6 +103,27 @@ object CorpusQueries {
       .orderBy($"doc_id")
 
   val entries: Seq[Q] = Seq(
+    Q.sql("corpus_pack_sequences", corpusPackSequences,
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(shard, rn, doc_id, seq_id, fill) AS (
+        |  SELECT shard, rn, doc_id, CAST(1 AS BIGINT), n_tokens
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id,
+        |    CASE WHEN p.fill + d.n_tokens > 1000
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + d.n_tokens > 1000
+        |         THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT doc_id, shard, seq_id
+        |FROM pack
+        |ORDER BY doc_id""".stripMargin),
+
     Q.sql("events_asof", eventsAsof,
       """WITH e AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
         |             event_type, value, event_id

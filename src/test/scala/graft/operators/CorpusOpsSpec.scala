@@ -55,6 +55,18 @@ class CorpusOpsSpec extends SparkSpec {
       ("p3", None, None)))           // no right rows for key 2
   }
 
+  test("packSequences: greedy first-fit; oversized doc takes its own bin") {
+    val docs = Seq((1L, 400L), (2L, 500L), (3L, 200L), (4L, 1200L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = SequencePack.packSequences(docs, "doc_id", "n_tokens",
+        shards = 1, capacity = 1000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // 400+500 fill bin 1; 200 opens bin 2; 1200 > capacity gets bin 3
+    // alone; 100 cannot join the overfull bin 3 so opens bin 4
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
   test("pointInInterval matches exactly, across bucket boundaries") {
     val points = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L))
       .toDF("pid", "ts")
