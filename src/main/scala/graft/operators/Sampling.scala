@@ -28,6 +28,16 @@ object Sampling {
     * contain the `|` delimiter. */
   def stratified(df: DataFrame, strata: Seq[String], idCol: String,
                  fraction: Double, salt: String = "graft-strat")
+      : DataFrame =
+    stratifiedByFraction(df, strata, idCol, lit(fraction), salt)
+
+  /** Mixture reweighting: per-ROW fraction expression (typically a
+    * `when` ladder over a domain/source column) so each stratum is
+    * sampled at its own rate — the data-mixture step of corpus
+    * construction (upweight curated domains, downsample crawl). Same
+    * hash-order determinism and per-stratum floor of 1. */
+  def stratifiedByFraction(df: DataFrame, strata: Seq[String], idCol: String,
+                           fraction: Column, salt: String = "graft-strat")
       : DataFrame = {
     val parts: Seq[Column] = strata.map(col)
     val hashed: Seq[Column] = parts.map(c => coalesce(c.cast("string"), lit("␀")))
@@ -36,7 +46,7 @@ object Sampling {
     val wAll = Window.partitionBy(parts: _*)
     df.withColumn("rn", row_number().over(w))
       .withColumn("n_stratum", count(lit(1)).over(wAll))
-      .filter(col("rn") <= greatest(ceil(lit(fraction) * col("n_stratum")), lit(1)))
+      .filter(col("rn") <= greatest(ceil(fraction * col("n_stratum")), lit(1)))
       .drop("rn", "n_stratum")
   }
 }

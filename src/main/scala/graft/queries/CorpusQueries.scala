@@ -96,6 +96,19 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Mixture reweighting over sources: src0 kept at 50%, src1 at 25%,
+    * the long tail at 10% — per-source hash-order sampling. */
+  def corpusMixture(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val frac = when($"source" === "src0", 0.5)
+      .when($"source" === "src1", 0.25)
+      .otherwise(0.1)
+    Sampling.stratifiedByFraction(
+      env.documents.select($"doc_id", $"source"),
+      strata = Seq("source"), idCol = "doc_id", fraction = frac)
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -103,6 +116,22 @@ object CorpusQueries {
       .orderBy($"doc_id")
 
   val entries: Seq[Q] = Seq(
+    Q.sql("corpus_mixture", corpusMixture,
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 0.5
+        |         WHEN source = 'src1' THEN 0.25
+        |         ELSE 0.1 END AS frac,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('graft-strat' || '|' || COALESCE(source, '␀')
+        |                   || '|' || doc_id)) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_stratum
+        |  FROM documents)
+        |SELECT doc_id, source
+        |FROM d
+        |WHERE rn <= greatest(CAST(ceil(frac * n_stratum) AS BIGINT), 1)
+        |ORDER BY doc_id""".stripMargin),
+
     Q.sql("corpus_pack_sequences", corpusPackSequences,
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
