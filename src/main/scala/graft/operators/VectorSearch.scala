@@ -200,7 +200,7 @@ object VectorSearch {
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               cellCol: String = "label", nProbe: Int = 3,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, refine: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // Train: centroid per cell (mean per dimension), components rounded
@@ -209,21 +209,49 @@ object VectorSearch {
     // associative, but ~1e-13 accumulation jitter can't move a 4dp grid
     // value — so centroids (and therefore probe selection and the final
     // result) are stable and SQL-oracle-reproducible.
-    val centroids: Array[(Int, Array[Double])] = vectors
-      .select(col(cellCol).cast("int").as("cell"), col("embedding"))
+    var assigned = vectors
+      .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
-      .as[(Int, Array[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (cell, it) =>
-        val sum = new Array[Double](dim)
-        var n = 0
-        it.foreach { case (_, e) =>
-          var i = 0
-          while (i < dim) { sum(i) += e(i); i += 1 }
-          n += 1
+      .as[(Int, Long, Array[Float])]
+    def train(ds: org.apache.spark.sql.Dataset[(Int, Long, Array[Float])])
+        : Array[(Int, Array[Double])] =
+      ds.groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          val sum = new Array[Double](dim)
+          var n = 0
+          it.foreach { case (_, _, e) =>
+            var i = 0
+            while (i < dim) { sum(i) += e(i); i += 1 }
+            n += 1
+          }
+          (cell, sum.map(s => round4(s / math.max(n, 1))))
+        }.collect().sortBy(_._1)
+    var centroids = train(assigned)
+    // Lloyd refinement: reassign each vector to its nearest centroid
+    // (6dp-rounded cosine, lowest cell wins ties — the probe-selection
+    // tie-break), retrain on the new cells. One distributed pass + one
+    // small grouped agg per iteration; determinism comes from the same
+    // rounding grids as the initial training, so the refined index
+    // stays SQL-oracle-reproducible.
+    var r = 0
+    while (r < refine) {
+      val bcC = spark.sparkContext.broadcast(centroids)
+      assigned = assigned.mapPartitions { it =>
+        val cents = bcC.value.map { case (cell, c) => (cell, c, normKD(c, dim)) }
+        it.map { case (_, vid, e) =>
+          val ne = normK(e, dim)
+          var bestSim = Double.NegativeInfinity
+          var bestCell = Int.MaxValue
+          cents.foreach { case (cell, c, nc) =>
+            val sim = round6(dotKD(e, c, dim) / (ne * nc))
+            if (sim > bestSim) { bestSim = sim; bestCell = cell }
+          }
+          (bestCell, vid, e)
         }
-        (cell, sum.map(s => round4(s / math.max(n, 1))))
-      }.collect()
+      }.localCheckpoint(eager = false) // feeds retrain AND the scan below
+      centroids = train(assigned)
+      r += 1
+    }
     // Probe selection per query: top-nProbe centroid cells
     // (similarity desc, cell asc — deterministic tie-break).
     val qs = queries.select(col("qid"), col("qe"))
@@ -238,10 +266,7 @@ object VectorSearch {
         (id, e, nq, probes)
       }
     val bc = spark.sparkContext.broadcast(qs)
-    val scored = vectors
-      .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
-      .as[(Int, Long, Array[Float])]
+    val scored = assigned
       .mapPartitions { it =>
         val queries = bc.value
         it.flatMap { case (cell, vid, e) =>

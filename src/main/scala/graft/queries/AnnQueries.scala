@@ -42,6 +42,15 @@ object AnnQueries {
     VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** IVF with ONE Lloyd refinement sweep — the label cells seed
+    * k-means, every vector reassigns to its nearest centroid, the
+    * centroids retrain, and probing runs against the TRAINED index.
+    * Still exactly oracle-reproducible (6dp assignment sims, 4dp
+    * centroid grid, cell-asc tie-breaks). */
+  def annIvfRefined(env: Env): DataFrame =
+    VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5, refine = 1)
+      .orderBy($"qid", $"rank")
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.45. */
   def annCosPairs(env: Env): DataFrame =
     VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
@@ -152,6 +161,76 @@ object AnnQueries {
          |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
          |  FROM probes p
          |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE e.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM cand)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
+
+    Q.sql("ann_ivf_refined", annIvfRefined,
+      s"""WITH cent AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM embeddings, range(1, 65) t(d)
+         |    GROUP BY cell, t.d)
+         |  GROUP BY cell),
+         |asim AS (
+         |  SELECT e.vec_id, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(e.embedding[i] AS DOUBLE)
+         |                * CAST(e.embedding[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM embeddings e, cent c),
+         |newcell AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM asim) WHERE rn = 1),
+         |emb2 AS (
+         |  SELECT n.cell, e.vec_id, e.embedding
+         |  FROM embeddings e JOIN newcell n USING (vec_id)),
+         |cent2 AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT cell, t.d AS d,
+         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM emb2, range(1, 65) t(d)
+         |    GROUP BY cell, t.d)
+         |  GROUP BY cell),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent2 c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN emb2 e ON e.cell = p.cell
          |  JOIN q ON q.qid = p.qid
          |  WHERE e.vec_id <> p.qid),
          |ranked AS (

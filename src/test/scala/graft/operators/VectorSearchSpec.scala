@@ -88,4 +88,27 @@ class VectorSearchSpec extends SparkSpec {
     val hit = approx.count { case (qid, _, vid, _) => exact.contains((qid, vid)) }
     info(s"IVF recall@5 on sf0.001 (3/10 cells probed): $hit/${exact.size}")
   }
+
+  test("Lloyd refinement retrains the index and keeps exact cosines") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val refined = VectorSearch.ivfTopK(emb, q, k = 5, nProbe = 3, refine = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exactCos = VectorSearch.bruteForceTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    refined.foreach { case (qid, _, vid, c) =>
+      assert(math.abs(exactCos((qid, vid)) - c) < 1e-9)
+    }
+    val exact = VectorSearch.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hitR = refined.count { case (qid, _, vid, _) => exact.contains((qid, vid)) }
+    val base = VectorSearch.ivfTopK(emb, q, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val hitB = base.count(exact.contains)
+    info(s"IVF recall@5 refined vs label cells: $hitR vs $hitB / ${exact.size}")
+    // the trained index must not be a no-op relabeling
+    assert(refined.map(t => (t._1, t._3)).toSet != base.toSet ||
+           hitR == exact.size)
+  }
 }
