@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * cross product.
   *
   * Contract: `right` must be unique per (key, ts) — pre-aggregate if
-  * not — and right values must be non-null (a null right value reads
-  * as "no match" to the carry). Left rows before any right row get
-  * null matches (left-join semantics).
+  * not. The matched right row travels as ONE struct, so asof_ts and
+  * every asof_<col> always come from the SAME right row (a right row
+  * with a null value matches with that null, exactly like SQL ASOF) —
+  * never a Frankenstein pairing of fields from different rows. Left
+  * rows before any right row get null matches (left-join semantics).
   */
 object AsOfJoin {
 
@@ -33,32 +35,27 @@ object AsOfJoin {
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val tsType = left.schema(tsCol).dataType
 
-    val lSide = rightVals.foldLeft(
-        left.withColumn("_side", lit(1))
-            .withColumn("_r_ts", lit(null).cast(tsType))) {
-      (df, c) => df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType))
-    }
-
     val rSide = leftPayload.foldLeft(
-        rightVals.foldLeft(
-            right.select((Seq(keyCol, tsCol) ++ rightVals).map(col): _*)
-              .withColumn("_side", lit(0))
-              .withColumn("_r_ts", col(tsCol).cast(tsType))) {
-          (df, c) => df.withColumnRenamed(c, s"_r_$c")
-        }) {
+        right.select(col(keyCol), col(tsCol).cast(tsType).as(tsCol),
+          struct((col(tsCol).cast(tsType).as("ts")) +:
+                 rightVals.map(c => col(c).as(c)): _*).as("_r"))
+          .withColumn("_side", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
+    val rType = rSide.schema("_r").dataType
+    val lSide = left.withColumn("_side", lit(1))
+      .withColumn("_r", lit(null).cast(rType))
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("_r_ts" +: rightVals.map(c => s"_r_$c"))
-      .foldLeft(lSide.unionByName(rSide)) {
-        (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val carried = lSide.unionByName(rSide)
+      .withColumn("_r", last(col("_r"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("_side") === 1)
+      .withColumn("asof_ts", col("_r").getField("ts"))
+    rightVals.foldLeft(out) { (df, c) =>
+        df.withColumn(s"asof_$c", col("_r").getField(c))
       }
-    val out = carried.filter(col("_side") === 1).drop("_side")
-    rightVals.foldLeft(out.withColumnRenamed("_r_ts", "asof_ts")) {
-      (df, c) => df.withColumnRenamed(s"_r_$c", s"asof_$c")
-    }
+      .drop("_side", "_r")
   }
 }

@@ -646,6 +646,24 @@ object XmlKernels {
     -1
   }
 
+  /** Index of the '>' that ends the tag starting at/after `from`,
+    * honoring quoted attribute values — a '>' inside `title="a>b"`
+    * does not end the tag (naive indexOf would truncate the attribute
+    * string there and hide every attribute after it). -1 when none. */
+  private def findTagEnd(html: String, from: Int): Int = {
+    var p = math.max(from, 0)
+    while (p < html.length) {
+      val ch = html.charAt(p)
+      if (ch == '"' || ch == '\'') {
+        val close = html.indexOf(ch, p + 1)
+        if (close < 0) return -1
+        p = close + 1
+      } else if (ch == '>') return p
+      else p += 1
+    }
+    -1
+  }
+
   /** CSS-class membership over a raw attribute string: the class
     * attribute value is whitespace-tokenized, so `class="text small"`
     * matches `cls = "text"` — BeautifulSoup's class matching (the
@@ -700,7 +718,7 @@ object XmlKernels {
       val at = findOpenTag(html, tag, i, html.length)
       if (at < 0) { i = -1 }
       else {
-        val gt = html.indexOf('>', at)
+        val gt = findTagEnd(html, at)
         if (gt < 0) { i = -1 }
         else {
           val attrs = html.substring(at + open.length, gt)
@@ -716,7 +734,7 @@ object XmlKernels {
               if (stop > p) runs += decodeEntities(inner.substring(p, stop))
               if (lt < 0) p = inner.length
               else {
-                val g = inner.indexOf('>', lt)
+                val g = findTagEnd(inner, lt)
                 p = if (g < 0) inner.length else g + 1
               }
             }
@@ -756,7 +774,7 @@ object XmlKernels {
       val at = findOpenTag(html, "td", i, tEnd)
       if (at < 0) i = -1
       else {
-        val gt = html.indexOf('>', at)
+        val gt = findTagEnd(html, at)
         if (gt < 0 || gt >= tEnd) i = -1
         else {
           val attrs = html.substring(at + 3, gt)
@@ -769,7 +787,7 @@ object XmlKernels {
             val trEnd = findCloseTag(html, "tr", hEnd, tEnd)
             val nextTr = if (trEnd < 0) -1 else findOpenTag(html, "tr", trEnd, tEnd)
             val cTd = if (nextTr < 0) -1 else findOpenTag(html, "td", nextTr, tEnd)
-            val cGt0 = if (cTd < 0) -1 else html.indexOf('>', cTd)
+            val cGt0 = if (cTd < 0) -1 else findTagEnd(html, cTd)
             val cGt = if (cGt0 < 0 || cGt0 >= tEnd) -1 else cGt0
             if (cGt > 0) {
               val cEnd0 = findCloseTag(html, "td", cGt + 1, tEnd)

@@ -80,6 +80,16 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == Set((1L, "A"), (2L, "B"), (3L, "B")))
   }
 
+  test("asOf: a null right VALUE matches as (ts, null), never a field mix") {
+    val left = Seq((1L, 12L, "p")).toDF("key", "ts", "tag")
+    val right = Seq((1L, 5L, java.lang.Double.valueOf(2.0)),
+                    (1L, 10L, null.asInstanceOf[java.lang.Double]))
+      .toDF("key", "ts", "v")
+    val r = AsOfJoin.asOf(left, right, "key", "ts", Seq("v")).head()
+    // the matched row IS (10, null) — not ts=10 paired with v=2.0
+    assert(r.getAs[Long]("asof_ts") == 10L && r.isNullAt(r.fieldIndex("asof_v")))
+  }
+
   test("sessionize splits on gaps > threshold and aggregates per session") {
     val m = 60L * 1000 * 1000 * 1000 // one minute in ns
     val events = Seq(

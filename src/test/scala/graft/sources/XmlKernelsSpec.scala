@@ -97,6 +97,9 @@ class XmlKernelsSpec extends SparkSpec {
     val tricky = """<table><tr><td title="see class = big" class="text">X</td></tr>
       |<tr><td title='class="text"'>Nope</td></tr></table>""".stripMargin
     assert(XmlKernels.classTagTextRuns(tricky, "td", "text").toSeq == Seq("X"))
+    // a '>' inside a quoted attribute value must not end the tag early
+    val gtInAttr = """<table><tr><td title="a>b" class="text">Y</td></tr></table>"""
+    assert(XmlKernels.classTagTextRuns(gtInAttr, "td", "text").toSeq == Seq("Y"))
   }
 
   test("VIAF kernel: 110 corporate headings, 400/700 alternates, UNIMARC, wikipedia") {
