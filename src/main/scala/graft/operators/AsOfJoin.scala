@@ -32,6 +32,11 @@ object AsOfJoin {
     *                  `asof_<name>`, plus `asof_ts` = matched right ts */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            rightVals: Seq[String]): DataFrame = {
+    val reserved = Seq("_r", "_side")
+    val clash = reserved.filter(c =>
+      left.columns.contains(c) || right.columns.contains(c))
+    require(clash.isEmpty,
+      s"AsOfJoin: input contains reserved working column(s) ${clash.mkString(", ")}; rename before joining")
     val leftPayload = left.columns.filterNot(c => c == keyCol || c == tsCol)
     val tsType = left.schema(tsCol).dataType
 

@@ -26,25 +26,37 @@ object Bucketing {
                     rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** True when the executed plan contains no shuffle exchange node —
-    * the property bucketing buys. Walks the actual plan tree (through
-    * AQE wrappers and materialized query stages) rather than substring-
-    * matching the plan string, so range partitioning, reused exchanges,
-    * and node renames all count. */
-  def isExchangeFree(df: DataFrame): Boolean = {
+  /** Every physical node of the executed plan, with AQE wrappers,
+    * materialized query stages, and reused exchanges resolved to the
+    * real operators beneath — so plan-shape assertions walk the actual
+    * tree rather than substring-matching the plan string (range
+    * partitioning, reused exchanges, and node renames all count). A
+    * reused exchange contributes its referenced original again: for
+    * shuffle counting, reuse IS a shuffle occurrence in the shape. */
+  def physicalNodes(df: DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
-    def hasShuffle(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
-      case q: QueryStageExec => hasShuffle(q.plan)
-      case _: ShuffleExchangeLike => true
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
       // ReusedExchangeExec is a LEAF wrapping the original exchange —
       // recurse into the referenced exchange or a reused shuffle would
       // go undetected (only its original elsewhere in the tree is seen).
-      case r: ReusedExchangeExec => hasShuffle(r.child)
-      case other => other.children.exists(hasShuffle)
+      case r: ReusedExchangeExec => walk(r.child)
+      case other => other +: other.children.flatMap(walk)
     }
-    !hasShuffle(df.queryExecution.executedPlan)
+    walk(df.queryExecution.executedPlan)
   }
+
+  /** Number of shuffle exchanges in the executed plan. */
+  def shuffleCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    physicalNodes(df).count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  /** True when the executed plan contains no shuffle exchange node —
+    * the property bucketing buys. */
+  def isExchangeFree(df: DataFrame): Boolean = shuffleCount(df) == 0
 }

@@ -33,6 +33,9 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tsCol: String, startCol: String, endCol: String,
                       bucketWidth: Long): DataFrame = {
+    require(!points.columns.contains("_bucket") &&
+            !intervals.columns.contains("_bucket"),
+      "RangeJoin: input contains reserved working column '_bucket'; rename before joining")
     def bucketOf(c: String) =
       expr(s"CAST(`$c` AS BIGINT) DIV ${bucketWidth}L")
     val p = points.withColumn("_bucket", bucketOf(tsCol))

@@ -5,44 +5,98 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified sampling for corpus construction: keep a
-  * fixed fraction of every stratum (e.g. (lang, source)), choosing
-  * members by md5 hash order — engine-portable and reproducible (the
-  * same trick as the W5 hash-order sample), with a per-stratum floor
-  * so rare strata survive.
+  * fraction of every stratum (e.g. (lang, source)), choosing members by
+  * md5 hash — engine-portable and reproducible (the same trick as the
+  * W5 hash-order sample).
   *
-  * Scale posture: one shuffle (hash partition by strata) + one window.
-  * When exact per-stratum quotas aren't required, the shuffle-free
-  * variant is a pure map-side filter — keep rows whose hash falls
-  * under the fraction threshold (`md5 < f·2^128` in spirit): expected
-  * fraction f per stratum with zero data movement. The windowed exact
-  * form below is the verifiable one; prefer the threshold form at
-  * 100 TB when approximate quotas suffice.
+  * Two forms, two scale regimes:
+  *
+  *  - [[stratifiedThreshold]] / [[thresholdByBound]] — the 100 TB
+  *    DEFAULT. A pure map-side filter: keep rows whose hash prefix
+  *    compares below a fraction-scaled hex bound. ZERO shuffle, zero
+  *    window, no per-stratum serialization — a 90%-crawl dominant
+  *    stratum costs the same per row as a rare one. Quotas are exact in
+  *    expectation (error < 2^-60 per row), not exact per stratum.
+  *
+  *  - [[stratified]] / [[stratifiedByFraction]] — exact per-stratum
+  *    quotas (ceil(fraction · stratum size), floor of 1) via one
+  *    shuffle + one window. The window partitions by stratum, so a
+  *    dominant stratum serializes through few tasks: use ONLY when
+  *    exact quotas / the rare-stratum floor are required, at stratum
+  *    cardinalities where the largest stratum fits a task.
+  *
+  * Contract (enforced, not assumed — both forms): ids must be
+  * non-null, strata values must not contain the `|` delimiter; either
+  * violation raises at execution rather than silently perturbing the
+  * hash order relative to the SQL oracle (concat_ws would skip a NULL
+  * id where SQL `||` propagates it; an embedded `|` would alias
+  * against a neighboring stratum key). NULL strata values hash as a
+  * sentinel, matching COALESCE(col, '␀') on the SQL side.
   */
 object Sampling {
 
+  /** md5(salt|strata…|id) — the shared deterministic sampling key. */
+  private def hashKey(strata: Seq[String], idCol: String, salt: String): Column = {
+    val parts = strata.map { s =>
+      val c = col(s).cast("string")
+      when(c.contains("|"),
+           raise_error(concat(
+             lit(s"Sampling: stratum '$s' value contains reserved '|': "), c)))
+        .otherwise(coalesce(c, lit("␀")))
+    }
+    val id = when(col(idCol).isNull,
+                  raise_error(lit(s"Sampling: NULL $idCol (ids must be non-null)")))
+      .otherwise(col(idCol).cast("string"))
+    md5(concat_ws("|", lit(salt) +: parts :+ id: _*))
+  }
+
+  /** 15-hex-digit keep bound for a fraction: a row survives when its
+    * hash prefix (uniform over 16^15 values) compares below the bound,
+    * so P(keep) = floor(f·16^15)/16^15 — within 2^-60 of f. Computed
+    * ONCE here and embedded as a literal in both the Spark plan and
+    * the SQL oracle, so float rounding can never diverge between
+    * engines. f ≤ 0 keeps nothing; f ≥ 1 keeps all ('g' sorts above
+    * every lowercase hex string). */
+  def hexBound(fraction: Double): String =
+    if (fraction <= 0) "0" * 15
+    else if (fraction >= 1) "g"
+    else f"${(fraction * (1L << 60)).toLong}%015x"
+
+  /** Map-side threshold sample: expected `fraction` of every stratum,
+    * zero shuffle. The scale path — see object doc. */
+  def stratifiedThreshold(df: DataFrame, strata: Seq[String], idCol: String,
+                          fraction: Double, salt: String = "graft-strat")
+      : DataFrame =
+    thresholdByBound(df, strata, idCol, lit(hexBound(fraction)), salt)
+
+  /** Mixture form of the threshold sample: `bound` is a per-row STRING
+    * column of 15-hex bounds (typically a `when` ladder of
+    * [[hexBound]] literals over the source column) so each stratum is
+    * sampled at its own rate with no shuffle. */
+  def thresholdByBound(df: DataFrame, strata: Seq[String], idCol: String,
+                       bound: Column, salt: String = "graft-strat")
+      : DataFrame =
+    df.filter(substring(hashKey(strata, idCol, salt), 1, 15) < bound)
+
   /** Exact stratified sample: ceil(fraction · stratum size) rows per
-    * stratum, hash order, floor of 1. Emits the input columns.
-    * NULL strata values hash as a sentinel (concat_ws would silently
-    * DROP them, colliding null-stratum rows with other strata and
-    * diverging from SQL `||` NULL propagation); strata values must not
-    * contain the `|` delimiter. */
+    * stratum, hash order, floor of 1. Emits the input columns. */
   def stratified(df: DataFrame, strata: Seq[String], idCol: String,
                  fraction: Double, salt: String = "graft-strat")
       : DataFrame =
     stratifiedByFraction(df, strata, idCol, lit(fraction), salt)
 
-  /** Mixture reweighting: per-ROW fraction expression (typically a
-    * `when` ladder over a domain/source column) so each stratum is
-    * sampled at its own rate — the data-mixture step of corpus
-    * construction (upweight curated domains, downsample crawl). Same
-    * hash-order determinism and per-stratum floor of 1. */
+  /** Mixture reweighting with exact quotas: per-ROW fraction expression
+    * (typically a `when` ladder over a domain/source column) so each
+    * stratum is sampled at its own rate — the data-mixture step of
+    * corpus construction (upweight curated domains, downsample crawl).
+    * Same hash-order determinism and per-stratum floor of 1. Prefer
+    * [[thresholdByBound]] at scale when approximate quotas suffice. */
   def stratifiedByFraction(df: DataFrame, strata: Seq[String], idCol: String,
                            fraction: Column, salt: String = "graft-strat")
       : DataFrame = {
     val parts: Seq[Column] = strata.map(col)
-    val hashed: Seq[Column] = parts.map(c => coalesce(c.cast("string"), lit("␀")))
     val w = Window.partitionBy(parts: _*)
-      .orderBy(md5(concat_ws("|", lit(salt) +: hashed :+ col(idCol): _*)))
+      .orderBy(hashKey(strata, idCol, salt))
     val wAll = Window.partitionBy(parts: _*)
     df.withColumn("rn", row_number().over(w))
       .withColumn("n_stratum", count(lit(1)).over(wAll))

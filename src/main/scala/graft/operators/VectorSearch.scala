@@ -238,15 +238,18 @@ object VectorSearch {
       val bcC = spark.sparkContext.broadcast(centroids)
       assigned = assigned.mapPartitions { it =>
         val cents = bcC.value.map { case (cell, c) => (cell, c, normKD(c, dim)) }
-        it.map { case (_, vid, e) =>
+        it.map { case (prev, vid, e) =>
           val ne = normK(e, dim)
-          var bestSim = Double.NegativeInfinity
-          var bestCell = Int.MaxValue
-          cents.foreach { case (cell, c, nc) =>
-            val sim = round6(dotKD(e, c, dim) / (ne * nc))
-            if (sim > bestSim) { bestSim = sim; bestCell = cell }
+          if (ne == 0.0) (prev, vid, e) // cosine undefined: keep prior cell
+          else {                        // (NaN sims would phantom-assign)
+            var bestSim = Double.NegativeInfinity
+            var bestCell = Int.MaxValue
+            cents.foreach { case (cell, c, nc) =>
+              val sim = round6(dotKD(e, c, dim) / (ne * nc))
+              if (sim > bestSim) { bestSim = sim; bestCell = cell }
+            }
+            (bestCell, vid, e)
           }
-          (bestCell, vid, e)
         }
       }.localCheckpoint(eager = false) // feeds retrain AND the scan below
       centroids = train(assigned)

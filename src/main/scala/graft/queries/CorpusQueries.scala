@@ -109,6 +109,29 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** 20% threshold sample — the map-side, shuffle-free scale path of
+    * [[graft.operators.Sampling]]: expected 20% of every (lang, source)
+    * stratum with zero data movement. */
+  def corpusSampleThreshold(env: Env): DataFrame =
+    Sampling.stratifiedThreshold(
+      env.documents.select($"doc_id", $"lang", $"source"),
+      strata = Seq("lang", "source"), idCol = "doc_id", fraction = 0.2)
+      .orderBy($"doc_id")
+
+  /** Mixture reweighting in threshold form: per-source keep bounds
+    * (50% / 25% / 10%) as a `when` ladder of precomputed hex literals —
+    * the same mixture as corpus_mixture but shuffle-free. */
+  def corpusMixtureThreshold(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val bound = when($"source" === "src0", lit(Sampling.hexBound(0.5)))
+      .when($"source" === "src1", lit(Sampling.hexBound(0.25)))
+      .otherwise(lit(Sampling.hexBound(0.1)))
+    Sampling.thresholdByBound(
+      env.documents.select($"doc_id", $"source"),
+      strata = Seq("source"), idCol = "doc_id", bound = bound)
+      .orderBy($"doc_id")
+  }
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -135,7 +158,9 @@ object CorpusQueries {
     Q.sql("corpus_pack_sequences", corpusPackSequences,
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    -- COALESCE mirrors the operator's null-packs-as-0 contract
+        |    -- (a bare NULL would poison the whole shard's running fill)
+        |    CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
         |    row_number() OVER (PARTITION BY doc_id % 8
         |                       ORDER BY doc_id) AS rn
         |  FROM documents),
@@ -199,6 +224,24 @@ object CorpusQueries {
         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_2gram_frac
         |FROM c
         |GROUP BY doc_id, n_tokens, n_distinct
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("corpus_sample_threshold", corpusSampleThreshold,
+      s"""SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE substring(md5('graft-strat' || '|' || COALESCE(lang, '␀')
+        |        || '|' || COALESCE(source, '␀') || '|' || doc_id), 1, 15)
+        |      < '${Sampling.hexBound(0.2)}'
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("corpus_mixture_threshold", corpusMixtureThreshold,
+      s"""SELECT doc_id, source
+        |FROM documents
+        |WHERE substring(md5('graft-strat' || '|' || COALESCE(source, '␀')
+        |        || '|' || doc_id), 1, 15)
+        |      < CASE WHEN source = 'src0' THEN '${Sampling.hexBound(0.5)}'
+        |             WHEN source = 'src1' THEN '${Sampling.hexBound(0.25)}'
+        |             ELSE '${Sampling.hexBound(0.1)}' END
         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("corpus_sample_stratified", corpusSampleStratified,

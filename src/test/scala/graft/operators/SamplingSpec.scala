@@ -25,4 +25,55 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b && a.length == 5)
   }
+
+  test("threshold sample: rate near fraction, deterministic, nested") {
+    val df = (1L to 10000L).map(i => (i, s"l${i % 3}")).toDF("doc_id", "lang")
+    val at20 = Sampling.stratifiedThreshold(df, Seq("lang"), "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(at20.size > 1700 && at20.size < 2300, at20.size)
+    // nested property: a smaller fraction's sample is a subset of a
+    // larger one's (same hash, lower bound) — reproducible downsampling
+    val at05 = Sampling.stratifiedThreshold(df, Seq("lang"), "doc_id", 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(at05.subsetOf(at20) && at05.size > 350 && at05.size < 650, at05.size)
+  }
+
+  test("threshold sample: fraction edges keep all / none") {
+    val df = (1L to 100L).map(i => (i, "en")).toDF("doc_id", "lang")
+    assert(Sampling.stratifiedThreshold(df, Seq("lang"), "doc_id", 1.0).count() == 100)
+    assert(Sampling.stratifiedThreshold(df, Seq("lang"), "doc_id", 0.0).count() == 0)
+  }
+
+  test("threshold mixture: per-stratum bounds give per-stratum rates") {
+    import org.apache.spark.sql.functions.{lit, when}
+    val df = (1L to 9000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val bound = when($"source" === "src0", lit(Sampling.hexBound(0.5)))
+      .when($"source" === "src1", lit(Sampling.hexBound(0.25)))
+      .otherwise(lit(Sampling.hexBound(0.0)))
+    val out = Sampling.thresholdByBound(df, Seq("source"), "doc_id", bound)
+      .collect().map(r => r.getString(1))
+    val bySrc = out.groupBy(identity).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("src2", 0) == 0)
+    assert(bySrc("src0") > 1350 && bySrc("src0") < 1650, bySrc)
+    assert(bySrc("src1") > 600 && bySrc("src1") < 900, bySrc)
+  }
+
+  private def deepMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("contract violations raise instead of silently perturbing hash order") {
+    val nullId = Seq((Some(1L), "en"), (None: Option[Long], "en"))
+      .toDF("doc_id", "lang")
+    val e1 = intercept[Throwable] {
+      Sampling.stratifiedThreshold(nullId, Seq("lang"), "doc_id", 0.5).collect()
+    }
+    assert(deepMessages(e1).contains("Sampling: NULL doc_id"), deepMessages(e1))
+
+    val badStratum = Seq((1L, "en|fr")).toDF("doc_id", "lang")
+    val e2 = intercept[Throwable] {
+      Sampling.stratified(badStratum, Seq("lang"), "doc_id", 0.5).collect()
+    }
+    assert(deepMessages(e2).contains("reserved '|'"), deepMessages(e2))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.{AsOfJoin, Bucketing, RangeJoin, Sampling, Sessionize}
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** Pins the physical-plan shapes the round-4/5 operator scaladocs
+  * claim (BucketingSpec-style): a Catalyst or query-shape change that
+  * re-plans one of these into its quadratic/serialized alternative
+  * fails a test instead of silently regressing the 100 TB posture.
+  * Assertions walk the real executed-plan tree via
+  * Bucketing.physicalNodes, not the plan string.
+  */
+class OperatorPlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("threshold sample is a pure map-side filter: no exchange, no window") {
+    val df = spark.range(10000)
+      .select($"id".as("doc_id"), ($"id" % 7).cast("string").as("lang"))
+    val sampled = Sampling.stratifiedThreshold(df, Seq("lang"), "doc_id", 0.2)
+    sampled.count()
+    assert(Bucketing.shuffleCount(sampled) == 0,
+      sampled.queryExecution.executedPlan.toString)
+    assert(!Bucketing.physicalNodes(sampled).exists(_.isInstanceOf[WindowExec]),
+      sampled.queryExecution.executedPlan.toString)
+  }
+
+  test("as-of join: one exchange, no nested-loop join") {
+    val left = spark.range(1000)
+      .select(($"id" % 10).as("key"), ($"id" * 3).as("ts"), $"id".as("event_id"))
+    val right = spark.range(300)
+      .select(($"id" % 10).as("key"), ($"id" * 11).as("ts"), ($"id" * 2).as("v"))
+    val joined = AsOfJoin.asOf(left, right, "key", "ts", Seq("v"))
+    joined.count()
+    val nodes = Bucketing.physicalNodes(joined)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      joined.queryExecution.executedPlan.toString)
+    assert(Bucketing.shuffleCount(joined) == 1,
+      joined.queryExecution.executedPlan.toString)
+  }
+
+  test("range join plans a hash equi-join on _bucket, never nested-loop") {
+    val points = spark.range(5000)
+      .select($"id".as("event_id"), ($"id" * 97).as("ts"))
+    val intervals = spark.range(20)
+      .select($"id".as("window_id"), ($"id" * 20000).as("w_start"),
+              ($"id" * 20000 + 5000).as("w_end"))
+    val joined = RangeJoin.pointInInterval(
+      points, intervals, "ts", "w_start", "w_end", bucketWidth = 1000L)
+    joined.count()
+    val nodes = Bucketing.physicalNodes(joined)
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec]
+                           || n.isInstanceOf[CartesianProductExec]),
+      joined.queryExecution.executedPlan.toString)
+    val joins = nodes.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    assert(joins.forall(j => j.leftKeys.nonEmpty &&
+             (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("_bucket"))),
+      joins.map(j => s"${j.nodeName}: ${j.leftKeys} = ${j.rightKeys}").mkString("; "))
+  }
+
+  test("sessionize: one exchange, one shared sort for both windows") {
+    val events = spark.range(2000)
+      .select(($"id" % 20).as("user_id"), ($"id" * 1000000L).as("ts"),
+              $"id".as("event_id"), ($"id" % 50).cast("double").as("value"))
+    val sessions = Sessionize.sessionize(events, gapNs = 50L * 1000000L)
+    sessions.count()
+    assert(Bucketing.shuffleCount(sessions) == 1,
+      sessions.queryExecution.executedPlan.toString)
+    val sorts = Bucketing.physicalNodes(sessions).count(_.isInstanceOf[SortExec])
+    assert(sorts == 1, sessions.queryExecution.executedPlan.toString)
+  }
+}
