@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   * dimensions and resize re-encodes a genuinely scaled bitmap. A
   * deterministic fake header format (`GIMG|<w>|<h>|payload`) is kept
   * as a fallback so tests can synthesize payloads without codec bytes.
-  * AUDIO/VIDEO frame sampling remains STUBBED (no media-container
-  * codecs in the JDK): `sampleFrames` chunks the payload
+  * AUDIO decode/window-sampling are REAL too: `javax.sound.sampled`
+  * (also JDK built-in) parses WAV/PCM containers, so `decodeAudio`
+  * reports true format/frame counts plus peak/RMS computed from the
+  * decoded samples, and `sampleAudioWindows` cuts genuine fixed-length
+  * PCM frame windows. VIDEO frame sampling remains STUBBED (the JDK
+  * has no video-container codecs): `sampleFrames` chunks the payload
   * deterministically; the Spark-side contract — schema, batching,
   * partitioning, generator shape — is real and tested, and a real
   * implementation replaces only the body marked "STUB".
@@ -163,6 +167,142 @@ object Multimodal {
   }
 
   val resizeUdf = udf((c: Array[Byte], w: Int, h: Int) => resizeImage(c, w, h))
+
+  // ---- audio (REAL: javax.sound.sampled, JDK built-in) ----
+
+  /** Canonical WAV bytes (16-bit signed little-endian PCM) from raw
+    * samples, written through the real `AudioSystem` WAVE writer —
+    * constructive test/query payloads round-trip the honest codec
+    * path, never a hand-rolled header. `samples` is frame-major
+    * (interleaved channels); its length must be a multiple of
+    * `channels`. */
+  def wavBytes(sampleRate: Int, channels: Int,
+               samples: Array[Short]): Array[Byte] = {
+    require(samples.length % channels == 0,
+      s"wavBytes: ${samples.length} samples not a multiple of $channels channels")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt,
+      (samples.length / channels).toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Decoded audio descriptor: container format fields plus peak
+    * (max |sample|) and 6-dp RMS amplitude computed from the decoded
+    * 16-bit PCM stream. Undecodable content degrades to sampleRate -1
+    * (same posture as decodeImages). */
+  final case class DecodedAudio(mediaId: Long, sampleRate: Int,
+                                channels: Int, bitsPerSample: Int,
+                                nFrames: Long, peak: Int, rms: Double)
+
+  /** Parse one WAV payload to (format, interleaved 16-bit samples);
+    * None when the bytes aren't a decodable 16-bit PCM container. */
+  private def readWav(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Long, Array[Short])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val samples = new Array[Short](n)
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            samples(i) =
+              if (le) (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff))).toShort
+              else (((data(2 * i) << 8) | (data(2 * i + 1) & 0xff))).toShort
+            i += 1
+          }
+          Some((fmt, ais.getFrameLength, samples))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode: WAV/PCM bytes → format fields + amplitude
+    * stats from the decoded samples. Per-partition kernel (batch
+    * shape), sequential double accumulation + Spark-round RMS so the
+    * output is SQL-oracle-reproducible. */
+  def decodeAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (if (bytes == null) None else readWav(bytes)) match {
+            case None => DecodedAudio(id, -1, -1, -1, -1L, -1, -1.0)
+            case Some((fmt, frames, samples)) =>
+              var peak = 0
+              var sumSq = 0L // exact: 16-bit squares, < 2^53 for any clip
+              var i = 0
+              while (i < samples.length) {
+                val v = samples(i).toInt
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                sumSq += v.toLong * v
+                i += 1
+              }
+              val rms =
+                if (samples.isEmpty) 0.0
+                else java.math.BigDecimal
+                  .valueOf(math.sqrt(sumSq.toDouble / samples.length))
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              DecodedAudio(id, fmt.getSampleRate.toInt, fmt.getChannels,
+                fmt.getSampleSizeInBits, frames, peak, rms)
+          }
+        }
+      }
+  }
+
+  /** REAL audio frame sampling: decode the WAV, cut the PCM stream
+    * into windows of `windowFrames` frames (a frame = one sample per
+    * channel; the tail window may be partial), keep every `everyN`-th
+    * window. One clip row → N window rows with ordinals — the
+    * training-data shape (fixed-length audio examples), distributed as
+    * a narrow per-partition generator. Undecodable clips yield no
+    * windows. */
+  def sampleAudioWindows(media: DataFrame, windowFrames: Int = 1024,
+                         everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (if (bytes == null) None else readWav(bytes)) match {
+          case None => Iterator.empty
+          case Some((fmt, _, samples)) =>
+            val span = windowFrames * fmt.getChannels
+            samples.grouped(span).zipWithIndex
+              .filter(_._2 % everyN == 0)
+              .map { case (win, ordinal) =>
+                var peak = 0
+                var i = 0
+                while (i < win.length) {
+                  val a = math.abs(win(i).toInt)
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                (id, ordinal.toLong, win.length.toLong, peak)
+              }
+        }
+      }
+      .toDF("media_id", "window_ordinal", "n_samples", "peak")
+  }
 
   /** STUB frame sampling — splits the payload into fixed-size chunks
     * and keeps every `everyN`-th (a real impl keyframe-samples with a

@@ -7,12 +7,45 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing through the driver contract: binary payloads
-  * are synthesized deterministically (fake GIMG headers), decoded by
-  * the stub kernel, and checked against a constructive oracle (the
-  * oracle recomputes dimensions/lengths/md5 from the same
-  * construction — it never parses).
+  * are synthesized deterministically, decoded, and checked against
+  * constructive oracles (the oracle recomputes the expected stats from
+  * the same construction — it never parses bytes). Images use the fake
+  * GIMG header; audio payloads are REAL WAV containers written and
+  * decoded through `javax.sound.sampled`, so the audio queries
+  * exercise the honest codec round-trip end to end.
   */
 object MultimodalQueries {
+
+  /** Deterministic WAV corpus over `part`: per-key sample rate /
+    * channel count / frame count, 16-bit samples from a fixed integer
+    * recurrence — every decoded stat is predictable in SQL. */
+  private def audioMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long].map { key =>
+      val sampleRate = (8000 + (key % 3) * 4000).toInt
+      val channels = (1 + key % 2).toInt
+      val nFrames = (50 + key % 100).toInt
+      val samples = Array.tabulate[Short](nFrames * channels)(i =>
+        ((key * 31 + i.toLong * 17) % 65536 - 32768).toShort)
+      (key, graft.operators.Multimodal.wavBytes(sampleRate, channels, samples))
+    }.toDF("media_id", "content")
+  }
+
+  def mmAudioStats(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Multimodal.decodeAudio(audioMedia(env)).toDF()
+      .select(col("mediaId").as("media_id"),
+              col("sampleRate").as("sample_rate"), col("channels"),
+              col("bitsPerSample").as("bits_per_sample"),
+              col("nFrames").as("n_frames"), col("peak"), col("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  def mmAudioWindows(env: Env): DataFrame =
+    Multimodal.sampleAudioWindows(audioMedia(env),
+        windowFrames = 32, everyN = 2)
+      .orderBy($"media_id", $"window_ordinal")
 
   def mmMediaDecode(env: Env): DataFrame = {
     val w = ($"p_partkey" % 640 + 1).cast("int")
@@ -42,5 +75,48 @@ object MultimodalQueries {
         |  md5(s) AS content_md5
         |FROM m
         |ORDER BY media_id""".stripMargin),
+
+    Q.sql("mm_audio_stats", mmAudioStats,
+      """WITH m AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |    CAST(8000 + (p_partkey % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + p_partkey % 2 AS INT) AS channels,
+        |    CAST(50 + p_partkey % 100 AS BIGINT) AS n_frames
+        |  FROM part),
+        |s AS (SELECT media_id, sample_rate, channels, n_frames,
+        |        unnest(range(0, n_frames * channels)) AS i
+        |      FROM m),
+        |v AS (SELECT media_id, sample_rate, channels, n_frames,
+        |        (media_id * 31 + i * 17) % 65536 - 32768 AS sample
+        |      FROM s)
+        |SELECT media_id, sample_rate, channels,
+        |  CAST(16 AS INT) AS bits_per_sample, n_frames,
+        |  CAST(max(abs(sample)) AS INT) AS peak,
+        |  round(sqrt(CAST(sum(sample * sample) AS DOUBLE) / count(*)), 6)
+        |    AS rms
+        |FROM v
+        |GROUP BY media_id, sample_rate, channels, n_frames
+        |ORDER BY media_id""".stripMargin),
+
+    Q.sql("mm_audio_windows", mmAudioWindows,
+      """WITH m AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |    CAST(1 + p_partkey % 2 AS INT) AS channels,
+        |    CAST(50 + p_partkey % 100 AS BIGINT) AS n_frames
+        |  FROM part),
+        |s AS (SELECT media_id, channels,
+        |        unnest(range(0, n_frames * channels)) AS i
+        |      FROM m),
+        |v AS (SELECT media_id,
+        |        (media_id * 31 + i * 17) % 65536 - 32768 AS sample,
+        |        CAST(i // (32 * channels) AS BIGINT) AS window_ordinal
+        |      FROM s)
+        |SELECT media_id, window_ordinal,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(sample)) AS INT) AS peak
+        |FROM v
+        |WHERE window_ordinal % 2 = 0
+        |GROUP BY media_id, window_ordinal
+        |ORDER BY media_id, window_ordinal""".stripMargin),
   )
 }

@@ -82,4 +82,35 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 1L).count() == 0) // no frames
     assert(frames.filter(col("media_id") === 2L).count() > 0)
   }
+
+  test("WAV round-trip: real encode + decode recover format and stats") {
+    // stereo ramp: samples -100..99 interleaved over 100 frames
+    val samples = Array.tabulate[Short](200)(i => (i - 100).toShort)
+    val wav = Multimodal.wavBytes(12000, 2, samples)
+    // RIFF/WAVE container actually written, not a fake header
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val out = Multimodal.decodeAudio(
+      mediaDf(1L -> wav, 2L -> "not audio".getBytes, 3L -> null)).collect()
+      .map(d => d.mediaId -> d).toMap
+    val a = out(1L)
+    assert(a.sampleRate == 12000 && a.channels == 2 &&
+           a.bitsPerSample == 16 && a.nFrames == 100)
+    assert(a.peak == 100) // max |i - 100| over 0..199
+    val expectedRms = math.sqrt(
+      (0 until 200).map(i => math.pow(i - 100, 2)).sum / 200)
+    assert(math.abs(a.rms - expectedRms) < 1e-5, a.rms)
+    assert(out(2L).sampleRate == -1 && out(3L).sampleRate == -1) // degrade
+  }
+
+  test("audio window sampling cuts real PCM windows, partial tail kept") {
+    // mono, 80 frames, window 32 → windows of 32/32/16; everyN=2 keeps
+    // ordinals 0 and 2 (the partial tail)
+    val samples = Array.tabulate[Short](80)(i => (i + 1).toShort)
+    val wav = Multimodal.wavBytes(8000, 1, samples)
+    val wins = Multimodal.sampleAudioWindows(
+        mediaDf(5L -> wav), windowFrames = 32, everyN = 2)
+      .orderBy("window_ordinal").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(wins.toSeq == Seq((0L, 32L, 32), (2L, 16L, 80)))
+  }
 }
