@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * Scale posture (100 TB corpus, ~10⁴–10⁵ benchmark docs): the
   * benchmark gram set is tiny relative to the corpus, so it is
   * deduplicated and BROADCAST — the training side streams through a
-  * map-side hash join with no shuffle of the corpus. Training grams
+  * map-side hash join with no shuffle of the corpus. A multi-suite
+  * eval corpus too large to broadcast (10⁶+ docs × ~10² grams would
+  * OOM the driver and every executor) auto-switches to a
+  * SHUFFLE_HASH equi-join on the gram hash — the corpus pays one
+  * shuffle, but is only streamed (never sorted or buffered) against
+  * the bench-side hash table; the decision is one cheap count of the
+  * bench table, negligible next to the corpus scan. Training grams
   * are deduplicated per document only (array_distinct inside the row),
   * never globally — the global distinct would be a corpus-sized
   * shuffle bought for nothing. All expressions are codegen'd
@@ -44,14 +50,22 @@ object Decontaminate {
     * grams, n_bench_docs = distinct benchmark docs implicated). Clean
     * docs don't appear — the common case at scale, so the output is a
     * small flag table to anti-join against the corpus.
+    *
+    * @param maxBroadcastBenchDocs bench-doc count above which the
+    *   broadcast is replaced by the shuffled hash join (see object
+    *   doc). The count runs eagerly on the bench side only.
     */
   def contaminated(train: DataFrame, bench: DataFrame, idCol: String,
-                   textCol: String, n: Int = 13): DataFrame = {
+                   textCol: String, n: Int = 13,
+                   maxBroadcastBenchDocs: Long = 100000L): DataFrame = {
     val tg = train.select(col(idCol).as("doc_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
-    tg.join(broadcast(bg), "g")
+    val joined =
+      if (bench.count() <= maxBroadcastBenchDocs) tg.join(broadcast(bg), "g")
+      else tg.join(bg.hint("SHUFFLE_HASH"), "g")
+    joined
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hits"),
            countDistinct(col("bench_id")).as("n_bench_docs"))

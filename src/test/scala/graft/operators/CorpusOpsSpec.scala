@@ -38,6 +38,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Decontaminate.contaminated(train, bench, "doc_id", "text").count() == 0)
   }
 
+  test("decontamination shuffle fallback: same results, no broadcast") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val gram = (1 to 13).map(i => s"t$i").mkString(" ")
+    val bench = Seq((100L, gram + " more"), (101L, "other bench text"))
+      .toDF("doc_id", "text")
+    val train = Seq((1L, "pre " + gram), (2L, "clean doc"), (3L, gram))
+      .toDF("doc_id", "text")
+    val bcast = Decontaminate.contaminated(train, bench, "doc_id", "text")
+    // threshold 0 forces the over-broadcast-limit path
+    val shuffled = Decontaminate.contaminated(train, bench, "doc_id", "text",
+      maxBroadcastBenchDocs = 0L)
+    val a = bcast.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = shuffled.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b && a.nonEmpty)
+    val nodes = Bucketing.physicalNodes(shuffled)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      shuffled.queryExecution.executedPlan.toString)
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      shuffled.queryExecution.executedPlan.toString)
+    assert(Bucketing.physicalNodes(bcast)
+             .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      bcast.queryExecution.executedPlan.toString)
+  }
+
   test("asOf picks the latest right row at or before each left ts") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("key", "ts", "tag")
