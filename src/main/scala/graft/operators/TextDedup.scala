@@ -116,8 +116,8 @@ object TextDedup {
     // in this module: materialization rides the first consuming job
     // instead of paying a separate eager pass per checkpoint — measured
     // −23% on dedup_minhash / −16% on dedup_ngram at sf0.1.
-    val sh = docs.select(col(idCol).as("doc_id"),
-                         shingles(col(textCol), n).as("sh"))
+    val sh = shingleHashSets(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n)
       .localCheckpoint(eager = false)
     // localCheckpoint: the kernel output feeds BOTH sides of the
     // self-join — without it the per-shingle hashing subtree runs twice.
@@ -150,17 +150,17 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.5, n: Int = 3,
                         keys: Int = 4): DataFrame = {
-    // localCheckpoint: the shingle sets join BOTH sides of the verify
-    // stage (doc_a and doc_b) — pin them so the per-doc shingle arrays
-    // materialize once instead of twice.
-    val sh = docs.select(col(idCol).as("doc_id"),
-                         shingles(col(textCol), n).as("sh"))
-      .localCheckpoint(eager = false)
-    // localCheckpoint: see minhashNearDupPairs — self-joined kernel
-    // output must not recompute the md5 scan per side.
-    val keyed = minKeyKernel(
+    // ONE kernel pass produces both the block keys and the verify
+    // shingle sets; the lazy localCheckpoint pins it for its four
+    // consumers (two self-join sides, two verify sides). Only the
+    // narrow (doc_id, key, n_sh) projection enters the candidate
+    // shuffle — the arrays stay out of the join.
+    val kerneled = minKeySetsKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, keys)
       .localCheckpoint(eager = false)
+    val sh = kerneled.select(col("doc_id"), col("sh"))
+    val keyed = kerneled.select(col("doc_id"), explode(col("keys")).as("key"),
+                                size(col("sh")).as("n_sh"))
     val cands = keyed.as("a")
       .join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id") &&
@@ -175,57 +175,30 @@ object TextDedup {
       .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
   }
 
-  /** Compiled min-key kernel for [[ngramJaccardPairs]]: the `keys`
-    * lexicographically-smallest shingle md5s per document, computed
-    * with MessageDigest in one partition map (identical md5 values to
-    * the expression form; block keys only feed candidate generation
-    * anyway). */
-  private def minKeyKernel(docs: DataFrame, n: Int, keys: Int): DataFrame = {
+  /** Combined kernel for [[ngramJaccardPairs]]: ONE pass per document
+    * produces both its distinct shingle-hash set (the verify side) and
+    * its `keys` smallest shingle hashes (the block keys) — previously
+    * two kernels, one of which re-derived every shingle as an md5
+    * string (the block-key hash family is a private implementation
+    * detail: keys only FEED candidate generation, the exact-Jaccard
+    * verify determines the output, so FNV min-keys carry the same
+    * min-shingle blocking statistics at a fraction of the hashing
+    * cost). Unsigned min order — any fixed total order works. */
+  private[graft] def minKeySetsKernel(docs: DataFrame, n: Int,
+                                      keys: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val hexChars = "0123456789abcdef".toCharArray
     docs.as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (docId, text) =>
-          // Match Spark's split()/DuckDB string_split exactly: regex
-          // split with limit -1 KEEPS trailing empty tokens; null text
-          // behaves as empty (the expression forms are null-safe too).
-          val toks = (if (text == null) "" else text).split(" ", -1)
-          val nShingles = math.max(toks.length - n + 1, 1)
-          val mins = new java.util.TreeSet[String]()
-          val seen = new java.util.HashSet[String](nShingles * 2)
-          var s0 = 0
-          while (s0 < nShingles) {
-            val shingle =
-              if (toks.length < n) toks.mkString(" ")
-              else {
-                val sb = new java.lang.StringBuilder(toks(s0))
-                var w = 1
-                while (w < n) { sb.append(' ').append(toks(s0 + w)); w += 1 }
-                sb.toString
-              }
-            if (seen.add(shingle)) {
-              md.reset()
-              val digest = md.digest(shingle.getBytes("UTF-8"))
-              val hex = new Array[Char](32)
-              var i = 0
-              while (i < 16) {
-                hex(i * 2) = hexChars((digest(i) >> 4) & 0xf)
-                hex(i * 2 + 1) = hexChars(digest(i) & 0xf)
-                i += 1
-              }
-              mins.add(new String(hex))
-              if (mins.size > keys) mins.pollLast()
-            }
-            s0 += 1
-          }
-          import scala.jdk.CollectionConverters._
-          val nDistinct = seen.size
-          mins.asScala.iterator.map(k => (docId, k, nDistinct))
+        it.map { case (docId, text) =>
+          val hs = distinctShingleHashes(text, n)
+          // flip the sign bit: unsigned order under signed sort
+          val flipped = hs.map(_ ^ Long.MinValue).sorted
+          val mins = flipped.take(keys).map(_ ^ Long.MinValue)
+          (docId, hs, mins)
         }
       }
-      .toDF("doc_id", "key", "n_sh")
+      .toDF("doc_id", "sh", "keys")
   }
 
   /** Compiled signature+banding kernel: one string hash per shingle
@@ -238,6 +211,66 @@ object TextDedup {
     * (recall for 0.9-similar pairs stays ≥ 1−4e-8 with k=64/16 bands).
     * Measured ~4× faster than the expression form at sf0.1.
     */
+  /** Distinct word-n-gram identities of one document as 64-bit FNV-1a
+    * hashes, first-occurrence order — the shared shingle-identity pass
+    * of every dedup kernel. Tokenization matches Spark's split()/
+    * DuckDB string_split exactly: regex split with limit -1 KEEPS
+    * trailing empty tokens; null text behaves as empty; documents
+    * shorter than n tokens contribute one whole-text shingle (the
+    * `shingles` expression fallback). Shingles never materialize as
+    * strings — token hashes roll over an n-window. */
+  private def distinctShingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = (if (text == null) "" else text).split(" ", -1)
+    val tokHash = new Array[Long](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      var h = 0xCBF29CE484222325L
+      val bytes = toks(t).getBytes("UTF-8")
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001B3L; i += 1
+      }
+      tokHash(t) = h
+      t += 1
+    }
+    val nShingles = math.max(toks.length - n + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(nShingles)
+    val limit = math.min(n, toks.length)
+    var s0 = 0
+    while (s0 < nShingles) {
+      var h = 0xCBF29CE484222325L
+      var w = 0
+      while (w < limit) {
+        h = (h ^ tokHash(s0 + w)) * 0x100000001B3L; w += 1
+      }
+      if (seen.add(h)) out += h
+      s0 += 1
+    }
+    out.result()
+  }
+
+  /** Compiled shingle-SET kernel for the verify stage: one row per doc
+    * with its distinct shingle hashes. Replaces the `shingles`
+    * expression form there — the HOF + per-shingle string
+    * materialization cost ~5× more than this kernel at sf0.1, and the
+    * verify joins now shuffle 8-byte elements instead of raw n-gram
+    * strings. Jaccard over the hashed sets equals Jaccard over the
+    * raw-string sets the SQL oracles compute, except under an in-pair
+    * 64-bit collision (P ≈ |A|·|B|/2^64 < 1e-13 per pair) — the same
+    * identity approximation the candidate stage already makes for
+    * signatures and size bands. */
+  private[graft] def shingleHashSets(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.as[(Long, String)]
+      .mapPartitions(it => it.map { case (docId, text) =>
+        (docId, distinctShingleHashes(text, n))
+      })
+      .toDF("doc_id", "sh")
+  }
+
   private def bandKeysKernel(docs: DataFrame, n: Int, k: Int,
                              bands: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -249,45 +282,18 @@ object TextDedup {
     docs.as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (docId, text) =>
-          // Tokenize + hash distinct word n-grams without materializing
-          // shingle strings: FNV-1a over the token bytes with a
-          // separator byte, rolling over a token window.
-          // Match Spark's split()/DuckDB string_split exactly: regex
-          // split with limit -1 KEEPS trailing empty tokens; null text
-          // behaves as empty (the expression forms are null-safe too).
-          val toks = (if (text == null) "" else text).split(" ", -1)
-          val tokHash = new Array[Long](toks.length)
-          var t = 0
-          while (t < toks.length) {
-            var h = 0xCBF29CE484222325L
-            val bytes = toks(t).getBytes("UTF-8")
-            var i = 0
-            while (i < bytes.length) {
-              h ^= (bytes(i) & 0xffL); h *= 0x100000001B3L; i += 1
-            }
-            tokHash(t) = h
-            t += 1
-          }
-          val nShingles = math.max(toks.length - n + 1, 1)
-          val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+          val hs = distinctShingleHashes(text, n)
           val sig = Array.fill(k)(Long.MaxValue)
-          var s0 = 0
-          while (s0 < nShingles) {
-            var h = 0xCBF29CE484222325L
-            var w = 0
-            val limit = math.min(n, toks.length)
-            while (w < limit) {
-              h = (h ^ tokHash(s0 + w)) * 0x100000001B3L; w += 1
+          var s = 0
+          while (s < hs.length) {
+            val h = hs(s)
+            var j = 0
+            while (j < k) {
+              val hj = as(j) * h + bs(j)
+              if (hj < sig(j)) sig(j) = hj
+              j += 1
             }
-            if (seen.add(h)) {
-              var j = 0
-              while (j < k) {
-                val hj = as(j) * h + bs(j)
-                if (hj < sig(j)) sig(j) = hj
-                j += 1
-              }
-            }
-            s0 += 1
+            s += 1
           }
           (0 until bands).iterator.map { b =>
             var key = 0xCBF29CE484222325L ^ b
@@ -295,7 +301,7 @@ object TextDedup {
             while (r < rows) {
               key = (key ^ sig(b * rows + r)) * 0x100000001B3L; r += 1
             }
-            (docId, b, key, seen.size)
+            (docId, b, key, hs.length)
           }
         }
       }
