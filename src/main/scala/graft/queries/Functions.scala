@@ -40,6 +40,14 @@ object Functions {
     * bounds the pair count (max block ~128 rows at sf0.1) — never an
     * all-pairs cross join. Uses the codegen'd builtin `levenshtein`
     * rather than a UDF: functions-not-UDFs on the hot path.
+    *
+    * Scale caveat (measured at sf1, SCALING.md): the block key is a
+    * FIXED vocabulary, so block size grows linearly with rows and
+    * within-block pair work quadratically (17× time for 10× rows once
+    * blocks saturate) — inherent to the reference's
+    * (author, title-token) bucket semantics. At larger scale block
+    * finer (more tokens + length bands) or use the banded-minhash
+    * shape (TextDedup), whose key cardinality grows with the data.
     */
   def f3BlockedSimilarity(env: Env): DataFrame = {
     val p = env.part.select(
