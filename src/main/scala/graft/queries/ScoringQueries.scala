@@ -209,19 +209,26 @@ object ScoringQueries {
         var j = i + 1
         while (j < keys.length) {
           val nb = names(j); val sb = supsArr(j)
-          val lev = graft.functions.Fuzzy.levenshtein(na, nb)
-          val ts = 1.0 - lev.toDouble / math.max(na.length, nb.length)
-          // sorted-merge intersection count (both sets ascending)
-          var x = 0; var y = 0; var inter = 0
-          while (x < sa.length && y < sb.length) {
-            if (sa(x) == sb(y)) { inter += 1; x += 1; y += 1 }
-            else if (sa(x) < sb(y)) x += 1 else y += 1
+          // SOUND skip: strength > 0.5 (6dp HALF_UP) needs ts > 0.3749,
+          // i.e. lev < 0.6251·maxlen; lev ≥ |Δlen|, so |Δlen|·100 ≥
+          // 63·maxlen can never emit — skips the O(len²) DP, result
+          // unchanged (integer math, no float boundary loss).
+          val maxLen = math.max(na.length, nb.length)
+          if (math.abs(na.length - nb.length) * 100 < 63 * maxLen) {
+            val lev = graft.functions.Fuzzy.levenshtein(na, nb)
+            val ts = 1.0 - lev.toDouble / maxLen
+            // sorted-merge intersection count (both sets ascending)
+            var x = 0; var y = 0; var inter = 0
+            while (x < sa.length && y < sb.length) {
+              if (sa(x) == sb(y)) { inter += 1; x += 1; y += 1 }
+              else if (sa(x) < sb(y)) x += 1 else y += 1
+            }
+            val union = sa.length + sb.length - inter
+            val as = inter.toDouble / union
+            val strength = java.math.BigDecimal.valueOf(ts * 0.8 + as * 0.2)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (strength > 0.5) out += ((keys(i), keys(j), strength))
           }
-          val union = sa.length + sb.length - inter
-          val as = inter.toDouble / union
-          val strength = java.math.BigDecimal.valueOf(ts * 0.8 + as * 0.2)
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (strength > 0.5) out += ((keys(i), keys(j), strength))
           j += 1
         }
         i += 1
