@@ -36,57 +36,110 @@ object Functions {
 
   /** F3 fuzzy-similarity blocked self-join (J10 shape, ref
     * `oclc/classify.py:1340-1346`, `canonicalize.py:320-321`): part
-    * names ≥ 80 similar within a (brand, first-token) block. Blocking
-    * bounds the pair count — never an all-pairs cross join. The
-    * DataFrame layer does DISTRIBUTION (group blocks, one shuffle);
-    * the O(m²) inner comparison runs in a compiled per-block kernel —
-    * the VectorSearch/m5 split; measured 2.2µs/pair as a joined
-    * `levenshtein` expression vs ~0.3µs here. Inside the kernel, two
-    * sound prunes that cannot change the result: identical names
-    * short-circuit to ratio 100, and ratio ≥ 80 (HALF_UP) ⇔ dist ≤
-    * 0.205·maxlen ≥ |Δlen| gives an integer length band that skips
-    * the DP entirely.
+    * names ≥ 80 similar within a (brand, first-token) block — never an
+    * all-pairs cross join. The DataFrame layer does DISTRIBUTION
+    * (group sub-blocks, one shuffle); the inner comparison runs in a
+    * compiled per-cell kernel — the VectorSearch/m5 split; measured
+    * 2.2µs/pair as a joined `levenshtein` expression vs ~0.3µs here.
     *
-    * Scale caveat (measured at sf1, SCALING.md): the block key is a
-    * FIXED vocabulary, so block size grows linearly with rows and
-    * within-block pair work quadratically — inherent to the
-    * reference's (author, title-token) bucket semantics. At larger
-    * scale block finer (more tokens + length bands) or use the
-    * banded-minhash shape (TextDedup), whose key cardinality grows
-    * WITH the data.
+    * Scale shape: the reference's (author, title-token) key is a FIXED
+    * vocabulary, so raw block size grows linearly with rows and pair
+    * work quadratically (measured 17× time for 10× rows at sf1 before
+    * this fix). Two semantics-preserving bounds restore ~linear work:
+    *
+    *  - GEOMETRIC LENGTH-BAND SUB-BLOCKING. ratio ≥ 80 (HALF_UP) ⇔
+    *    lev ≤ 0.205·maxlen, and lev ≥ |Δlen|, so a qualifying pair has
+    *    maxlen/minlen ≤ 1/0.795 < 1.26. Banding by
+    *    band = ⌊ln len / ln 1.26⌋ therefore puts every qualifying pair
+    *    in the same or adjacent bands; each row is shuffled to buckets
+    *    {band, band−1} and a pair is compared exactly once, in the
+    *    bucket equal to its SMALLER band (for bands only k and k+1
+    *    co-occur in bucket k, so "at least one endpoint is home" is
+    *    that rule). The sub-block key cardinality now grows with the
+    *    length spread, capping both per-task memory and kernel m².
+    *  - EXACT-DUP GROUPING + LENGTH-WINDOW SCAN inside the cell.
+    *    Entity-resolution corpora are duplicate-heavy (measured: the
+    *    sf1 point has every name 10×, and the TRUE output grows 107×
+    *    for 10× rows — the output itself is quadratic, so the floor
+    *    for any correct plan is output-linear work). Members group by
+    *    name first, the DP runs once per DISTINCT-name pair
+    *    (length-sorted scan, breaking at the first j with
+    *    (len_j−len_i)·1000 > 210·len_j — monotone, and such pairs fail
+    *    the |Δlen| ≤ lev prune, so the break loses nothing), and a
+    *    qualifying name pair expands to its key pairs at emit time —
+    *    pure output, no per-key-pair DP. Identical-name groups emit
+    *    their intra-group pairs at ratio 100 directly.
+    *
+    * All prunes are sound (integer arithmetic, no float boundary): the
+    * emitted pair set is bit-identical to the unbanded all-pairs form,
+    * which the unchanged DuckDB oracle verifies.
     */
   def f3BlockedSimilarity(env: Env): DataFrame = {
     val spark = env.spark
     import org.apache.spark.sql.Encoders
-    implicit val cellEnc = Encoders.product[(String, Seq[(Long, String)])]
+    implicit val cellEnc = Encoders.product[(Int, Seq[(String, Seq[Long], Int)])]
     implicit val outEnc = Encoders.product[(Long, Long, String, String, Int)]
+    // ln(1/0.795) = 0.2294 < ln 1.26 = 0.2311 → qualifying pairs span ≤ 1 band
+    val band = floor(log(greatest(length($"p_name"), lit(1)).cast("double"))
+                       / lit(math.log(1.26))).cast("int")
     val cells = env.part
-      .select($"p_partkey", $"p_name",
-              concat($"p_brand", lit("|"), split($"p_name", " ").getItem(0))
-                .as("blk"))
-      .groupBy($"blk")
-      .agg(collect_list(struct($"p_partkey", $"p_name")).as("members"))
-      .as[(String, Seq[(Long, String)])]
-    cells.flatMap { case (_, members) =>
-      val ms = members.sortBy(_._1).toArray
-      val keys = ms.map(_._1)
-      val names = ms.map(_._2)
+      .groupBy($"p_brand", $"p_name")
+      .agg(sort_array(collect_list($"p_partkey")).as("keys"))
+      .select($"p_name", $"keys",
+              split($"p_name", " ").getItem(0).as("tok0"), $"p_brand",
+              band.as("band"))
+      .select($"p_name", $"keys", $"tok0", $"p_brand", $"band",
+              explode(array($"band", $"band" - 1)).as("bucket"))
+      .groupBy($"p_brand", $"tok0", $"bucket")
+      .agg(collect_list(struct($"p_name", $"keys", $"band")).as("members"))
+      .select($"bucket", $"members")
+      .as[(Int, Seq[(String, Seq[Long], Int)])]
+    cells.flatMap { case (bucket, members) =>
+      // distinct names within the cell (grouped upstream), length-sorted
+      val ms = members.sortBy(m => (m._1.length, m._1)).toArray
+      val names = ms.map(_._1)
+      val keyArrs = ms.map(_._2.toArray)
+      val bands = ms.map(_._3)
       val out = Seq.newBuilder[(Long, Long, String, String, Int)]
       var i = 0
-      while (i < keys.length) {
-        val na = names(i)
+      while (i < names.length) {
+        val na = names(i); val la = na.length; val ka = keyArrs(i)
+        // identical-name pairs: ratio 100, same band → home bucket only
+        if (bands(i) == bucket) {
+          var x = 0
+          while (x < ka.length) {
+            var y = x + 1
+            while (y < ka.length) { // keys pre-sorted ascending
+              out += ((ka(x), ka(y), na, na, 100)); y += 1
+            }
+            x += 1
+          }
+        }
         var j = i + 1
-        while (j < keys.length) {
-          val nb = names(j)
-          val maxLen = math.max(na.length, nb.length)
-          if (na == nb) out += ((keys(i), keys(j), na, nb, 100))
-          else if (math.abs(na.length - nb.length) * 1000 <= 210 * maxLen) {
+        var inWindow = true
+        while (j < names.length && inWindow) {
+          val nb = names(j); val lb = nb.length // ≥ la (length-sorted)
+          if ((lb - la) * 1000 > 210 * lb) inWindow = false
+          else if (bands(i) == bucket || bands(j) == bucket) {
+            // distinct names by construction → DP once per name pair
             val lev = graft.functions.Fuzzy.levenshtein(na, nb)
             // replicate levenshteinRatio: round(100·(1−d/max)) HALF_UP
             val ratio = java.math.BigDecimal
-              .valueOf(100.0 * (1.0 - lev.toDouble / maxLen))
+              .valueOf(100.0 * (1.0 - lev.toDouble / lb))
               .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
-            if (ratio >= 80) out += ((keys(i), keys(j), na, nb, ratio))
+            if (ratio >= 80) {
+              val kb = keyArrs(j)
+              var x = 0
+              while (x < ka.length) {
+                var y = 0
+                while (y < kb.length) {
+                  if (ka(x) < kb(y)) out += ((ka(x), kb(y), na, nb, ratio))
+                  else out += ((kb(y), ka(x), nb, na, ratio))
+                  y += 1
+                }
+                x += 1
+              }
+            }
           }
           j += 1
         }

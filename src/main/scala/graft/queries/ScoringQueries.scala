@@ -173,65 +173,137 @@ object ScoringQueries {
     * 0.2·author-set overlap over blocked candidate pairs; emits the new
     * equivalency rows above the 0.5 floor.
     *
-    * Pair stage is a compiled per-block kernel (like the cosine pair
-    * scan): blocks are grouped once, each (brand, first-token) cell
-    * enumerates its pairs with primitive-loop levenshtein and
-    * sorted-set overlap — the expression form spent 14µs/pair in
-    * interpreted array_intersect/union. Same formula, same rounding,
-    * identical results.
+    * Pair stage is a compiled per-cell kernel (like the cosine pair
+    * scan): sub-blocks are grouped once, each cell enumerates its pairs
+    * with primitive-loop levenshtein and sorted-set overlap — the
+    * expression form spent 14µs/pair in interpreted
+    * array_intersect/union. Same formula, same rounding, identical
+    * results.
+    *
+    * Scale shape (same move as [[Functions.f3BlockedSimilarity]], which
+    * documents the band/bucket/dedup-rule math): strength > 0.5 (6dp
+    * HALF_UP) needs ts ≥ 0.375, i.e. lev ≤ 0.625·maxlen ≥ |Δlen|, so a
+    * qualifying pair has maxlen/minlen ≤ 1/0.375 < 2.67 — geometric
+    * length bands with r = 2.67 put every qualifying pair in the same
+    * or adjacent band. Rows shuffle to buckets {band, band−1}; a pair
+    * is compared once, in the bucket of its smaller band. Inside the
+    * kernel the length-sorted scan breaks at the first j with
+    * (len_j−len_i)·100 ≥ 63·len_j (monotone; such pairs fail the
+    * |Δlen| prune and can never emit). Integer-arithmetic prunes only —
+    * the emitted set is bit-identical to the unbanded form, verified by
+    * the unchanged oracle.
     */
   def m5EquivStrength(env: Env): DataFrame = {
     val spark = env.spark
     import org.apache.spark.sql.Encoders
-    implicit val enc = Encoders.product[(String, Seq[(Long, String, Seq[Long])])]
+    implicit val enc =
+      Encoders.product[(Int, Seq[(Long, String, Seq[Long], Int)])]
     implicit val outEnc = Encoders.product[(Long, Long, Double)]
     val sups = env.lineitem.groupBy($"l_partkey")
       .agg(sort_array(collect_set($"l_suppkey")).as("sups"))
+    // ln(1/0.375) = 0.9808 < ln 2.67 = 0.9821 → qualifying pairs span ≤ 1 band
+    val band = floor(log(greatest(length($"p_name"), lit(1)).cast("double"))
+                       / lit(math.log(2.67))).cast("int")
     val cells = env.part
-      .select($"p_partkey", $"p_name",
-              concat($"p_brand", lit("|"), split($"p_name", " ").getItem(0))
-                .as("blk"))
+      .select($"p_partkey", $"p_name", $"p_brand",
+              split($"p_name", " ").getItem(0).as("tok0"), band.as("band"))
       .join(sups, $"p_partkey" === $"l_partkey")
-      .groupBy($"blk")
-      .agg(collect_list(struct($"p_partkey", $"p_name", $"sups")).as("members"))
-      .as[(String, Seq[(Long, String, Seq[Long])])]
-    cells.flatMap { case (_, members) =>
-      // Unbox once per member: parallel primitive arrays, not tuple/Seq
-      // access in the O(m²) loop.
-      val ms = members.sortBy(_._1).toArray
+      .select($"p_partkey", $"p_name", $"p_brand", $"tok0", $"band", $"sups",
+              explode(array($"band", $"band" - 1)).as("bucket"))
+      .groupBy($"p_brand", $"tok0", $"bucket")
+      .agg(collect_list(struct($"p_partkey", $"p_name", $"sups", $"band"))
+             .as("members"))
+      .select($"bucket", $"members")
+      .as[(Int, Seq[(Long, String, Seq[Long], Int)])]
+
+    cells.flatMap { case (bucket, members) =>
+      // Sort by (len, name, key): identical names form adjacent RUNS, so
+      // the O(len²) DP runs once per distinct-name pair and per-key-pair
+      // work is only the O(|sups|) sorted-merge — output-bound on
+      // dup-heavy data. Unbox once per member: parallel primitive
+      // arrays, not tuple/Seq access in the pair loops.
+      val ms = members.sortBy(m => (m._2.length, m._2, m._1)).toArray
+      val n = ms.length
       val keys = ms.map(_._1)
       val names = ms.map(_._2)
       val supsArr = ms.map(_._3.toArray)
+      val bands = ms.map(_._4)
+      // run(i) = exclusive end of the identical-name run starting at i
+      val runEnd = new Array[Int](n)
+      var r0 = 0
+      while (r0 < n) {
+        var r1 = r0 + 1
+        while (r1 < n && names(r1) == names(r0)) r1 += 1
+        var t = r0; while (t < r1) { runEnd(t) = r1; t += 1 }
+        r0 = r1
+      }
       val out = Seq.newBuilder[(Long, Long, Double)]
-      var i = 0
-      while (i < keys.length) {
-        val na = names(i); val sa = supsArr(i)
-        var j = i + 1
-        while (j < keys.length) {
-          val nb = names(j); val sb = supsArr(j)
-          // SOUND skip: strength > 0.5 (6dp HALF_UP) needs ts > 0.3749,
-          // i.e. lev < 0.6251·maxlen; lev ≥ |Δlen|, so |Δlen|·100 ≥
-          // 63·maxlen can never emit — skips the O(len²) DP, result
-          // unchanged (integer math, no float boundary loss).
-          val maxLen = math.max(na.length, nb.length)
-          if (math.abs(na.length - nb.length) * 100 < 63 * maxLen) {
-            val lev = graft.functions.Fuzzy.levenshtein(na, nb)
-            val ts = 1.0 - lev.toDouble / maxLen
-            // sorted-merge intersection count (both sets ascending)
-            var x = 0; var y = 0; var inter = 0
-            while (x < sa.length && y < sb.length) {
-              if (sa(x) == sb(y)) { inter += 1; x += 1; y += 1 }
-              else if (sa(x) < sb(y)) x += 1 else y += 1
-            }
-            val union = sa.length + sb.length - inter
-            val as = inter.toDouble / union
-            val strength = java.math.BigDecimal.valueOf(ts * 0.8 + as * 0.2)
-              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-            if (strength > 0.5) out += ((keys(i), keys(j), strength))
-          }
-          j += 1
+      // round6 HALF_UP; cheap double precheck (conservatively low
+      // threshold) skips the BigDecimal for clearly-failing pairs
+      def emitIfAbove(ki: Long, kj: Long, ts: Double,
+                      sa: Array[Long], sb: Array[Long]): Unit = {
+        var x = 0; var y = 0; var inter = 0
+        while (x < sa.length && y < sb.length) { // sorted-merge intersect
+          if (sa(x) == sb(y)) { inter += 1; x += 1; y += 1 }
+          else if (sa(x) < sb(y)) x += 1 else y += 1
         }
-        i += 1
+        val as = inter.toDouble / (sa.length + sb.length - inter)
+        val v = ts * 0.8 + as * 0.2 // same float order as the oracle form
+        if (v > 0.49999) {
+          val strength = java.math.BigDecimal.valueOf(v)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (strength > 0.5) {
+            if (ki < kj) out += ((ki, kj, strength))
+            else out += ((kj, ki, strength))
+          }
+        }
+      }
+      var i = 0
+      while (i < n) { // i is a run head; advance run-by-run
+        val iEnd = runEnd(i)
+        val na = names(i); val la = na.length
+        // identical names within the run: ts = 1 — home bucket only
+        if (bands(i) == bucket) {
+          var x = i
+          while (x < iEnd) {
+            var y = x + 1
+            while (y < iEnd) { // run pre-sorted by key
+              emitIfAbove(keys(x), keys(y), 1.0, supsArr(x), supsArr(y))
+              y += 1
+            }
+            x += 1
+          }
+        }
+        // cross-run pairs: ONE DP per distinct-name pair, reused across
+        // the key-pair expansion
+        var j = iEnd
+        var inWindow = true
+        while (j < n && inWindow) {
+          val nb = names(j); val lb = nb.length // ≥ la (length-sorted)
+          if ((lb - la) * 100 >= 63 * lb) inWindow = false
+          else {
+            val jEnd = runEnd(j)
+            if (bands(i) == bucket || bands(j) == bucket) {
+              val lev = graft.functions.Fuzzy.levenshtein(na, nb)
+              val ts = 1.0 - lev.toDouble / lb
+              // SOUND skip: jaccard ≤ 1 caps every key pair of this name
+              // pair at round6(0.8·ts + 0.2) — under the floor, skip all
+              if (ts * 0.8 + 0.2 > 0.49999) {
+                var x = i
+                while (x < iEnd) {
+                  var y = j
+                  while (y < jEnd) {
+                    emitIfAbove(keys(x), keys(y), ts, supsArr(x), supsArr(y))
+                    y += 1
+                  }
+                  x += 1
+                }
+              }
+            }
+            j = jEnd
+          }
+        }
+        i = iEnd
       }
       out.result()
     }.toDF("src", "dst", "strength")

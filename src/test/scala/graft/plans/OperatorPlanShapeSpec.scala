@@ -62,6 +62,26 @@ class OperatorPlanShapeSpec extends SparkSpec {
       joins.map(j => s"${j.nodeName}: ${j.leftKeys} = ${j.rightKeys}").mkString("; "))
   }
 
+  test("f3/m5 banded similarity joins: band explode present, never a cross join") {
+    val env = graft.Env(spark, "/root/testdata/sf0.001")
+    for (df <- Seq(graft.queries.Functions.f3BlockedSimilarity(env),
+                   graft.queries.ScoringQueries.m5EquivStrength(env))) {
+      df.count()
+      val nodes = Bucketing.physicalNodes(df)
+      assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec]
+                             || n.isInstanceOf[CartesianProductExec]),
+        df.queryExecution.executedPlan.toString)
+      // the length-band sub-blocking shape: rows explode into
+      // {band, band−1} buckets before the cell groupBy
+      assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+        df.queryExecution.executedPlan.toString)
+      // one bounded shuffle per groupBy + the output sort — a replan
+      // into a join-based pair expansion would add exchanges
+      assert(Bucketing.shuffleCount(df) <= 4,
+        df.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("sessionize: one exchange, one shared sort for both windows") {
     val events = spark.range(2000)
       .select(($"id" % 20).as("user_id"), ($"id" * 1000000L).as("ts"),
