@@ -53,7 +53,16 @@ object Bench {
     val errs = results.collect { case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}"""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    println(json)
+    // The driver tail-captures stdout and can clip the single long line
+    // past the first ~40 queries — persist the full JSON to a file too
+    // so every timing survives into the round record.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench-full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+    } catch { case _: Throwable => () } // file capture is best-effort
     spark.stop()
   }
 }

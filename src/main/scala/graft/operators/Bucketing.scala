@@ -31,8 +31,9 @@ object Bucketing {
     * real operators beneath — so plan-shape assertions walk the actual
     * tree rather than substring-matching the plan string (range
     * partitioning, reused exchanges, and node renames all count). A
-    * reused exchange contributes its referenced original again: for
-    * shuffle counting, reuse IS a shuffle occurrence in the shape. */
+    * reused exchange contributes its referenced ORIGINAL subtree again,
+    * so node-TYPE detection (windows, joins) sees through reuse;
+    * [[shuffleCount]] dedupes those originals by identity. */
   def physicalNodes(df: DataFrame)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
@@ -50,10 +51,20 @@ object Bucketing {
     walk(df.queryExecution.executedPlan)
   }
 
-  /** Number of shuffle exchanges in the executed plan. */
+  /** Number of DISTINCT shuffle exchanges in the executed plan.
+    * Distinct by reference identity: a ReusedExchangeExec resolves to
+    * the same original node, so Catalyst deciding to REUSE a shuffle (a
+    * pure win — the data moves once) cannot read as an extra shuffle
+    * and fail a plan-shape assertion. */
   def shuffleCount(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    physicalNodes(df).count(_.isInstanceOf[ShuffleExchangeLike])
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    physicalNodes(df).foreach {
+      case s: ShuffleExchangeLike => seen.add(s)
+      case _ => ()
+    }
+    seen.size
   }
 
   /** True when the executed plan contains no shuffle exchange node —

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * OOM the driver and every executor) auto-switches to a
   * SHUFFLE_HASH equi-join on the gram hash — the corpus pays one
   * shuffle, but is only streamed (never sorted or buffered) against
-  * the bench-side hash table; the decision is one cheap count of the
-  * bench table, negligible next to the corpus scan. Training grams
+  * the bench-side hash table; the decision is one column-pruned
+  * aggregate over the bench table (GRAM volume, not doc count — a
+  * handful of book-length eval docs can out-gram 10⁵ short ones),
+  * negligible next to the corpus scan. Training grams
   * are deduplicated per document only (array_distinct inside the row),
   * never globally — the global distinct would be a corpus-sized
   * shuffle bought for nothing. All expressions are codegen'd
@@ -51,19 +53,29 @@ object Decontaminate {
     * docs don't appear — the common case at scale, so the output is a
     * small flag table to anti-join against the corpus.
     *
-    * @param maxBroadcastBenchDocs bench-doc count above which the
-    *   broadcast is replaced by the shuffled hash join (see object
-    *   doc). The count runs eagerly on the bench side only.
+    * @param maxBroadcastBenchGrams estimated bench gram count above
+    *   which the broadcast is replaced by the shuffled hash join (see
+    *   object doc). Grams per doc ≤ whitespace tokens ≤ ⌈chars/2⌉, so
+    *   (sum(length(text)) + count)/2 upper-bounds the gram volume from
+    *   ONE eager column-pruned aggregate of the bench side only —
+    *   never the corpus. Default 2M grams ≈ a ~10²MB broadcast hash
+    *   relation of 32-byte md5 keys.
     */
   def contaminated(train: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 13,
-                   maxBroadcastBenchDocs: Long = 100000L): DataFrame = {
+                   maxBroadcastBenchGrams: Long = 2000000L): DataFrame = {
     val tg = train.select(col(idCol).as("doc_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
+    val sizing = bench
+      .agg(coalesce(sum(length(col(textCol))), lit(0L)).cast("long"),
+           count(lit(1)))
+      .collect()(0)
+    val estGrams = math.max(sizing.getLong(1), // ≥ 1 whole-text gram/doc
+                            (sizing.getLong(0) + sizing.getLong(1)) / 2)
     val joined =
-      if (bench.count() <= maxBroadcastBenchDocs) tg.join(broadcast(bg), "g")
+      if (estGrams <= maxBroadcastBenchGrams) tg.join(broadcast(bg), "g")
       else tg.join(bg.hint("SHUFFLE_HASH"), "g")
     joined
       .groupBy(col("doc_id"))

@@ -94,6 +94,13 @@ object Sampling {
   def stratifiedByFraction(df: DataFrame, strata: Seq[String], idCol: String,
                            fraction: Column, salt: String = "graft-strat")
       : DataFrame = {
+    // same contract-enforcement posture as the '|' / NULL-id guards:
+    // withColumn would silently REPLACE a pre-existing rn/n_stratum and
+    // the final drop would then delete the caller's column
+    val reserved = Seq("rn", "n_stratum").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"Sampling: input columns ${reserved.mkString(", ")} are reserved " +
+        "by the windowed sample (would be overwritten and dropped)")
     val parts: Seq[Column] = strata.map(col)
     val w = Window.partitionBy(parts: _*)
       .orderBy(hashKey(strata, idCol, salt))

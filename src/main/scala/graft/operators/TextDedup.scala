@@ -179,11 +179,16 @@ object TextDedup {
     * produces both its distinct shingle-hash set (the verify side) and
     * its `keys` smallest shingle hashes (the block keys) — previously
     * two kernels, one of which re-derived every shingle as an md5
-    * string (the block-key hash family is a private implementation
-    * detail: keys only FEED candidate generation, the exact-Jaccard
-    * verify determines the output, so FNV min-keys carry the same
-    * min-shingle blocking statistics at a fraction of the hashing
-    * cost). Unsigned min order — any fixed total order works. */
+    * string. The hash family affects RECALL, not precision: keys only
+    * feed candidate generation and the exact-Jaccard verify kills every
+    * false candidate, but different hash families elect different
+    * min-shingles, so the candidate set — and therefore which true
+    * near-dup pairs are surfaced — can differ between md5 and FNV
+    * min-keys. Both are uniform enough that the EXPECTED recall of
+    * min-shingle blocking is the same (the min of a uniformly hashed
+    * set is a uniform sample either way); the swap trades a per-shingle
+    * md5-string allocation for a primitive FNV step, not an output
+    * identity. Unsigned min order — any fixed total order works. */
   private[graft] def minKeySetsKernel(docs: DataFrame, n: Int,
                                       keys: Int): DataFrame = {
     val spark = docs.sparkSession

@@ -48,7 +48,7 @@ class CorpusOpsSpec extends SparkSpec {
     val bcast = Decontaminate.contaminated(train, bench, "doc_id", "text")
     // threshold 0 forces the over-broadcast-limit path
     val shuffled = Decontaminate.contaminated(train, bench, "doc_id", "text",
-      maxBroadcastBenchDocs = 0L)
+      maxBroadcastBenchGrams = 0L)
     val a = bcast.orderBy("doc_id").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val b = shuffled.orderBy("doc_id").collect().map(r =>
@@ -62,6 +62,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Bucketing.physicalNodes(bcast)
              .exists(_.isInstanceOf[BroadcastHashJoinExec]),
       bcast.queryExecution.executedPlan.toString)
+  }
+
+  test("decontamination sizes the broadcast by gram volume, not doc count") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    // TWO bench docs — any doc-count heuristic broadcasts — but each is
+    // huge, so the gram-volume bound must take the shuffled path
+    val big = (1 to 3000).map(i => s"tok$i").mkString(" ")
+    val bench = Seq((100L, big), (101L, big + " tail")).toDF("doc_id", "text")
+    val train = Seq((1L, big.split(" ").take(13).mkString(" ")), (2L, "clean"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contaminated(train, bench, "doc_id", "text",
+      maxBroadcastBenchGrams = 1000L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 2L))) // doc 1's 13-gram is in both bench docs
+    val nodes = Bucketing.physicalNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      out.queryExecution.executedPlan.toString)
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      out.queryExecution.executedPlan.toString)
   }
 
   test("asOf picks the latest right row at or before each left ts") {

@@ -75,5 +75,13 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratified(badStratum, Seq("lang"), "doc_id", 0.5).collect()
     }
     assert(deepMessages(e2).contains("reserved '|'"), deepMessages(e2))
+
+    // windowed path: a pre-existing rn/n_stratum column would be
+    // silently overwritten then dropped — must raise at plan time
+    val clash = Seq((1L, "en", 7)).toDF("doc_id", "lang", "rn")
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.stratified(clash, Seq("lang"), "doc_id", 0.5)
+    }
+    assert(e3.getMessage.contains("reserved"), e3.getMessage)
   }
 }
