@@ -20,11 +20,16 @@ import org.apache.spark.sql.types._
   * (also JDK built-in) parses WAV/PCM containers, so `decodeAudio`
   * reports true format/frame counts plus peak/RMS computed from the
   * decoded samples, and `sampleAudioWindows` cuts genuine fixed-length
-  * PCM frame windows. VIDEO frame sampling remains STUBBED (the JDK
-  * has no video-container codecs): `sampleFrames` chunks the payload
-  * deterministically; the Spark-side contract — schema, batching,
-  * partitioning, generator shape — is real and tested, and a real
-  * implementation replaces only the body marked "STUB".
+  * PCM frame windows. VIDEO frame sampling is REAL for the one
+  * multi-frame container the JDK can decode: animated GIF —
+  * [[sampleGifFrames]] iterates true frames through ImageIO's
+  * sequence reader (`getNumImages`/`read(i)`) and reports per-frame
+  * dimensions + pixel statistics, the same honest-codec move WAV made
+  * for audio. MP4/WebM remain STUBBED (no JDK codec):
+  * [[sampleFrames]] chunks the payload deterministically; its
+  * Spark-side contract — schema, batching, partitioning, generator
+  * shape — is real and tested, and a codec implementation replaces
+  * only the body marked "STUB".
   */
 object Multimodal {
 
@@ -302,6 +307,105 @@ object Multimodal {
         }
       }
       .toDF("media_id", "window_ordinal", "n_samples", "peak")
+  }
+
+  // ---- video (REAL for animated GIF via ImageIO; MP4/WebM stubbed) ----
+
+  /** REAL animated-GIF bytes from frames, written through ImageIO's
+    * sequence writer — constructive test/query payloads round-trip the
+    * honest codec path (same posture as [[wavBytes]]). All frames
+    * must share dimensions (GIF sub-rect frames are out of scope).
+    * JDK codec quirk (measured, JDK 17): the GIF READER returns the
+    * last row zeroed for images under 5 rows tall — constructive
+    * payloads must use height ≥ 5 to round-trip losslessly. */
+  def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "gifBytes: at least one frame")
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Solid 8-bit-gray frame — constructive payloads whose pixel stats
+    * are predictable in SQL. INDEXED with an explicit 256-gray palette:
+    * the GIF writer embeds an indexed image's own color table verbatim
+    * (lossless round-trip), where a gray/RGB raster would be quantized
+    * and dithered against the writer's default palette. */
+  def grayFrame(w: Int, h: Int, level: Int): java.awt.image.BufferedImage = {
+    require(level >= 0 && level <= 255, s"grayFrame: level $level")
+    val grays = Array.tabulate[Byte](256)(i => i.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, level); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** REAL frame sampling for ImageIO containers (animated GIF is the
+    * multi-frame case): iterate true frames, keep every `everyN`-th,
+    * and report the frame's decoded dimensions and mean channel value
+    * (avg of r,g,b over all pixels, 6dp HALF_UP — Spark-round like the
+    * audio RMS so it is SQL-oracle-reproducible). One clip row → N
+    * frame rows, a narrow per-partition generator; undecodable or null
+    * content yields no rows (same posture as [[sampleAudioWindows]]).
+    */
+  def sampleGifFrames(media: DataFrame, everyN: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Nil
+        else try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) { iis.close(); Nil }
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              val n = reader.getNumImages(true)
+              // materialize eagerly — the reader closes on exit
+              (0 until n by everyN).map { f =>
+                val img = reader.read(f)
+                var sum = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val rgb = img.getRGB(x, y)
+                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                      (rgb & 0xff)
+                    x += 1
+                  }
+                  y += 1
+                }
+                val nPix = img.getWidth.toLong * img.getHeight
+                val mean = java.math.BigDecimal
+                  .valueOf(sum.toDouble / (3.0 * nPix))
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                (id, f, img.getWidth, img.getHeight, mean)
+              }
+            } finally { reader.dispose(); iis.close() }
+          }
+        } catch { case _: Exception => Nil }
+      }
+      .toDF("media_id", "frame_ordinal", "width", "height", "mean_rgb")
   }
 
   /** STUB frame sampling — splits the payload into fixed-size chunks

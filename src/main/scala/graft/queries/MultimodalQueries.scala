@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * constructive oracles (the oracle recomputes the expected stats from
   * the same construction — it never parses bytes). Images use the fake
   * GIMG header; audio payloads are REAL WAV containers written and
-  * decoded through `javax.sound.sampled`, so the audio queries
-  * exercise the honest codec round-trip end to end.
+  * decoded through `javax.sound.sampled`; video payloads are REAL
+  * animated GIFs written and frame-iterated through `javax.imageio` —
+  * the audio/video queries exercise honest codec round-trips end to
+  * end.
   */
 object MultimodalQueries {
 
@@ -47,6 +49,30 @@ object MultimodalQueries {
         windowFrames = 32, everyN = 2)
       .orderBy($"media_id", $"window_ordinal")
 
+  /** Deterministic animated-GIF corpus over `part`: per-key frame
+    * count / dimensions (height ≥ 5 — see [[Multimodal.gifBytes]] on
+    * the JDK reader's short-image quirk), solid-gray frames from a
+    * fixed integer recurrence so every decoded frame stat is
+    * predictable in SQL. */
+  private def videoMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long].map { key =>
+      val n = (2 + key % 4).toInt
+      val w = (5 + key % 6).toInt
+      val h = (5 + key % 4).toInt
+      val frames = (0 until n).map(f =>
+        Multimodal.grayFrame(w, h, ((key * 37 + f * 19) % 256).toInt))
+      (key, Multimodal.gifBytes(frames))
+    }.toDF("media_id", "content")
+  }
+
+  /** Real GIF frame sampling end to end: encode → iterate true frames
+    * → per-frame dims + exact mean gray level, every 2nd frame. */
+  def mmVideoFrames(env: Env): DataFrame =
+    Multimodal.sampleGifFrames(videoMedia(env), everyN = 2)
+      .orderBy($"media_id", $"frame_ordinal")
+
   def mmMediaDecode(env: Env): DataFrame = {
     val w = ($"p_partkey" % 640 + 1).cast("int")
     val h = ($"p_partkey" % 480 + 1).cast("int")
@@ -62,6 +88,24 @@ object MultimodalQueries {
   }
 
   val entries: Seq[Q] = Seq(
+    Q.sql("mm_video_frames", mmVideoFrames,
+      """WITH m AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |    2 + p_partkey % 4 AS n_frames,
+        |    CAST(5 + p_partkey % 6 AS INT) AS width,
+        |    CAST(5 + p_partkey % 4 AS INT) AS height
+        |  FROM part),
+        |f AS (
+        |  SELECT media_id, width, height,
+        |    CAST(unnest(range(0, n_frames)) AS INT) AS frame_ordinal
+        |  FROM m)
+        |SELECT media_id, frame_ordinal, width, height,
+        |  CAST((media_id * 37 + frame_ordinal * 19) % 256 AS DOUBLE)
+        |    AS mean_rgb
+        |FROM f
+        |WHERE frame_ordinal % 2 = 0
+        |ORDER BY media_id, frame_ordinal""".stripMargin),
+
     Q.sql("mm_media_decode", mmMediaDecode,
       """WITH m AS (
         |  SELECT p_partkey AS media_id,

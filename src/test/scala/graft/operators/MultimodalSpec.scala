@@ -113,4 +113,30 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
     assert(wins.toSeq == Seq((0L, 32L, 32), (2L, 16L, 80)))
   }
+
+  test("animated GIF round-trip: real frames, exact gray levels, everyN") {
+    // 5 solid-gray frames (height ≥ 5: the JDK GIF reader zeroes the
+    // last row of shorter images); everyN=2 keeps ordinals 0, 2, 4 with
+    // exact levels — the indexed gray palette survives losslessly
+    val gif = Multimodal.gifBytes(
+      (0 until 5).map(f => Multimodal.grayFrame(7, 6, 40 * f + 3)))
+    val rows = Multimodal.sampleGifFrames(mediaDf(9L -> gif), everyN = 2)
+      .orderBy("frame_ordinal").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (0, 7, 6, 3.0), (2, 7, 6, 83.0), (4, 7, 6, 163.0)))
+  }
+
+  test("GIF frame sampling: undecodable and null content yield no rows") {
+    val out = Multimodal.sampleGifFrames(mediaDf(
+      1L -> "definitely not a gif".getBytes,
+      2L -> null.asInstanceOf[Array[Byte]]))
+    assert(out.count() == 0)
+  }
+
+  test("single-frame PNG through the frame sampler emits one frame") {
+    val rows = Multimodal.sampleGifFrames(mediaDf(3L -> pngBytes(5, 6)),
+        everyN = 3).collect()
+    assert(rows.length == 1 && rows(0).getInt(2) == 5 && rows(0).getInt(3) == 6)
+  }
 }
