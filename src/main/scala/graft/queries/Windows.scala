@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * global-order windows (W1 pagination) are inherently single-ordered-
   * stream semantics (an API page); Spark executes them as one-partition
   * windows, which is correct and cheap AFTER pushed-down filters cut the
-  * input — at 100 TB a feed endpoint would paginate keyset-style
-  * (`WHERE id > last_seen ORDER BY id LIMIT k`, = the W1 shape with a
-  * pushed filter) rather than deep-offset.
+  * input — at 100 TB a feed endpoint paginates keyset-style instead:
+  * [[w1PageKeyset]] (`WHERE id > last_seen ORDER BY id LIMIT k`) is
+  * that form, window-free with the cursor pushed into the scan.
   */
 object Windows {
 
@@ -29,6 +29,22 @@ object Windows {
       .filter($"rn" > 70 && $"rn" <= 105)
       .orderBy($"rn")
   }
+
+  /** W1 keyset pagination — the 100 TB form of the same feed endpoint
+    * (ref `controller.py:429-438` ordering semantics): the page AFTER a
+    * cursor is `WHERE id > last_seen ORDER BY id LIMIT k`. The cursor
+    * predicate pushes into the parquet scan (min/max row-group pruning
+    * skips everything before the cursor) and TakeOrderedAndProject
+    * keeps a k-row heap per partition — no global window, no
+    * single-partition sort, constant memory at any depth. Same page-35
+    * contract as [[w1Page]], cursor-addressed: both plans embed the
+    * same literal cursor, as an API would replay its `last_seen`. */
+  def w1PageKeyset(env: Env, afterKey: Long = 280L, k: Int = 35): DataFrame =
+    env.orders
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" > afterKey)
+      .orderBy($"o_orderkey")
+      .limit(k)
 
   /** W2 first()-by-id-order (ref `viaf.py:780-782` — earliest duplicate
     * contributor with the same VIAF): earliest event per user; event_id
@@ -109,6 +125,13 @@ object Windows {
         |  FROM orders)
         |WHERE rn > 70 AND rn <= 105
         |ORDER BY rn""".stripMargin),
+
+    Q.sql("w1_page_keyset", w1PageKeyset(_),
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey > 280
+        |ORDER BY o_orderkey
+        |LIMIT 35""".stripMargin),
 
     Q.sql("w2_first_by_order", w2FirstByOrder,
       """SELECT user_id, event_id, event_type

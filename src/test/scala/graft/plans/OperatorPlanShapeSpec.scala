@@ -82,6 +82,23 @@ class OperatorPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("keyset pagination: no window, cursor pushed to the scan, top-k only") {
+    val env = graft.Env(spark, "/root/testdata/sf0.001")
+    val page = graft.queries.Windows.w1PageKeyset(env)
+    page.count()
+    val nodes = Bucketing.physicalNodes(page)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      page.queryExecution.executedPlan.toString)
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      page.queryExecution.executedPlan.toString)
+    // the cursor predicate reaches the parquet scan
+    assert(page.queryExecution.executedPlan.toString.contains("PushedFilters")
+      && page.queryExecution.executedPlan.toString
+           .contains("GreaterThan(o_orderkey"),
+      page.queryExecution.executedPlan.toString)
+  }
+
   test("sessionize: one exchange, one shared sort for both windows") {
     val events = spark.range(2000)
       .select(($"id" % 20).as("user_id"), ($"id" * 1000000L).as("ts"),
