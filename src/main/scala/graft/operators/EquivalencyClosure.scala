@@ -53,17 +53,25 @@ object EquivalencyClosure {
     var frontier = seed0
     var lvl = 0
     while (lvl < levels && !frontier.isEmpty) {
-      val next = frontier
-        .join(bi, frontier("node") === bi("src"))
-        .select(frontier("seed"), bi("dst").as("node"),
-                (frontier("strength") * bi("strength")).as("strength"))
-        .filter(col("strength") > threshold)
-        .groupBy("seed", "node").agg(max("strength").as("strength"))
-        .localCheckpoint(eager = false)
+      val next = step(frontier, bi, threshold).localCheckpoint(eager = false)
       best = best.unionByName(next)
       frontier = next
       lvl += 1
     }
     best.groupBy("seed", "node").agg(max("strength").as("strength"))
   }
+
+  /** One Bellman-Ford level: extend `frontier` by a single edge hop,
+    * prune at the threshold, keep the per-(seed, node) max. Exposed at
+    * package level so ClosurePropertySpec can pin the skew behavior of
+    * THIS join shape (the localCheckpoint in [[closure]] truncates the
+    * per-level plan out of the final tree). */
+  private[graft] def step(frontier: DataFrame, bi: DataFrame,
+                          threshold: Double): DataFrame =
+    frontier
+      .join(bi, frontier("node") === bi("src"))
+      .select(frontier("seed"), bi("dst").as("node"),
+              (frontier("strength") * bi("strength")).as("strength"))
+      .filter(col("strength") > threshold)
+      .groupBy("seed", "node").agg(max("strength").as("strength"))
 }

@@ -59,4 +59,57 @@ class ClosurePropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("hub skew: AQE splits the skewed level join, results unchanged") {
+    // j9 is the operator most exposed to celebrity-identifier skew at
+    // 100x: one hub owning most edges concentrates one join partition.
+    // Pin that the closure's level-join SHAPE lets AQE's skew-join
+    // engage (a replan into a broadcast/partitioning-reusing form that
+    // suppresses it fails here) and that the split changes nothing.
+    val hub = (1 to 3000).map(i => (0L, i.toLong, 0.9))
+    val rest = (3001 to 3999).map(i => (i.toLong, i.toLong + 1, 0.9))
+    val edges = (hub ++ rest).toDF("src", "dst", "strength")
+    val bi = edges.unionByName(
+      edges.select($"dst".as("src"), $"src".as("dst"), $"strength"))
+    val nodes = (0L to 4000L).toDF("seed")
+      .select($"seed", $"seed".as("node"),
+              org.apache.spark.sql.functions.lit(1.0).as("strength"))
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    def runStep() = {
+      val out = EquivalencyClosure.step(nodes, bi, 0.0)
+      val rows = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      (out, rows)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "3KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "3KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val (skewed, skewedRows) = runStep()
+      val smj = Bucketing.physicalNodes(skewed).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty && smj.exists(_.isSkewJoin),
+        skewed.queryExecution.executedPlan.toString)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (_, plainRows) = runStep()
+      assert(skewedRows == plainRows && skewedRows.nonEmpty)
+      // every hub neighbor reached through the hub at 0.9
+      assert(skewedRows.contains((0L, 1L, 0.9)))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
