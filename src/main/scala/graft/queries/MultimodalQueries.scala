@@ -24,7 +24,14 @@ object MultimodalQueries {
   private def audioMedia(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    env.part.select(col("p_partkey").cast("long")).as[Long].map { key =>
+    // The few-MB key file packs into ONE scan split, which would run
+    // the whole per-row codec generator on a single core (measured
+    // 46s for 200k rows at sf1); the generator is embarrassingly
+    // parallel, so spread the keys first — a real media table arrives
+    // in thousands of splits and needs no such step.
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { key =>
       val sampleRate = (8000 + (key % 3) * 4000).toInt
       val channels = (1 + key % 2).toInt
       val nFrames = (50 + key % 100).toInt
@@ -57,7 +64,10 @@ object MultimodalQueries {
   private def videoMedia(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    env.part.select(col("p_partkey").cast("long")).as[Long].map { key =>
+    // single-split key file → parallelize the generator (see audioMedia)
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .map { key =>
       val n = (2 + key % 4).toInt
       val w = (5 + key % 6).toInt
       val h = (5 + key % 4).toInt
