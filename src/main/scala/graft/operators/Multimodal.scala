@@ -55,6 +55,27 @@ object Multimodal {
 
   private val FakePrefix = "GIMG|".getBytes("UTF-8")
 
+  /** Lock-free equivalent of `ImageIO.read(InputStream)` for byte
+    * payloads: sniff with the cached reader SPIs (see the video
+    * section) instead of consulting the IIORegistry per call; null when
+    * undecodable. Same codec classes, no registry lock on the hot path. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val spi = imageReaderSpis.find { s =>
+        try { iis.mark(); val ok = s.canDecodeInput(iis); iis.reset(); ok }
+        catch { case _: Exception => iis.reset(); false }
+      }
+      spi match {
+        case None => iis.close(); null
+        case Some(s) =>
+          val reader = s.createReaderInstance()
+          try { reader.setInput(iis); reader.read(0) }
+          finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => null }
+
   private def isFakeHeader(bytes: Array[Byte]): Boolean =
     bytes.length >= FakePrefix.length &&
       java.util.Arrays.equals(bytes, 0, FakePrefix.length,
@@ -81,9 +102,7 @@ object Multimodal {
               DecodedImage(id, parts(1).toInt, parts(2).toInt, bytes.length)
             else DecodedImage(id, -1, -1, bytes.length)
           } else {
-            val img =
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: Exception => null }
+            val img = readImage(bytes)
             if (img == null) DecodedImage(id, -1, -1, bytes.length)
             else DecodedImage(id, img.getWidth, img.getHeight, bytes.length)
           }
@@ -151,9 +170,7 @@ object Multimodal {
         return fakeImageBytes(w, h, parts(3).getBytes("UTF-8").take(w * h))
       return content
     }
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-      catch { case _: Exception => null }
+    val img = readImage(content)
     if (img == null) content
     else {
       val out = new java.awt.image.BufferedImage(
@@ -166,7 +183,12 @@ object Multimodal {
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
       val buf = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", buf)
+      val writer = pngWriterSpi.createWriterInstance()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+      try {
+        writer.setOutput(ios)
+        writer.write(out)
+      } finally { writer.dispose(); ios.close() }
       buf.toByteArray
     }
   }
@@ -372,14 +394,16 @@ object Multimodal {
       .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
       .asScala.toList
   }
-  private lazy val gifWriterSpi: javax.imageio.spi.ImageWriterSpi = {
+  private def writerSpiFor(format: String): javax.imageio.spi.ImageWriterSpi = {
     import scala.jdk.CollectionConverters._
     javax.imageio.spi.IIORegistry.getDefaultInstance
       .getServiceProviders(classOf[javax.imageio.spi.ImageWriterSpi], true)
       .asScala
-      .find(_.getFormatNames.exists(_.equalsIgnoreCase("gif")))
-      .getOrElse(throw new IllegalStateException("no GIF ImageWriterSpi"))
+      .find(_.getFormatNames.exists(_.equalsIgnoreCase(format)))
+      .getOrElse(throw new IllegalStateException(s"no $format ImageWriterSpi"))
   }
+  private lazy val gifWriterSpi = writerSpiFor("gif")
+  private lazy val pngWriterSpi = writerSpiFor("png")
 
   /** REAL animated-GIF bytes from frames, written through ImageIO's
     * sequence writer — constructive test/query payloads round-trip the
