@@ -74,15 +74,21 @@ object Functions {
     * emitted pair set is bit-identical to the unbanded all-pairs form,
     * which the unchanged DuckDB oracle verifies.
     */
-  def f3BlockedSimilarity(env: Env): DataFrame = {
-    val spark = env.spark
+  def f3BlockedSimilarity(env: Env): DataFrame = f3Banded(env.part)
+
+  /** The banded plan over an explicit parts frame — split out so
+    * FunctionsPropertySpec can drive it with adversarial inputs (empty
+    * names, extreme length gaps, heavy duplicates) against a local
+    * brute-force reference. */
+  private[graft] def f3Banded(parts: DataFrame): DataFrame = {
+    val spark = parts.sparkSession
     import org.apache.spark.sql.Encoders
     implicit val cellEnc = Encoders.product[(Int, Seq[(String, Seq[Long], Int)])]
     implicit val outEnc = Encoders.product[(Long, Long, String, String, Int)]
     // ln(1/0.795) = 0.2294 < ln 1.26 = 0.2311 → qualifying pairs span ≤ 1 band
     val band = floor(log(greatest(length($"p_name"), lit(1)).cast("double"))
                        / lit(math.log(1.26))).cast("int")
-    val cells = env.part
+    val cells = parts
       .groupBy($"p_brand", $"p_name")
       .agg(sort_array(collect_list($"p_partkey")).as("keys"))
       .select($"p_name", $"keys",

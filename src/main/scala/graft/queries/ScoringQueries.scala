@@ -194,17 +194,24 @@ object ScoringQueries {
     * the unchanged oracle.
     */
   def m5EquivStrength(env: Env): DataFrame = {
-    val spark = env.spark
+    val sups = env.lineitem.groupBy($"l_partkey")
+      .agg(sort_array(collect_set($"l_suppkey")).as("sups"))
+    m5Banded(env.part, sups)
+  }
+
+  /** The banded plan over explicit (parts, sups) frames — split out so
+    * FunctionsPropertySpec can drive it with adversarial inputs against
+    * a local brute-force reference (see [[graft.queries.Functions.f3Banded]]). */
+  private[graft] def m5Banded(parts: DataFrame, sups: DataFrame): DataFrame = {
+    val spark = parts.sparkSession
     import org.apache.spark.sql.Encoders
     implicit val enc =
       Encoders.product[(Int, Seq[(Long, String, Seq[Long], Int)])]
     implicit val outEnc = Encoders.product[(Long, Long, Double)]
-    val sups = env.lineitem.groupBy($"l_partkey")
-      .agg(sort_array(collect_set($"l_suppkey")).as("sups"))
     // ln(1/0.375) = 0.9808 < ln 2.67 = 0.9821 → qualifying pairs span ≤ 1 band
     val band = floor(log(greatest(length($"p_name"), lit(1)).cast("double"))
                        / lit(math.log(2.67))).cast("int")
-    val cells = env.part
+    val cells = parts
       .select($"p_partkey", $"p_name", $"p_brand",
               split($"p_name", " ").getItem(0).as("tok0"), band.as("band"))
       .join(sups, $"p_partkey" === $"l_partkey")
