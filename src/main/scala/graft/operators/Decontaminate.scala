@@ -55,11 +55,13 @@ object Decontaminate {
     *
     * @param maxBroadcastBenchGrams estimated bench gram count above
     *   which the broadcast is replaced by the shuffled hash join (see
-    *   object doc). Grams per doc ≤ whitespace tokens ≤ ⌈chars/2⌉, so
-    *   (sum(length(text)) + count)/2 upper-bounds the gram volume from
-    *   ONE eager column-pruned aggregate of the bench side only —
-    *   never the corpus. Default 2M grams ≈ a ~10²MB broadcast hash
-    *   relation of 32-byte md5 keys.
+    *   object doc). Grams per doc ≤ split tokens = separators + 1 ≤
+    *   chars + 1 (split(" ") keeps EMPTY tokens from consecutive
+    *   spaces, so the tighter ⌈chars/2⌉ non-empty-token bound does not
+    *   hold), so sum(length(text)) + count upper-bounds the gram
+    *   volume from ONE eager column-pruned aggregate of the bench side
+    *   only — never the corpus. Default 2M grams ≈ a ~10²MB broadcast
+    *   hash relation of 32-byte md5 keys.
     */
   def contaminated(train: DataFrame, bench: DataFrame, idCol: String,
                    textCol: String, n: Int = 13,
@@ -73,7 +75,7 @@ object Decontaminate {
            count(lit(1)))
       .collect()(0)
     val estGrams = math.max(sizing.getLong(1), // ≥ 1 whole-text gram/doc
-                            (sizing.getLong(0) + sizing.getLong(1)) / 2)
+                            sizing.getLong(0) + sizing.getLong(1))
     val joined =
       if (estGrams <= maxBroadcastBenchGrams) tg.join(broadcast(bg), "g")
       else tg.join(bg.hint("SHUFFLE_HASH"), "g")

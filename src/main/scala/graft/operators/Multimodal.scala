@@ -457,6 +457,9 @@ object Multimodal {
     * content yields no rows (same posture as [[sampleAudioWindows]]).
     */
   def sampleGifFrames(media: DataFrame, everyN: Int = 2): DataFrame = {
+    // fail loudly here: inside the kernel, Range.by(0) would throw into
+    // the undecodable-payload catch and read as "no frames anywhere"
+    require(everyN > 0, s"sampleGifFrames: everyN must be positive ($everyN)")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content"))

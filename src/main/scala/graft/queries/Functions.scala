@@ -85,8 +85,13 @@ object Functions {
     import org.apache.spark.sql.Encoders
     implicit val cellEnc = Encoders.product[(Int, Seq[(String, Seq[Long], Int)])]
     implicit val outEnc = Encoders.product[(Long, Long, String, String, Int)]
-    // ln(1/0.795) = 0.2294 < ln 1.26 = 0.2311 → qualifying pairs span ≤ 1 band
-    val band = floor(log(greatest(length($"p_name"), lit(1)).cast("double"))
+    // ln(1/0.795) = 0.2294 < ln 1.26 = 0.2311 → qualifying pairs span ≤ 1 band.
+    // Length must be UTF-16 units (octet_length of UTF-16BE / 2) to match
+    // the kernel's String.length — Spark's length() counts CODE POINTS,
+    // which diverges on supplementary-plane characters and could band a
+    // kernel-qualifying pair ≥ 2 bands apart (silently dropping it).
+    val len16 = octet_length(encode($"p_name", "UTF-16BE")) / 2
+    val band = floor(log(greatest(len16, lit(1)).cast("double"))
                        / lit(math.log(1.26))).cast("int")
     val cells = parts
       .groupBy($"p_brand", $"p_name")

@@ -208,8 +208,11 @@ object ScoringQueries {
     implicit val enc =
       Encoders.product[(Int, Seq[(Long, String, Seq[Long], Int)])]
     implicit val outEnc = Encoders.product[(Long, Long, Double)]
-    // ln(1/0.375) = 0.9808 < ln 2.67 = 0.9821 → qualifying pairs span ≤ 1 band
-    val band = floor(log(greatest(length($"p_name"), lit(1)).cast("double"))
+    // ln(1/0.375) = 0.9808 < ln 2.67 = 0.9821 → qualifying pairs span ≤ 1
+    // band. UTF-16 units, not code points — must match the kernel's
+    // String.length (see f3Banded).
+    val len16 = octet_length(encode($"p_name", "UTF-16BE")) / 2
+    val band = floor(log(greatest(len16, lit(1)).cast("double"))
                        / lit(math.log(2.67))).cast("int")
     val cells = parts
       .select($"p_partkey", $"p_name", $"p_brand",

@@ -24,7 +24,6 @@ object MediaProbe {
         println(f"$label rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
       }
     }
-    val m = classOf[graft.queries.MultimodalQueries.type]
     val audio = graft.queries.MultimodalQueries.getClass
       .getDeclaredMethods.find(_.getName == "audioMedia").get
     audio.setAccessible(true)

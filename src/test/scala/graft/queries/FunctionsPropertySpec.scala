@@ -28,11 +28,17 @@ class FunctionsPropertySpec extends SparkSpec {
     }
 
   // names engineered for collisions: shared first tokens, near-misses
-  // at the ratio-80 boundary, length spreads crossing band boundaries
+  // at the ratio-80 boundary, length spreads crossing band boundaries,
+  // and supplementary-plane characters (U+1D552, 2 UTF-16 units each)
+  // where code-point length and the kernel's String.length diverge —
+  // the banding must measure the length the kernel measures
+  private val astral = "𝕒" * 10
   private val nameGen: Gen[String] = for {
     base <- Gen.oneOf("alpha bay", "alpha bays", "alpha b", "b", "",
-                      "alpha bay green olive", "alpha", " lead")
-    suffix <- Gen.oneOf("", "x", "xx", " tail", "yyyyyyyyyyyyyyyy")
+                      "alpha bay green olive", "alpha", " lead",
+                      "t " + astral)
+    suffix <- Gen.oneOf("", "x", "xx", " tail", "yyyyyyyyyyyyyyyy",
+                        "aaaaa")
   } yield base + suffix
 
   private val tableGen: Gen[List[(String, String)]] =
