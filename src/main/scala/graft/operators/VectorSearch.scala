@@ -288,6 +288,71 @@ object VectorSearch {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Embedding near-dup with an LSH prefilter — the scale path the
+    * exact [[cosineThresholdPairs]] documents: `tables` independent
+    * `bits`-bit hyperplane signatures (same md5-seeded planes as
+    * [[lshTopK]], so an exact SQL oracle can replay them); a pair is a
+    * CANDIDATE when it collides in ANY table (banded OR-construction,
+    * the minhash-band shape), then the exact cosine verifies.
+    * PRECISION is exact — the verify kills every false candidate, so
+    * every emitted pair is a true ≥-threshold pair with its exact
+    * rounded cosine. RECALL is probabilistic: P(found) =
+    * 1 − (1 − p^bits)^tables with p = 1 − θ/π, rising toward 1 for
+    * pairs well above the threshold; calibrated against the exact scan
+    * in VectorSearchSpec. Scan fraction vs the n² kernel is the
+    * expected bucket-collision mass — at the defaults ~2-3% on the
+    * test embeddings.
+    */
+  def cosineThresholdPairsLsh(vectors: DataFrame, threshold: Double,
+                              dim: Int = 64, bits: Int = 8,
+                              tables: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(bits * tables, dim).map(_.toArray).toArray
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    val keyed = emb.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, e) =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < bits) {
+              val w = planes(t * bits + b)
+              var s = 0.0
+              var i = 0
+              while (i < dim) { s += e(i).toDouble * w(i); i += 1 }
+              if (s > 0) bucket |= (1L << b)
+              b += 1
+            }
+            (t * (1L << bits) + bucket, id)
+          }
+        }
+      }.toDF("bkey", "vec_id")
+    val cands = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+            "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+            "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("ea"), col("eb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (va, vb, ea, eb) =>
+          val raw = dotK(ea, eb, dim) / (normK(ea, dim) * normK(eb, dim))
+          if (raw >= threshold - 1e-6) { // see cosineThresholdPairs
+            val cos = round6(raw)
+            if (cos >= threshold) Iterator.single((va, vb, cos))
+            else Iterator.empty
+          } else Iterator.empty
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+  }
+
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.
     * Block-matrix shape: vectors are grouped into B hash blocks, the
     * B(B+1)/2 block-cell pairs are enumerated with a join (tiny), and a

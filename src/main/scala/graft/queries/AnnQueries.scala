@@ -56,6 +56,13 @@ object AnnQueries {
     VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
       .orderBy($"vec_a", $"vec_b")
 
+  /** LSH-prefiltered near-dup pairs — the scale path of the above;
+    * md5-seeded planes make even the probabilistic candidate stage
+    * exactly SQL-replayable. */
+  def annCosPairsLsh(env: Env): DataFrame =
+    VectorSearch.cosineThresholdPairsLsh(env.embeddings, 0.45)
+      .orderBy($"vec_a", $"vec_b")
+
   private val cosSql =
     """list_sum(list_transform(range(1, len(%s) + 1),
       |    i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))""".stripMargin
@@ -247,6 +254,37 @@ object AnnQueries {
          |       round(${cos("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin),
+
+    // Replays the md5-seeded hyperplane signatures (8 tables × 8 bits =
+    // planes 0..63; table = b // 8, bit = b % 8), the any-table bucket
+    // collision, then the exact cosine verify — the probabilistic
+    // candidate stage is deterministic given the seeds, so the oracle
+    // is exact.
+    Q.sql("ann_cos_pairs_lsh", annCosPairsLsh,
+      s"""WITH bitsums AS (
+         |  SELECT v.vec_id, t.b AS b,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(v.embedding[i] AS DOUBLE) *
+         |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+         |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+         |                 THEN 1.0 ELSE -1.0 END))) AS s
+         |  FROM embeddings v, range(0, 64) t(b)),
+         |keys AS (
+         |  SELECT vec_id, b // 8 AS tbl,
+         |         sum(CASE WHEN s > 0 THEN 1 << (b % 8) ELSE 0 END) AS bucket
+         |  FROM bitsums GROUP BY vec_id, b // 8),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM keys a JOIN keys b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |   AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b,
+         |       round(${cos("ea.embedding", "eb.embedding")}, 6) AS cos
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.vec_a
+         |JOIN embeddings eb ON eb.vec_id = c.vec_b
+         |WHERE round(${cos("ea.embedding", "eb.embedding")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
   )
 }

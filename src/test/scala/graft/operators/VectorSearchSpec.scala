@@ -111,4 +111,30 @@ class VectorSearchSpec extends SparkSpec {
     assert(refined.map(t => (t._1, t._3)).toSet != base.toSet ||
            hitR == exact.size)
   }
+
+  test("LSH pair prefilter: exact precision, high recall on near-dups") {
+    // planted corpus: 40 seeded random base vectors, each with a
+    // perturbed copy at cosine ≳ 0.95 — the regime the prefilter
+    // targets (real near-dups), unlike the barely-at-threshold random
+    // pairs of the parquet embeddings
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val dup = base.map(v => v + 0.1f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, dup))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = VectorSearch.cosineThresholdPairs(emb, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = VectorSearch.cosineThresholdPairsLsh(emb, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision is EXACT: every emitted pair is a true pair with the
+    // identical rounded cosine
+    lsh.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
+    // recall on the planted ≥0.8 pairs
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    info(s"LSH pair recall at 0.8 on planted near-dups: ${lsh.size}/${exact.size}")
+    assert(recall >= 0.8, s"recall $recall")
+  }
 }
