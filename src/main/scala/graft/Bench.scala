@@ -56,12 +56,16 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     println(json)
     // The driver tail-captures stdout and can clip the single long line
-    // past the first ~40 queries — persist the full JSON to a file too
-    // so every timing survives into the round record.
+    // past the first ~40 queries — persist the full JSON to files too
+    // so every timing survives into the round record (BENCH_FULL.json
+    // is tracked, so the end-of-round snapshot commits it; target/ is
+    // the scratch copy).
     try {
       val out = java.nio.file.Paths.get("target", "bench-full.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), json + "\n")
     } catch { case _: Throwable => () } // file capture is best-effort
     spark.stop()
   }
