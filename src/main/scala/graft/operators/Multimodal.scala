@@ -182,15 +182,22 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, w, h, null)
       } finally g.dispose()
-      val buf = new java.io.ByteArrayOutputStream()
-      val writer = pngWriterSpi.createWriterInstance()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
-      try {
-        writer.setOutput(ios)
-        writer.write(out)
-      } finally { writer.dispose(); ios.close() }
-      buf.toByteArray
+      pngBytes(out)
     }
+  }
+
+  /** PNG-encode through the cached writer SPI (lossless for RGB —
+    * constructive image payloads round-trip exactly, unlike the
+    * palette-quantized GIF path). */
+  def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val writer = pngWriterSpi.createWriterInstance()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(buf)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally { writer.dispose(); ios.close() }
+    buf.toByteArray
   }
 
   val resizeUdf = udf((c: Array[Byte], w: Int, h: Int) => resizeImage(c, w, h))

@@ -83,6 +83,35 @@ object MultimodalQueries {
     Multimodal.sampleGifFrames(videoMedia(env), everyN = 2)
       .orderBy($"media_id", $"frame_ordinal")
 
+  /** REAL image decode end to end: per-key solid-gray PNG written
+    * through the real encoder (lossless RGB — no palette quirks),
+    * decoded by the SPI-cached ImageIO path; emits the true decoded
+    * dimensions. nBytes is intentionally NOT projected — PNG byte size
+    * is compressor-dependent and not constructively predictable. */
+  def mmImageDecode(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val media = env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val w = (3 + key % 7).toInt
+        val h = (2 + key % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val v = ((key * 29) % 256).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, (v << 16) | (v << 8) | v); x += 1 }
+          y += 1
+        }
+        (key, Multimodal.pngBytes(img))
+      }.toDF("media_id", "content")
+    Multimodal.decodeImages(media).toDF()
+      .select(col("mediaId").as("media_id"), col("width"), col("height"))
+      .orderBy(col("media_id"))
+  }
+
   def mmMediaDecode(env: Env): DataFrame = {
     val w = ($"p_partkey" % 640 + 1).cast("int")
     val h = ($"p_partkey" % 480 + 1).cast("int")
@@ -98,6 +127,13 @@ object MultimodalQueries {
   }
 
   val entries: Seq[Q] = Seq(
+    Q.sql("mm_image_decode", mmImageDecode,
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |  CAST(3 + p_partkey % 7 AS INT) AS width,
+        |  CAST(2 + p_partkey % 5 AS INT) AS height
+        |FROM part
+        |ORDER BY media_id""".stripMargin),
+
     Q.sql("mm_video_frames", mmVideoFrames,
       """WITH m AS (
         |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
