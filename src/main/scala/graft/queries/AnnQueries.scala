@@ -63,6 +63,17 @@ object AnnQueries {
     VectorSearch.cosineThresholdPairsLsh(env.embeddings, 0.45)
       .orderBy($"vec_a", $"vec_b")
 
+  /** Embedding near-dup CLUSTERS: transitive components over the exact
+    * cosine pair graph — one operator's output feeding another (pair
+    * scan → min-label propagation), the cluster-then-canonicalize
+    * shape of embedding dedup. Oracle: recursive CTE over the same
+    * pair predicate. */
+  def annComponents(env: Env): DataFrame =
+    graft.operators.TextDedup.nearDupComponents(
+      VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+      .orderBy($"doc_id")
+
   private val cosSql =
     """list_sum(list_transform(range(1, len(%s) + 1),
       |    i -> CAST(%s[i] AS DOUBLE) * CAST(%s[i] AS DOUBLE)))""".stripMargin
@@ -255,6 +266,24 @@ object AnnQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
+
+    Q.sql("ann_components", annComponents,
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(root) AS canonical_id
+         |FROM reach
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin),
 
     // Replays the md5-seeded hyperplane signatures (8 tables × 8 bits =
     // planes 0..63; table = b // 8, bit = b % 8), the any-table bucket
