@@ -60,13 +60,17 @@ object Bench {
     // so every timing survives into the round record (BENCH_FULL.json
     // is tracked, so the end-of-round snapshot commits it; target/ is
     // the scratch copy).
+    // independent best-effort writes: a failure of one must not skip
+    // the other, and both paths are CWD-relative by the driver contract
+    // (the driver launches sbt from the repo root)
     try {
       val out = java.nio.file.Paths.get("target", "bench-full.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), json + "\n")
-    } catch { case _: Throwable => () } // file capture is best-effort
+    } catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -308,24 +308,16 @@ object VectorSearch {
                               tables: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val planes = hyperplanes(bits * tables, dim).map(_.toArray).toArray
+    // per-table plane slices so the signature loop is the shared bucketK
+    val tablePlanes = hyperplanes(bits * tables, dim).map(_.toArray)
+      .grouped(bits).map(_.toArray).toArray
     val emb = vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
     val keyed = emb.as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, e) =>
           (0 until tables).iterator.map { t =>
-            var bucket = 0L
-            var b = 0
-            while (b < bits) {
-              val w = planes(t * bits + b)
-              var s = 0.0
-              var i = 0
-              while (i < dim) { s += e(i).toDouble * w(i); i += 1 }
-              if (s > 0) bucket |= (1L << b)
-              b += 1
-            }
-            (t * (1L << bits) + bucket, id)
+            (t * (1L << bits) + bucketK(e, tablePlanes(t), dim), id)
           }
         }
       }.toDF("bkey", "vec_id")

@@ -71,7 +71,8 @@ object AnnQueries {
   def annComponents(env: Env): DataFrame =
     graft.operators.TextDedup.nearDupComponents(
       VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
-        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")),
+      maxIter = 100) // near-threshold chains can be long-diameter
       .orderBy($"doc_id")
 
   private val cosSql =
@@ -264,14 +265,16 @@ object AnnQueries {
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       round(${cos("a.embedding", "b.embedding")}, 6) AS cos
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45
+         |WHERE NOT isnan(${cos("a.embedding", "b.embedding")})
+         |  AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
 
     Q.sql("ann_components", annComponents,
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |  WHERE round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45),
+         |  WHERE NOT isnan(${cos("a.embedding", "b.embedding")})
+         |    AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
@@ -313,7 +316,8 @@ object AnnQueries {
          |FROM cand c
          |JOIN embeddings ea ON ea.vec_id = c.vec_a
          |JOIN embeddings eb ON eb.vec_id = c.vec_b
-         |WHERE round(${cos("ea.embedding", "eb.embedding")}, 6) >= 0.45
+         |WHERE NOT isnan(${cos("ea.embedding", "eb.embedding")})
+         |  AND round(${cos("ea.embedding", "eb.embedding")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
   )
 }
