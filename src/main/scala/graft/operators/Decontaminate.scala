@@ -74,8 +74,9 @@ object Decontaminate {
       .agg(coalesce(sum(length(col(textCol))), lit(0L)).cast("long"),
            count(lit(1)))
       .collect()(0)
-    val estGrams = math.max(sizing.getLong(1), // ≥ 1 whole-text gram/doc
-                            sizing.getLong(0) + sizing.getLong(1))
+    // chars + docs ≥ tokens ≥ grams, and the +count term also covers
+    // the ≥ 1 whole-text gram of every short/empty doc
+    val estGrams = sizing.getLong(0) + sizing.getLong(1)
     val joined =
       if (estGrams <= maxBroadcastBenchGrams) tg.join(broadcast(bg), "g")
       else tg.join(bg.hint("SHUFFLE_HASH"), "g")

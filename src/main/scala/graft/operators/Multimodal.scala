@@ -55,25 +55,34 @@ object Multimodal {
 
   private val FakePrefix = "GIMG|".getBytes("UTF-8")
 
+  /** Sniff the reader SPI for an open ImageInputStream — the lock-free
+    * body of `ImageIO.getImageReaders`: each cached SPI probes under
+    * mark/reset (see the video section for why SPIs are cached). */
+  private def findReaderSpi(iis: javax.imageio.stream.ImageInputStream)
+      : Option[javax.imageio.spi.ImageReaderSpi] =
+    imageReaderSpis.find { s =>
+      try { iis.mark(); val ok = s.canDecodeInput(iis); iis.reset(); ok }
+      catch { case _: Exception => iis.reset(); false }
+    }
+
   /** Lock-free equivalent of `ImageIO.read(InputStream)` for byte
-    * payloads: sniff with the cached reader SPIs (see the video
-    * section) instead of consulting the IIORegistry per call; null when
-    * undecodable. Same codec classes, no registry lock on the hot path. */
+    * payloads: sniff with the cached reader SPIs instead of consulting
+    * the IIORegistry per call; null when undecodable. Same codec
+    * classes, no registry lock on the hot path. The stream closes on
+    * EVERY path (including reader-instantiation failure). */
   private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
     try {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val spi = imageReaderSpis.find { s =>
-        try { iis.mark(); val ok = s.canDecodeInput(iis); iis.reset(); ok }
-        catch { case _: Exception => iis.reset(); false }
-      }
-      spi match {
-        case None => iis.close(); null
-        case Some(s) =>
-          val reader = s.createReaderInstance()
-          try { reader.setInput(iis); reader.read(0) }
-          finally { reader.dispose(); iis.close() }
-      }
+      try {
+        findReaderSpi(iis) match {
+          case None => null
+          case Some(s) =>
+            val reader = s.createReaderInstance()
+            try { reader.setInput(iis); reader.read(0) }
+            finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => null }
 
   private def isFakeHeader(bytes: Array[Byte]): Boolean =
@@ -476,41 +485,38 @@ object Multimodal {
         else try {
           val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          // lock-free getImageReaders: sniff with each cached SPI under
-          // mark/reset, exactly as ImageIO's reader iterator does
-          val spi = imageReaderSpis.find { s =>
-            try { iis.mark(); val ok = s.canDecodeInput(iis); iis.reset(); ok }
-            catch { case _: Exception => iis.reset(); false }
-          }
-          if (spi.isEmpty) { iis.close(); Nil }
-          else {
-            val reader = spi.get.createReaderInstance()
-            try {
-              reader.setInput(iis)
-              val n = reader.getNumImages(true)
-              // materialize eagerly — the reader closes on exit
-              (0 until n by everyN).map { f =>
-                val img = reader.read(f)
-                var sum = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val rgb = img.getRGB(x, y)
-                    sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                      (rgb & 0xff)
-                    x += 1
+          try {
+            findReaderSpi(iis) match {
+              case None => Nil
+              case Some(spi) =>
+                val reader = spi.createReaderInstance()
+                try {
+                  reader.setInput(iis)
+                  val n = reader.getNumImages(true)
+                  // materialize eagerly — the reader closes on exit
+                  (0 until n by everyN).map { f =>
+                    val img = reader.read(f)
+                    var sum = 0L
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val rgb = img.getRGB(x, y)
+                        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                          (rgb & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val nPix = img.getWidth.toLong * img.getHeight
+                    val mean = java.math.BigDecimal
+                      .valueOf(sum.toDouble / (3.0 * nPix))
+                      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+                    (id, f, img.getWidth, img.getHeight, mean)
                   }
-                  y += 1
-                }
-                val nPix = img.getWidth.toLong * img.getHeight
-                val mean = java.math.BigDecimal
-                  .valueOf(sum.toDouble / (3.0 * nPix))
-                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-                (id, f, img.getWidth, img.getHeight, mean)
-              }
-            } finally { reader.dispose(); iis.close() }
-          }
+                } finally reader.dispose()
+            }
+          } finally iis.close()
         } catch { case _: Exception => Nil }
       }
       .toDF("media_id", "frame_ordinal", "width", "height", "mean_rgb")

@@ -412,13 +412,16 @@ object TextDedup {
     *
     * Scale posture: each iteration is one equi-join + min-aggregation
     * on the EDGE set (tiny relative to the corpus — only near-dup
-    * members appear), never on the corpus; lineage pinned per level
-    * with lazy localCheckpoint; iteration count is bounded by cluster
-    * diameter, and the loop exits as soon as a sweep changes nothing.
-    * Returns (doc_id, canonical_id) for every doc in some pair.
-    * THROWS when `maxIter` sweeps don't converge (cluster diameter >
-    * maxIter) — a silent partial answer would split clusters and
-    * under-delete.
+    * members appear), never on the corpus, plus a POINTER-JUMPING
+    * self-join on the label frame (label(label(doc)) — path halving),
+    * so convergence is O(log diameter) sweeps instead of O(diameter):
+    * a million-node chain converges in ~20 sweeps, and the default
+    * `maxIter` is a runaway guard, not a diameter bound. Lineage is
+    * pinned per level with lazy localCheckpoint; the loop exits as soon
+    * as a sweep changes nothing. Returns (doc_id, canonical_id) for
+    * every doc in some pair. THROWS when `maxIter` sweeps don't
+    * converge (component diameter > 2^maxIter) — a silent partial
+    * answer would split clusters and under-delete.
     */
   def nearDupComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -436,11 +439,21 @@ object TextDedup {
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(edges("src").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // pointer jumping: label(label(doc)) — every label value is
+      // itself a node id (min over node ids), so the lookup always
+      // resolves; taking it into the min halves remaining path length
+      val parentMin = labels.as("x")
+        .join(labels.as("p"), col("x.label") === col("p.doc_id"))
+        .select(col("x.doc_id").as("doc_id"),
+                col("p.label").as("parent_label"))
       // carry old_label through the sweep so the convergence probe is a
       // filter on the SAME (checkpoint-cached) frame — no extra join
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .join(parentMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
+          least(col("label"),
+                least(coalesce(col("nbr_label"), col("label")),
+                      coalesce(col("parent_label"), col("label"))))
             .as("label"))
         .localCheckpoint(eager = false)
       changed = next.filter(col("label") =!= col("old_label"))

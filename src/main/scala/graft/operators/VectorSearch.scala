@@ -85,6 +85,7 @@ object VectorSearch {
     val qs = queries.select(col("qid"), col("qe"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, e) => (id, e, normK(e, dim)) }
+      .filter(_._3 > 0) // zero-norm: cosine undefined, no results
     val bc = spark.sparkContext.broadcast(qs)
     val scored = vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
@@ -93,7 +94,8 @@ object VectorSearch {
         val queries = bc.value
         it.flatMap { case (vid, e) =>
           val nv = normK(e, dim)
-          queries.iterator
+          if (nv == 0) Iterator.empty // cosine undefined (round6(NaN) throws)
+          else queries.iterator
             .filter(_._1 != vid)
             .map { case (qid, qe, nq) =>
               (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
@@ -166,6 +168,7 @@ object VectorSearch {
         val bucket = bucketK(e, planes, dim)
         (id, e, normK(e, dim), masks.map(bucket ^ _).toSet)
       }
+      .filter(_._3 > 0) // zero-norm: cosine undefined, no results
     val bc = spark.sparkContext.broadcast(qs)
     val scored = vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
@@ -175,7 +178,8 @@ object VectorSearch {
         it.flatMap { case (vid, e) =>
           val bucket = bucketK(e, planes, dim)
           val nv = normK(e, dim)
-          queries.iterator
+          if (nv == 0) Iterator.empty // cosine undefined
+          else queries.iterator
             .filter { case (qid, _, _, probes) => qid != vid && probes.contains(bucket) }
             .map { case (qid, qe, nq, _) =>
               (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
@@ -238,6 +242,7 @@ object VectorSearch {
       val bcC = spark.sparkContext.broadcast(centroids)
       assigned = assigned.mapPartitions { it =>
         val cents = bcC.value.map { case (cell, c) => (cell, c, normKD(c, dim)) }
+          .filter(_._3 > 0) // all-zero centroid: similarity undefined
         it.map { case (prev, vid, e) =>
           val ne = normK(e, dim)
           if (ne == 0.0) (prev, vid, e) // cosine undefined: keep prior cell
@@ -261,11 +266,14 @@ object VectorSearch {
       .as[(Long, Array[Float])].collect()
       .map { case (id, e) =>
         val nq = normK(e, dim)
-        val probes = centroids
-          .map { case (cell, c) =>
-            (cell, round6(dotKD(e, c, dim) / (nq * normKD(c, dim)))) }
-          .sortBy { case (cell, sim) => (-sim, cell) }
-          .take(nProbe).map(_._1).toSet
+        val probes =
+          if (nq == 0) Set.empty[Int] // zero-norm query: no results
+          else centroids
+            .map { case (cell, c) => (cell, c, normKD(c, dim)) }
+            .collect { case (cell, c, nc) if nc > 0 =>
+              (cell, round6(dotKD(e, c, dim) / (nq * nc))) }
+            .sortBy { case (cell, sim) => (-sim, cell) }
+            .take(nProbe).map(_._1).toSet
         (id, e, nq, probes)
       }
     val bc = spark.sparkContext.broadcast(qs)
@@ -274,7 +282,8 @@ object VectorSearch {
         val queries = bc.value
         it.flatMap { case (cell, vid, e) =>
           val nv = normK(e, dim)
-          queries.iterator
+          if (nv == 0) Iterator.empty // cosine undefined
+          else queries.iterator
             .filter { case (qid, _, _, probes) => qid != vid && probes.contains(cell) }
             .map { case (qid, qe, nq, _) =>
               (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))

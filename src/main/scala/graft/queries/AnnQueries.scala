@@ -71,8 +71,7 @@ object AnnQueries {
   def annComponents(env: Env): DataFrame =
     graft.operators.TextDedup.nearDupComponents(
       VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
-        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")),
-      maxIter = 100) // near-threshold chains can be long-diameter
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
       .orderBy($"doc_id")
 
   private val cosSql =

@@ -21,7 +21,7 @@ object MultimodalQueries {
   /** Deterministic WAV corpus over `part`: per-key sample rate /
     * channel count / frame count, 16-bit samples from a fixed integer
     * recurrence — every decoded stat is predictable in SQL. */
-  private def audioMedia(env: Env): DataFrame = {
+  private[graft] def audioMedia(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
     // The few-MB key file packs into ONE scan split, which would run
@@ -61,7 +61,7 @@ object MultimodalQueries {
     * the JDK reader's short-image quirk), solid-gray frames from a
     * fixed integer recurrence so every decoded frame stat is
     * predictable in SQL. */
-  private def videoMedia(env: Env): DataFrame = {
+  private[graft] def videoMedia(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
     // single-split key file → parallelize the generator (see audioMedia)

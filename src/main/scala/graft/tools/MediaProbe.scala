@@ -24,11 +24,7 @@ object MediaProbe {
         println(f"$label rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
       }
     }
-    val audio = graft.queries.MultimodalQueries.getClass
-      .getDeclaredMethods.find(_.getName == "audioMedia").get
-    audio.setAccessible(true)
-    val audioDf = audio.invoke(graft.queries.MultimodalQueries, env)
-      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val audioDf = graft.queries.MultimodalQueries.audioMedia(env)
     println(s"audio generator partitions: ${audioDf.rdd.getNumPartitions}")
     time("audio generator only")(audioDf.count())
     val cached = audioDf.persist()
@@ -40,11 +36,7 @@ object MediaProbe {
     cached.unpersist()
     time("mm_audio_stats full")(
       graft.queries.MultimodalQueries.mmAudioStats(env).count())
-    val video = graft.queries.MultimodalQueries.getClass
-      .getDeclaredMethods.find(_.getName == "videoMedia").get
-    video.setAccessible(true)
-    val videoDf = video.invoke(graft.queries.MultimodalQueries, env)
-      .asInstanceOf[org.apache.spark.sql.DataFrame]
+    val videoDf = graft.queries.MultimodalQueries.videoMedia(env)
     time("video generator only")(videoDf.count())
     time("mm_video_frames full")(
       graft.queries.MultimodalQueries.mmVideoFrames(env).count())

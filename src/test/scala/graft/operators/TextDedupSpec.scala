@@ -40,8 +40,18 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     assert((1L to 9L).forall(out(_) == 1L))
   }
 
+  test("pointer jumping: diameter-200 chain converges inside the default cap") {
+    // plain min-label propagation needs ~200 sweeps here and would hit
+    // the 25-sweep guard; path halving (label-of-label) is O(log n)
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = TextDedup.nearDupComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 201 && out.forall(_._2 == 0L))
+  }
+
   test("nearDupComponents THROWS instead of returning a split cluster") {
-    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // diameter 100 >> the ~2^3 reach of 3 path-halving sweeps
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     intercept[IllegalStateException] {
       TextDedup.nearDupComponents(pairs, maxIter = 3).collect()
     }
