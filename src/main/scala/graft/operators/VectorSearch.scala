@@ -354,6 +354,84 @@ object VectorSearch {
       }.toDF("vec_a", "vec_b", "cos")
   }
 
+  /** SemDeDup-style semantic dedup over pre-clustered embeddings (the
+    * published cluster-then-prune recipe: pairwise similarity is only
+    * ever computed WITHIN a coarse cluster cell, never across the
+    * corpus). A vector is DROPPED when some lower-id vector in the
+    * same cell has 6-dp-rounded cosine ≥ `threshold`; keep-lowest-id
+    * is the deterministic variant of keep-one-per-ε-ball (the paper
+    * ranks by distance-to-centroid or picks randomly — the id rule
+    * makes the output engine-stable and SQL-oracle-reproducible, and
+    * swapping the representative rule is a one-line change to the
+    * emit). `cellCol` is the coarse quantizer's assignment — the
+    * `label` column here, [[ivfTopK]]'s trained cells in production.
+    *
+    * Scale shape: cluster count grows with the corpus so cell sizes
+    * stay bounded (the algorithm's own design point), and within a
+    * cell the quadratic scan is the same block-matrix shard as
+    * [[cosineThresholdPairs]] — vectors hash into `blocks` sub-blocks,
+    * block-pair cells enumerate via a small aggregated-list join, and
+    * a compiled kernel scans each shard. Distributed end to end: no
+    * driver collect, no cross join, worst-case cell skew bounded by
+    * blocks² shards per cell.
+    *
+    * Returns every input vector: (vec_id, cell, n_dups = lower-id
+    * in-cell near-dups, kept = n_dups == 0).
+    */
+  def semDedup(vectors: DataFrame, threshold: Double,
+               cellCol: String = "label", dim: Int = 64,
+               blocks: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val base = vectors.select(col("vec_id"), col(cellCol).cast("int").as("cell"),
+      col("embedding"))
+    val blocked = base.filter(col("embedding").isNotNull)
+      .as[(Long, Int, Array[Float])]
+      .map { case (id, cell, e) => (cell, (id % blocks).toInt, id, e) }
+      .toDF("cell", "blk", "vec_id", "embedding")
+    val lists = blocked.groupBy(col("cell"), col("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+    val shards = lists.select(col("cell"), col("blk").as("bi"), col("vs").as("va"))
+      .join(lists.select(col("cell"), col("blk").as("bj"), col("vs").as("vb")),
+            Seq("cell"))
+      .filter(col("bi") <= col("bj"))
+      .select(col("bi"), col("va"), col("bj"), col("vb"))
+      .as[(Int, Seq[(Long, Seq[Float])], Int, Seq[(Long, Seq[Float])])]
+    // Each unordered same-cell pair meets in exactly one shard
+    // ((blk(x), blk(y)) normalized to bi <= bj; diagonal shards scan
+    // the strict upper triangle). Emit the HIGHER id of a qualifying
+    // pair — the vector the lower-id representative kills.
+    val dropped = shards.flatMap { case (bi, va, bj, vb) =>
+      val as = va.map { case (id, e) => (id, e.toArray) }.toArray
+      val bs = if (bi == bj) as
+               else vb.map { case (id, e) => (id, e.toArray) }.toArray
+      val nas = as.map(v => normK(v._2, dim))
+      val nbs = if (bi == bj) nas else bs.map(v => normK(v._2, dim))
+      val out = Seq.newBuilder[Long]
+      var i = 0
+      while (i < as.length) {
+        var j = if (bi == bj) i + 1 else 0
+        while (j < bs.length) {
+          val raw = dotK(as(i)._2, bs(j)._2, dim) / (nas(i) * nbs(j))
+          // raw < threshold − 1e-6 can never round to ≥ threshold —
+          // rejected pairs skip the BigDecimal (see cosineThresholdPairs)
+          if (raw >= threshold - 1e-6 && round6(raw) >= threshold)
+            out += math.max(as(i)._1, bs(j)._1)
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("vec_id")
+    val counts = dropped.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_lower_dups"))
+    base.select(col("vec_id"), col("cell"))
+      .join(counts, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_lower_dups"), lit(0L)).as("n_dups"),
+        col("n_lower_dups").isNull.as("kept"))
+  }
+
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.
     * Block-matrix shape: vectors are grouped into B hash blocks, the
     * B(B+1)/2 block-cell pairs are enumerated with a join (tiny), and a

@@ -63,6 +63,14 @@ object AnnQueries {
     VectorSearch.cosineThresholdPairsLsh(env.embeddings, 0.45)
       .orderBy($"vec_a", $"vec_b")
 
+  /** SemDeDup: cluster-then-prune semantic dedup — a vector is dropped
+    * when a lower-id vector in the SAME label cell has cosine ≥ 0.35.
+    * Deterministic keep-lowest-id variant, so the oracle replays it
+    * exactly (pairwise join restricted to the cell). */
+  def annSemDedup(env: Env): DataFrame =
+    VectorSearch.semDedup(env.embeddings, 0.35)
+      .orderBy($"vec_id")
+
   /** Embedding near-dup CLUSTERS: transitive components over the exact
     * cosine pair graph — one operator's output feeding another (pair
     * scan → min-label propagation), the cluster-then-canonicalize
@@ -267,6 +275,21 @@ object AnnQueries {
          |WHERE NOT isnan(${cos("a.embedding", "b.embedding")})
          |  AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin),
+
+    Q.sql("ann_semdedup", annSemDedup,
+      s"""WITH p AS (
+         |  SELECT b.vec_id AS vid, CAST(count(*) AS BIGINT) AS n
+         |  FROM embeddings a JOIN embeddings b
+         |    ON CAST(a.label AS INT) = CAST(b.label AS INT)
+         |   AND a.vec_id < b.vec_id
+         |  WHERE NOT isnan(${cos("a.embedding", "b.embedding")})
+         |    AND round(${cos("a.embedding", "b.embedding")}, 6) >= 0.35
+         |  GROUP BY b.vec_id)
+         |SELECT e.vec_id, CAST(e.label AS INT) AS cell,
+         |       coalesce(p.n, 0) AS n_dups,
+         |       p.vid IS NULL AS kept
+         |FROM embeddings e LEFT JOIN p ON p.vid = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin),
 
     Q.sql("ann_components", annComponents,
       s"""WITH RECURSIVE pairs AS (

@@ -112,6 +112,27 @@ class VectorSearchSpec extends SparkSpec {
            hitR == exact.size)
   }
 
+  test("semDedup drops exactly the vectors with a lower-id in-cell near-dup") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val th = 0.3
+    // ground truth from the independently-verified pair scan + label map
+    val labels = emb.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val inCell = VectorSearch.cosineThresholdPairs(emb, th)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => labels(a) == labels(b) }
+    val expDups = inCell.groupBy(_._2).map { case (v, ps) => v -> ps.length.toLong }
+    val got = VectorSearch.semDedup(emb, th)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == labels.size) // every vector present exactly once
+    got.foreach { case (vid, cell, nDups, kept) =>
+      assert(cell == labels(vid))
+      assert(nDups == expDups.getOrElse(vid, 0L), s"vec $vid")
+      assert(kept == !expDups.contains(vid), s"vec $vid")
+    }
+    assert(expDups.nonEmpty, "fixture has no in-cell near-dups — threshold too high")
+  }
+
   test("LSH pair prefilter: exact precision, high recall on near-dups") {
     // planted corpus: 40 seeded random base vectors, each with a
     // perturbed copy at cosine ≳ 0.95 — the regime the prefilter
