@@ -85,4 +85,53 @@ object Decontaminate {
       .agg(countDistinct(col("g")).as("n_hits"),
            countDistinct(col("bench_id")).as("n_bench_docs"))
   }
+
+  /** Bloom-prefiltered decontamination — the scale path PAST the
+    * broadcast budget where [[contaminated]] falls back to shuffling
+    * the whole corpus gram stream. A Bloom filter over the bench grams
+    * costs ~10 bits/gram at 1% fpp (vs 32-byte md5 keys in the
+    * broadcast hash relation — a ~25× smaller executor footprint), so
+    * it stays broadcastable one or two orders of magnitude beyond the
+    * exact form. The corpus side drops every gram the filter rejects
+    * MAP-SIDE (guaranteed no false negatives), and only the surviving
+    * sliver — true hits plus the fpp share of false positives — pays
+    * the exact verify join, so the shuffle volume falls from all
+    * corpus grams to ~fpp × corpus grams. The verify join makes the
+    * RESULT exactly equal to [[contaminated]]: false positives die
+    * there, so the oracle is the same SQL.
+    *
+    * Ids travel through a typed kernel, so `idCol` must be castable to
+    * long here (the generic-id exact form remains for other key
+    * types). The expected-item bound reuses the chars+docs gram bound
+    * of [[contaminated]] — conservative by ~the average token length,
+    * which only makes the filter larger (never raises fpp).
+    */
+  def contaminatedBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int = 13,
+                        fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val tg = train.select(col(idCol).cast("long").as("doc_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val bg = bench.select(col(idCol).cast("long").as("bench_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val sizing = bench
+      .agg(coalesce(sum(length(col(textCol))), lit(0L)).cast("long"),
+           count(lit(1)))
+      .collect()(0)
+    val estGrams = math.max(sizing.getLong(0) + sizing.getLong(1), 1L)
+    val bf = bg.stat.bloomFilter("g", estGrams, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val hits = tg.as[(Long, String)]
+      .mapPartitions { it =>
+        val f = bcBf.value
+        it.filter { case (_, g) => f.mightContainString(g) }
+      }.toDF("doc_id", "g")
+    // exact verify: only bloom survivors reach the shuffle; the bench
+    // side builds the hash table (it's the small side by contract)
+    hits.join(bg.hint("SHUFFLE_HASH"), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_hits"),
+           countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
 }

@@ -23,6 +23,36 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  private val decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+      |              FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(s) >= 13
+      |             THEN list_distinct(list_transform(range(1, len(s) - 11),
+      |                    i -> md5(array_to_string(list_slice(s, i, i + 12), ' '))))
+      |             ELSE [md5(array_to_string(s, ' '))] END AS gs
+      |      FROM toks),
+      |tg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 5 <> 0),
+      |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g
+      |       FROM g WHERE doc_id % 5 = 0)
+      |SELECT tg.doc_id,
+      |       CAST(count(DISTINCT tg.g) AS BIGINT) AS n_hits,
+      |       CAST(count(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
+      |FROM tg JOIN bg USING (g)
+      |GROUP BY tg.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Same split as [[textDecontaminate]] through the Bloom-prefilter
+    * scale path — the verify join makes the output exactly equal to
+    * the exact form, so this shares its oracle verbatim. */
+  def textDecontaminateBloom(env: Env): DataFrame = {
+    val docs = env.documents
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    Decontaminate.contaminatedBloom(train, bench, "doc_id", "text", n = 13)
+      .orderBy($"doc_id")
+  }
+
   /** 30-minute-gap sessions over the events stream table (`ts` is
     * long nanoseconds via the nanosAsLong scan, see Env; truncated to
     * microseconds here because DuckDB's TIMESTAMP scan of the same
@@ -258,24 +288,11 @@ object CorpusQueries {
         |WHERE rn <= greatest(CAST(ceil(0.2 * n_stratum) AS BIGINT), 1)
         |ORDER BY doc_id""".stripMargin),
 
-    Q.sql("text_decontaminate", textDecontaminate,
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
-        |              FROM documents),
-        |g AS (SELECT doc_id,
-        |        CASE WHEN len(s) >= 13
-        |             THEN list_distinct(list_transform(range(1, len(s) - 11),
-        |                    i -> md5(array_to_string(list_slice(s, i, i + 12), ' '))))
-        |             ELSE [md5(array_to_string(s, ' '))] END AS gs
-        |      FROM toks),
-        |tg AS (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 5 <> 0),
-        |bg AS (SELECT doc_id AS bench_id, unnest(gs) AS g
-        |       FROM g WHERE doc_id % 5 = 0)
-        |SELECT tg.doc_id,
-        |       CAST(count(DISTINCT tg.g) AS BIGINT) AS n_hits,
-        |       CAST(count(DISTINCT bg.bench_id) AS BIGINT) AS n_bench_docs
-        |FROM tg JOIN bg USING (g)
-        |GROUP BY tg.doc_id
-        |ORDER BY doc_id""".stripMargin),
+    Q.sql("text_decontaminate", textDecontaminate, decontaminateSql),
+
+    // bit-identical to the exact form by construction (bloom false
+    // positives die in the verify join) — same oracle
+    Q.sql("text_decontaminate_bloom", textDecontaminateBloom, decontaminateSql),
 
     Q.sql("events_sessionize", eventsSessionize,
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value

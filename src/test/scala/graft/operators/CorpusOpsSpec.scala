@@ -83,6 +83,36 @@ class CorpusOpsSpec extends SparkSpec {
       out.queryExecution.executedPlan.toString)
   }
 
+  test("bloom-prefiltered decontamination equals the exact form on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    val exact = Decontaminate.contaminated(train, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloom = Decontaminate.contaminatedBloom(train, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty, "fixture has no planted contamination")
+  }
+
+  test("bloom prefilter kills false positives in the verify join") {
+    // a deliberately tiny/overloaded filter (expected items far above
+    // actual, fpp loose) still yields the exact result — correctness
+    // never depends on the filter's precision, only its no-false-
+    // negative guarantee
+    val gram = (1 to 13).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, gram + " more tokens")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "pre " + gram), (2L, "clean document"), (3L, "other clean text"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedBloom(train, bench, "doc_id", "text",
+        fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 1L)))
+  }
+
   test("asOf picks the latest right row at or before each left ts") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("key", "ts", "tag")
