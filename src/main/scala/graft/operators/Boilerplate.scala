@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequency boilerplate removal — the C4 cleaning recipe
+  * (drop any line occurring ≥ 3 times in the corpus) re-expressed over
+  * token n-grams, since this engine's documents are single-line: an
+  * n-gram appearing in at least ceil(minDfFrac × corpus docs) DISTINCT
+  * documents is boilerplate (headers, footers, navigation chrome,
+  * license blurbs), and every token position it covers is removed from
+  * every document, which is then re-joined from its surviving tokens.
+  *
+  * Scale posture (100 TB): two corpus passes and ONE corpus-keyed
+  * shuffle.
+  *  - The document-frequency aggregate shuffles only (gram, doc-count)
+  *    partials (map-side combine; grams, not documents, cross the
+  *    wire).
+  *  - The hot set is provably tiny by pigeonhole: a gram needs
+  *    df ≥ minDfFrac·N, and total gram instances are ≤ G·N (G = avg
+  *    grams/doc), so |hot| ≤ G / minDfFrac — INDEPENDENT of corpus
+  *    size. It is always broadcast; the cover join is map-side.
+  *  - Covered positions shuffle once, keyed by doc_id, to meet their
+  *    document; the rebuild is a narrow projection of codegen'd array
+  *    built-ins (the per-token membership probe is O(|cov|) with |cov|
+  *    bounded by the doc's own length).
+  */
+object Boilerplate {
+
+  /** @return (doc_id, n_tokens, n_removed, scrubbed_text), one row per
+    *         input document (text non-null by table contract).
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+            n: Int = 2, minDfFrac: Double = 0.06): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    // (doc_id, pos, gram) for starts 0..size-n; docs shorter than n
+    // contribute no grams (they can't carry cross-document boilerplate)
+    val posGrams = base.select(col("doc_id"),
+      explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => struct(i.as("pos"),
+              concat_ws(" ", slice(col("toks"), i + 1, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val hot = posGrams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= ceil(lit(minDfFrac) * col("n_docs")))
+      .select(col("g"))
+    val covered = posGrams.join(broadcast(hot), "g")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("cov")).as("n_removed"),
+        array_join(
+          filter(col("toks"), (_, i) => !array_contains(col("cov"), i)),
+          " ").as("scrubbed_text"))
+  }
+}

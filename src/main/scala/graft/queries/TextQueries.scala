@@ -86,6 +86,15 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-frequency boilerplate scrub: bigrams in ≥ ceil(6% of docs)
+    * distinct documents are removed from every document (the C4 line-
+    * dedup recipe over token n-grams — see
+    * [[graft.operators.Boilerplate]]). */
+  def textBoilerplateScrub(env: Env): DataFrame =
+    graft.operators.Boilerplate.scrub(env.documents, "doc_id", "text",
+        n = 2, minDfFrac = 0.06)
+      .orderBy($"doc_id")
+
   def textFingerprint(env: Env): DataFrame =
     env.documents.select(
       $"doc_id",
@@ -219,6 +228,29 @@ object TextQueries {
          |SELECT doc_id, n_tokens, quality FROM ex
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin),
+
+    // 1-based list positions mirror the kernel's 0-based ones; the
+    // covered-token SET (and so counts and rebuilt text) is identical
+    Q.sql("text_boilerplate_scrub", textBoilerplateScrub,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |nn AS (SELECT count(*) AS n_docs FROM t),
+        |pg AS (SELECT doc_id, u.i AS p, s[u.i] || ' ' || s[u.i + 1] AS g
+        |       FROM t, unnest(range(1, len(s))) AS u(i)),
+        |dfb AS (SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY g),
+        |hot AS (SELECT g FROM dfb, nn WHERE df >= ceil(0.06 * n_docs)),
+        |st AS (SELECT pg.doc_id, pg.p FROM pg JOIN hot USING (g)),
+        |cv AS (SELECT DISTINCT doc_id, x AS p
+        |       FROM st, unnest([st.p, st.p + 1]) AS v(x)),
+        |ca AS (SELECT doc_id, list(p) AS cov FROM cv GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CAST(len(s) AS INT) AS n_tokens,
+        |       CAST(coalesce(len(cov), 0) AS INT) AS n_removed,
+        |       array_to_string(list_transform(
+        |         list_filter(range(1, len(s) + 1),
+        |           i -> cov IS NULL OR NOT list_contains(cov, i)),
+        |         i -> s[i]), ' ') AS scrubbed_text
+        |FROM t LEFT JOIN ca USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     Q.sql("text_fingerprint", textFingerprint,
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
