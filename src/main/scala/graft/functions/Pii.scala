@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection/redaction for training corpora — the standard scrub
+  * pass (mask phone numbers and email addresses) expressed entirely in
+  * codegen'd regexp built-ins, so it runs inside whole-stage codegen
+  * with zero shuffle: a narrow map over the corpus at any scale.
+  *
+  * Patterns deliberately use only syntax with identical semantics in
+  * Java regex and RE2 (character classes, bounded/greedy quantifiers —
+  * no lookaround, no backrefs), so SQL oracles replay them exactly.
+  */
+object Pii {
+
+  /** NANP-style dashed phone: NN-NNN-NNN-NNNN (the TPC-H c_phone
+    * shape). */
+  val PhonePattern: String = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Pragmatic RFC-lite email: local@domain.tld. */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def phoneCount(c: Column): Column =
+    regexp_count(c, lit(PhonePattern)).cast("int")
+
+  def emailCount(c: Column): Column =
+    regexp_count(c, lit(EmailPattern)).cast("int")
+
+  /** Mask phones then emails (the masks contain no digits or '@', so
+    * the passes can't interfere). */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, PhonePattern, "[PHONE]"),
+      EmailPattern, "[EMAIL]")
+}

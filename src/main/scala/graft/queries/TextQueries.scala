@@ -95,6 +95,36 @@ object TextQueries {
         n = 2, minDfFrac = 0.06)
       .orderBy($"doc_id")
 
+  /** PII redaction over a constructive contact blob (the synthetic
+    * customer table carries no phone/comment columns, so the blob is
+    * derived deterministically from c_custkey/c_name — every row then
+    * exercises the real detect/mask path with a known ground truth the
+    * oracle replays). Counts are measured on the ORIGINAL text;
+    * redaction masks phones then emails. */
+  def textPiiRedact(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Pii
+    val k = $"c_custkey"
+    def num(base: Int, mult: Int, mod: Int) =
+      (lit(base) + (k * mult) % mod).cast("string")
+    val phone = concat_ws("-", num(10, 1, 90), num(100, 7, 900),
+      num(100, 31, 900), num(1000, 13, 9000))
+    val phone2 = concat_ws("-", num(20, 1, 80), num(100, 11, 900),
+      num(100, 17, 900), num(1000, 19, 9000))
+    val email = concat(lower(translate($"c_name", "#", ".")),
+      lit("@example.com"))
+    val blob = concat(
+      $"c_mktsegment", lit(" contact "), phone, lit(" mail "), email,
+      when(k % 3 === 0, concat(lit(" alt "), phone2)).otherwise(lit("")),
+      when(k % 4 === 0, lit(" or support@help.example.org")).otherwise(lit("")),
+      lit(" ref "), $"c_name")
+    env.customer.select($"c_custkey",
+        Pii.phoneCount(blob).as("n_phones"),
+        Pii.emailCount(blob).as("n_emails"),
+        Pii.redact(blob).as("redacted"))
+      .orderBy($"c_custkey")
+  }
+
   def textFingerprint(env: Env): DataFrame =
     env.documents.select(
       $"doc_id",
@@ -228,6 +258,38 @@ object TextQueries {
          |SELECT doc_id, n_tokens, quality FROM ex
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("text_pii_redact", textPiiRedact,
+      """WITH b AS (
+        |  SELECT c_custkey,
+        |    c_mktsegment || ' contact ' ||
+        |    CAST(10 + (c_custkey * 1) % 90 AS VARCHAR) || '-' ||
+        |    CAST(100 + (c_custkey * 7) % 900 AS VARCHAR) || '-' ||
+        |    CAST(100 + (c_custkey * 31) % 900 AS VARCHAR) || '-' ||
+        |    CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR) ||
+        |    ' mail ' || lower(replace(c_name, '#', '.')) || '@example.com' ||
+        |    CASE WHEN c_custkey % 3 = 0 THEN ' alt ' ||
+        |      CAST(20 + (c_custkey * 1) % 80 AS VARCHAR) || '-' ||
+        |      CAST(100 + (c_custkey * 11) % 900 AS VARCHAR) || '-' ||
+        |      CAST(100 + (c_custkey * 17) % 900 AS VARCHAR) || '-' ||
+        |      CAST(1000 + (c_custkey * 19) % 9000 AS VARCHAR)
+        |    ELSE '' END ||
+        |    CASE WHEN c_custkey % 4 = 0 THEN ' or support@help.example.org'
+        |         ELSE '' END ||
+        |    ' ref ' || c_name AS blob
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(blob,
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(blob,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  regexp_replace(regexp_replace(blob,
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |    AS redacted
+        |FROM b
+        |ORDER BY c_custkey""".stripMargin),
 
     // 1-based list positions mirror the kernel's 0-based ones; the
     // covered-token SET (and so counts and rebuilt text) is identical
