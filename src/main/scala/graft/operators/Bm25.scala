@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the classic
+  * Robertson/Spärck-Jones ranking (Okapi BM25), as a batch top-k per
+  * query over Spark aggregates:
+  *
+  *   score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+  *                          / (tf(t,d) + k1·(1 − b + b·dl/avgdl))
+  *
+  * with the RATIONAL idf variant idf = (N − df + 0.5)/(df + 0.5) —
+  * per-term-monotone with the textbook ln(1 + ·) form (swap in `log`
+  * for it; the plan is identical) but free of transcendentals, so the
+  * score is pure IEEE-754 basic arithmetic and SQL oracles reproduce
+  * it bit-for-bit (ln is not correctly-rounded and differs across
+  * libm implementations).
+  *
+  * Scale shape: two column-pruned corpus scans — a (count, Σdl) stats
+  * aggregate, and the term-frequency extraction with the query-term
+  * filter applied BEFORE the aggregation (tokens not in any query
+  * never leave the scan), so the shuffled volume is O(matching
+  * doc-term pairs), not corpus tokens. The tf relation is lazily
+  * checkpointed: it feeds both the per-term df aggregate and the
+  * scoring join without re-scanning the corpus. Corpus stats and df
+  * are broadcast (both tiny), scoring is a narrow projection, and the
+  * per-query top-k runs through the rank-filter window that Spark
+  * rewrites to partial per-partition group limits (WindowGroupLimit,
+  * verified Partial+Final in the plan) — no query's full posting list
+  * is ever sorted globally. Per-(query,doc) term scores are summed by
+  * an ordered fold over the term-sorted list so the double
+  * accumulation order is engine-independent.
+  */
+object Bm25 {
+
+  /** @param queries (query id, query terms); terms match whitespace
+    *                tokens exactly.
+    * @return (qid, rank, doc_id, score): top-`k` docs per query among
+    *         docs containing ≥ 1 query term; rank by 6-dp-rounded
+    *         score desc, doc_id asc.
+    */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: Seq[(String, Seq[String])], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap(_._2).distinct
+    val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    val base = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val tf = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      // feeds the df aggregate AND the scoring join — pin it so the
+      // corpus term extraction runs once
+      .localCheckpoint(eager = false)
+    val dfT = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    // association mirrors the oracle exactly: ((idf · num) / denom)
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val num = col("tf") * (lit(k1) + lit(1.0))
+    val denom = col("tf") +
+      lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(dfT), "term")
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("s", idf * num / denom)
+    val summed = scored.groupBy(col("qid"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("raw"))
+      .withColumn("score", round(col("raw"), 6))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    summed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -125,6 +125,20 @@ object TextQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Fixed retrieval workload for the BM25 ranker — terms drawn from
+    * the synthetic vocabulary so every query matches at every SF. */
+  private[queries] val Bm25Workload: Seq[(String, Seq[String])] = Seq(
+    "q1" -> Seq("table"),
+    "q2" -> Seq("fast", "scan"),
+    "q3" -> Seq("window", "group", "value"))
+
+  /** BM25 top-10 per query (rational-idf variant — see
+    * [[graft.operators.Bm25]]). */
+  def textBm25TopK(env: Env): DataFrame =
+    graft.operators.Bm25.topK(env.documents, "doc_id", "text",
+        Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+
   def textFingerprint(env: Env): DataFrame =
     env.documents.select(
       $"doc_id",
@@ -258,6 +272,48 @@ object TextQueries {
          |SELECT doc_id, n_tokens, quality FROM ex
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin),
+
+    // Every numeric leg is explicitly DOUBLE (DuckDB would otherwise
+    // promote the 0.5/1.2 literals to DECIMAL and diverge from IEEE);
+    // the per-(query,doc) term scores fold in term order on both sides.
+    Q.sql("text_bm25_topk", textBm25TopK, {
+      val values = Bm25Workload
+        .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+        .mkString(", ")
+      val inList = Bm25Workload.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+         |       FROM base),
+         |q(qid, term) AS (VALUES $values),
+         |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
+         |       FROM base, unnest(s) AS u(term)
+         |       WHERE u.term IN ($inList)
+         |       GROUP BY doc_id, dl, u.term),
+         |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT q.qid, tf.doc_id, tf.term,
+         |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
+         |            / (CAST(dft.df AS DOUBLE) + 0.5))
+         |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+         |         / (tf.tf + CAST(1.2 AS DOUBLE)
+         |              * ((CAST(1.0 AS DOUBLE) - 0.75)
+         |                 + CAST(0.75 AS DOUBLE)
+         |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+         |           AS s
+         |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
+         |ag AS (SELECT qid, doc_id,
+         |         round(list_reduce(list(s ORDER BY term), (x, y) -> x + y), 6)
+         |           AS score
+         |       FROM sc GROUP BY qid, doc_id),
+         |rk AS (SELECT qid, doc_id, score,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY score DESC, doc_id) AS rn
+         |       FROM ag)
+         |SELECT qid, CAST(rn AS INT) AS rank, doc_id, score
+         |FROM rk WHERE rn <= 10
+         |ORDER BY qid, rank""".stripMargin
+    }),
 
     Q.sql("text_pii_redact", textPiiRedact,
       """WITH b AS (
