@@ -108,11 +108,24 @@ object Decontaminate {
     */
   def contaminatedBloom(train: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 13,
-                        fpp: Double = 0.01): DataFrame = {
-    val spark = train.sparkSession
-    import spark.implicits._
-    val tg = train.select(col(idCol).cast("long").as("doc_id"),
-      explode(gramHashes(col(textCol), n)).as("g"))
+                        fpp: Double = 0.01): DataFrame =
+    contaminatedWithIndex(train,
+      benchIndex(bench, idCol, textCol, n, fpp), idCol, textCol, n)
+
+  /** Bench-side artifacts of the Bloom path, built ONCE and reusable
+    * across many corpus scans (or streaming micro-batches — see
+    * [[graft.streaming.Streams.decontaminateEachBatch]]): the
+    * broadcast filter plus the exact (bench_id, gram) relation for the
+    * verify join.
+    */
+  final case class BenchIndex(
+      filter: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      grams: DataFrame)
+
+  def benchIndex(bench: DataFrame, idCol: String, textCol: String,
+                 n: Int = 13, fpp: Double = 0.01): BenchIndex = {
+    val spark = bench.sparkSession
     val bg = bench.select(col(idCol).cast("long").as("bench_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
     val sizing = bench
@@ -121,7 +134,17 @@ object Decontaminate {
       .collect()(0)
     val estGrams = math.max(sizing.getLong(0) + sizing.getLong(1), 1L)
     val bf = bg.stat.bloomFilter("g", estGrams, fpp)
-    val bcBf = spark.sparkContext.broadcast(bf)
+    BenchIndex(spark.sparkContext.broadcast(bf), bg)
+  }
+
+  def contaminatedWithIndex(train: DataFrame, idx: BenchIndex,
+                            idCol: String, textCol: String,
+                            n: Int = 13): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    val tg = train.select(col(idCol).cast("long").as("doc_id"),
+      explode(gramHashes(col(textCol), n)).as("g"))
+    val bcBf = idx.filter
     val hits = tg.as[(Long, String)]
       .mapPartitions { it =>
         val f = bcBf.value
@@ -129,7 +152,7 @@ object Decontaminate {
       }.toDF("doc_id", "g")
     // exact verify: only bloom survivors reach the shuffle; the bench
     // side builds the hash table (it's the small side by contract)
-    hits.join(bg.hint("SHUFFLE_HASH"), "g")
+    hits.join(idx.grams.hint("SHUFFLE_HASH"), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_hits"),
            countDistinct(col("bench_id")).as("n_bench_docs"))

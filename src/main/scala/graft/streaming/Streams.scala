@@ -69,6 +69,31 @@ object Streams {
               col("session_window.end").as("session_end"),
               col("n_events"), col("total_value"))
 
+  /** Streaming decontamination (LLM-pipeline brief): documents arrive
+    * as a stream and are flagged against a STATIC benchmark set. The
+    * bench side compiles ONCE into
+    * [[graft.operators.Decontaminate.BenchIndex]] — the broadcast
+    * Bloom filter plus the exact gram relation — and every micro-batch
+    * replays the batch operator's map-side prefilter + exact verify
+    * through `foreachBatch` (the [[sweepOnce]] precedent: identical
+    * code path for batch and stream). No stream state is keyed at all:
+    * state is O(1) regardless of stream length, because the only
+    * "state" is the static bench index.
+    *
+    * @param sink receives (flagged contaminated docs, batchId) per
+    *             micro-batch — same schema as the batch operator.
+    * @return the started streaming query (caller stops it).
+    */
+  def decontaminateEachBatch(stream: DataFrame,
+                             idx: graft.operators.Decontaminate.BenchIndex,
+                             idCol: String, textCol: String, n: Int = 13)
+                            (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.operators.Decontaminate
+        .contaminatedWithIndex(batch, idx, idCol, textCol, n), batchId)
+    }
+
   /** One coverage attempt arriving on the queue. */
   final case class CoverageAttempt(identifier: String, operation: String,
                                    success: Boolean)
