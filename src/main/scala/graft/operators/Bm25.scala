@@ -69,9 +69,8 @@ object Bm25 {
     val num = col("tf") * (lit(k1) + lit(1.0))
     val denom = col("tf") +
       lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / col("avgdl")))
-    val scored = tf.join(broadcast(dfT), "term")
-      .join(broadcast(qdf), "term")
-      .crossJoin(broadcast(stats))
+    val scored = PlanHints.withScalars(
+        tf.join(broadcast(dfT), "term").join(broadcast(qdf), "term"), stats)
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
       .withColumn("s", idf * num / denom)
     val summed = scored.groupBy(col("qid"), col("doc_id"))

@@ -45,9 +45,9 @@ object Boilerplate {
         .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val hot = posGrams.groupBy(col("g"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .crossJoin(broadcast(nDocs))
+    val hot = PlanHints.withScalars(
+        posGrams.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df")), nDocs)
       .filter(col("df") >= ceil(lit(minDfFrac) * col("n_docs")))
       .select(col("g"))
     val covered = posGrams.join(broadcast(hot), "g")

@@ -122,9 +122,8 @@ object Aggregates {
     val updated = env.orders
       .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
     val total = updated.agg(count(lit(1)).as("total_results"))
-    updated
-      .join(env.customer, $"o_custkey" === $"c_custkey")
-      .crossJoin(broadcast(total))
+    graft.operators.PlanHints.withScalars(
+        updated.join(env.customer, $"o_custkey" === $"c_custkey"), total)
       .select($"o_orderkey",
               date_format($"o_orderdate", "yyyy-MM-dd").as("updated"),
               $"c_name", $"total_results")

@@ -49,7 +49,7 @@ object PipelineQueries {
 
     // 5. Feed page with broadcast total (T2/S10 shape).
     val total = elected.agg(count(lit(1)).as("total_results"))
-    elected.crossJoin(broadcast(total))
+    graft.operators.PlanHints.withScalars(elected, total)
       .select($"pool_id", $"editionId", $"title", $"author", $"total_results")
       .orderBy($"pool_id")
       .limit(25)

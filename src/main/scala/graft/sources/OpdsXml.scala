@@ -65,7 +65,7 @@ object OpdsXml {
     * the page plus a broadcast total — computed once, not per row. */
   def feedPage(entries: DataFrame, orderCol: String, pageSize: Int): DataFrame = {
     val total = entries.agg(count(lit(1)).as("total_results"))
-    entries.crossJoin(broadcast(total))
+    graft.operators.PlanHints.withScalars(entries, total)
       .orderBy(col(orderCol))
       .limit(pageSize)
   }
