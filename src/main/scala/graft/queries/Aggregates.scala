@@ -86,14 +86,20 @@ object Aggregates {
     * slack).
     */
   def a8SketchRollup(env: Env): DataFrame = {
-    val groups = env.lineitem.groupBy($"l_returnflag").agg(
+    // sketches and the exact-distinct grader aggregate SEPARATELY: a
+    // distinct aggregate alongside non-distinct ones plans through
+    // Expand (row duplication + multi-phase agg), which would drag the
+    // large percentile buffers through every phase — measured 20×
+    // slower fused than split (40 s vs 2 s warm at sf0.1)
+    val sketches = env.lineitem.groupBy($"l_returnflag").agg(
       approx_count_distinct($"l_orderkey").as("acd"),
       expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-      countDistinct($"l_orderkey").as("n_exact"),
       count(lit(1)).as("n_rows"))
-    val rank = groups
-      .join(env.lineitem.select($"l_returnflag", $"l_extendedprice"),
-            Seq("l_returnflag"))
+    val exact = env.lineitem.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_exact"))
+    val groups = sketches.join(exact, "l_returnflag")
+    val rank = env.lineitem.select($"l_returnflag", $"l_extendedprice")
+      .join(broadcast(groups), "l_returnflag")
       .groupBy($"l_returnflag", $"acd", $"ap50", $"n_exact", $"n_rows")
       .agg(sum(when($"l_extendedprice" <= $"ap50", 1L).otherwise(0L)).as("n_le"))
     rank.select($"l_returnflag", $"n_exact",
