@@ -27,6 +27,38 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
+  /** Context-window chunking — the standard LLM-prep splitter: each
+    * document becomes ⌈(len − overlap) / (window − overlap)⌉ chunks of
+    * up to `window` tokens, consecutive chunks sharing `overlap`
+    * tokens (stride = window − overlap). Purely narrow (split +
+    * per-row transform + explode, all codegen'd built-ins, zero
+    * shuffle): at 100 TB this is a map over the corpus whose output
+    * row count is ~len/stride per doc.
+    *
+    * @return (doc_id, chunk_idx, n_chunk_tokens, chunk_text); docs
+    *         with ≤ window tokens yield exactly one whole-doc chunk.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 64, overlap: Int = 16): DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"need window > overlap >= 0, got $window/$overlap")
+    val stride = window - overlap
+    val toks = split(col(textCol), " ")
+    // chunk starts: 0, stride, 2·stride, … while start + overlap < len
+    // (equivalently the last chunk is the first one whose END reaches
+    // the doc's end — no degenerate all-overlap tail chunk)
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nc") - 1),
+          i => struct(i.as("chunk_idx"),
+            slice(col("toks"), i * stride + 1, lit(window)).as("ct")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        size(col("c.ct")).as("n_chunk_tokens"),
+        array_join(col("c.ct"), " ").as("chunk_text"))
+  }
+
   /** @return (doc_id, n_tokens, n_removed, scrubbed_text), one row per
     *         input document (text non-null by table contract).
     */

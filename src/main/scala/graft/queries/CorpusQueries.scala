@@ -126,6 +126,14 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Context-window chunking: 64-token windows, 16-token overlap
+    * (stride 48) — the LLM-prep splitter as a zero-shuffle narrow map
+    * (see [[graft.operators.Boilerplate.chunkWindows]]). */
+  def corpusChunkWindows(env: Env): DataFrame =
+    graft.operators.Boilerplate.chunkWindows(env.documents, "doc_id", "text",
+        window = 64, overlap = 16)
+      .orderBy($"doc_id", $"chunk_idx")
+
   /** Mixture reweighting over sources: src0 kept at 50%, src1 at 25%,
     * the long tail at 10% — per-source hash-order sampling. */
   def corpusMixture(env: Env): DataFrame = {
@@ -287,6 +295,21 @@ object CorpusQueries {
         |FROM d
         |WHERE rn <= greatest(CAST(ceil(0.2 * n_stratum) AS BIGINT), 1)
         |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("corpus_chunk_windows", corpusChunkWindows,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |n AS (SELECT doc_id, s,
+        |        greatest(1, CAST(ceil((len(s) - 16) / CAST(48 AS DOUBLE))
+        |                         AS INT)) AS nc
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
+        |      FROM n, unnest(range(0, nc)) AS u(i))
+        |SELECT doc_id, chunk_idx,
+        |       CAST(len(ct) AS INT) AS n_chunk_tokens,
+        |       array_to_string(ct, ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
 
     Q.sql("text_decontaminate", textDecontaminate, decontaminateSql),
 

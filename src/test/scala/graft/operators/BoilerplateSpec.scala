@@ -48,6 +48,38 @@ class BoilerplateSpec extends SparkSpec {
       (3L, 2, 2, ""), (4L, 2, 2, "")))
   }
 
+  test("chunkWindows: stride/overlap cover every token, no overlap-only tail") {
+    val text10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text10)).toDF("doc_id", "text")
+    // window 4, overlap 1 → stride 3 → chunks start 0,3,6 cover 1..10?
+    // starts 0,3,6: [t1..t4][t4..t7][t7..t10] = ceil((10-1)/3) = 3 chunks
+    val got = Boilerplate.chunkWindows(docs, "doc_id", "text", window = 4,
+        overlap = 1)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0, 4, "t1 t2 t3 t4"),
+      (1, 4, "t4 t5 t6 t7"),
+      (2, 4, "t7 t8 t9 t10")))
+  }
+
+  test("chunkWindows: short docs yield one whole-doc chunk; boundaries exact") {
+    val docs = Seq(
+      (1L, "a b"),                                // len < overlap
+      (2L, (1 to 4).map("w" + _).mkString(" ")),  // len == window
+      (3L, (1 to 5).map("w" + _).mkString(" "))   // len == window + 1
+    ).toDF("doc_id", "text")
+    val got = Boilerplate.chunkWindows(docs, "doc_id", "text", window = 4,
+        overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 2, "a b"),
+      (2L, 0, 4, "w1 w2 w3 w4"),
+      (3L, 0, 4, "w1 w2 w3 w4"),
+      (3L, 1, 3, "w3 w4 w5")))
+  }
+
   test("hot set stays within the pigeonhole bound on real data") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val out = Boilerplate.scrub(docs, "doc_id", "text").collect()
