@@ -134,6 +134,29 @@ object CorpusQueries {
         window = 64, overlap = 16)
       .orderBy($"doc_id", $"chunk_idx")
 
+  /** Passage-level near-dup: chunk every document into context windows
+    * (the [[corpusChunkWindows]] splitter), then banded-MinHash the
+    * CHUNKS and keep cross-document pairs at Jaccard ≥ 0.8 — finds
+    * duplicated passages inside otherwise-distinct documents, the case
+    * whole-document dedup misses. Pure composition of two verified
+    * operators; chunk ids pack as doc_id·1000 + chunk_idx. Adjacent
+    * same-doc windows share only the overlap (Jaccard ≈ 0.13 ≪ 0.8);
+    * the cross-doc filter drops intra-doc repeats on both engines
+    * identically. */
+  def corpusChunkNearDup(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, round}
+    val chunks = graft.operators.Boilerplate
+      .chunkWindows(env.documents, "doc_id", "text", window = 64, overlap = 16)
+      .select(($"doc_id" * 1000 + $"chunk_idx").as("chunk_id"),
+              $"chunk_text".as("text"))
+    graft.operators.TextDedup
+      .minhashNearDupPairs(chunks, "chunk_id", "text", threshold = 0.8)
+      .filter(expr("doc_a DIV 1000") =!= expr("doc_b DIV 1000"))
+      .select($"doc_a".as("chunk_a"), $"doc_b".as("chunk_b"),
+              round($"jaccard", 6).as("jaccard"))
+      .orderBy($"chunk_a", $"chunk_b")
+  }
+
   /** Mixture reweighting over sources: src0 kept at 50%, src1 at 25%,
     * the long tail at 10% — per-source hash-order sampling. */
   def corpusMixture(env: Env): DataFrame = {
@@ -310,6 +333,28 @@ object CorpusQueries {
         |       array_to_string(ct, ' ') AS chunk_text
         |FROM c
         |ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    Q.sql("corpus_chunk_neardup", corpusChunkNearDup,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |n AS (SELECT doc_id, s,
+        |        greatest(1, CAST(ceil((len(s) - 16) / CAST(48 AS DOUBLE))
+        |                         AS INT)) AS nc
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+        |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
+        |      FROM n, unnest(range(0, nc)) AS u(i)),
+        |sh AS (SELECT doc_id * 1000 + chunk_idx AS cid,
+        |         list_distinct(list_transform(range(1, len(ct) - 1),
+        |           i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS g
+        |       FROM c)
+        |SELECT a.cid AS chunk_a, b.cid AS chunk_b,
+        |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.cid < b.cid AND a.cid // 1000 <> b.cid // 1000
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+        |ORDER BY chunk_a, chunk_b""".stripMargin),
 
     Q.sql("text_decontaminate", textDecontaminate, decontaminateSql),
 
