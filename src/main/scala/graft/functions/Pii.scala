@@ -28,10 +28,15 @@ object Pii {
   def emailCount(c: Column): Column =
     regexp_count(c, lit(EmailPattern)).cast("int")
 
-  /** Mask phones then emails (the masks contain no digits or '@', so
-    * the passes can't interfere). */
+  /** Mask emails FIRST, then phones. Order matters one way only: an
+    * email's local part may legally contain a phone-shaped substring
+    * ("jane.25-989-741-2988@corp.com"), and masking the phone first
+    * would break the email match and leak its remainder — while a
+    * phone can never contain an email ('@' is not in the phone
+    * grammar), and '[EMAIL]' contains no digits for the phone pass to
+    * misread. */
   def redact(c: Column): Column =
     regexp_replace(
-      regexp_replace(c, PhonePattern, "[PHONE]"),
-      EmailPattern, "[EMAIL]")
+      regexp_replace(c, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
 }

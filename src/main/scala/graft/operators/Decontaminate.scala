@@ -126,8 +126,12 @@ object Decontaminate {
   def benchIndex(bench: DataFrame, idCol: String, textCol: String,
                  n: Int = 13, fpp: Double = 0.01): BenchIndex = {
     val spark = bench.sparkSession
+    // pinned: the gram relation is consumed by the bloom build AND by
+    // every subsequent verify join (one per corpus scan / micro-batch)
+    // — without the checkpoint the bench would re-tokenize each time
     val bg = bench.select(col(idCol).cast("long").as("bench_id"),
       explode(gramHashes(col(textCol), n)).as("g"))
+      .localCheckpoint(eager = false)
     val sizing = bench
       .agg(coalesce(sum(length(col(textCol))), lit(0L)).cast("long"),
            count(lit(1)))

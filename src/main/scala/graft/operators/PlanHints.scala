@@ -48,12 +48,31 @@ object PlanHints {
     // (pmod(hash(col), 1) ≡ 0) — a literal key constant-folds (and
     // hash·0 arithmetic-simplifies), the join condition becomes
     // trivially true, and Catalyst re-plans the cross join this
-    // exists to avoid
-    def zeroKey(d: org.apache.spark.sql.DataFrame) =
-      d.withColumn(k, org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.hash(d(d.columns.head)), lit(1)))
-    zeroKey(df)
-      .join(org.apache.spark.sql.functions.broadcast(zeroKey(scalars)), k)
-      .drop(k)
+    // exists to avoid. The hashed column must itself be hashable
+    // (hash() rejects MapType/VariantType) — pick the first such
+    // column per frame; a frame with no hashable column falls back to
+    // the plain cross join rather than failing analysis.
+    def hashableCol(d: org.apache.spark.sql.DataFrame): Option[String] = {
+      import org.apache.spark.sql.types._
+      def ok(t: DataType): Boolean = t match {
+        case _: MapType | _: VariantType => false
+        case s: StructType => s.fields.forall(f => ok(f.dataType))
+        case a: ArrayType => ok(a.elementType)
+        case _ => true
+      }
+      d.schema.fields.find(f => ok(f.dataType)).map(_.name)
+    }
+    (hashableCol(df), hashableCol(scalars)) match {
+      case (Some(dc), Some(sc)) =>
+        def zeroKey(d: org.apache.spark.sql.DataFrame, c: String) =
+          d.withColumn(k, org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(d(c)), lit(1)))
+        zeroKey(df, dc)
+          .join(org.apache.spark.sql.functions.broadcast(
+            zeroKey(scalars, sc)), k)
+          .drop(k)
+      case _ =>
+        df.crossJoin(org.apache.spark.sql.functions.broadcast(scalars))
+    }
   }
 }

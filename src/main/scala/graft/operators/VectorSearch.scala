@@ -385,7 +385,11 @@ object VectorSearch {
     import spark.implicits._
     val base = vectors.select(col("vec_id"), col(cellCol).cast("int").as("cell"),
       col("embedding"))
-    val blocked = base.filter(col("embedding").isNotNull)
+    // null cell or embedding: excluded from pair generation (the typed
+    // encoder below would throw on a null cell; the oracle leaves such
+    // rows unpaired), but still present in the output as kept=true
+    val blocked = base
+      .filter(col("embedding").isNotNull && col("cell").isNotNull)
       .as[(Long, Int, Array[Float])]
       .map { case (id, cell, e) => (cell, (id % blocks).toInt, id, e) }
       .toDF("cell", "blk", "vec_id", "embedding")

@@ -139,19 +139,27 @@ object CorpusQueries {
     * CHUNKS and keep cross-document pairs at Jaccard ≥ 0.8 — finds
     * duplicated passages inside otherwise-distinct documents, the case
     * whole-document dedup misses. Pure composition of two verified
-    * operators; chunk ids pack as doc_id·1000 + chunk_idx. Adjacent
+    * operators; chunk ids pack as doc_id·2²⁰ + chunk_idx (2²⁰ chunks ≈
+    * a 50M-token document — a guard raises rather than silently
+    * colliding into the next doc's id space past that). Adjacent
     * same-doc windows share only the overlap (Jaccard ≈ 0.13 ≪ 0.8);
     * the cross-doc filter drops intra-doc repeats on both engines
     * identically. */
   def corpusChunkNearDup(env: Env): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, round}
+    import org.apache.spark.sql.functions.{concat, expr, lit, raise_error, round, when}
+    val pack = 1L << 20
     val chunks = graft.operators.Boilerplate
       .chunkWindows(env.documents, "doc_id", "text", window = 64, overlap = 16)
-      .select(($"doc_id" * 1000 + $"chunk_idx").as("chunk_id"),
-              $"chunk_text".as("text"))
+      .select(
+        when($"chunk_idx" >= pack,
+             raise_error(concat(
+               lit("corpus_chunk_neardup: chunk_idx overflows id packing: "),
+               $"chunk_idx".cast("string"))))
+          .otherwise($"doc_id" * pack + $"chunk_idx").as("chunk_id"),
+        $"chunk_text".as("text"))
     graft.operators.TextDedup
       .minhashNearDupPairs(chunks, "chunk_id", "text", threshold = 0.8)
-      .filter(expr("doc_a DIV 1000") =!= expr("doc_b DIV 1000"))
+      .filter(expr(s"doc_a DIV $pack") =!= expr(s"doc_b DIV $pack"))
       .select($"doc_a".as("chunk_a"), $"doc_b".as("chunk_b"),
               round($"jaccard", 6).as("jaccard"))
       .orderBy($"chunk_a", $"chunk_b")
@@ -343,7 +351,7 @@ object CorpusQueries {
         |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
         |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
         |      FROM n, unnest(range(0, nc)) AS u(i)),
-        |sh AS (SELECT doc_id * 1000 + chunk_idx AS cid,
+        |sh AS (SELECT doc_id * 1048576 + chunk_idx AS cid,
         |         list_distinct(list_transform(range(1, len(ct) - 1),
         |           i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS g
         |       FROM c)
@@ -351,7 +359,7 @@ object CorpusQueries {
         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
         |FROM sh a JOIN sh b
-        |  ON a.cid < b.cid AND a.cid // 1000 <> b.cid // 1000
+        |  ON a.cid < b.cid AND a.cid // 1048576 <> b.cid // 1048576
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
         |ORDER BY chunk_a, chunk_b""".stripMargin),

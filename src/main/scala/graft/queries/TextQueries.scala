@@ -100,7 +100,8 @@ object TextQueries {
     * derived deterministically from c_custkey/c_name — every row then
     * exercises the real detect/mask path with a known ground truth the
     * oracle replays). Counts are measured on the ORIGINAL text;
-    * redaction masks phones then emails. */
+    * redaction masks emails then phones (see [[graft.functions.Pii]]
+    * for why that order is the safe one). */
   def textPiiRedact(env: Env): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.functions.Pii
@@ -341,8 +342,8 @@ object TextQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
         |    AS n_emails,
         |  regexp_replace(regexp_replace(blob,
-        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g')
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')
         |    AS redacted
         |FROM b
         |ORDER BY c_custkey""".stripMargin),

@@ -82,7 +82,8 @@ object Streams {
     *
     * @param sink receives (flagged contaminated docs, batchId) per
     *             micro-batch — same schema as the batch operator.
-    * @return the started streaming query (caller stops it).
+    * @return the CONFIGURED writer — the caller picks the trigger and
+    *         calls `.start()` (and later stops the returned query).
     */
   def decontaminateEachBatch(stream: DataFrame,
                              idx: graft.operators.Decontaminate.BenchIndex,

@@ -38,6 +38,12 @@ class PiiSpec extends SparkSpec {
     }
   }
 
+  test("phone-shaped substring inside an email local part: email wins whole") {
+    val got = run("mail jane.25-989-741-2988@corp.example.com or 11-222-333-4444")
+    // email masked as a unit (no leaked "jane." remainder), phone still found
+    assert(got == Seq((2, 1, "mail [EMAIL] or [PHONE]")))
+  }
+
   test("masks cannot cascade: a redacted string re-redacts to itself") {
     val s = "ping 12-345-678-9012 x bob@corp.example.com"
     val once = run(s).head._3
