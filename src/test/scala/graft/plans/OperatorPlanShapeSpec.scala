@@ -99,6 +99,49 @@ class OperatorPlanShapeSpec extends SparkSpec {
       page.queryExecution.executedPlan.toString)
   }
 
+  test("chunkWindows is a zero-shuffle narrow map") {
+    val docs = spark.range(500)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", (0 to 90).map(i => lit("w" + i)): _*).as("text"))
+    val chunks = graft.operators.Boilerplate.chunkWindows(
+      docs, "doc_id", "text", window = 64, overlap = 16)
+    chunks.count()
+    assert(Bucketing.shuffleCount(chunks) == 0,
+      chunks.queryExecution.executedPlan.toString)
+  }
+
+  test("withScalars sites plan broadcast-hash, never nested-loop/cartesian") {
+    // the scalar attach in bm25 / boilerplate / feed totals must stay a
+    // BroadcastHashJoin (inside codegen) — a literal key would fold
+    // back into BroadcastNestedLoopJoin
+    val docs = spark.range(300)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", (0 to 40).map(i => lit("t" + i)): _*).as("text"))
+    val out = graft.operators.Bm25.topK(docs, "doc_id", "text",
+      Seq("q" -> Seq("t1", "t7")), k = 5)
+    out.count()
+    val nodes = Bucketing.physicalNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+           !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      out.queryExecution.executedPlan.toString)
+    val scrub = graft.operators.Boilerplate.scrub(docs, "doc_id", "text")
+    scrub.count()
+    val sn = Bucketing.physicalNodes(scrub)
+    assert(!sn.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+           !sn.exists(_.isInstanceOf[CartesianProductExec]),
+      scrub.queryExecution.executedPlan.toString)
+  }
+
+  test("semDedup: pair scan stays within cells — no cross join, bounded shape") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.operators.VectorSearch.semDedup(emb, 0.3)
+    out.count()
+    val nodes = Bucketing.physicalNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+           !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("sessionize: one exchange, one shared sort for both windows") {
     val events = spark.range(2000)
       .select(($"id" % 20).as("user_id"), ($"id" * 1000000L).as("ts"),
