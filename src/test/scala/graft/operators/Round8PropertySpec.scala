@@ -86,6 +86,43 @@ class Round8PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
+  test("property: semDedup = brute-force in-cell scan on planted clusters") {
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val vecGen: Gen[Array[Float]] = Gen.listOfN(8,
+      Gen.chooseNum(-5, 5).map(_.toFloat)).map(_.toArray)
+    val gen = for {
+      base <- Gen.listOfN(10, vecGen)
+      cells <- Gen.listOfN(10, Gen.chooseNum(0, 2))
+    } yield base.zip(cells)
+    val prop = Prop.forAll(gen) { rows =>
+      val parts = rows.zipWithIndex.map { case ((e, c), i) => (i.toLong, c, e) }
+      val df = parts.map { case (id, c, e) => (id, c, e.toSeq) }
+        .toDF("vec_id", "label", "embedding")
+      val got = VectorSearch.semDedup(df, 0.9, dim = 8)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+        .toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def dot(x: Array[Float], y: Array[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      }
+      parts.forall { case (id, c, e) =>
+        val nDups = parts.count { case (id2, c2, e2) =>
+          id2 < id && c2 == c && {
+            val raw = cos(e2, e)
+            // zero vectors yield NaN — never a pair (kernel guard)
+            !raw.isNaN && raw >= 0.9 - 1e-6 && round6(raw) >= 0.9
+          }
+        }.toLong
+        got(id) == ((c, nDups, nDups == 0))
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("property: bm25 topK = scalar formula in fold order") {
     def round6(x: Double) = java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
