@@ -138,6 +138,49 @@ object TextDedup {
       .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
   }
 
+  /** Incremental near-dup: every INCREMENT doc with a near-dup in the
+    * BASE corpus — the production dedup shape at 100 TB, where the
+    * nightly increment is checked against the accumulated corpus
+    * WITHOUT ever re-pairing the corpus with itself (the self-join
+    * over 100 TB is exactly what an incremental pipeline exists to
+    * avoid). Same band-join + exact-verify machinery as
+    * [[minhashNearDupPairs]], but the candidate join is increment
+    * bands ⋈ base bands, so shuffle volume is O(increment + base band
+    * keys) and the base-side band keys are a pure function of the
+    * text — persist them once as a table and each nightly run is an
+    * increment scan plus one equi-join.
+    *
+    * Returns directional (inc_id, base_id, jaccard) for all verified
+    * pairs at ≥ threshold; a doc present on both sides self-matches
+    * at J = 1, which is the correct "already in base" signal.
+    */
+  def minhashNearDupAgainst(base: DataFrame, increment: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.5, n: Int = 3,
+                            k: Int = 64, bands: Int = 16): DataFrame = {
+    def prep(df: DataFrame) = {
+      val named = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      (shingleHashSets(named, n).localCheckpoint(eager = false),
+       bandKeysKernel(named, n, k, bands).localCheckpoint(eager = false))
+    }
+    val (shB, bandB) = prep(base)
+    val (shI, bandI) = prep(increment)
+    val cands = bandI.as("a")
+      .join(bandB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        sizeBand(threshold))
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    cands
+      .join(shI.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")),
+            "inc_id")
+      .join(shB.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
+            "base_id")
+      .select(col("inc_id"), col("base_id"),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+  }
+
   /** N-gram-Jaccard near-dup pairs via MIN-SHINGLE blocking (the
     * third dedup family of the pipeline brief, distinct from banded
     * MinHash): each doc's block keys are its `keys` lexicographically

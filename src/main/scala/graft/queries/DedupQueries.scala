@@ -45,6 +45,20 @@ object DedupQueries {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
 
+  /** Incremental dedup: every-7th doc plays the nightly increment,
+    * checked against the rest as the accumulated base — increment
+    * bands ⋈ base bands, never base×base (see
+    * [[graft.operators.TextDedup.minhashNearDupAgainst]]). */
+  def dedupIncremental(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.round
+    val inc = env.documents.filter($"doc_id" % 7 === 0)
+    val base = env.documents.filter($"doc_id" % 7 =!= 0)
+    graft.operators.TextDedup
+      .minhashNearDupAgainst(base, inc, "doc_id", "text", threshold = 0.8)
+      .select($"inc_id", $"base_id", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"inc_id", $"base_id")
+  }
+
   /** N-gram Jaccard near-dup via min-shingle blocking — same ground
     * truth as dedup_minhash (brute-force oracle), different candidate
     * scheme; verified at 0.8 for the same recall-guarantee reason. */
@@ -101,6 +115,17 @@ object DedupQueries {
         |GROUP BY 1
         |HAVING count(*) >= 2
         |ORDER BY canonical_id""".stripMargin),
+
+    Q.sql("dedup_incremental", dedupIncremental,
+      s"""$shingleCte
+         |SELECT i.doc_id AS inc_id, b.doc_id AS base_id,
+         |       round(CAST(len(list_intersect(i.g, b.g)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(i.g, b.g))), 6) AS jaccard
+         |FROM sh i JOIN sh b
+         |  ON i.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+         |WHERE CAST(len(list_intersect(i.g, b.g)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(i.g, b.g))) >= 0.8
+         |ORDER BY inc_id, base_id""".stripMargin),
 
     Q.sql("dedup_minhash", dedupMinhash,
       s"""$shingleCte

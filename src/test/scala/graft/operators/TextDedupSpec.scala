@@ -90,6 +90,32 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     })
   }
 
+  test("property: incremental dedup = brute-force cross-split pairs") {
+    val word = Gen.oneOf("ant", "bee", "cat", "dog", "elk")
+    val doc = Gen.listOfN(10, word).map(_.mkString(" "))
+    val corpus = Gen.listOfN(10, doc)
+    check("incremental = brute force")(forAll(corpus) { docs =>
+      // plant a cross-split duplicate: id 0 goes to the increment
+      // (0 % 3 = 0), its copy gets id 10 → base (10 % 3 = 1)
+      val all = (docs :+ docs.head).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = all.toDF("doc_id", "text")
+      val inc = df.filter($"doc_id" % 3 === 0)
+      val base = df.filter($"doc_id" % 3 =!= 0)
+      val got = TextDedup
+        .minhashNearDupAgainst(base, inc, "doc_id", "text", threshold = 0.8)
+        .select("inc_id", "base_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sh = all.map { case (i, t) => (i, shingleSetLocal(t)) }
+      val brute = (for {
+        (ia, sa) <- sh if ia % 3 == 0
+        (ib, sb) <- sh if ib % 3 != 0
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.8
+      } yield (ia, ib)).toSet
+      got == brute
+    })
+  }
+
   private def shingleSetLocal(t: String): Set[String] = {
     val toks = t.split(' ')
     if (toks.length < 3) Set(toks.mkString(" "))
