@@ -83,6 +83,31 @@ object MultimodalQueries {
     Multimodal.sampleGifFrames(videoMedia(env), everyN = 2)
       .orderBy($"media_id", $"frame_ordinal")
 
+  /** Per-key AVI/MJPEG clip: a real RIFF container around real
+    * JDK-JPEG frames. Solid-gray RGB frames — measured exact through
+    * the lossy codec (see [[graft.operators.Multimodal.rgbFrame]]), so
+    * the oracle pins the decoded means like the GIF path. */
+  private[graft] def aviMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val n = (2 + key % 4).toInt
+        val w = (6 + key % 6).toInt
+        val h = (6 + key % 4).toInt
+        val frames = (0 until n).map(f =>
+          Multimodal.rgbFrame(w, h, ((key * 41 + f * 23) % 256).toInt))
+        (key, Multimodal.aviMjpegBytes(frames))
+      }.toDF("media_id", "content")
+  }
+
+  /** Real AVI/MJPEG frame sampling end to end: RIFF walk → JPEG decode
+    * → per-frame dims + mean, every 2nd frame. */
+  def mmVideoAvi(env: Env): DataFrame =
+    Multimodal.sampleAviFrames(aviMedia(env), everyN = 2)
+      .orderBy($"media_id", $"frame_ordinal")
+
   /** REAL image decode end to end: per-key solid-gray PNG written
     * through the real encoder (lossless RGB — no palette quirks),
     * decoded by the SPI-cached ImageIO path; emits the true decoded
@@ -147,6 +172,24 @@ object MultimodalQueries {
         |  FROM m)
         |SELECT media_id, frame_ordinal, width, height,
         |  CAST((media_id * 37 + frame_ordinal * 19) % 256 AS DOUBLE)
+        |    AS mean_rgb
+        |FROM f
+        |WHERE frame_ordinal % 2 = 0
+        |ORDER BY media_id, frame_ordinal""".stripMargin),
+
+    Q.sql("mm_video_avi", mmVideoAvi,
+      """WITH m AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |    2 + p_partkey % 4 AS n_frames,
+        |    CAST(6 + p_partkey % 6 AS INT) AS width,
+        |    CAST(6 + p_partkey % 4 AS INT) AS height
+        |  FROM part),
+        |f AS (
+        |  SELECT media_id, width, height,
+        |    CAST(unnest(range(0, n_frames)) AS INT) AS frame_ordinal
+        |  FROM m)
+        |SELECT media_id, frame_ordinal, width, height,
+        |  CAST((media_id * 41 + frame_ordinal * 23) % 256 AS DOUBLE)
         |    AS mean_rgb
         |FROM f
         |WHERE frame_ordinal % 2 = 0

@@ -139,4 +139,28 @@ class MultimodalSpec extends SparkSpec {
         everyN = 3).collect()
     assert(rows.length == 1 && rows(0).getInt(2) == 5 && rows(0).getInt(3) == 6)
   }
+
+  test("AVI/MJPEG round-trip: RIFF walk finds every frame, means exact") {
+    // solid gray survives the lossy JPEG codec exactly (pure-DC blocks;
+    // measured over all 256 levels — see rgbFrame scaladoc)
+    val avi = Multimodal.aviMjpegBytes(
+      (0 until 5).map(f => Multimodal.rgbFrame(9, 7, 50 * f + 2)))
+    assert(Multimodal.aviMjpegFrames(avi).length == 5)
+    val rows = Multimodal.sampleAviFrames(mediaDf(4L -> avi), everyN = 2)
+      .orderBy("frame_ordinal").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (0, 9, 7, 2.0), (2, 9, 7, 102.0), (4, 9, 7, 202.0)))
+  }
+
+  test("AVI parser: non-AVI, truncated, and null payloads are safe") {
+    assert(Multimodal.aviMjpegFrames("not riff at all".getBytes).isEmpty)
+    assert(Multimodal.aviMjpegFrames(Array[Byte](1, 2, 3)).isEmpty)
+    val avi = Multimodal.aviMjpegBytes(Seq(Multimodal.rgbFrame(8, 6, 77)))
+    // truncating mid-frame loses that frame but never throws
+    val truncated = java.util.Arrays.copyOfRange(avi, 0, avi.length - 10)
+    assert(Multimodal.aviMjpegFrames(truncated).isEmpty)
+    assert(Multimodal.sampleAviFrames(mediaDf(
+      1L -> "x".getBytes, 2L -> null.asInstanceOf[Array[Byte]])).count() == 0)
+  }
 }
