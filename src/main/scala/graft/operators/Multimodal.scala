@@ -620,24 +620,32 @@ object Multimodal {
       new String(bytes, off, 4, "US-ASCII")
     val out = Seq.newBuilder[Array[Byte]]
     if (bytes.length >= 12 && cc(0) == "RIFF" && cc(8) == "AVI ") {
-      // top-level chunks start at 12; find LIST 'movi'
+      // top-level chunks start at 12; find LIST 'movi'. Size fields are
+      // UNTRUSTED u32s: clamp via Long arithmetic and force forward
+      // progress — a hostile size ≥ 2³¹ (negative as Int) or 0 must
+      // never stall or reverse the walk.
       var p = 12
-      while (p + 8 <= bytes.length) {
+      var ok = true
+      while (ok && p + 8 <= bytes.length) {
         val id = cc(p)
-        val sz = u32(p + 4).toInt
-        val bodyEnd = math.min(p + 8 + sz, bytes.length)
+        val sz = u32(p + 4) // 0 ≤ sz < 2³²
+        val bodyEnd = math.min(p + 8L + sz, bytes.length.toLong).toInt
         if (id == "LIST" && p + 12 <= bytes.length && cc(p + 8) == "movi") {
           var q = p + 12
-          while (q + 8 <= bodyEnd) {
+          while (ok && q + 8 <= bodyEnd) {
             val fid = cc(q)
-            val fsz = u32(q + 4).toInt
-            val fEnd = q + 8 + fsz
+            val fsz = u32(q + 4)
+            val fEnd = q + 8L + fsz
             if ((fid == "00dc" || fid == "00db") && fEnd <= bodyEnd && fsz > 0)
-              out += java.util.Arrays.copyOfRange(bytes, q + 8, fEnd)
-            q = fEnd + (fsz % 2) // chunks are word-aligned
+              out += java.util.Arrays.copyOfRange(bytes, q + 8, fEnd.toInt)
+            val next = fEnd + (fsz % 2) // chunks are word-aligned
+            if (next <= q || next > Int.MaxValue) ok = false // malformed
+            else q = next.toInt
           }
         }
-        p = bodyEnd + (sz % 2)
+        val next = bodyEnd + (sz % 2)
+        if (next <= p || next > Int.MaxValue) ok = false // malformed
+        else p = next.toInt
       }
     }
     out.result()

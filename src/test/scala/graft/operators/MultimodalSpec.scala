@@ -162,5 +162,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviMjpegFrames(truncated).isEmpty)
     assert(Multimodal.sampleAviFrames(mediaDf(
       1L -> "x".getBytes, 2L -> null.asInstanceOf[Array[Byte]])).count() == 0)
+    // hostile size fields (u32 ≥ 2^31, zero) must terminate, not loop
+    val hostile = "RIFF".getBytes ++ Array[Byte](-1, -1, -1, -1) ++
+      "AVI LIST".getBytes ++ Array[Byte](-1, -1, -1, 127) ++
+      "movi00dc".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      "00db".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ new Array[Byte](16)
+    assert(Multimodal.aviMjpegFrames(hostile).isEmpty)
   }
 }
