@@ -603,7 +603,11 @@ object Multimodal {
       fourcc("MJPG") ++ le32(w * h * 3) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    // Array.concat, NOT Seq#flatMap over the byte arrays — flatMap
+    // would assemble the movi body as a boxed Seq[Byte] (one
+    // java.lang.Byte per byte; measured as a GC storm at corpus scale)
+    val movi = list("movi",
+      Array.concat(jpegs.map(j => chunk("00dc", j)): _*))
     chunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi)
   }
 
