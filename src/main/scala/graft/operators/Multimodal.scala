@@ -466,6 +466,27 @@ object Multimodal {
     img
   }
 
+  /** Mean channel value (avg of r,g,b over all pixels), 6dp HALF_UP —
+    * the Spark-round contract shared by the GIF and AVI frame
+    * samplers so both stay SQL-oracle-reproducible; the rounding is
+    * oracle-critical, ONE copy only. */
+  private def meanRgb(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val nPix = img.getWidth.toLong * img.getHeight
+    java.math.BigDecimal.valueOf(sum.toDouble / (3.0 * nPix))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
   /** REAL frame sampling for ImageIO containers (animated GIF is the
     * multi-frame case): iterate true frames, keep every `everyN`-th,
     * and report the frame's decoded dimensions and mean channel value
@@ -498,23 +519,7 @@ object Multimodal {
                   // materialize eagerly — the reader closes on exit
                   (0 until n by everyN).map { f =>
                     val img = reader.read(f)
-                    var sum = 0L
-                    var y = 0
-                    while (y < img.getHeight) {
-                      var x = 0
-                      while (x < img.getWidth) {
-                        val rgb = img.getRGB(x, y)
-                        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                          (rgb & 0xff)
-                        x += 1
-                      }
-                      y += 1
-                    }
-                    val nPix = img.getWidth.toLong * img.getHeight
-                    val mean = java.math.BigDecimal
-                      .valueOf(sum.toDouble / (3.0 * nPix))
-                      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-                    (id, f, img.getWidth, img.getHeight, mean)
+                    (id, f, img.getWidth, img.getHeight, meanRgb(img))
                   }
                 } finally reader.dispose()
             }
@@ -675,22 +680,7 @@ object Multimodal {
           (0 until frames.length by everyN).flatMap { f =>
             try {
               val img = readImage(frames(f))
-              var sum = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              val nPix = img.getWidth.toLong * img.getHeight
-              val mean = java.math.BigDecimal
-                .valueOf(sum.toDouble / (3.0 * nPix))
-                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-              Some((id, f, img.getWidth, img.getHeight, mean))
+              Some((id, f, img.getWidth, img.getHeight, meanRgb(img)))
             } catch { case _: Exception => None }
           }
         } catch { case _: Exception => Nil }

@@ -93,6 +93,26 @@ object TextDedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** The exact-verify stage shared by every candidate scheme (banded
+    * self-join, min-shingle blocking, incremental band join): re-join
+    * the shingle sets by id onto the candidate pairs, compute exact
+    * Jaccard, and keep pairs ≥ threshold with the filter pinned above
+    * the joins. Precision-1-by-construction lives HERE — one copy
+    * only, like [[sizeBand]].
+    *
+    * @param cands (aCol, bCol) candidate id pairs
+    * @param shA / shB (doc_id, sh) shingle sets resolving aCol / bCol
+    */
+  private def verifyPairs(cands: DataFrame, shA: DataFrame, shB: DataFrame,
+                          aCol: String, bCol: String,
+                          threshold: Double): DataFrame =
+    cands
+      .join(shA.select(col("doc_id").as(aCol), col("sh").as("sh_a")), aCol)
+      .join(shB.select(col("doc_id").as(bCol), col("sh").as("sh_b")), bCol)
+      .select(col(aCol), col(bCol),
+              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+
   /** MinHash-LSH near-duplicate pairs with exact verification:
     *  1. shingle + sign + band each doc (narrow, codegen);
     *  2. explode band keys, self-join on (band, key) — the ONLY
@@ -130,12 +150,7 @@ object TextDedup {
         col("a.doc_id") < col("b.doc_id") && sizeBand(threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+    verifyPairs(cands, sh, sh, "doc_a", "doc_b", threshold)
   }
 
   /** Incremental near-dup: every INCREMENT doc with a near-dup in the
@@ -171,14 +186,7 @@ object TextDedup {
         sizeBand(threshold))
       .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("base_id"))
       .distinct()
-    cands
-      .join(shI.select(col("doc_id").as("inc_id"), col("sh").as("sh_a")),
-            "inc_id")
-      .join(shB.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
-            "base_id")
-      .select(col("inc_id"), col("base_id"),
-              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+    verifyPairs(cands, shI, shB, "inc_id", "base_id", threshold)
   }
 
   /** N-gram-Jaccard near-dup pairs via MIN-SHINGLE blocking (the
@@ -210,12 +218,7 @@ object TextDedup {
         sizeBand(threshold))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-              jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(PlanHints.geqNonPushable(col("jaccard"), threshold))
+    verifyPairs(cands, sh, sh, "doc_a", "doc_b", threshold)
   }
 
   /** Combined kernel for [[ngramJaccardPairs]]: ONE pass per document

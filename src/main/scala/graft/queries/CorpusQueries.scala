@@ -23,6 +23,21 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared DuckDB chunking fragment (window 64 / overlap 16, mirrors
+    * [[graft.operators.Boilerplate.chunkWindows]]) — one copy for the
+    * chunk-windows oracle and the passage-near-dup oracle so they
+    * cannot drift (the [[graft.queries.DedupQueries]] shingleCte
+    * precedent). */
+  private val chunkCte: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |n AS (SELECT doc_id, s,
+      |        greatest(1, CAST(ceil((len(s) - 16) / CAST(48 AS DOUBLE))
+      |                         AS INT)) AS nc
+      |      FROM t),
+      |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+      |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
+      |      FROM n, unnest(range(0, nc)) AS u(i))""".stripMargin
+
   private val decontaminateSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
       |              FROM documents),
@@ -328,33 +343,25 @@ object CorpusQueries {
         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("corpus_chunk_windows", corpusChunkWindows,
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |n AS (SELECT doc_id, s,
-        |        greatest(1, CAST(ceil((len(s) - 16) / CAST(48 AS DOUBLE))
-        |                         AS INT)) AS nc
-        |      FROM t),
-        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
-        |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
-        |      FROM n, unnest(range(0, nc)) AS u(i))
-        |SELECT doc_id, chunk_idx,
-        |       CAST(len(ct) AS INT) AS n_chunk_tokens,
-        |       array_to_string(ct, ' ') AS chunk_text
-        |FROM c
-        |ORDER BY doc_id, chunk_idx""".stripMargin),
+      s"""$chunkCte
+         |SELECT doc_id, chunk_idx,
+         |       CAST(len(ct) AS INT) AS n_chunk_tokens,
+         |       array_to_string(ct, ' ') AS chunk_text
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // short-chunk fallback mirrors TextDedup.shingles: a chunk under 3
+    // tokens contributes one whole-text shingle (unreachable with the
+    // current ≥10-token corpus, but the oracle must not diverge if the
+    // generator changes)
     Q.sql("corpus_chunk_neardup", corpusChunkNearDup,
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |n AS (SELECT doc_id, s,
-        |        greatest(1, CAST(ceil((len(s) - 16) / CAST(48 AS DOUBLE))
-        |                         AS INT)) AS nc
-        |      FROM t),
-        |c AS (SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
-        |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
-        |      FROM n, unnest(range(0, nc)) AS u(i)),
-        |sh AS (SELECT doc_id * 1048576 + chunk_idx AS cid,
-        |         list_distinct(list_transform(range(1, len(ct) - 1),
-        |           i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2])) AS g
-        |       FROM c)
+      s"""$chunkCte,
+         |sh AS (SELECT doc_id * 1048576 + chunk_idx AS cid,
+         |         CASE WHEN len(ct) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(ct) - 1),
+         |                     i -> ct[i] || ' ' || ct[i+1] || ' ' || ct[i+2]))
+         |              ELSE [array_to_string(ct, ' ')] END AS g
+         |       FROM c)
         |SELECT a.cid AS chunk_a, b.cid AS chunk_b,
         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard

@@ -48,7 +48,14 @@ object DedupQueries {
   /** Incremental dedup: every-7th doc plays the nightly increment,
     * checked against the rest as the accumulated base — increment
     * bands ⋈ base bands, never base×base (see
-    * [[graft.operators.TextDedup.minhashNearDupAgainst]]). */
+    * [[graft.operators.TextDedup.minhashNearDupAgainst]]).
+    *
+    * Scan note: because this FIXTURE carves both sides out of one
+    * table, the documents parquet is read twice per side (shingle +
+    * band kernels); in the operator's production shape base and
+    * increment are DIFFERENT tables (the base pre-kerneled and
+    * persisted, per the operator doc), so the double-read is a fixture
+    * artifact, not the operator's cost model. */
   def dedupIncremental(env: Env): DataFrame = {
     import org.apache.spark.sql.functions.round
     val inc = env.documents.filter($"doc_id" % 7 === 0)

@@ -153,6 +153,26 @@ class MultimodalSpec extends SparkSpec {
       (0, 9, 7, 2.0), (2, 9, 7, 102.0), (4, 9, 7, 202.0)))
   }
 
+  test("JPEG pure-DC exactness holds for EVERY level × generator dim") {
+    // the mm_video_avi oracle pins decoded means bit-exactly through
+    // the lossy codec; that is a JDK-codec property, so this guards it
+    // over the full surface the query generates (256 levels × dims
+    // 6..11 × 6..9) — a JDK whose JPEG plugin quantizes differently
+    // fails HERE, not silently at the bench
+    for (v <- 0 until 256; w <- 6 to 11; h <- 6 to 9) {
+      val img = Multimodal.rgbFrame(w, h, v)
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.jpegBytes(img)))
+      // EVERY pixel (the GIF reader's zeroed-last-row quirk proved
+      // decoders can corrupt regions, which a spot pixel would miss)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = back.getRGB(x, y)
+        assert(((rgb >> 16) & 0xff) == v && ((rgb >> 8) & 0xff) == v &&
+               (rgb & 0xff) == v, s"level $v dims ${w}x$h pixel ($x,$y)")
+      }
+    }
+  }
+
   test("AVI parser: non-AVI, truncated, and null payloads are safe") {
     assert(Multimodal.aviMjpegFrames("not riff at all".getBytes).isEmpty)
     assert(Multimodal.aviMjpegFrames(Array[Byte](1, 2, 3)).isEmpty)
