@@ -110,4 +110,46 @@ object Sampling {
       .filter(col("rn") <= greatest(ceil(fraction * col("n_stratum")), lit(1)))
       .drop("rn", "n_stratum")
   }
+
+  /** Deterministic train/val/test split assignment — the eval-holdout
+    * step of corpus construction. Adds a `split` column naming the
+    * partition each row belongs to; weights are cumulative hash-prefix
+    * intervals of the same 15-hex key as [[stratifiedThreshold]], so
+    * the assignment is:
+    *
+    *  - a pure map-side projection (zero shuffle, zero window — the
+    *    100 TB shape by construction);
+    *  - disjoint and exhaustive (intervals tile [0,1); the last split
+    *    takes the ELSE branch so float dust can never orphan a row);
+    *  - stable under corpus growth: a document's split depends only on
+    *    (salt, id), so re-running after ingesting new data never moves
+    *    an old document across the train/test boundary — the property
+    *    that keeps a frozen eval set uncontaminated across refreshes.
+    *
+    * Weights must sum to 1 (enforced); realized fractions are exact in
+    * expectation with per-row error < 2^-60, like the threshold
+    * sampler. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty, "Sampling: at least one split required")
+    require(splits.forall(_._2 > 0), "Sampling: split weights must be > 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"Sampling: split weights must sum to 1 (got ${splits.map(_._2).sum})")
+    require(!df.columns.contains("split"),
+      "Sampling: input column 'split' is reserved by splitAssign")
+    val h = substring(hashKey(Nil, idCol, salt), 1, 15)
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val assigned =
+      if (splits.size == 1) lit(splits.head._1)
+      else {
+        val first = when(h < lit(hexBound(cum.head)), lit(splits.head._1))
+        splits.tail.init.zip(cum.tail.init)
+          .foldLeft(first) { case (acc, ((name, _), c)) =>
+            acc.when(h < lit(hexBound(c)), lit(name))
+          }
+          .otherwise(lit(splits.last._1))
+      }
+    df.withColumn("split", assigned)
+  }
 }

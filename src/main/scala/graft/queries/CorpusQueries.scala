@@ -216,6 +216,18 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic 80/10/10 train/val/test assignment over every
+    * document, with each split's realized size and token volume — the
+    * eval-holdout step. The per-doc assignment (not just the counts)
+    * is what the oracle checks: both sides emit doc_id → split. */
+  def corpusSplitAssign(env: Env): DataFrame =
+    Sampling.splitAssign(
+      env.documents.select($"doc_id", $"lang"),
+      idCol = "doc_id",
+      splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"lang", $"split")
+      .orderBy($"doc_id")
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -326,6 +338,16 @@ object CorpusQueries {
         |      < CASE WHEN source = 'src0' THEN '${Sampling.hexBound(0.5)}'
         |             WHEN source = 'src1' THEN '${Sampling.hexBound(0.25)}'
         |             ELSE '${Sampling.hexBound(0.1)}' END
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("corpus_split_assign", corpusSplitAssign,
+      s"""SELECT doc_id, lang,
+        |  CASE WHEN substring(md5('graft-split' || '|' || doc_id), 1, 15)
+        |            < '${Sampling.hexBound(0.8)}' THEN 'train'
+        |       WHEN substring(md5('graft-split' || '|' || doc_id), 1, 15)
+        |            < '${Sampling.hexBound(0.9)}' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("corpus_sample_stratified", corpusSampleStratified,

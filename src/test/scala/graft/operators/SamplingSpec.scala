@@ -84,4 +84,39 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("reserved"), e3.getMessage)
   }
+
+  test("split assignment: disjoint, exhaustive, near-weight, stable") {
+    val df = (1L to 10000L).map(i => (i, s"l${i % 3}")).toDF("doc_id", "lang")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitAssign(df, "doc_id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // exhaustive: every row assigned to exactly one split (withColumn
+    // guarantees one value; the ELSE branch guarantees non-null)
+    assert(out.size == 10000 && out.values.forall(Set("train", "val", "test")))
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes("train") > 7700 && sizes("train") < 8300, sizes)
+    assert(sizes("val") > 800 && sizes("val") < 1200, sizes)
+    assert(sizes("test") > 800 && sizes("test") < 1200, sizes)
+    // stability under growth: assignments on a superset corpus agree on
+    // the original rows — the frozen-eval-set property
+    val grown = (1L to 20000L).map(i => (i, s"l${i % 3}")).toDF("doc_id", "lang")
+    val out2 = Sampling.splitAssign(grown, "doc_id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out.forall { case (id, s) => out2(id) == s })
+  }
+
+  test("split assignment: contract guards") {
+    val df = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] { // weights must sum to 1
+      Sampling.splitAssign(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] { // reserved output column
+      Sampling.splitAssign(df.withColumnRenamed("lang", "split"), "doc_id",
+        Seq("a" -> 1.0))
+    }
+    // single split: everything lands in it
+    val one = Sampling.splitAssign(df, "doc_id", Seq("all" -> 1.0))
+      .collect().map(_.getString(2))
+    assert(one.toSeq == Seq("all"))
+  }
 }
