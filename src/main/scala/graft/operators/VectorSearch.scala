@@ -436,6 +436,161 @@ object VectorSearch {
         col("n_lower_dups").isNull.as("kept"))
   }
 
+  /** Per-dimension quantization bounds for [[sq8TopK]]: global min and
+    * max of every dimension, computed as one narrow pass emitting a
+    * single (lo[dim], hi[dim]) partial per partition and combined on
+    * the driver — the partials are 2·dim doubles regardless of row
+    * count, so the collect is bounded by partition count, not data
+    * size (the aggregation-tree shape of `treeReduce`). Float min/max
+    * is order-independent, so the bounds are deterministic and a SQL
+    * engine recomputes them exactly.
+    */
+  def sq8Stats(vectors: DataFrame, dim: Int = 64)
+      : (Array[Double], Array[Double]) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val partials = vectors.select(col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val lo = Array.fill(dim)(Double.PositiveInfinity)
+        val hi = Array.fill(dim)(Double.NegativeInfinity)
+        var any = false
+        it.foreach { e =>
+          any = true
+          var i = 0
+          while (i < dim) {
+            val v = e(i).toDouble
+            if (v < lo(i)) lo(i) = v
+            if (v > hi(i)) hi(i) = v
+            i += 1
+          }
+        }
+        if (any) Iterator.single((lo, hi)) else Iterator.empty
+      }
+      .collect()
+    require(partials.nonEmpty, "sq8Stats: no vectors")
+    val lo = Array.fill(dim)(Double.PositiveInfinity)
+    val hi = Array.fill(dim)(Double.NegativeInfinity)
+    partials.foreach { case (plo, phi) =>
+      var i = 0
+      while (i < dim) {
+        if (plo(i) < lo(i)) lo(i) = plo(i)
+        if (phi(i) > hi(i)) hi(i) = phi(i)
+        i += 1
+      }
+    }
+    (lo, hi)
+  }
+
+  /** The SQ8 dequantized image of a vector: each component snaps to
+    * the value its unsigned-byte code decodes to. code =
+    * min(255, ⌊(v−lo)·255/(hi−lo)⌋) (v ≥ lo globally so codes are
+    * 0‥255 — the standard u8 scalar-quantizer codebook); decode =
+    * lo + code·(hi−lo)/255. Constant dimensions (hi = lo) decode to
+    * the constant. Every operation is IEEE-double with a pinned order,
+    * so the SQL oracle reproduces the image bit-for-bit.
+    */
+  private def sq8DeqK(e: Array[Float], lo: Array[Double], hi: Array[Double],
+                      dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      val l = lo(i); val h = hi(i)
+      out(i) =
+        if (h == l) l
+        else {
+          val code = math.min(255.0, math.floor((e(i).toDouble - l) * 255.0 / (h - l)))
+          l + code * ((h - l) / 255.0)
+        }
+      i += 1
+    }
+    out
+  }
+
+  /** SQ8 approximate top-k with exact re-rank — the memory-bound scan
+    * path of billion-vector search: vectors live as 1-byte-per-dim
+    * codes (4× smaller than float32, 16× than float64), the scan ranks
+    * by ASYMMETRIC distance (full-precision query against the
+    * dequantized codebook image — ADC in the quantization literature),
+    * and only the top-(k·m) survivors per query pay a full-precision
+    * re-rank to final top-k.
+    *
+    * Plan shape: one narrow pass for [[sq8Stats]] (bounded collect),
+    * one compiled scan over the vector table (queries broadcast, as in
+    * [[bruteForceTopK]]), ONE shuffle for the per-query candidate
+    * window, then a broadcast join of the tiny candidate set back to
+    * the vector table for the exact kernel — the full-precision table
+    * is touched only for |Q|·k·m rows. At 100 TB the codes table is
+    * what streams through the scan; here the codes are decoded on the
+    * fly from the same parquet scan (the fixture has no persisted
+    * codes column), which costs the same arithmetic and keeps the
+    * operator oracle-checkable end to end.
+    *
+    * Zero-norm vectors (exact or dequantized — cosine undefined) are
+    * excluded from the scan like [[bruteForceTopK]]; candidates carry
+    * their approximate score so the output exposes both cos (exact)
+    * and cos_sq8 (what the scan ranked by).
+    */
+  def sq8TopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              m: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (lo, hi) = sq8Stats(vectors, dim)
+    val qs = queries.select(col("qid"), col("qe"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e, normK(e, dim)) }
+      .filter(_._3 > 0)
+    val bcq = spark.sparkContext.broadcast(qs)
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcHi = spark.sparkContext.broadcast(hi)
+    val approx = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bcq.value
+        val l = bcLo.value; val h = bcHi.value
+        it.flatMap { case (vid, e) =>
+          if (normK(e, dim) == 0) Iterator.empty
+          else {
+            val dv = sq8DeqK(e, l, h, dim)
+            val ndv = normKD(dv, dim)
+            if (ndv == 0) Iterator.empty
+            else queries.iterator
+              .filter(_._1 != vid)
+              .map { case (qid, qe, nq) =>
+                (qid, vid, round6(dotKD(qe, dv, dim) / (nq * ndv)))
+              }
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "cos_sq8")
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sq8").desc, col("vec_id").asc)
+    val cand = approx.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= k * m)
+      .drop("crn")
+    val reranked = broadcast(cand)
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("cos_sq8"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+      .mapPartitions { it =>
+        val qmap = bcq.value.iterator
+          .map { case (qid, qe, nq) => qid -> ((qe, nq)) }.toMap
+        it.map { case (qid, vid, approxCos, e) =>
+          // norm > 0 guaranteed: the scan already excluded zero-norm
+          (qid, vid, round6(dotK(qmap(qid)._1, e, dim) / (qmap(qid)._2 * normK(e, dim))),
+           approxCos)
+        }
+      }
+      .toDF("qid", "vec_id", "cos", "cos_sq8")
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    reranked.withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("cos_sq8"))
+  }
+
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.
     * Block-matrix shape: vectors are grouped into B hash blocks, the
     * B(B+1)/2 block-cell pairs are enumerated with a join (tiny), and a

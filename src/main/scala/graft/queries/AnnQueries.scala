@@ -51,6 +51,17 @@ object AnnQueries {
     VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5, refine = 1)
       .orderBy($"qid", $"rank")
 
+  /** SQ8 scalar-quantized approximate top-5 with exact re-rank: the
+    * scan ranks by asymmetric cosine against the u8-dequantized image
+    * of every vector, keeps 4·k candidates, and re-ranks them at full
+    * precision. Fully ORACLE-VERIFIABLE: the quantization bounds are
+    * order-independent per-dim min/max and the code/decode arithmetic
+    * is pinned IEEE-double, so DuckDB recomputes the same codes, the
+    * same candidate sets, and the same re-ranked output. */
+  def annSq8Rerank(env: Env): DataFrame =
+    VectorSearch.sq8TopK(env.embeddings, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.45. */
   def annCosPairs(env: Env): DataFrame =
     VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
@@ -265,6 +276,69 @@ object AnnQueries {
          |                            ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM cand)
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
+
+    // Replays the SQ8 quantizer: per-dim min/max bounds, u8 code =
+    // least(255, floor((v-lo)*255/(hi-lo))), decode lo + code*step —
+    // the same pinned double expression order as the kernel — then the
+    // asymmetric candidate scan (top-20 by quantized cosine) and the
+    // exact re-rank to top-5.
+    Q.sql("ann_sq8_rerank", annSq8Rerank,
+      s"""WITH stats AS (
+         |  SELECT list(lo ORDER BY d) AS lo, list(hi ORDER BY d) AS hi FROM (
+         |    SELECT t.d AS d, min(CAST(embedding[t.d] AS DOUBLE)) AS lo,
+         |           max(CAST(embedding[t.d] AS DOUBLE)) AS hi
+         |    FROM embeddings, range(1, 65) t(d)
+         |    GROUP BY t.d)),
+         |deq AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    list_transform(range(1, 65), i ->
+         |      CASE WHEN s.hi[i] = s.lo[i] THEN s.lo[i]
+         |           ELSE s.lo[i]
+         |                + least(255.0,
+         |                        floor((CAST(e.embedding[i] AS DOUBLE) - s.lo[i])
+         |                              * 255.0 / (s.hi[i] - s.lo[i])))
+         |                  * ((s.hi[i] - s.lo[i]) / 255.0) END) AS dv
+         |  FROM embeddings e, stats s),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |approx AS (
+         |  SELECT q.qid, d.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * d.dv[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> d.dv[i] * d.dv[i])))), 6) AS cos_sq8
+         |  FROM q JOIN deq d ON d.vec_id <> q.qid
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          i -> CAST(d.embedding[i] AS DOUBLE)
+         |               * CAST(d.embedding[i] AS DOUBLE))) > 0
+         |    AND list_sum(list_transform(range(1, 65),
+         |          i -> d.dv[i] * d.dv[i])) > 0
+         |    AND list_sum(list_transform(range(1, 65),
+         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) > 0),
+         |cand AS (
+         |  SELECT qid, vec_id, cos_sq8 FROM (
+         |    SELECT qid, vec_id, cos_sq8,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_sq8 DESC, vec_id ASC) AS rn
+         |    FROM approx) WHERE rn <= 20),
+         |rr AS (
+         |  SELECT c.qid, c.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c.cos_sq8
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.qid = c.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos, cos_sq8,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM rr)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_sq8
          |FROM ranked WHERE rn <= 5
          |ORDER BY qid, rank""".stripMargin),
 

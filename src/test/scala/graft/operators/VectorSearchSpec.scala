@@ -112,6 +112,62 @@ class VectorSearchSpec extends SparkSpec {
            hitR == exact.size)
   }
 
+  test("SQ8: bounds cover the data and re-rank cosines are exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (lo, hi) = VectorSearch.sq8Stats(emb)
+    assert(lo.length == 64 && hi.length == 64)
+    assert(lo.zip(hi).forall { case (l, h) => l <= h })
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val out = VectorSearch.sq8TopK(emb, q, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4)))
+    // ranks are 1..n per query, ordered by EXACT cosine
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      val byRank = rows.sortBy(_._2).map(r => (r._4, r._3)) // (cos, vec_id)
+      byRank.zip(byRank.tail).foreach { case ((c1, i1), (c2, i2)) =>
+        assert(c1 > c2 || (c1 == c2 && i1 < i2), s"rank order broken: $byRank")
+      }
+    }
+    // reported exact cosine equals the brute-force cosine for the pair
+    val exactCos = VectorSearch.bruteForceTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    out.foreach { case (qid, _, vid, c, _) =>
+      assert(exactCos((qid, vid)) == c, s"($qid,$vid)")
+    }
+    // quantized score approximates exact: the 4x overfetch should give
+    // high recall vs brute force (report + soft floor)
+    val exact5 = VectorSearch.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = out.count { case (qid, _, vid, _, _) => exact5.contains((qid, vid)) }
+    info(s"SQ8 recall@5 on sf0.001: $hit/${exact5.size}")
+    assert(hit >= exact5.size / 2, s"SQ8 recall collapsed: $hit/${exact5.size}")
+  }
+
+  test("SQ8 dequantization error is within one quantization step") {
+    // 1-d slice through the public contract: every component's decoded
+    // image must sit within (hi-lo)/255 of the source value
+    val rows = Seq(
+      (0L, Seq(-1f, 0f, 0.25f)), (1L, Seq(1f, 2f, 0.5f)),
+      (2L, Seq(0.5f, -3f, 0.75f)), (3L, Seq(0f, 1f, 1f)))
+    val df = vecDf(rows)
+    val (lo, hi) = VectorSearch.sq8Stats(df, dim = 3)
+    rows.foreach { case (_, e) =>
+      for (i <- 0 until 3) {
+        val l = lo(i); val h = hi(i)
+        val step = if (h == l) 0.0 else (h - l) / 255.0
+        val code = if (h == l) 0.0
+                   else math.min(255.0, math.floor((e(i).toDouble - l) * 255.0 / (h - l)))
+        val deq = l + code * step
+        assert(math.abs(deq - e(i).toDouble) <= step + 1e-12,
+          s"dim $i: v=${e(i)} deq=$deq step=$step")
+      }
+    }
+  }
+
   test("semDedup drops exactly the vectors with a lower-id in-cell near-dup") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val th = 0.3

@@ -142,6 +142,23 @@ class OperatorPlanShapeSpec extends SparkSpec {
       out.queryExecution.executedPlan.toString)
   }
 
+  test("sq8TopK: broadcast-hash re-rank join, no nested-loop, no cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import spark.implicits._
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val out = graft.operators.VectorSearch.sq8TopK(emb, q, k = 5)
+    out.count()
+    val nodes = Bucketing.physicalNodes(out)
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+           !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      out.queryExecution.executedPlan.toString)
+    // the candidate set joins back to the vector table broadcast-side
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("sessionize: one exchange, one shared sort for both windows") {
     val events = spark.range(2000)
       .select(($"id" % 20).as("user_id"), ($"id" * 1000000L).as("ts"),
