@@ -96,4 +96,52 @@ object Boilerplate {
           filter(col("toks"), (_, i) => !array_contains(col("cov"), i)),
           " ").as("scrubbed_text"))
   }
+
+  /** C4-style GLOBAL line dedup: of all occurrences of a line across
+    * the whole corpus, only the first (lowest (doc_id, line_idx))
+    * survives; every document is rebuilt from its surviving lines.
+    * C4 splits on newline — this engine's documents are single-line,
+    * so a "line" is a disjoint `span`-token window ([[chunkWindows]]
+    * with overlap 0, the same split the chunkers use).
+    *
+    * Scale shape — deliberately NOT first-occurrence-via-window: a
+    * window over `partitionBy(line_text)` puts every copy of a hot
+    * line (exactly the boilerplate this removes) in one task. Instead
+    * the keeper per line is `min(struct(doc_id, line_idx))`, a
+    * map-side-combinable aggregate: each input partition contributes
+    * ONE candidate per distinct line, so the line-keyed shuffle
+    * carries distinct-lines rows regardless of duplication skew.
+    * Rebuilding then needs only the keepers (removed occurrences are
+    * absent by construction, counted as n_lines − n_kept), so there is
+    * no join back on the skewed line key at all: one line-hash
+    * shuffle, one doc-keyed assembly, both skew-immune.
+    *
+    * @return (doc_id, n_lines, n_removed, cleaned_text), one row per
+    *         input document; a document whose every line lost keeps
+    *         cleaned_text = "".
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                span: Int = 16): DataFrame = {
+    val lines = chunkWindows(docs, idCol, textCol, window = span, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx").as("line_idx"),
+        col("chunk_text").as("line_text"))
+    val keepers = lines.groupBy(col("line_text"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.line_idx").as("line_idx"),
+        col("line_text"))
+    val rebuilt = keepers.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(array_sort(collect_list(
+          struct(col("line_idx"), col("line_text")))).getField("line_text"),
+          " ").as("cleaned_text"))
+    val toks = split(col(textCol), " ")
+    val nLines = greatest(lit(1),
+      ceil(size(toks).cast("double") / span).cast("int"))
+    docs.select(col(idCol).as("doc_id"), nLines.as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -95,6 +95,15 @@ object TextQueries {
         n = 2, minDfFrac = 0.06)
       .orderBy($"doc_id")
 
+  /** C4-style global line dedup at 4-token spans (the span where this
+    * synthetic vocabulary actually produces cross-document duplicate
+    * lines — ~6% of spans at sf0.01); the per-doc rebuild and removal
+    * counts are what the oracle checks. */
+  def textLineDedup(env: Env): DataFrame =
+    graft.operators.Boilerplate.lineDedup(env.documents, "doc_id", "text",
+        span = 4)
+      .orderBy($"doc_id")
+
   /** PII redaction over a constructive contact blob (the synthetic
     * customer table carries no phone/comment columns, so the blob is
     * derived deterministically from c_custkey/c_name — every row then
@@ -350,6 +359,32 @@ object TextQueries {
 
     // 1-based list positions mirror the kernel's 0-based ones; the
     // covered-token SET (and so counts and rebuilt text) is identical
+    // first-occurrence winner replayed as a row_number window (the
+    // oracle's clarity form of the engine's skew-immune min-struct agg)
+    Q.sql("text_line_dedup", textLineDedup,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |n AS (SELECT doc_id, s,
+        |        greatest(1, CAST(ceil(len(s) / CAST(4 AS DOUBLE)) AS INT)) AS nc
+        |      FROM t),
+        |c AS (SELECT doc_id, CAST(u.i AS INT) AS line_idx,
+        |        array_to_string(list_slice(s, u.i * 4 + 1, u.i * 4 + 4), ' ')
+        |          AS line_text
+        |      FROM n, unnest(range(0, nc)) AS u(i)),
+        |k AS (SELECT doc_id, line_idx, line_text FROM (
+        |        SELECT doc_id, line_idx, line_text,
+        |               row_number() OVER (PARTITION BY line_text
+        |                                  ORDER BY doc_id, line_idx) AS rn
+        |        FROM c) WHERE rn = 1),
+        |r AS (SELECT doc_id, count(*) AS n_kept,
+        |             array_to_string(list(line_text ORDER BY line_idx), ' ')
+        |               AS cleaned_text
+        |      FROM k GROUP BY doc_id)
+        |SELECT n.doc_id, n.nc AS n_lines,
+        |       CAST(n.nc - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+        |       coalesce(r.cleaned_text, '') AS cleaned_text
+        |FROM n LEFT JOIN r USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin),
+
     Q.sql("text_boilerplate_scrub", textBoilerplateScrub,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
         |nn AS (SELECT count(*) AS n_docs FROM t),

@@ -93,4 +93,37 @@ class BoilerplateSpec extends SparkSpec {
       assert(kept == nt - nr, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("lineDedup keeps only the first global occurrence of each line") {
+    // span 2 → lines: doc1 = [a b][c d][a b]  (3rd repeats 1st in-doc)
+    //                 doc2 = [a b][x y]       (line 0 loses to doc1)
+    //                 doc3 = [c d]            (loses to doc1 line 1)
+    //                 doc4 = [z]              (short doc, unique)
+    val docs = Seq(
+      (1L, "a b c d a b"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, "z")
+    ).toDF("doc_id", "text")
+    val got = Boilerplate.lineDedup(docs, "doc_id", "text", span = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3, 1, "a b c d"),
+      (2L, 2, 1, "x y"),
+      (3L, 1, 1, ""),
+      (4L, 1, 0, "z")))
+  }
+
+  test("lineDedup plans the skew-immune shape: agg keeper, no line window") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    val out = Boilerplate.lineDedup(docs, "doc_id", "text", span = 2)
+    out.count()
+    // no WindowExec anywhere (the window form would serialize hot
+    // lines); keeper selection must stay a partial-aggregable groupBy
+    val nodes = Bucketing.physicalNodes(out)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      out.queryExecution.executedPlan.toString)
+  }
 }
