@@ -423,15 +423,104 @@ object Multimodal {
   private lazy val gifWriterSpi = writerSpiFor("gif")
   private lazy val pngWriterSpi = writerSpiFor("png")
 
-  /** REAL animated-GIF bytes from frames, written through ImageIO's
-    * sequence writer — constructive test/query payloads round-trip the
-    * honest codec path (same posture as [[wavBytes]]). All frames
-    * must share dimensions (GIF sub-rect frames are out of scope).
-    * JDK codec quirk (measured, JDK 17): the GIF READER returns the
-    * last row zeroed for images under 5 rows tall — constructive
-    * payloads must use height ≥ 5 to round-trip losslessly. */
+  /** Animated-GIF bytes from 8-bit-INDEXED frames sharing one palette.
+    * Conformant GIF89a written directly — literal LZW codes with a
+    * CLEAR every 250 symbols (the classic "uncompressed GIF" stream:
+    * all codes stay 9 bits, any conformant decoder accepts it) — NOT
+    * through ImageIO's sequence writer, whose LZW table churn was the
+    * single slowest thing in the whole bench (mm_video_frames 6.7 s at
+    * sf0.1, "GIF LZW encode dominates" in SCALING.md). The encoder is
+    * fixture plumbing; the DECODE side under test stays the real JDK
+    * reader, and MultimodalSpec cross-validates this writer against
+    * the JDK writer pixel-for-pixel ([[gifBytesJdk]]).
+    *
+    * All frames must share dimensions (GIF sub-rect frames are out of
+    * scope). JDK codec quirk (measured, JDK 17): the GIF READER
+    * returns the last row zeroed for images under 5 rows tall —
+    * constructive payloads must use height ≥ 5 to round-trip
+    * losslessly. */
   def gifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
     require(frames.nonEmpty, "gifBytes: at least one frame")
+    val w = frames.head.getWidth
+    val h = frames.head.getHeight
+    require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+      "gifBytes: all frames must share dimensions")
+    val cm = frames.head.getColorModel match {
+      case icm: java.awt.image.IndexColorModel => icm
+      case other => throw new IllegalArgumentException(
+        s"gifBytes: frames must be indexed (got ${other.getClass.getSimpleName})")
+    }
+    val palette = new Array[Int](256) // mapSize ≤ 256 entries; tail stays 0
+    cm.getRGBs(palette)
+    val out = new java.io.ByteArrayOutputStream(64 + frames.length * (w * h * 9 / 8 + 32))
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    u16(w); u16(h)
+    out.write(0xF7) // global color table, 8 bits/entry, 256 entries
+    out.write(0); out.write(0) // background index, aspect ratio
+    palette.foreach { rgb =>
+      out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff)
+      out.write(rgb & 0xff)
+    }
+    val px = new Array[Int](w * h)
+    frames.foreach { f =>
+      val fcm = f.getColorModel match {
+        case icm: java.awt.image.IndexColorModel => icm
+        case other => throw new IllegalArgumentException(
+          s"gifBytes: frames must be indexed (got ${other.getClass.getSimpleName})")
+      }
+      if (!(fcm eq cm)) { // same palette VALUES → same decoded colors
+        val fp = new Array[Int](256)
+        fcm.getRGBs(fp)
+        require(java.util.Arrays.equals(fp, palette),
+          "gifBytes: all frames must share one palette")
+      }
+      out.write(0x2C) // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0) // no local color table, not interlaced
+      out.write(8) // LZW minimum code size
+      f.getRaster.getSamples(0, 0, w, h, 0, px)
+      // literal 9-bit codes, LSB-first; CLEAR (256) resets the
+      // decoder's table before it could outgrow 9 bits (clear at 250 ≤
+      // the 253-code bound), EOI (257) ends the stream
+      val data = new java.io.ByteArrayOutputStream(w * h * 9 / 8 + 8)
+      var bitBuf = 0; var nBits = 0
+      def putCode(c: Int): Unit = {
+        bitBuf |= c << nBits; nBits += 9
+        while (nBits >= 8) { data.write(bitBuf & 0xff); bitBuf >>>= 8; nBits -= 8 }
+      }
+      putCode(256)
+      var i = 0; var sinceClear = 0
+      while (i < px.length) {
+        putCode(px(i))
+        sinceClear += 1
+        if (sinceClear == 250) { putCode(256); sinceClear = 0 }
+        i += 1
+      }
+      putCode(257)
+      if (nBits > 0) data.write(bitBuf & 0xff)
+      // chunk into ≤255-byte sub-blocks, zero-length terminator
+      val bytes = data.toByteArray
+      var off = 0
+      while (off < bytes.length) {
+        val n = math.min(255, bytes.length - off)
+        out.write(n)
+        out.write(bytes, off, n)
+        off += n
+      }
+      out.write(0)
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** The ImageIO sequence-writer form of [[gifBytes]] — kept as the
+    * independent reference implementation the spec cross-validates the
+    * direct encoder against (decode(gifBytes) == decode(gifBytesJdk)
+    * pixel-for-pixel). Not used on any query path. */
+  private[graft] def gifBytesJdk(
+      frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    require(frames.nonEmpty, "gifBytesJdk: at least one frame")
     val writer = gifWriterSpi.createWriterInstance()
     val out = new java.io.ByteArrayOutputStream()
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)

@@ -127,6 +127,59 @@ class MultimodalSpec extends SparkSpec {
       (0, 7, 6, 3.0), (2, 7, 6, 83.0), (4, 7, 6, 163.0)))
   }
 
+  test("direct GIF89a encoder matches the JDK writer pixel-for-pixel") {
+    // the fast encoder replaced ImageIO on the generator path; this is
+    // the cross-validation contract from its scaladoc: decoding either
+    // container yields identical frames, over levels incl. 0/255,
+    // frame counts incl. 1, dims incl. the h=5 reader-quirk floor and
+    // a frame big enough to force LZW clears + multiple sub-blocks
+    def decodeAll(bytes: Array[Byte]): Seq[Seq[Int]] = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "no reader accepted the payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        (0 until reader.getNumImages(true)).map { i =>
+          val img = reader.read(i)
+          (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            yield img.getRGB(x, y)).toSeq
+        }
+      } finally reader.dispose()
+    }
+    val cases = Seq(
+      Seq(Multimodal.grayFrame(7, 5, 0)),
+      Seq(Multimodal.grayFrame(6, 5, 255), Multimodal.grayFrame(6, 5, 1)),
+      (0 until 4).map(f => Multimodal.grayFrame(9, 6, 40 * f + 3)),
+      Seq(Multimodal.grayFrame(40, 20, 128))) // 800 px > 250-code clears
+    cases.foreach { frames =>
+      val ours = decodeAll(Multimodal.gifBytes(frames))
+      val jdk = decodeAll(Multimodal.gifBytesJdk(frames))
+      assert(ours == jdk, s"${frames.length} frames "
+        + s"${frames.head.getWidth}x${frames.head.getHeight}")
+    }
+  }
+
+  test("GIF89a encoder rejects mixed dimensions, palettes, non-indexed") {
+    val a = Multimodal.grayFrame(6, 5, 10)
+    intercept[IllegalArgumentException] {
+      Multimodal.gifBytes(Seq(a, Multimodal.grayFrame(7, 5, 10)))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.gifBytes(Seq(
+        new java.awt.image.BufferedImage(6, 5,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)))
+    }
+    // differing palette values
+    val grays = Array.tabulate[Byte](256)(i => i.toByte)
+    val shifted = Array.tabulate[Byte](256)(i => (i ^ 1).toByte)
+    val cm2 = new java.awt.image.IndexColorModel(8, 256, shifted, grays, grays)
+    val b = new java.awt.image.BufferedImage(6, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm2)
+    intercept[IllegalArgumentException] { Multimodal.gifBytes(Seq(a, b)) }
+  }
+
   test("GIF frame sampling: undecodable and null content yield no rows") {
     val out = Multimodal.sampleGifFrames(mediaDf(
       1L -> "definitely not a gif".getBytes,
