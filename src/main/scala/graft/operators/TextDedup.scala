@@ -474,9 +474,15 @@ object TextDedup {
     val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = false)
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
+    // initialization folds the first sweep in: label₀ = min(self, min
+    // neighbor) is exactly what sweep 1 would compute from identity
+    // labels (pointer jumping adds nothing there — every parent is
+    // itself), and the single map-side-combinable aggregate replaces
+    // both the node-distinct shuffle and that sweep's three joins
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("doc_id"),
+        least(col("doc_id"), col("nbr_min")).as("label"))
       .localCheckpoint(eager = false)
     var iter = 0
     var changed = true
