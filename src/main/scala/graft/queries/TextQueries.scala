@@ -95,6 +95,13 @@ object TextQueries {
         n = 2, minDfFrac = 0.06)
       .orderBy($"doc_id")
 
+  /** Corpus-trained bigram-LM perplexity per document — the LM quality
+    * filter. The LM counts, smoothing rationals, and the per-doc
+    * ordered ln-fold are all replayed by the oracle. */
+  def textPerplexity(env: Env): DataFrame =
+    graft.operators.TextAnalysis.perplexity(env.documents, "doc_id", "text")
+      .orderBy($"doc_id")
+
   /** C4-style global line dedup at 4-token spans (the span where this
     * synthetic vocabulary actually produces cross-document duplicate
     * lines — ~6% of spans at sf0.01); the per-doc rebuild and removal
@@ -359,6 +366,30 @@ object TextQueries {
 
     // 1-based list positions mirror the kernel's 0-based ones; the
     // covered-token SET (and so counts and rebuilt text) is identical
+    // add-one-smoothed bigram probabilities as exact-long divisions;
+    // the only transcendentals are the one ordered ln-fold and final
+    // exp per doc, rounded once at 4dp (see TextAnalysis.perplexity on
+    // the cross-engine ulp analysis)
+    Q.sql("text_perplexity", textPerplexity,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |v AS (SELECT count(DISTINCT u.x) AS vocab FROM t, unnest(s) AS u(x)),
+        |bg AS (SELECT doc_id, CAST(u.i AS INT) AS pos, s[u.i] AS w1,
+        |              s[u.i + 1] AS w2
+        |       FROM t, unnest(range(1, len(s))) AS u(i)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+        |p AS (SELECT bg.doc_id, bg.pos,
+        |        CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + v.vocab AS DOUBLE) AS p
+        |      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
+        |d AS (SELECT doc_id, count(*) AS nb,
+        |        list_sum(list_transform(list(p ORDER BY pos), x -> ln(x))) AS ll
+        |      FROM p GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.s) AS INT) AS n_tokens,
+        |       CAST(coalesce(d.nb, 0) AS INT) AS n_bigrams,
+        |       round(exp(-(d.ll / d.nb)), 4) AS ppl
+        |FROM t LEFT JOIN d USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
+
     // first-occurrence winner replayed as a row_number window (the
     // oracle's clarity form of the engine's skew-immune min-struct agg)
     Q.sql("text_line_dedup", textLineDedup,

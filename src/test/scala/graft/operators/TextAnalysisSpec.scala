@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perplexity: add-one bigram LM matches the hand-computed model") {
+    // corpus: "a b a", "a b", "c"  →  V = 3 ({a,b,c})
+    // bigrams: (a,b)×2, (b,a)×1; contexts: a→2, b→1
+    // p(b|a) = (2+1)/(2+3) = 0.6     p(a|b) = (1+1)/(1+3) = 0.5
+    // doc 1: ppl = (0.6·0.5)^(-1/2) = 1/sqrt(0.3)
+    // doc 2: ppl = 1/0.6
+    // doc 3: one token → no bigrams, NULL ppl
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.perplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+                 if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.toSeq == Seq(
+      (1L, 3, 2, Some(r4(math.exp(-(math.log(0.6) + math.log(0.5)) / 2)))),
+      (2L, 2, 1, Some(r4(1 / 0.6))),
+      (3L, 1, 0, None)))
+  }
+
+  test("perplexity separates in-distribution from degenerate text") {
+    // 20 docs of a common pattern + 1 shuffled-off-pattern doc: the
+    // outlier must score strictly worse (higher perplexity) — the
+    // quality-filter property the operator exists for
+    val common = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val weird = Seq((99L, "mat the on cat the sat"))
+    val out = TextAnalysis
+      .perplexity((common ++ weird).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(99L) > out(1L), s"outlier ${out(99L)} vs common ${out(1L)}")
+  }
+}
