@@ -38,17 +38,26 @@ object Boilerplate {
     * @return (doc_id, chunk_idx, n_chunk_tokens, chunk_text); docs
     *         with ≤ window tokens yield exactly one whole-doc chunk.
     */
+  /** Chunk count for a token array under [[chunkWindows]]' policy —
+    * chunk starts 0, stride, 2·stride, … while start + overlap < len
+    * (equivalently the last chunk is the first one whose END reaches
+    * the doc's end — no degenerate all-overlap tail chunk). ONE copy:
+    * [[lineDedup]]'s removed-count invariant (n_removed = this −
+    * n_kept) depends on agreeing with the splitter exactly. */
+  private def chunkCount(toks: org.apache.spark.sql.Column,
+                         window: Int, overlap: Int)
+      : org.apache.spark.sql.Column =
+    greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / (window - overlap))
+        .cast("int"))
+
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
                    window: Int = 64, overlap: Int = 16): DataFrame = {
     require(window > overlap && overlap >= 0,
       s"need window > overlap >= 0, got $window/$overlap")
     val stride = window - overlap
     val toks = split(col(textCol), " ")
-    // chunk starts: 0, stride, 2·stride, … while start + overlap < len
-    // (equivalently the last chunk is the first one whose END reaches
-    // the doc's end — no degenerate all-overlap tail chunk)
-    val nChunks = greatest(lit(1),
-      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    val nChunks = chunkCount(toks, window, overlap)
     docs.select(col(idCol).as("doc_id"), toks.as("toks"), nChunks.as("nc"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), col("nc") - 1),
@@ -134,9 +143,7 @@ object Boilerplate {
         array_join(array_sort(collect_list(
           struct(col("line_idx"), col("line_text")))).getField("line_text"),
           " ").as("cleaned_text"))
-    val toks = split(col(textCol), " ")
-    val nLines = greatest(lit(1),
-      ceil(size(toks).cast("double") / span).cast("int"))
+    val nLines = chunkCount(split(col(textCol), " "), span, 0)
     docs.select(col(idCol).as("doc_id"), nLines.as("n_lines"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),

@@ -452,6 +452,10 @@ object Multimodal {
     }
     val palette = new Array[Int](256) // mapSize ≤ 256 entries; tail stays 0
     cm.getRGBs(palette)
+    // no GCE/transparency support: a translucent entry would encode
+    // opaque and silently break decode(gifBytes) == decode(gifBytesJdk)
+    require((0 until cm.getMapSize).forall(i => (palette(i) >>> 24) == 0xff),
+      "gifBytes: transparent palette entries unsupported")
     val out = new java.io.ByteArrayOutputStream(64 + frames.length * (w * h * 9 / 8 + 32))
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))

@@ -139,7 +139,19 @@ object Sampling {
     require(!df.columns.contains("split"),
       "Sampling: input column 'split' is reserved by splitAssign")
     val h = substring(hashKey(Nil, idCol, salt), 1, 15)
-    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // cumulative bounds accumulate in EXACT decimal (shortest-repr
+    // BigDecimal), not double: 0.7+0.2 as doubles is 0.8999999999999999,
+    // whose hexBound differs from hexBound(0.9) by ~128 hash values —
+    // an oracle author writing the natural literal would diverge from
+    // the engine on ids landing in that window. Decimal accumulation
+    // makes the interval bound equal hexBound(<the literal you'd
+    // write>) for every decimal weight vector, preserving hexBound's
+    // computed-once contract.
+    val cum = splits
+      .scanLeft(java.math.BigDecimal.ZERO) { case (acc, (_, w)) =>
+        acc.add(java.math.BigDecimal.valueOf(w))
+      }
+      .tail.map(_.doubleValue())
     val assigned =
       if (splits.size == 1) lit(splits.head._1)
       else {

@@ -188,6 +188,10 @@ object TextAnalysis {
         .as("b"))
       .select(col("doc_id"), col("b.pos").as("pos"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // consumed three times (both count tables + the probe side of
+      // the prob join): pin the explode so it computes once, the
+      // TextDedup shingle-frame pattern
+      .localCheckpoint(eager = false)
     val vocab = base.select(explode(col("s")).as("w"))
       .agg(count_distinct(col("w")).as("vocab"))
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))

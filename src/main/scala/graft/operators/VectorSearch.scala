@@ -538,6 +538,7 @@ object VectorSearch {
     import spark.implicits._
     val (lo, hi) = sq8Stats(vectors, dim)
     val qs = queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull) // oracle's qe²>0 guard kills these too
       .as[(Long, Array[Float])].collect()
       .map { case (id, e) => (id, e, normK(e, dim)) }
       .filter(_._3 > 0)

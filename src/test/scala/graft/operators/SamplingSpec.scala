@@ -105,6 +105,25 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall { case (id, s) => out2(id) == s })
   }
 
+  test("split assignment: bounds equal the literal-weight hexBounds") {
+    // 0.7+0.2 in doubles is 0.8999999999999999 — the regression this
+    // pins is the kernel's cumulative bound drifting off hexBound(0.9),
+    // the literal an oracle author would write. Independent md5 replay:
+    val splits = Seq("a" -> 0.7, "b" -> 0.2, "c" -> 0.1)
+    val b1 = Sampling.hexBound(0.7)
+    val b2 = Sampling.hexBound(0.9)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(id: Long): String = {
+      val hex = md.digest(s"graft-split|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      if (hex < b1) "a" else if (hex < b2) "b" else "c"
+    }
+    val df = (1L to 5000L).map(i => (i, "x")).toDF("doc_id", "lang")
+    val got = Sampling.splitAssign(df, "doc_id", splits)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    got.foreach { case (id, s) => assert(s == expected(id), s"doc $id") }
+  }
+
   test("split assignment: contract guards") {
     val df = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] { // weights must sum to 1
