@@ -111,6 +111,65 @@ object Sampling {
       .drop("rn", "n_stratum")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual /
+    * multi-source rebalancing rule (sample stratum s proportionally to
+    * n_s^α instead of n_s): keep fraction f_s = min(1,
+    * target·N·w_s/n_s) with w_s = n_s^α / Σ_t n_t^α. α = 1 is the
+    * plain proportional `target` sample; α → 0 approaches
+    * uniform-over-strata (maximum upsampling of rare strata). The
+    * realized corpus-wide rate is `target` except for what the f ≤ 1
+    * clamp on heavily-boosted rare strata forgoes.
+    *
+    * Scale shape: one map-side-combinable count aggregate collects
+    * #strata rows to the driver (strata are a bounded vocabulary by
+    * contract — languages, sources), the per-stratum bounds become a
+    * literal `when` ladder, and the sample itself is
+    * [[thresholdByBound]]'s pure map-side filter: zero shuffle over
+    * the corpus, skew-immune by construction.
+    *
+    * Oracle determinism: Σ n^α accumulates in stratum-sorted order
+    * (replayable as an ORDER BY list fold); the f_s expression chain
+    * is pinned IEEE-double; α = 0.5 routes through `sqrt`
+    * (correctly-rounded in every IEEE engine, unlike `pow`) — the
+    * oracle-exact temperature; other α carry pow's cross-engine
+    * 1-ulp risk into a hexBound (~2⁻⁶⁰ of keep-probability mass).
+    * NULL strata are rejected (a real mixture config names its
+    * strata).
+    */
+  def temperatureThreshold(df: DataFrame, stratum: String, idCol: String,
+                           target: Double, alpha: Double = 0.5,
+                           salt: String = "graft-strat"): DataFrame = {
+    require(target > 0 && target <= 1,
+      s"Sampling: target must be in (0,1] (got $target)")
+    require(alpha > 0 && alpha <= 1,
+      s"Sampling: alpha must be in (0,1] (got $alpha)")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"Sampling: NULL $stratum (temperature strata must be non-null)")
+        (r.get(0).toString, r.getLong(1))
+      }
+      .sortBy(_._1)
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x)
+      else if (alpha == 1.0) x
+      else math.pow(x, alpha)
+    val ntot = counts.map(_._2).sum.toDouble
+    var sumW = 0.0
+    counts.foreach { case (_, n) => sumW += powA(n.toDouble) }
+    val fractions = counts.map { case (s, n) =>
+      (s, math.min(1.0, target * ntot * (powA(n.toDouble) / sumW) / n.toDouble))
+    }
+    val ladder = fractions.tail
+      .foldLeft(when(col(stratum) === fractions.head._1,
+        lit(hexBound(fractions.head._2)))) { case (acc, (s, f)) =>
+        acc.when(col(stratum) === s, lit(hexBound(f)))
+      }
+      .otherwise(lit(hexBound(0.0))) // unreachable: strata enumerated above
+    thresholdByBound(df, Seq(stratum), idCol, ladder, salt)
+  }
+
   /** Deterministic train/val/test split assignment — the eval-holdout
     * step of corpus construction. Adds a `split` column naming the
     * partition each row belongs to; weights are cumulative hash-prefix

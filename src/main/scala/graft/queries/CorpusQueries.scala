@@ -216,6 +216,18 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Temperature-rebalanced language mixture (α = 0.5, corpus-wide
+    * target 30%): English (44% of the corpus) samples at ~0.21, the
+    * rare languages at ~0.36–0.39 — the multilingual upsampling rule,
+    * shuffle-free. The oracle recomputes counts, the sorted Σ√n fold,
+    * the clamped fraction chain, and the 15-hex bounds, then replays
+    * the hash filter. */
+  def corpusMixtureTemperature(env: Env): DataFrame =
+    Sampling.temperatureThreshold(
+      env.documents.select($"doc_id", $"lang"),
+      stratum = "lang", idCol = "doc_id", target = 0.3)
+      .orderBy($"doc_id")
+
   /** Deterministic 80/10/10 train/val/test assignment over every
     * document, with each split's realized size and token volume — the
     * eval-holdout step. The per-doc assignment (not just the counts)
@@ -339,6 +351,35 @@ object CorpusQueries {
         |             WHEN source = 'src1' THEN '${Sampling.hexBound(0.25)}'
         |             ELSE '${Sampling.hexBound(0.1)}' END
         |ORDER BY doc_id""".stripMargin),
+
+    // replays Sampling.hexBound exactly: (f * 2^60).toLong truncates
+    // toward zero for positive f = floor; %015x zero-padded lowercase
+    Q.sql("corpus_mixture_temperature", corpusMixtureTemperature,
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS ntot,
+        |         list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS s
+        |  FROM c),
+        |b AS (
+        |  SELECT c.lang,
+        |         least(1.0, 0.3 * t.ntot * (sqrt(CAST(c.n AS DOUBLE)) / t.s)
+        |                    / CAST(c.n AS DOUBLE)) AS f
+        |  FROM c, tot t),
+        |bb AS (
+        |  SELECT lang,
+        |         CASE WHEN f >= 1 THEN 'g'
+        |              WHEN f <= 0 THEN '000000000000000'
+        |              ELSE printf('%015x',
+        |                     CAST(floor(f * 1152921504606846976) AS BIGINT))
+        |         END AS bound
+        |  FROM b)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN bb USING (lang)
+        |WHERE substring(md5('graft-strat' || '|' || COALESCE(d.lang, '␀')
+        |        || '|' || d.doc_id), 1, 15) < bb.bound
+        |ORDER BY d.doc_id""".stripMargin),
 
     Q.sql("corpus_split_assign", corpusSplitAssign,
       s"""SELECT doc_id, lang,

@@ -105,6 +105,45 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall { case (id, s) => out2(id) == s })
   }
 
+  test("temperature mixture: rare strata upsample, alpha=1 is proportional") {
+    // 900/90/10 skew at alpha=0.5: w ∝ sqrt(n) boosts rare strata
+    val rows = (1L to 900L).map((_, "big")) ++
+      (1001L to 1090L).map((_, "mid")) ++ (2001L to 2010L).map((_, "rare"))
+    val df = rows.toDF("doc_id", "src")
+    val out = Sampling.temperatureThreshold(df, "src", "doc_id", target = 0.2)
+      .collect().map(r => r.getString(1))
+    val byStratum = out.groupBy(identity).view.mapValues(_.size).toMap
+    // expected f: N=1000, S=sqrt(900)+sqrt(90)+sqrt(10)=42.65:
+    //   big ≈ 0.14, mid ≈ 0.44, rare ≈ 1.48 → clamped to 1
+    assert(byStratum("rare") == 10, s"clamped rare stratum keeps all: $byStratum")
+    val fBig = byStratum("big") / 900.0
+    val fMid = byStratum("mid") / 90.0
+    assert(fBig > 0.09 && fBig < 0.20, s"big ≈ 0.14 expected: $byStratum")
+    assert(fMid > 0.30 && fMid < 0.60, s"mid ≈ 0.44 expected: $byStratum")
+    // alpha = 1: every stratum's fraction collapses to target — the
+    // output must EQUAL the plain proportional threshold sample
+    val temp1 = Sampling.temperatureThreshold(df, "src", "doc_id",
+        target = 0.2, alpha = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    val plain = Sampling.stratifiedThreshold(df, Seq("src"), "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(temp1 == plain)
+    // contract guards
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureThreshold(df, "src", "doc_id", target = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureThreshold(df, "src", "doc_id", target = 0.2,
+        alpha = 1.5)
+    }
+    val withNull = rows.toDF("doc_id", "src")
+      .withColumn("src", org.apache.spark.sql.functions
+        .when($"doc_id" === 1L, null).otherwise($"src"))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureThreshold(withNull, "src", "doc_id", target = 0.2)
+    }
+  }
+
   test("split assignment: bounds equal the literal-weight hexBounds") {
     // 0.7+0.2 in doubles is 0.8999999999999999 — the regression this
     // pins is the kernel's cumulative bound drifting off hexBound(0.9),
