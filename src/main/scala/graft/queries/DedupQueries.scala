@@ -84,6 +84,23 @@ object DedupQueries {
         threshold = 0.8))
       .orderBy($"doc_id")
 
+  /** The APPLY step of near-dup dedup — the cleaned corpus itself:
+    * every unpaired document plus the canonical (min-id) member of
+    * each near-dup component; non-canonical members drop. Composes
+    * pair scan → min-label components → left-anti-style filter, the
+    * full pipeline a corpus build runs (the pair/component queries
+    * expose the intermediate stages). */
+  def dedupCanonical(env: Env): DataFrame = {
+    val comps = TextDedup.nearDupComponents(
+      TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text",
+        threshold = 0.8))
+    env.documents.select($"doc_id", $"lang", $"source", $"n_chars")
+      .join(comps, Seq("doc_id"), "left")
+      .filter($"canonical_id".isNull || $"canonical_id" === $"doc_id")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   /** SimHash hamming ≤ 3 near-dup pairs (exact by pigeonhole). */
   def dedupSimhash(env: Env): DataFrame =
     TextDedup.simhashNearDupPairs(env.documents, "doc_id", "text", maxHamming = 3)
@@ -165,6 +182,28 @@ object DedupQueries {
          |FROM reach
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("dedup_canonical", dedupCanonical,
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |canon AS (SELECT doc_id, min(root) AS canonical_id
+         |          FROM reach GROUP BY doc_id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d LEFT JOIN canon c USING (doc_id)
+         |WHERE c.canonical_id IS NULL OR c.canonical_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
 
     Q.sql("dedup_ngram", dedupNgram,
       s"""$shingleCte
