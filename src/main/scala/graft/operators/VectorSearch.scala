@@ -436,6 +436,48 @@ object VectorSearch {
         col("n_lower_dups").isNull.as("kept"))
   }
 
+  /** Johnson–Lindenstrauss random projection to `k` dimensions — the
+    * dim-reduction path of embedding pipelines (shrink before ANN /
+    * clustering / storage; pairwise distances preserved within
+    * O(√(log n / k)) distortion by the JL lemma). The projection
+    * matrix is the same md5-seeded ±1 family as [[hyperplanes]]
+    * (Achlioptas showed ±1 entries satisfy JL), scaled 1/√k, so the
+    * transform is reproducible everywhere with no RNG state and a SQL
+    * engine replays it exactly. Purely narrow: one compiled map over
+    * the vector table, zero shuffle — at 100 TB this is a scan.
+    *
+    * @return (vec_id, proj Array[Double]) with components rounded 6dp
+    *         (the engine-portable edge contract); null embeddings drop.
+    */
+  def randomProject(vectors: DataFrame, k: Int, dim: Int = 64): DataFrame = {
+    require(k > 0, s"randomProject: k must be positive ($k)")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(k, dim).map(_.toArray).toArray
+    val bc = spark.sparkContext.broadcast(planes)
+    val sqrtK = math.sqrt(k.toDouble)
+    vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        it.map { case (vid, e) =>
+          val out = new Array[Double](ps.length)
+          var b = 0
+          while (b < ps.length) {
+            val w = ps(b)
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += e(i).toDouble * w(i); i += 1 }
+            out(b) = round6(s / sqrtK)
+            b += 1
+          }
+          (vid, out)
+        }
+      }
+      .toDF("vec_id", "proj")
+  }
+
   /** Per-dimension quantization bounds for [[sq8TopK]]: global min and
     * max of every dimension, computed as one narrow pass emitting a
     * single (lo[dim], hi[dim]) partial per partition and combined on

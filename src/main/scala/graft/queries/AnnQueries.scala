@@ -62,6 +62,16 @@ object AnnQueries {
     VectorSearch.sq8TopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** JL random projection 64 → 16 dims, exploded to scalar rows for
+    * the exact compare (the md5-seeded ±1/√k matrix is replayed
+    * component-for-component in SQL). */
+  def annRpProject(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    VectorSearch.randomProject(env.embeddings, k = 16)
+      .select($"vec_id", posexplode($"proj").as(Seq("d", "v")))
+      .orderBy($"vec_id", $"d")
+  }
+
   /** Embedding near-dup: all pairs with cosine ≥ 0.45. */
   def annCosPairs(env: Env): DataFrame =
     VectorSearch.cosineThresholdPairs(env.embeddings, 0.45)
@@ -341,6 +351,20 @@ object AnnQueries {
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_sq8
          |FROM ranked WHERE rn <= 5
          |ORDER BY qid, rank""".stripMargin),
+
+    // same plane-seed replay as ann_lsh_topk; sequential dim fold,
+    // /sqrt(16) = /4 exact, 6dp edge rounding
+    Q.sql("ann_rp_project", annRpProject,
+      """SELECT e.vec_id, CAST(t.b AS INT) AS d,
+        |  round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) *
+        |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+        |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+        |                 THEN 1.0 ELSE -1.0 END)))
+        |    / sqrt(16.0), 6) AS v
+        |FROM embeddings e, range(0, 16) t(b)
+        |WHERE e.embedding IS NOT NULL
+        |ORDER BY e.vec_id, d""".stripMargin),
 
     Q.sql("ann_cos_pairs", annCosPairs,
       s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

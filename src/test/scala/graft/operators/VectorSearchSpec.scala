@@ -147,6 +147,33 @@ class VectorSearchSpec extends SparkSpec {
     assert(hit >= exact5.size / 2, s"SQ8 recall collapsed: $hit/${exact5.size}")
   }
 
+  test("random projection: deterministic, and JL-preserves pairwise structure") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val p1 = VectorSearch.randomProject(emb, k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    val p2 = VectorSearch.randomProject(emb, k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(p1 == p2) // md5-seeded: no RNG state anywhere
+    assert(p1.values.forall(_.length == 16))
+    // JL distortion check on real vectors: for sampled pairs, dot
+    // products in projected space track the originals (±1/√k entries,
+    // E[<Px,Py>] = <x,y>). Statistical, so assert a loose aggregate
+    // bound, not per-pair.
+    val orig = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    def dotD(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val errs = for (a <- ids; b <- ids if a < b) yield
+      math.abs(dotD(p1(a), p1(b)) - dot(orig(a), orig(b)))
+    val meanErr = errs.sum / errs.size
+    // raw dots on these unit-ish vectors are O(0.1–1); k=16 distortion
+    // stddev ~ |x||y|/√16 — mean abs error must stay well under 1
+    assert(meanErr < 0.5, s"JL distortion too large: mean abs err $meanErr")
+  }
+
   test("SQ8 dequantization error is within one quantization step") {
     // 1-d slice through the public contract: every component's decoded
     // image must sit within (hi-lo)/255 of the source value
