@@ -95,6 +95,32 @@ object TextQueries {
         n = 2, minDfFrac = 0.06)
       .orderBy($"doc_id")
 
+  /** Filter-cascade accounting — every document with its per-gate
+    * verdicts (length, LID-agrees-with-label, quality score,
+    * repetition) and the combined keep decision. The ablation view a
+    * corpus build ships alongside the filtered output: which gate
+    * removed how much, per doc — not just the survivors. Pure
+    * composition of the already-verified gate columns; one join
+    * (repetition kernel ⋈ scalar gates), no new operator machinery. */
+  def textQualityGates(env: Env): DataFrame = {
+    val base = env.documents.select($"doc_id", $"lang", $"text",
+      TextAnalysis.tokenCount($"text").as("n_tokens"),
+      TextAnalysis.qualityScore($"text").as("quality"),
+      TextAnalysis.langId($"text").as("predicted_lang"))
+    val rep = TextAnalysis.repetitionStats(env.documents, "doc_id", "text")
+    base.join(rep, Seq("doc_id"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" >= 30).as("pass_len"),
+        ($"predicted_lang" === $"lang").as("pass_lang"),
+        ($"quality" >= 0.65).as("pass_quality"),
+        ($"top_2gram_frac" <= 0.10 && $"dup_token_frac" <= 0.70)
+          .as("pass_repetition"),
+        ($"n_tokens" >= 30 && $"predicted_lang" === $"lang" &&
+         $"quality" >= 0.65 &&
+         $"top_2gram_frac" <= 0.10 && $"dup_token_frac" <= 0.70).as("kept"))
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-trained bigram-LM perplexity per document — the LM quality
     * filter. The LM counts, smoothing rationals, and the per-doc
     * ordered ln-fold are all replayed by the oracle. */
@@ -366,6 +392,58 @@ object TextQueries {
 
     // 1-based list positions mirror the kernel's 0-based ones; the
     // covered-token SET (and so counts and rebuilt text) is identical
+    // composes the text_stats quality expression, the langid fold, and
+    // the text_repetition aggregation, then the boolean gates
+    Q.sql("text_quality_gates", textQualityGates,
+      s"""WITH lang AS (SELECT doc_id, claimed_lang, predicted_lang FROM (
+         |${TextQueries.langIdSelect.linesIterator.map("  " + _).mkString("\n")}
+         |) ll),
+         |tq AS (SELECT doc_id, text, string_split(text, ' ') AS s
+         |       FROM documents),
+         |mq AS (SELECT doc_id, text, s,
+         |         CAST(len(s) AS INT) AS n_tokens,
+         |         CAST(len(list_filter(s,
+         |           x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+         |           AS n_stopwords
+         |       FROM tq),
+         |q AS (SELECT doc_id, n_tokens,
+         |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+         |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+         |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+         |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+         |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+         |                         BETWEEN 3.0 AND 10.0
+         |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
+         |      FROM mq),
+         |rg AS (SELECT doc_id, len(s) AS n_tokens,
+         |         len(list_distinct(s)) AS n_distinct,
+         |         unnest(CASE WHEN len(s) >= 2
+         |                THEN list_transform(range(1, len(s)),
+         |                       i -> s[i] || ' ' || s[i+1])
+         |                ELSE [array_to_string(s, ' ')] END) AS g
+         |       FROM tq),
+         |rc AS (SELECT doc_id, n_tokens, n_distinct, g, count(*) AS cnt
+         |       FROM rg GROUP BY doc_id, n_tokens, n_distinct, g),
+         |rep AS (SELECT doc_id,
+         |          round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+         |            AS dup_token_frac,
+         |          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6)
+         |            AS top_2gram_frac
+         |        FROM rc GROUP BY doc_id, n_tokens, n_distinct)
+         |SELECT q.doc_id, q.n_tokens,
+         |       q.n_tokens >= 30 AS pass_len,
+         |       lang.predicted_lang = lang.claimed_lang AS pass_lang,
+         |       q.quality >= 0.65 AS pass_quality,
+         |       rep.top_2gram_frac <= 0.10 AND rep.dup_token_frac <= 0.70
+         |         AS pass_repetition,
+         |       q.n_tokens >= 30 AND lang.predicted_lang = lang.claimed_lang
+         |         AND q.quality >= 0.65
+         |         AND rep.top_2gram_frac <= 0.10 AND rep.dup_token_frac <= 0.70
+         |         AS kept
+         |FROM q JOIN lang USING (doc_id) JOIN rep USING (doc_id)
+         |ORDER BY q.doc_id""".stripMargin),
+
     // add-one-smoothed bigram probabilities as exact-long divisions;
     // the only transcendentals are the one ordered ln-fold and final
     // exp per doc, rounded once at 4dp (see TextAnalysis.perplexity on
