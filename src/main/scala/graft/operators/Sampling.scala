@@ -223,4 +223,45 @@ object Sampling {
       }
     df.withColumn("split", assigned)
   }
+
+  /** Weighted sample without replacement — PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup): every row draws the deterministic
+    * uniform h = first 13 hex digits of md5(salt|id) — a 52-bit
+    * integer, EXACTLY representable as an IEEE double — and competes
+    * on priority = h / weight. The k smallest priorities win, so
+    * inclusion probability grows ∝ weight: the quality-weighted /
+    * length-weighted corpus draw (upweight long or high-quality
+    * documents without a per-stratum config).
+    *
+    * Oracle exactness: h and any integral weight < 2⁵³ are exact
+    * doubles and the priority is ONE correctly-rounded IEEE division,
+    * so the key is bit-identical in every IEEE engine. This is why
+    * priority sampling is chosen over Efraimidis–Spirakis u^(1/w)
+    * keys (same ∝-weight intent, different order): pow and ln are not
+    * correctly rounded and differ across libm implementations, so an
+    * ES key could not be SQL-oracle-verified bit-for-bit. doc-id
+    * tie-break makes even the measure-zero equal-priority case
+    * deterministic.
+    *
+    * Scale shape: a narrow map computes the key; the global bottom-k
+    * is TakeOrderedAndProject — per-partition top-k heaps, only k
+    * rows per partition reach the driver-side merge, NO global sort
+    * shuffle (plan-pinned in OperatorPlanShapeSpec). k is a result
+    * set by contract (plan-audit posture of the W1 page). */
+  def weightedPriority(df: DataFrame, idCol: String, weightCol: String,
+                       k: Int, salt: String = "graft-wrs"): DataFrame = {
+    require(!df.columns.contains("priority"),
+      "Sampling: input column 'priority' is reserved by weightedPriority")
+    val w = col(weightCol).cast("double")
+    val wGuard = when(col(weightCol).isNull || w <= 0 || w >= math.pow(2, 53),
+        raise_error(concat(
+          lit(s"Sampling: weight $weightCol must be in (0, 2^53): "),
+          col(weightCol).cast("string"))))
+      .otherwise(w)
+    val h = conv(substring(hashKey(Nil, idCol, salt), 1, 13), 16, 10)
+      .cast("long").cast("double")
+    df.withColumn("priority", h / wGuard)
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

@@ -240,6 +240,41 @@ object CorpusQueries {
       .select($"doc_id", $"lang", $"split")
       .orderBy($"doc_id")
 
+  /** Length-weighted corpus draw — 50 documents selected by PRIORITY
+    * SAMPLING with weight = n_chars (a long document is proportionally
+    * more likely to be drawn, the token-mass-fair way to subsample for
+    * inspection or eval-set construction). The priority is exact
+    * cross-engine (52-bit hash / integer weight, one IEEE division),
+    * so the oracle replays key, order, and cut identically. */
+  def corpusSampleWeighted(env: Env): DataFrame =
+    Sampling.weightedPriority(
+      env.documents.select($"doc_id", $"n_chars"),
+      idCol = "doc_id", weightCol = "n_chars", k = 50)
+      .orderBy($"priority", $"doc_id")
+
+  /** Corpus data card: the composition report every corpus release
+    * ships — document counts, token volumes, and mean document length
+    * for every (source × lang) cell PLUS the per-source, per-lang, and
+    * grand-total margins, in one pass via CUBE (Expand + one
+    * map-side-combinable aggregate — the margins cost no extra scans
+    * or joins). gid disambiguates margin rows from data rows
+    * (bit i = 1 ⇔ that grouping column is aggregated away). */
+  def corpusDatacard(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, grouping_id, lit, round, size, split, sum}
+    env.documents
+      .select($"source", $"lang",
+        size(split($"text", " ")).cast("long").as("toks"), $"n_chars")
+      .cube($"source", $"lang")
+      .agg(grouping_id().cast("int").as("gid"),
+           count(lit(1)).as("n_docs"),
+           sum($"toks").as("n_tokens"),
+           round(sum($"n_chars").cast("double") / count(lit(1)), 6)
+             .as("avg_chars"))
+      .select($"gid", $"source", $"lang", $"n_docs", $"n_tokens",
+              $"avg_chars")
+      .orderBy($"gid", $"source", $"lang")
+  }
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -433,6 +468,32 @@ object CorpusQueries {
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
         |ORDER BY chunk_a, chunk_b""".stripMargin),
+
+    // '0x'-prefixed VARCHAR → BIGINT cast parses the md5 prefix as the
+    // same 52-bit integer Spark's conv(hex, 16, 10) produces; the
+    // single division is correctly rounded in both engines
+    Q.sql("corpus_sample_weighted", corpusSampleWeighted,
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(CAST('0x' || substring(md5('graft-wrs' || '|' || doc_id), 1, 13)
+        |              AS BIGINT) AS DOUBLE) / n_chars AS priority
+        |  FROM documents)
+        |SELECT doc_id, n_chars, priority
+        |FROM d ORDER BY priority, doc_id LIMIT 50""".stripMargin),
+
+    // GROUPING_ID bit order (first column = MSB, 1 = aggregated) is the
+    // same convention in Spark and DuckDB; within each gid slice the
+    // null pattern of (source, lang) is constant, so ASC ordering never
+    // compares NULL against a value and the engines' opposite NULL
+    // placement defaults cannot diverge
+    Q.sql("corpus_datacard", corpusDatacard,
+      """SELECT CAST(GROUPING_ID(source, lang) AS INT) AS gid, source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents
+        |GROUP BY CUBE(source, lang)
+        |ORDER BY gid, source, lang""".stripMargin),
 
     Q.sql("text_decontaminate", textDecontaminate, decontaminateSql),
 

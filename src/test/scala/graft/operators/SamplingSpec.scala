@@ -163,6 +163,48 @@ class SamplingSpec extends SparkSpec {
     got.foreach { case (id, s) => assert(s == expected(id), s"doc $id") }
   }
 
+  test("weighted priority sample: equals the scalar bottom-k reference") {
+    val rows = (1L to 200L).map(i => (i, 1L + (i * 7) % 50))
+    val df = rows.toDF("doc_id", "w")
+    val out = Sampling.weightedPriority(df, "doc_id", "w", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // scalar reference: first 13 md5 hex digits of "graft-wrs|id" over w
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def priority(id: Long, w: Long): Double = {
+      val hex = md.digest(s"graft-wrs|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      java.lang.Long.parseLong(hex, 16).toDouble / w
+    }
+    val expect = rows.map { case (id, w) => (id, priority(id, w)) }
+      .sortBy { case (id, p) => (p, id) }.take(20)
+    assert(out.toSeq == expect,
+      s"spark=${out.take(3).toSeq} ref=${expect.take(3)}")
+  }
+
+  test("weighted priority sample: heavier rows are drawn more often") {
+    // 500 rows, every 10th has weight 100 vs 1 — the heavy 10% should
+    // dominate a k=50 draw (expected ~45 of 50 at these odds)
+    val df = (1L to 500L).map(i => (i, if (i % 10 == 0) 100L else 1L))
+      .toDF("doc_id", "w")
+    val picked = Sampling.weightedPriority(df, "doc_id", "w", k = 50)
+      .collect().map(_.getLong(0))
+    val heavy = picked.count(_ % 10 == 0)
+    assert(heavy > 35, s"only $heavy/50 heavy rows drawn")
+  }
+
+  test("weighted priority sample: contract guards") {
+    val df = Seq((1L, 0L), (2L, 5L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedPriority(df, "doc_id", "w", k = 2).collect()
+    }
+    assert(e.getMessage.contains("weight"), e.getMessage)
+    val reserved = Seq((1L, 5L, 0.0)).toDF("doc_id", "w", "priority")
+    val r = intercept[IllegalArgumentException] {
+      Sampling.weightedPriority(reserved, "doc_id", "w", k = 1)
+    }
+    assert(r.getMessage.contains("reserved"), r.getMessage)
+  }
+
   test("split assignment: contract guards") {
     val df = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] { // weights must sum to 1

@@ -99,6 +99,31 @@ class OperatorPlanShapeSpec extends SparkSpec {
       page.queryExecution.executedPlan.toString)
   }
 
+  test("weighted priority sample: per-partition top-k heaps, no global sort") {
+    val df = spark.range(1, 5000)
+      .select($"id".as("doc_id"), ($"id" % 97 + 1).as("w"))
+    val out = graft.operators.Sampling.weightedPriority(df, "doc_id", "w", 25)
+    out.count()
+    val plan = out.queryExecution.executedPlan
+    assert(Bucketing.physicalNodes(out).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      plan.toString)
+    assert(Bucketing.shuffleCount(out) == 0, plan.toString)
+  }
+
+  test("datacard cube: margins come from Expand + one aggregate shuffle") {
+    val env = graft.Env(spark, "/root/testdata/sf0.001")
+    val card = graft.queries.CorpusQueries.corpusDatacard(env)
+    card.count()
+    val plan = card.queryExecution.executedPlan
+    assert(plan.toString.contains("Expand"), plan.toString)
+    // one exchange for the aggregate, one for the final presentation
+    // sort — no join, no window, no per-margin rescan
+    assert(Bucketing.shuffleCount(card) <= 2, plan.toString)
+    assert(!Bucketing.physicalNodes(card).exists(_.isInstanceOf[WindowExec]),
+      plan.toString)
+  }
+
   test("chunkWindows is a zero-shuffle narrow map") {
     val docs = spark.range(500)
       .select($"id".as("doc_id"),
