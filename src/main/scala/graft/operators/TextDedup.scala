@@ -42,6 +42,46 @@ object TextDedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_dups"))
       .filter(col("n_dups") >= 2)
 
+  /** Exact duplicated-n-gram accounting — the substring-level dedup
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499): for every document, how many
+    * of its distinct n-token grams also occur in ANOTHER document.
+    * Whole-document dedup misses boilerplate and quoted passages
+    * duplicated across otherwise-distinct pages; a high dup_frac
+    * flags exactly those. Gram fallback for short docs matches
+    * [[Decontaminate.gramHashes]] (one whole-text gram).
+    *
+    * Scale shape: grams travel as md5 (fixed 32 bytes, never the raw
+    * 13-token strings); the per-doc-distinct gram stream is lazily
+    * checkpointed because BOTH legs consume it (the corpus would
+    * otherwise re-tokenize twice); duplicated grams come from one
+    * map-side-combinable count on the gram key; the dup set joins
+    * back ON THE SAME KEY — co-partitioned with the groupBy's
+    * exchange, so the join reuses it rather than reshuffling — as a
+    * SHUFFLE_HASH build side (the duplicated-gram set at 100 TB is
+    * itself corpus-scale: never broadcast); the per-doc rollup is the
+    * only other shuffle. No window on the gram key (a viral
+    * boilerplate gram would serialize through one task).
+    *
+    * @return one row per document with ≥ 1 gram: (doc_id, n_grams,
+    *         n_dup_grams, dup_frac, flagged = dup_frac ≥ 0.5).
+    */
+  def duplicatedGramStats(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 13): DataFrame = {
+    val tg = docs.select(col(idCol).as("doc_id"),
+        explode(Decontaminate.gramHashes(col(textCol), n)).as("g"))
+      .localCheckpoint(eager = false)
+    val dup = tg.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+    tg.join(dup.hint("SHUFFLE_HASH"), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+           count(col("n_docs")).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .withColumn("flagged", col("dup_frac") >= 0.5)
+  }
+
   /** MinHash signature: k independent min-hashes of the shingle set.
     * h_i(S) = min over s∈S of xxhash64(s, i) — one array expression,
     * no explode, no UDF. (Array form — see [[minhashSignatures]] for

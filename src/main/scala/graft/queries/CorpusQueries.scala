@@ -275,6 +275,15 @@ object CorpusQueries {
       .orderBy($"gid", $"source", $"lang")
   }
 
+  /** Duplicated-13-gram accounting over the whole corpus — the
+    * intra-corpus counterpart of [[textDecontaminate]] (same gram
+    * kernel, corpus vs itself instead of corpus vs bench): per-doc
+    * coverage by grams that also occur in another document. */
+  def textGramDedup(env: Env): DataFrame =
+    graft.operators.TextDedup
+      .duplicatedGramStats(env.documents, "doc_id", "text")
+      .orderBy($"doc_id")
+
   /** Gopher-rule repetition stats over every document. */
   def textRepetition(env: Env): DataFrame =
     graft.operators.TextAnalysis
@@ -494,6 +503,28 @@ object CorpusQueries {
         |FROM documents
         |GROUP BY CUBE(source, lang)
         |ORDER BY gid, source, lang""".stripMargin),
+
+    // the g CTE mirrors decontaminateSql's gram extraction (same
+    // kernel on the Spark side: Decontaminate.gramHashes)
+    Q.sql("text_gram_dedup", textGramDedup,
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(s) >= 13
+        |             THEN list_distinct(list_transform(range(1, len(s) - 11),
+        |                    i -> md5(array_to_string(list_slice(s, i, i + 12), ' '))))
+        |             ELSE [md5(array_to_string(s, ' '))] END AS gs
+        |      FROM toks),
+        |tg AS (SELECT doc_id, unnest(gs) AS g FROM g),
+        |dup AS (SELECT g FROM tg GROUP BY g HAVING count(*) > 1)
+        |SELECT tg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(dup.g) AS BIGINT) AS n_dup_grams,
+        |  round(CAST(count(dup.g) AS DOUBLE) / count(*), 6) AS dup_frac,
+        |  round(CAST(count(dup.g) AS DOUBLE) / count(*), 6) >= 0.5 AS flagged
+        |FROM tg LEFT JOIN dup ON tg.g = dup.g
+        |GROUP BY tg.doc_id
+        |ORDER BY doc_id""".stripMargin),
 
     Q.sql("text_decontaminate", textDecontaminate, decontaminateSql),
 

@@ -116,6 +116,25 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     })
   }
 
+  test("duplicatedGramStats: shared grams counted, unique docs zero") {
+    // n = 3 to keep the hand case small; a/b share "x y z" (and only
+    // it), c is untouched, d is a short doc falling back to the
+    // whole-text gram with an exact copy e
+    val docs = Seq(
+      (1L, "a1 a2 x y z a3"),   // 4 grams, 1 dup
+      (2L, "b1 x y z b2 b3"),   // 4 grams, 1 dup
+      (3L, "c1 c2 c3 c4 c5"),   // 3 grams, 0 dup
+      (4L, "s t"),              // whole-text gram, dup with 5
+      (5L, "s t")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicatedGramStats(docs, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, false), (2L, 4L, 1L, false), (3L, 3L, 0L, false),
+      (4L, 1L, 1L, true), (5L, 1L, 1L, true)))
+  }
+
   private def shingleSetLocal(t: String): Set[String] = {
     val toks = t.split(' ')
     if (toks.length < 3) Set(toks.mkString(" "))
