@@ -182,6 +182,57 @@ object TextQueries {
         Bm25Workload, k = 10)
       .orderBy($"qid", $"rank")
 
+  /** HYBRID retrieval — the modern RAG default: BM25 keyword top-10
+    * and brute-force embedding-cosine top-10 for the same query
+    * documents (every 50th doc, query-by-example: its first 8 distinct
+    * tokens are the keyword query, its embedding the vector query —
+    * doc_id and vec_id share an id space by testdata contract), fused
+    * by RECIPROCAL RANK FUSION: rrf(d) = Σ_lists 1/(60 + rank_list(d))
+    * (Cormack/Clarke/Büttcher's k = 60). Both retriever lists exclude
+    * the query document itself; a doc in only one list contributes one
+    * term. Each 1/(60+rank) is a single correctly-rounded division
+    * and the two-term sum adds in a fixed order, so the oracle replays
+    * the fused scores exactly.
+    *
+    * Scale shape: the keyword leg is the verified [[textBm25TopK]]
+    * plan (query-term filter before any aggregation), the vector leg
+    * the verified broadcast-query brute scan; both end in
+    * WindowGroupLimit top-k, the fusion is a (qid, doc_id) equi-join
+    * of two k-row-per-query lists — tiny by construction — and the
+    * final re-rank windows over ≤ 2k rows per query. The per-query
+    * term workload is collected once on the driver (10 query docs × 8
+    * tokens — the documented tiny-side contract, same posture as the
+    * ANN centroid collect). */
+  def textHybridRrf(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, lit, round, row_number, slice, split}
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id", slice(split($"text", " "), 1, 8).as("t8"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val text = graft.operators.Bm25
+      .topK(env.documents, "doc_id", "text", terms, k = 10)
+      .select($"qid".cast("long").as("qid"), $"doc_id",
+              $"rank".as("trank"))
+      .filter($"doc_id" =!= $"qid")
+    val vec = graft.operators.VectorSearch
+      .bruteForceTopK(env.embeddings,
+        env.embeddings.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 10)
+      .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + $"trank"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + $"vrank"), lit(0.0)), 6))
+    val w = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank".cast("int").as("rank"), $"doc_id", $"rrf")
+      .orderBy($"qid", $"rank")
+  }
+
   def textFingerprint(env: Env): DataFrame =
     env.documents.select(
       $"doc_id",
@@ -357,6 +408,75 @@ object TextQueries {
          |FROM rk WHERE rn <= 10
          |ORDER BY qid, rank""".stripMargin
     }),
+
+    // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
+    // oracle verbatim with the VALUES workload swapped for the
+    // table-derived query-by-example terms; the cosine leg mirrors
+    // ann_brute_topk at k = 10
+    Q.sql("text_hybrid_rrf", textHybridRrf,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |       FROM base),
+        |q AS (SELECT doc_id AS qid,
+        |        unnest(list_distinct(list_slice(s, 1, 8))) AS term
+        |      FROM t WHERE doc_id % 50 = 0),
+        |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
+        |       FROM base, unnest(s) AS u(term)
+        |       WHERE u.term IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY doc_id, dl, u.term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT q.qid, tf.doc_id, tf.term,
+        |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
+        |            / (CAST(dft.df AS DOUBLE) + 0.5))
+        |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE)
+        |              * ((CAST(1.0 AS DOUBLE) - 0.75)
+        |                 + CAST(0.75 AS DOUBLE)
+        |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+        |           AS s
+        |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
+        |ag AS (SELECT qid, doc_id,
+        |         round(list_reduce(list(s ORDER BY term), (x, y) -> x + y), 6)
+        |           AS score
+        |       FROM sc GROUP BY qid, doc_id),
+        |trk AS (SELECT qid, doc_id, score,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY score DESC, doc_id) AS trank
+        |        FROM ag),
+        |tsel AS (SELECT qid, doc_id, trank FROM trk
+        |         WHERE trank <= 10 AND doc_id <> qid),
+        |vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |       WHERE vec_id % 50 = 0),
+        |vs AS (SELECT vq.qid, e.vec_id,
+        |         round(list_sum(list_transform(range(1, len(vq.qe) + 1),
+        |                 i -> CAST(vq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |               / (sqrt(list_sum(list_transform(range(1, len(vq.qe) + 1),
+        |                    i -> CAST(vq.qe[i] AS DOUBLE) * CAST(vq.qe[i] AS DOUBLE))))
+        |                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+        |               6) AS cos
+        |       FROM vq JOIN embeddings e ON e.vec_id <> vq.qid),
+        |vrk AS (SELECT qid, vec_id AS doc_id,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY cos DESC, vec_id) AS vrank
+        |        FROM vs),
+        |vsel AS (SELECT qid, doc_id, vrank FROM vrk WHERE vrank <= 10),
+        |f AS (SELECT coalesce(t2.qid, v.qid) AS qid,
+        |        coalesce(t2.doc_id, v.doc_id) AS doc_id,
+        |        round(coalesce(CAST(1 AS DOUBLE) / (60 + t2.trank),
+        |                       CAST(0 AS DOUBLE))
+        |              + coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank),
+        |                         CAST(0 AS DOUBLE)), 6) AS rrf
+        |      FROM tsel t2 FULL OUTER JOIN vsel v
+        |        ON t2.qid = v.qid AND t2.doc_id = v.doc_id),
+        |rk2 AS (SELECT qid, doc_id, rrf,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY rrf DESC, doc_id) AS rn
+        |        FROM f)
+        |SELECT qid, CAST(rn AS INT) AS rank, doc_id, rrf
+        |FROM rk2 WHERE rn <= 10
+        |ORDER BY qid, rank""".stripMargin),
 
     Q.sql("text_pii_redact", textPiiRedact,
       """WITH b AS (
