@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Env, Q}
 import graft.syntax._
-import graft.operators.{AsOfJoin, Decontaminate, RangeJoin, Sampling, SequencePack, Sessionize}
+import graft.operators.{AsOfJoin, Decontaminate, Funnel, RangeJoin, Sampling, SequencePack, Sessionize}
 import org.apache.spark.sql.DataFrame
 
 /** Round-4 pipeline additions over `documents`/`events`: benchmark
@@ -275,6 +275,24 @@ object CorpusQueries {
       .orderBy($"gid", $"source", $"lang")
   }
 
+  /** Three-stage strict-order funnel over the events stream: view →
+    * click → purchase, earliest completion chain per user. Timestamps
+    * µs-truncated for oracle visibility (see [[eventsSessionize]]). */
+  def eventsFunnel(env: Env): DataFrame =
+    Funnel.funnel(
+      env.events.select($"user_id", $"event_type",
+                        ($"ts" - $"ts" % 1000).as("ts")),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .orderBy($"user_id")
+
+  /** Cohort retention triangle: users grouped by the day of their
+    * first event, counted on each later day they were active. */
+  def eventsCohortRetention(env: Env): DataFrame =
+    Funnel.cohortRetention(
+      env.events.select($"user_id", ($"ts" - $"ts" % 1000).as("ts")),
+      "user_id", "ts", dayUnit = 86400000000000L)
+      .orderBy($"cohort_day", $"day_offset")
+
   /** Duplicated-13-gram accounting over the whole corpus — the
     * intra-corpus counterpart of [[textDecontaminate]] (same gram
     * kernel, corpus vs itself instead of corpus vs bench): per-doc
@@ -531,6 +549,38 @@ object CorpusQueries {
     // bit-identical to the exact form by construction (bloom false
     // positives die in the verify join) — same oracle
     Q.sql("text_decontaminate_bloom", textDecontaminateBloom, decontaminateSql),
+
+    Q.sql("events_funnel", eventsFunnel,
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+        |           FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(ts) AS t_view FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |a1 AS (SELECT u.user_id, s1.t_view FROM u LEFT JOIN s1 USING (user_id)),
+        |s2 AS (SELECT a1.user_id, a1.t_view, min(e.ts) AS t_click
+        |       FROM a1 LEFT JOIN e ON e.user_id = a1.user_id
+        |         AND e.event_type = 'click' AND e.ts > a1.t_view
+        |       GROUP BY a1.user_id, a1.t_view),
+        |s3 AS (SELECT s2.user_id, s2.t_view, s2.t_click, min(e.ts) AS t_purchase
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+        |         AND e.event_type = 'purchase' AND e.ts > s2.t_click
+        |       GROUP BY s2.user_id, s2.t_view, s2.t_click)
+        |SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_view IS NULL THEN 0
+        |            WHEN t_click IS NULL THEN 1
+        |            WHEN t_purchase IS NULL THEN 2 ELSE 3 END AS INT)
+        |    AS n_stages
+        |FROM s3 ORDER BY user_id""".stripMargin),
+
+    Q.sql("events_cohort_retention", eventsCohortRetention,
+      """WITH e AS (SELECT user_id,
+        |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
 
     Q.sql("events_sessionize", eventsSessionize,
       """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id, value
