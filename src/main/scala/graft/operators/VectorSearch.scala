@@ -634,6 +634,178 @@ object VectorSearch {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("cos_sq8"))
   }
 
+  /** Product quantization (PQ) approximate top-k with exact re-rank —
+    * the codebook-compressed scan of billion-vector search (Jégou/
+    * Douze/Schmid, "Product Quantization for Nearest Neighbor
+    * Search"): the 64-dim space splits into `m` subspaces, each with
+    * its own `nCells`-centroid codebook, and a vector is stored as m
+    * one-byte codes (16× smaller than float32 at the defaults). The
+    * scan ranks by asymmetric distance — the full-precision query
+    * against each vector's codebook RECONSTRUCTION — and only the
+    * top-(k·candMult) survivors per query pay the full-precision
+    * re-rank (the [[sq8TopK]] shape with a trained codebook instead
+    * of per-dim bounds).
+    *
+    * Training is deterministic and SQL-oracle-reproducible end to
+    * end: initial cells are vec_id % nCells, codebook means round to
+    * the 4dp grid (absorbing accumulation-order jitter — the
+    * [[ivfTopK]] argument), ONE Lloyd sweep reassigns on 6dp-rounded
+    * squared L2 with lowest-cell tie-break, and encoding repeats the
+    * same assignment against the retrained codebook. Codebook
+    * training is a bounded collect (fixed m·nCells·subdim partial per
+    * partition — the [[sq8Stats]] treeReduce shape), never a
+    * data-sized shuffle. At 100 TB the codes are what you'd persist;
+    * here they are recomputed in the scan, which costs the same
+    * arithmetic and keeps the operator oracle-checkable.
+    *
+    * Zero-norm vectors and zero-norm reconstructions are excluded
+    * from the scan like [[sq8TopK]] (cosine undefined); the output
+    * carries both the exact re-ranked cos and the cos_pq the scan
+    * ranked by.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, nCells: Int = 16, dim: Int = 64,
+             candMult: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    require(m * sub == dim, s"pqTopK: m=$m must divide dim=$dim")
+    val vs = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+
+    // codebook[j][c]: Array[Double](sub) or null for an empty cell
+    def train(assigned: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[Int])])
+        : Array[Array[Array[Double]]] = {
+      val partials = assigned.mapPartitions { it =>
+        val sums = Array.fill(m, nCells)(new Array[Double](sub))
+        val counts = Array.fill(m, nCells)(0L)
+        var any = false
+        it.foreach { case (_, e, cells) =>
+          any = true
+          var j = 0
+          while (j < m) {
+            val s = sums(j)(cells(j))
+            var d = 0
+            while (d < sub) { s(d) += e(j * sub + d); d += 1 }
+            counts(j)(cells(j)) += 1
+            j += 1
+          }
+        }
+        if (any) Iterator.single((sums.map(_.toSeq.map(_.toSeq)), counts.map(_.toSeq)))
+        else Iterator.empty
+      }.collect()
+      val sums = Array.fill(m, nCells)(new Array[Double](sub))
+      val counts = Array.fill(m, nCells)(0L)
+      partials.foreach { case (ps, pc) =>
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < nCells) {
+            counts(j)(c) += pc(j)(c)
+            var d = 0
+            while (d < sub) { sums(j)(c)(d) += ps(j)(c)(d); d += 1 }
+            c += 1
+          }
+          j += 1
+        }
+      }
+      Array.tabulate(m, nCells) { (j, c) =>
+        if (counts(j)(c) == 0L) null
+        else sums(j)(c).map(s => round4(s / counts(j)(c)))
+      }
+    }
+
+    // nearest cell per subspace: 6dp-rounded squared L2, strict <
+    // keeps the lowest cell on ties (ascending scan)
+    def assign(cb: Array[Array[Array[Double]]])(e: Array[Float]): Array[Int] =
+      Array.tabulate(m) { j =>
+        var bestDist = Double.PositiveInfinity
+        var bestCell = -1
+        var c = 0
+        while (c < nCells) {
+          val cent = cb(j)(c)
+          if (cent != null) {
+            var s = 0.0
+            var d = 0
+            while (d < sub) {
+              val diff = e(j * sub + d).toDouble - cent(d)
+              s += diff * diff
+              d += 1
+            }
+            val dist = round6(s)
+            if (dist < bestDist) { bestDist = dist; bestCell = c }
+          }
+          c += 1
+        }
+        bestCell
+      }
+
+    val init = vs.map { case (vid, e) =>
+      (vid, e, Array.fill(m)((vid % nCells).toInt))
+    }.localCheckpoint(eager = false)
+    val cb0 = train(init)
+    val bc0 = spark.sparkContext.broadcast(cb0)
+    val sweep = init.map { case (vid, e, _) => (vid, e, assign(bc0.value)(e)) }
+    val cb1 = train(sweep)
+    val bc1 = spark.sparkContext.broadcast(cb1)
+
+    val qs = queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull)
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, e) => (id, e, normK(e, dim)) }
+      .filter(_._3 > 0)
+    val bcq = spark.sparkContext.broadcast(qs)
+    val approx = vs.mapPartitions { it =>
+      val cb = bc1.value
+      val queries = bcq.value
+      it.flatMap { case (vid, e) =>
+        if (normK(e, dim) == 0) Iterator.empty
+        else {
+          val codes = assign(cb)(e)
+          val recon = new Array[Double](dim)
+          var j = 0
+          while (j < m) {
+            val cent = cb(j)(codes(j))
+            var d = 0
+            while (d < sub) { recon(j * sub + d) = cent(d); d += 1 }
+            j += 1
+          }
+          val nr = normKD(recon, dim)
+          if (nr == 0) Iterator.empty
+          else queries.iterator
+            .filter(_._1 != vid)
+            .map { case (qid, qe, nq) =>
+              (qid, vid, round6(dotKD(qe, recon, dim) / (nq * nr)))
+            }
+        }
+      }
+    }.toDF("qid", "vec_id", "cos_pq")
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_pq").desc, col("vec_id").asc)
+    val cand = approx.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= k * candMult)
+      .drop("crn")
+    val reranked = broadcast(cand)
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), col("cos_pq"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])]
+      .mapPartitions { it =>
+        val qmap = bcq.value.iterator
+          .map { case (qid, qe, nq) => qid -> ((qe, nq)) }.toMap
+        it.map { case (qid, vid, approxCos, e) =>
+          (qid, vid, round6(dotK(qmap(qid)._1, e, dim) / (qmap(qid)._2 * normK(e, dim))),
+           approxCos)
+        }
+      }
+      .toDF("qid", "vec_id", "cos", "cos_pq")
+    val wFinal = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    reranked.withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("cos_pq"))
+  }
+
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.
     * Block-matrix shape: vectors are grouped into B hash blocks, the
     * B(B+1)/2 block-cell pairs are enumerated with a join (tiny), and a

@@ -62,6 +62,17 @@ object AnnQueries {
     VectorSearch.sq8TopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** PQ-compressed approximate top-5 with exact re-rank: 8 subspaces
+    * × 16 centroids, codebooks trained with one deterministic Lloyd
+    * sweep. Fully ORACLE-VERIFIABLE like IVF/SQ8: init cells are
+    * vec_id % 16, centroid means round to the 4dp grid, assignment is
+    * 6dp-rounded squared L2 with lowest-cell ties — DuckDB recomputes
+    * the same codebooks, codes, reconstructions, candidate sets, and
+    * re-ranked output. */
+  def annPqRerank(env: Env): DataFrame =
+    VectorSearch.pqTopK(env.embeddings, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
   /** JL random projection 64 → 16 dims, exploded to scalar rows for
     * the exact compare (the md5-seeded ±1/√k matrix is replayed
     * component-for-component in SQL). */
@@ -349,6 +360,96 @@ object AnnQueries {
          |                            ORDER BY cos DESC, vec_id ASC) AS rn
          |  FROM rr)
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_sq8
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
+
+    // full codebook replay: init cells vec_id % 16, 4dp centroid
+    // means (same grid argument as ann_ivf_topk), 6dp squared-L2
+    // assignment with lowest-cell ties (row_number ORDER BY dist,
+    // cell), reconstruction as the j-major 64-list, then the sq8-style
+    // candidate window + exact re-rank
+    Q.sql("ann_pq_rerank", annPqRerank,
+      s"""WITH sv AS (
+         |  SELECT vec_id, j.j AS j, d.d AS d,
+         |         CAST(embedding[j.j * 8 + d.d] AS DOUBLE) AS x
+         |  FROM embeddings, range(0, 8) j(j), range(1, 9) d(d)),
+         |cb0 AS (
+         |  SELECT sv.j, sv.vec_id % 16 AS cell, sv.d,
+         |         round(sum(sv.x) / count(*), 4) AS c
+         |  FROM sv GROUP BY sv.j, sv.vec_id % 16, sv.d),
+         |cb0l AS (SELECT j, cell, list(c ORDER BY d) AS cl
+         |         FROM cb0 GROUP BY j, cell),
+         |svl AS (SELECT vec_id, j, list(x ORDER BY d) AS xl
+         |        FROM sv GROUP BY vec_id, j),
+         |d1 AS (
+         |  SELECT s.vec_id, s.j, b.cell,
+         |         round(list_sum(list_transform(range(1, 9),
+         |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
+         |  FROM svl s JOIN cb0l b ON b.j = s.j),
+         |a1 AS (
+         |  SELECT vec_id, j, cell FROM (
+         |    SELECT vec_id, j, cell,
+         |           row_number() OVER (PARTITION BY vec_id, j
+         |                              ORDER BY dist, cell) AS rn
+         |    FROM d1) WHERE rn = 1),
+         |cb1 AS (
+         |  SELECT sv.j, a1.cell, sv.d, round(sum(sv.x) / count(*), 4) AS c
+         |  FROM sv JOIN a1 ON a1.vec_id = sv.vec_id AND a1.j = sv.j
+         |  GROUP BY sv.j, a1.cell, sv.d),
+         |cb1l AS (SELECT j, cell, list(c ORDER BY d) AS cl
+         |         FROM cb1 GROUP BY j, cell),
+         |d2 AS (
+         |  SELECT s.vec_id, s.j, b.cell,
+         |         round(list_sum(list_transform(range(1, 9),
+         |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
+         |  FROM svl s JOIN cb1l b ON b.j = s.j),
+         |code AS (
+         |  SELECT vec_id, j, cell FROM (
+         |    SELECT vec_id, j, cell,
+         |           row_number() OVER (PARTITION BY vec_id, j
+         |                              ORDER BY dist, cell) AS rn
+         |    FROM d2) WHERE rn = 1),
+         |recon AS (
+         |  SELECT c2.vec_id, list(cb.c ORDER BY cb.j, cb.d) AS rv
+         |  FROM code c2 JOIN cb1 cb ON cb.j = c2.j AND cb.cell = c2.cell
+         |  GROUP BY c2.vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |      WHERE vec_id % 50 = 0),
+         |approx AS (
+         |  SELECT q.qid, r.vec_id,
+         |    round(list_sum(list_transform(range(1, 65),
+         |            i -> CAST(q.qe[i] AS DOUBLE) * r.rv[i]))
+         |          / (sqrt(list_sum(list_transform(range(1, 65),
+         |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |             * sqrt(list_sum(list_transform(range(1, 65),
+         |                 i -> r.rv[i] * r.rv[i])))), 6) AS cos_pq
+         |  FROM q JOIN recon r ON r.vec_id <> q.qid
+         |  JOIN embeddings e ON e.vec_id = r.vec_id
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          i -> CAST(e.embedding[i] AS DOUBLE)
+         |               * CAST(e.embedding[i] AS DOUBLE))) > 0
+         |    AND list_sum(list_transform(range(1, 65),
+         |          i -> r.rv[i] * r.rv[i])) > 0
+         |    AND list_sum(list_transform(range(1, 65),
+         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) > 0),
+         |cand AS (
+         |  SELECT qid, vec_id, cos_pq FROM (
+         |    SELECT qid, vec_id, cos_pq,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY cos_pq DESC, vec_id ASC) AS rn
+         |    FROM approx) WHERE rn <= 20),
+         |rr AS (
+         |  SELECT c3.qid, c3.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c3.cos_pq
+         |  FROM cand c3
+         |  JOIN embeddings e ON e.vec_id = c3.vec_id
+         |  JOIN q ON q.qid = c3.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos, cos_pq,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM rr)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
          |FROM ranked WHERE rn <= 5
          |ORDER BY qid, rank""".stripMargin),
 

@@ -112,6 +112,39 @@ class VectorSearchSpec extends SparkSpec {
            hitR == exact.size)
   }
 
+  test("PQ: re-rank cosines are exact and codebook recall holds up") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val out = VectorSearch.pqTopK(emb, q, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // reported exact cosine equals the brute-force cosine for the pair
+    val exactCos = VectorSearch.bruteForceTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    out.foreach { case (qid, _, vid, c, _) =>
+      assert(exactCos((qid, vid)) == c, s"($qid,$vid)")
+    }
+    val exact5 = VectorSearch.bruteForceTopK(emb, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hit = out.count { case (qid, _, vid, _, _) => exact5.contains((qid, vid)) }
+    info(s"PQ recall@5 on sf0.001: $hit/${exact5.size}")
+    // 100 vectors is a coarse training set for 8x16 codebooks — the
+    // soft floor guards collapse, not quality (LSH/IVF posture here)
+    assert(hit >= exact5.size / 3, s"PQ recall collapsed: $hit/${exact5.size}")
+    // determinism: training + encode + rank reproduce exactly
+    val again = VectorSearch.pqTopK(emb, q, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("SQ8: bounds cover the data and re-rank cosines are exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (lo, hi) = VectorSearch.sq8Stats(emb)
