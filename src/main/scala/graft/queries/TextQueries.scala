@@ -184,7 +184,9 @@ object TextQueries {
 
   /** HYBRID retrieval — the modern RAG default: BM25 keyword top-10
     * and brute-force embedding-cosine top-10 for the same query
-    * documents (every 50th doc, query-by-example: its first 8 distinct
+    * documents (every 100th doc below id 5000 — a FIXED
+    * workload, queries don't grow with the corpus — query-by-example:
+    * its first 6 distinct
     * tokens are the keyword query, its embedding the vector query —
     * doc_id and vec_id share an id space by testdata contract), fused
     * by RECIPROCAL RANK FUSION: rrf(d) = Σ_lists 1/(60 + rank_list(d))
@@ -200,15 +202,15 @@ object TextQueries {
     * WindowGroupLimit top-k, the fusion is a (qid, doc_id) equi-join
     * of two k-row-per-query lists — tiny by construction — and the
     * final re-rank windows over ≤ 2k rows per query. The per-query
-    * term workload is collected once on the driver (10 query docs × 8
+    * term workload is collected once on the driver (query docs × 6
     * tokens — the documented tiny-side contract, same posture as the
     * ANN centroid collect). */
   def textHybridRrf(env: Env): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{coalesce, lit, round, row_number, slice, split}
     val terms: Seq[(String, Seq[String])] = env.documents
-      .filter($"doc_id" % 50 === 0)
-      .select($"doc_id", slice(split($"text", " "), 1, 8).as("t8"))
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
       .collect()
       .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
       .toSeq
@@ -219,7 +221,7 @@ object TextQueries {
       .filter($"doc_id" =!= $"qid")
     val vec = graft.operators.VectorSearch
       .bruteForceTopK(env.embeddings,
-        env.embeddings.filter($"vec_id" % 50 === 0)
+        env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
           .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 10)
       .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
     val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
@@ -419,8 +421,8 @@ object TextQueries {
         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
         |       FROM base),
         |q AS (SELECT doc_id AS qid,
-        |        unnest(list_distinct(list_slice(s, 1, 8))) AS term
-        |      FROM t WHERE doc_id % 50 = 0),
+        |        unnest(list_distinct(list_slice(s, 1, 6))) AS term
+        |      FROM t WHERE doc_id % 100 = 0 AND doc_id < 5000),
         |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
         |       FROM base, unnest(s) AS u(term)
         |       WHERE u.term IN (SELECT DISTINCT term FROM q)
@@ -447,7 +449,7 @@ object TextQueries {
         |tsel AS (SELECT qid, doc_id, trank FROM trk
         |         WHERE trank <= 10 AND doc_id <> qid),
         |vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-        |       WHERE vec_id % 50 = 0),
+        |       WHERE vec_id % 100 = 0 AND vec_id < 5000),
         |vs AS (SELECT vq.qid, e.vec_id,
         |         round(list_sum(list_transform(range(1, len(vq.qe) + 1),
         |                 i -> CAST(vq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
