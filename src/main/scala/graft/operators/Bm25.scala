@@ -25,20 +25,34 @@ import org.apache.spark.sql.functions._
   * doc-term pairs), not corpus tokens. The tf relation is lazily
   * checkpointed: it feeds both the per-term df aggregate and the
   * scoring join without re-scanning the corpus. Corpus stats and df
-  * are broadcast (both tiny), scoring is a narrow projection, and the
-  * per-query top-k runs through the rank-filter window that Spark
-  * rewrites to partial per-partition group limits (WindowGroupLimit,
-  * verified Partial+Final in the plan) — no query's full posting list
-  * is ever sorted globally. Per-(query,doc) term scores are summed by
-  * an ordered fold over the term-sorted list so the double
-  * accumulation order is engine-independent.
+  * are broadcast (both tiny); the per-term score is QUERY-INDEPENDENT
+  * (BM25's term weight mentions only tf, df, dl), so it is computed
+  * once per (term, doc) row BEFORE the query-list join fans the
+  * relation out per query. The per-query top-k runs through the
+  * rank-filter window that Spark rewrites to partial per-partition
+  * group limits (WindowGroupLimit, verified Partial+Final in the
+  * plan) — no query's full posting list is ever sorted globally.
+  *
+  * Per-(query,doc) summation: double addition is not associative, so
+  * a raw sum(DOUBLE) would be partition-order-dependent. Instead each
+  * per-term score is quantized to integer micro-units — floor(s·10⁶)
+  * as a long — and the LONGS are summed: associative, map-side
+  * combinable, whole-stage-codegen, and engine-exact (the one
+  * product s·10⁶ is correctly rounded identically everywhere, floor
+  * of a double is always exactly representable, and the final
+  * ssum/10⁶ is a single correctly-rounded division). Ranking is on
+  * the quantized sum — a documented 1e-6 score quantization, ties
+  * broken by doc_id. Overflow bound: s < 2.2·idf ≤ 2.2·(2N+1) per
+  * term, so a q-term query overflows Long only past
+  * ~9.2e18/(2.2e6·q) ≈ 7e11/q documents — three orders of magnitude
+  * above a 100 TB corpus.
   */
 object Bm25 {
 
   /** @param queries (query id, query terms); terms match whitespace
     *                tokens exactly.
     * @return (qid, rank, doc_id, score): top-`k` docs per query among
-    *         docs containing ≥ 1 query term; rank by 6-dp-rounded
+    *         docs containing ≥ 1 query term; rank by 1e-6-quantized
     *         score desc, doc_id asc.
     */
   def topK(docs: DataFrame, idCol: String, textCol: String,
@@ -69,14 +83,13 @@ object Bm25 {
     val num = col("tf") * (lit(k1) + lit(1.0))
     val denom = col("tf") +
       lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("dl") / col("avgdl")))
-    val scored = PlanHints.withScalars(
-        tf.join(broadcast(dfT), "term").join(broadcast(qdf), "term"), stats)
+    val scored = PlanHints.withScalars(tf.join(broadcast(dfT), "term"), stats)
       .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-      .withColumn("s", idf * num / denom)
-    val summed = scored.groupBy(col("qid"), col("doc_id"))
-      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("s")))),
-        lit(0.0), (acc, x) => acc + x.getField("s")).as("raw"))
-      .withColumn("score", round(col("raw"), 6))
+      .withColumn("sq", floor(idf * num / denom * lit(1e6)))
+    val summed = scored.join(broadcast(qdf), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("sq")).as("ssum"))
+      .withColumn("score", col("ssum").cast("double") / lit(1e6))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("doc_id").asc)
     summed.withColumn("rank", row_number().over(w))

@@ -399,8 +399,8 @@ object TextQueries {
          |           AS s
          |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
          |ag AS (SELECT qid, doc_id,
-         |         round(list_reduce(list(s ORDER BY term), (x, y) -> x + y), 6)
-         |           AS score
+         |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
+         |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
          |       FROM sc GROUP BY qid, doc_id),
          |rk AS (SELECT qid, doc_id, score,
          |         row_number() OVER (PARTITION BY qid
@@ -439,8 +439,8 @@ object TextQueries {
         |           AS s
         |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
         |ag AS (SELECT qid, doc_id,
-        |         round(list_reduce(list(s ORDER BY term), (x, y) -> x + y), 6)
-        |           AS score
+        |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
+        |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
         |       FROM sc GROUP BY qid, doc_id),
         |trk AS (SELECT qid, doc_id, score,
         |          row_number() OVER (PARTITION BY qid

@@ -5,9 +5,10 @@ import graft.SparkSpec
 class Bm25Spec extends SparkSpec {
   import spark.implicits._
 
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  /** The operator's per-(query,doc) summation contract: each term
+    * score quantized to micro-units, longs summed, one final divide. */
+  private def qsum(per: Seq[Double]): Double =
+    per.map(s => math.floor(s * 1e6).toLong).sum.toDouble / 1e6
 
   /** The operator's formula, replayed scalar-side in the same
     * association order. */
@@ -26,8 +27,8 @@ class Bm25Spec extends SparkSpec {
       .orderBy("rank").collect()
       .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
     val avgdl = 6.0 / 3
-    val s1 = round6(score(tf = 2, dl = 3, df = 2, n = 3, avgdl = avgdl))
-    val s3 = round6(score(tf = 1, dl = 1, df = 2, n = 3, avgdl = avgdl))
+    val s1 = qsum(Seq(score(tf = 2, dl = 3, df = 2, n = 3, avgdl = avgdl)))
+    val s3 = qsum(Seq(score(tf = 1, dl = 1, df = 2, n = 3, avgdl = avgdl)))
     // BM25 length normalization: the short exact-hit doc outranks the
     // longer double-hit doc
     assert(s3 > s1)
@@ -45,13 +46,13 @@ class Bm25Spec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
     assert(all.keySet == Set(1L, 2L, 3L)) // doc 4 matches nothing
     val avgdl = 10.0 / 4
-    // replay the term-sorted fold explicitly for doc 2
+    // replay the quantized-long summation explicitly for doc 2
     val terms2 = Seq(
       "blue" -> score(1, 4, 2, 4, avgdl),
       "green" -> score(1, 4, 2, 4, avgdl),
       "red" -> score(2, 4, 2, 4, avgdl))
-    val folded2 = round6(terms2.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _))
-    assert(all(2L) == folded2)
+    val summed2 = qsum(terms2.map(_._2))
+    assert(all(2L) == summed2)
     val top1 = Bm25.topK(docs, "doc_id", "text",
         Seq("q" -> Seq("red", "blue", "green")), k = 1)
       .collect()

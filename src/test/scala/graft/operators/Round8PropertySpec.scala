@@ -123,9 +123,7 @@ class Round8PropertySpec extends SparkSpec {
     assert(r.passed, r.status.toString)
   }
 
-  test("property: bm25 topK = scalar formula in fold order") {
-    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  test("property: bm25 topK = scalar formula under quantized-long summation") {
     val gen = for {
       docs <- Gen.listOfN(7, docGen(15))
       terms <- Gen.someOf(Seq("a", "b", "tok", "zz")).map(_.toList)
@@ -154,7 +152,8 @@ class Round8PropertySpec extends SparkSpec {
           }
         }
         if (per.isEmpty) None
-        else Some(i.toLong -> round6(per.foldLeft(0.0)(_ + _)))
+        else Some(i.toLong ->
+          per.map(s => math.floor(s * 1e6).toLong).sum.toDouble / 1e6)
       }
       val expected = scores.sortBy { case (id, s) => (-s, id) }
         .zipWithIndex.map { case ((id, s), r) => (r + 1, id, s) }.toList
