@@ -264,4 +264,36 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** Deterministic global training-order shuffle + shard assignment —
+    * the step between "cleaned corpus" and "files the trainer reads".
+    * Each row gets shard = (52-bit md5 prefix of its id) mod `shards`
+    * and a 1-based position within its shard in hash order, so the
+    * corpus is written as `shards` independently-ordered files whose
+    * concatenation is a reproducible pseudo-random permutation —
+    * stable under re-runs, engine-replayable (md5 + one mod, no RNG
+    * state), and mixing-quality (adjacent source rows land in
+    * unrelated shards and positions).
+    *
+    * Scale shape: one hash Exchange on the shard key + one
+    * in-partition sort; no global sort, no single-partition window.
+    * Shards are md5-balanced (no skew by construction), and `shards`
+    * is the parallelism/file-count knob — at 100 TB pick it so a
+    * shard is one trainer file (the within-shard sort is per-task).
+    */
+  def shuffleShard(df: DataFrame, idCol: String, shards: Int,
+                   salt: String = "graft-shard"): DataFrame = {
+    require(shards > 0, s"Sampling: shards must be positive, got $shards")
+    Seq("_key", "shard", "pos").foreach(c =>
+      require(!df.columns.contains(c),
+        s"Sampling: input column '$c' is reserved by shuffleShard"))
+    val key = hashKey(Nil, idCol, salt)
+    val shard = pmod(conv(substring(key, 1, 13), 16, 10).cast("long"),
+      lit(shards.toLong)).cast("int")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    df.withColumn("_key", key)
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .drop("_key")
+  }
 }

@@ -217,4 +217,53 @@ object TextAnalysis {
         coalesce(col("nb"), lit(0L)).cast("int").as("n_bigrams"),
         col("ppl"))
   }
+
+  /** Hashed-feature linear quality classifier INFERENCE — the
+    * fasttext/CCNet filtering shape: each token hashes into one of
+    * `buckets` feature buckets, the model is a weight per bucket, a
+    * document's score is the mean weight of its token stream, and the
+    * keep decision is score > 0. The weights here are a deterministic
+    * md5-derived stand-in for a trained model (this engine ships
+    * inference, not training); what is REAL and load-bearing is the
+    * plumbing — hash → bucket → broadcast weight lookup → associative
+    * integer sum — which is exactly how a trained table would run.
+    *
+    * Exactness: weights are INTEGER micro-units in [−10⁶, 10⁶]
+    * (wµ = 52-bit md5 prefix of the bucket id mod 2·10⁶+1, minus
+    * 10⁶), so the per-doc sum is exact long arithmetic — associative,
+    * map-side combinable — and only the final mean is one correctly
+    * rounded double division per engine. The same derivation is one
+    * SQL expression over range(buckets), so the oracle rebuilds the
+    * identical model.
+    *
+    * Scale shape: the model is a `buckets`-row broadcast (a real
+    * trained table would broadcast the same way); the token explode
+    * feeds a partial-aggregated groupBy on the document id — the
+    * shuffle carries one partial sum per doc per partition, not
+    * tokens. (split(" ") yields [""] for empty text, so every doc has
+    * ≥ 1 token and the inner join never drops a document.)
+    */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 256, salt: String = "graft-qc")
+      : DataFrame = {
+    val spark = docs.sparkSession
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val weights = broadcast(spark.range(buckets.toLong).toDF("f")
+      .select(col("f").cast("int").as("f"),
+        (pmod(conv(substring(md5(concat(lit(s"$salt-w|"), col("f"))), 1, 13),
+                   16, 10).cast("long"), lit(2000001L)) - lit(1000000L))
+          .as("w_mu")))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("f", pmod(
+        conv(substring(md5(concat(lit(s"$salt|"), col("tok"))), 1, 13),
+             16, 10).cast("long"),
+        lit(buckets.toLong)).cast("int"))
+    toks.join(weights, "f")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_mu")).as("s_mu"))
+      .select(col("doc_id"), col("n_toks").cast("int").as("n_toks"),
+        (col("s_mu").cast("double") / 1e6 / col("n_toks")).as("score"),
+        (col("s_mu") > 0).as("keep"))
+  }
 }

@@ -252,6 +252,18 @@ object CorpusQueries {
       idCol = "doc_id", weightCol = "n_chars", k = 50)
       .orderBy($"priority", $"doc_id")
 
+  /** Deterministic training-order shuffle into 32 shards — shard
+    * assignment + within-shard position for the corpus, the step that
+    * turns a cleaned corpus into trainer files (see
+    * [[Sampling.shuffleShard]] for the scale contract: one hash
+    * Exchange, per-shard sorts, no global sort). */
+  def corpusShuffleShard(env: Env): DataFrame =
+    Sampling.shuffleShard(
+      env.documents.select($"doc_id", $"source"),
+      idCol = "doc_id", shards = 32)
+      .select($"shard", $"pos", $"doc_id", $"source")
+      .orderBy($"shard", $"pos")
+
   /** Corpus data card: the composition report every corpus release
     * ships — document counts, token volumes, and mean document length
     * for every (source × lang) cell PLUS the per-source, per-lang, and
@@ -495,6 +507,21 @@ object CorpusQueries {
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
         |ORDER BY chunk_a, chunk_b""".stripMargin),
+
+    // shard = 52-bit md5 prefix mod 32 (non-negative, so % ≡ pmod);
+    // within-shard order is the full md5 key — both engines replay it
+    Q.sql("corpus_shuffle_shard", corpusShuffleShard,
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    md5('graft-shard' || '|' || doc_id) AS key,
+        |    CAST(CAST('0x' || substring(md5('graft-shard' || '|' || doc_id), 1, 13)
+        |              AS BIGINT) % 32 AS INT) AS shard
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |       AS INT) AS pos,
+        |  doc_id, source
+        |FROM d ORDER BY shard, pos""".stripMargin),
 
     // '0x'-prefixed VARCHAR → BIGINT cast parses the md5 prefix as the
     // same 52-bit integer Spark's conv(hex, 16, 10) produces; the

@@ -95,6 +95,14 @@ object TextQueries {
         n = 2, minDfFrac = 0.06)
       .orderBy($"doc_id")
 
+  /** Hashed-feature linear quality classifier over every document —
+    * fasttext-style model inference; see
+    * [[graft.operators.TextAnalysis.qualityClassifier]] for the
+    * exactness and broadcast-model contracts. */
+  def textQualityClassifier(env: Env): DataFrame =
+    TextAnalysis.qualityClassifier(env.documents, "doc_id", "text")
+      .orderBy($"doc_id")
+
   /** Filter-cascade accounting — every document with its per-gate
     * verdicts (length, LID-agrees-with-label, quality score,
     * repetition) and the combined keep decision. The ablation view a
@@ -514,6 +522,29 @@ object TextQueries {
 
     // 1-based list positions mirror the kernel's 0-based ones; the
     // covered-token SET (and so counts and rebuilt text) is identical
+    // the 256-bucket weight table is rebuilt from the same md5
+    // derivation over range(256); all arithmetic is exact longs until
+    // the two final divisions (both correctly rounded in both engines)
+    Q.sql("text_quality_classifier", textQualityClassifier,
+      """WITH w AS (
+        |  SELECT CAST(f AS INT) AS f,
+        |    CAST('0x' || substring(md5('graft-qc-w' || '|' || f), 1, 13)
+        |         AS BIGINT) % 2000001 - 1000000 AS w_mu
+        |  FROM range(256) t(f)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents),
+        |ft AS (SELECT doc_id,
+        |         CAST(CAST('0x' || substring(md5('graft-qc' || '|' || tok), 1, 13)
+        |                   AS BIGINT) % 256 AS INT) AS f
+        |       FROM t),
+        |a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+        |        CAST(sum(w.w_mu) AS BIGINT) AS s_mu
+        |      FROM ft JOIN w USING (f) GROUP BY doc_id)
+        |SELECT doc_id, n_toks,
+        |  CAST(s_mu AS DOUBLE) / 1000000.0 / n_toks AS score,
+        |  s_mu > 0 AS keep
+        |FROM a ORDER BY doc_id""".stripMargin),
+
     // composes the text_stats quality expression, the langid fold, and
     // the text_repetition aggregation, then the boolean gates
     Q.sql("text_quality_gates", textQualityGates,

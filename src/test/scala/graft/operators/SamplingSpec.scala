@@ -219,4 +219,31 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getString(2))
     assert(one.toSeq == Seq("all"))
   }
+
+  test("shuffle shard: permutation, balance, determinism, guards") {
+    val df = (1L to 2000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val out = Sampling.shuffleShard(df, "doc_id", shards = 8)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"),
+                           r.getAs[Long]("doc_id")))
+    // a permutation: every doc exactly once, positions 1..|shard| dense
+    assert(out.map(_._3).sorted.toSeq == (1L to 2000L))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length)) }
+    // md5-balanced: no shard more than 2x the mean
+    val sizes = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes.size == 8 && sizes.values.max < 2 * 250)
+    // stable under re-run and NOT the input order (it actually mixes)
+    val again = Sampling.shuffleShard(df, "doc_id", shards = 8)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"),
+                           r.getAs[Long]("doc_id")))
+    assert(again.toSeq.sorted == out.toSeq.sorted)
+    val shard0 = out.filter(_._1 == 0).sortBy(_._2).map(_._3)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+    // reserved-column + argument guards
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(df.withColumn("pos", $"doc_id"), "doc_id", 8) }
+    intercept[IllegalArgumentException] {
+      Sampling.shuffleShard(df, "doc_id", 0) }
+  }
 }

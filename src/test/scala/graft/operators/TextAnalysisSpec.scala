@@ -37,4 +37,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
     assert(out(99L) > out(1L), s"outlier ${out(99L)} vs common ${out(1L)}")
   }
+
+  test("quality classifier: scalar replay of the hashed-weight model") {
+    // the operator's md5 derivation, replayed with java's MessageDigest
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h52(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(13), 16)
+    def weight(f: Int): Long = h52(s"graft-qc-w|$f") % 2000001L - 1000000L
+    def bucket(tok: String): Int = (h52(s"graft-qc|$tok") % 256L).toInt
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.qualityClassifier(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // empty text still scores ([""]).
+    for ((id, toks) <- Seq(1L -> Seq("alpha", "beta", "alpha"),
+                           2L -> Seq("gamma"), 3L -> Seq(""))) {
+      val sMu = toks.map(t => weight(bucket(t))).sum
+      val expected = (toks.length, sMu.toDouble / 1e6 / toks.length, sMu > 0)
+      assert(got(id) == expected, s"doc $id: ${got(id)} vs $expected")
+    }
+  }
 }
