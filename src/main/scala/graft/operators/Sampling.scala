@@ -170,6 +170,60 @@ object Sampling {
     thresholdByBound(df, Seq(stratum), idCol, ladder, salt)
   }
 
+  /** Token-budget domain reweighting — the corpus-composition step
+    * stated the way trainers state it: "B tokens total, share_s of
+    * them from domain s" (the DoReMi/Pile recipe shape), rather than
+    * per-domain keep fractions. Each listed domain's keep fraction is
+    * min(1, share_s·B / tokens_s) — derived from ONE tiny
+    * (stratum → token mass) aggregate collected to the driver — and
+    * the filter itself is the shuffle-free hash-threshold form.
+    * Domains not listed in `shares` are excluded (bound 0), which is
+    * the recipe semantic: an unlisted domain has a zero token budget.
+    *
+    * A domain whose mass is under its budget keeps everything
+    * (clamped at 1) — the sampler cannot mint tokens; rebalancing the
+    * shortfall across other domains is a policy choice left to the
+    * caller. Realized token mass is exact in expectation (each row
+    * keeps independently at the stratum rate; token counts are
+    * row-level weights, so the expected kept mass is
+    * fraction·tokens_s ≈ share_s·B).
+    *
+    * Scale shape: one map-side-combinable aggregate over the corpus
+    * (stratum cardinality rows reach the driver), then the zero-
+    * shuffle threshold filter — the same two-phase shape as
+    * [[temperatureThreshold]]. */
+  def tokenBudgetThreshold(df: DataFrame, stratum: String, idCol: String,
+                           tokenCol: Column, budgetTokens: Long,
+                           shares: Seq[(String, Double)],
+                           salt: String = "graft-strat"): DataFrame = {
+    require(budgetTokens > 0,
+      s"Sampling: budgetTokens must be positive (got $budgetTokens)")
+    require(shares.nonEmpty && shares.forall(_._2 > 0),
+      "Sampling: shares must be non-empty with positive weights")
+    require(math.abs(shares.map(_._2).sum - 1.0) < 1e-9,
+      s"Sampling: shares must sum to 1 (got ${shares.map(_._2).sum})")
+    val masses = df.groupBy(col(stratum))
+      .agg(sum(tokenCol.cast("long")).as("m"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"Sampling: NULL $stratum (budget strata must be non-null)")
+        (r.get(0).toString, r.getLong(1))
+      }.toMap
+    val fractions = shares.map { case (s, share) =>
+      val m = masses.getOrElse(s, 0L)
+      (s, if (m == 0L) 0.0
+          else math.min(1.0, share * budgetTokens / m.toDouble))
+    }
+    val ladder = fractions.tail
+      .foldLeft(when(col(stratum) === fractions.head._1,
+        lit(hexBound(fractions.head._2)))) { case (acc, (s, f)) =>
+        acc.when(col(stratum) === s, lit(hexBound(f)))
+      }
+      .otherwise(lit(hexBound(0.0))) // unlisted domain: zero budget
+    thresholdByBound(df, Seq(stratum), idCol, ladder, salt)
+  }
+
   /** Deterministic train/val/test split assignment — the eval-holdout
     * step of corpus construction. Adds a `split` column naming the
     * partition each row belongs to; weights are cumulative hash-prefix

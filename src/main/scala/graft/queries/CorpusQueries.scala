@@ -228,6 +228,24 @@ object CorpusQueries {
       stratum = "lang", idCol = "doc_id", target = 0.3)
       .orderBy($"doc_id")
 
+  /** Token-budget corpus composition: 5000 tokens total, 40/30/20/10%
+    * from src0–src3, every other source excluded — the mixture stated
+    * as a token budget instead of keep fractions (see
+    * [[Sampling.tokenBudgetThreshold]]). One tiny mass aggregate,
+    * then the shuffle-free hash filter. */
+  def corpusTokenBudget(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{size, split}
+    Sampling.tokenBudgetThreshold(
+      env.documents.select($"doc_id", $"source", $"text"),
+      stratum = "source", idCol = "doc_id",
+      tokenCol = size(split($"text", " ")),
+      budgetTokens = 5000L,
+      shares = Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+                   "src3" -> 0.1))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   /** Deterministic 80/10/10 train/val/test assignment over every
     * document, with each split's realized size and token volume — the
     * eval-holdout step. The per-doc assignment (not just the counts)
@@ -452,6 +470,35 @@ object CorpusQueries {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN bb USING (lang)
         |WHERE substring(md5('graft-strat' || '|' || COALESCE(d.lang, '␀')
+        |        || '|' || d.doc_id), 1, 15) < bb.bound
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // every factor is forced to DOUBLE so DuckDB's DECIMAL literal
+    // arithmetic cannot diverge from the driver's double fraction
+    // chain; the bound replay is the temperature-mixture idiom
+    Q.sql("corpus_token_budget", corpusTokenBudget,
+      """WITH c AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS m
+        |  FROM documents GROUP BY source),
+        |sh(source, share) AS (VALUES
+        |  ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |  ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        |b AS (
+        |  SELECT sh.source,
+        |         least(1.0, sh.share * CAST(5000 AS DOUBLE)
+        |                    / CAST(c.m AS DOUBLE)) AS f
+        |  FROM sh JOIN c USING (source)),
+        |bb AS (
+        |  SELECT source,
+        |         CASE WHEN f >= 1 THEN 'g'
+        |              WHEN f <= 0 THEN '000000000000000'
+        |              ELSE printf('%015x',
+        |                     CAST(floor(f * 1152921504606846976) AS BIGINT))
+        |         END AS bound
+        |  FROM b)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN bb USING (source)
+        |WHERE substring(md5('graft-strat' || '|' || COALESCE(d.source, '␀')
         |        || '|' || d.doc_id), 1, 15) < bb.bound
         |ORDER BY d.doc_id""".stripMargin),
 

@@ -220,6 +220,36 @@ class SamplingSpec extends SparkSpec {
     assert(one.toSeq == Seq("all"))
   }
 
+  test("token budget: realized mass tracks share*budget; unlisted excluded") {
+    import org.apache.spark.sql.functions.col
+    // src A: 4000 docs x 10 tokens = 40k; src B: 1000 x 10 = 10k; C unlisted
+    val df = ((1L to 4000L).map(i => (i, "A", 10)) ++
+              (5001L to 6000L).map(i => (i, "B", 10)) ++
+              (9001L to 9100L).map(i => (i, "C", 10)))
+      .toDF("doc_id", "source", "n_toks")
+    val out = Sampling.tokenBudgetThreshold(df, "source", "doc_id",
+        col("n_toks"), budgetTokens = 20000L,
+        shares = Seq("A" -> 0.5, "B" -> 0.5))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    val mass = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // A: 10k budget of 40k mass -> keep ~25%; B: 10k of 10k -> clamp, all
+    assert(mass("B") == 10000)
+    assert(math.abs(mass("A") - 10000) < 1500, s"A mass ${mass("A")}")
+    assert(!mass.contains("C")) // zero budget -> excluded
+    // deterministic
+    val again = Sampling.tokenBudgetThreshold(df, "source", "doc_id",
+        col("n_toks"), 20000L, Seq("A" -> 0.5, "B" -> 0.5))
+      .collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(again.toSeq == out.toSeq)
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetThreshold(df, "source", "doc_id", col("n_toks"),
+        0L, Seq("A" -> 1.0)) }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetThreshold(df, "source", "doc_id", col("n_toks"),
+        100L, Seq("A" -> 0.4, "B" -> 0.4)) }
+  }
+
   test("shuffle shard: permutation, balance, determinism, guards") {
     val df = (1L to 2000L).map(i => (i, s"src${i % 4}"))
       .toDF("doc_id", "source")
