@@ -323,6 +323,26 @@ object CorpusQueries {
       "user_id", "ts", dayUnit = 86400000000000L)
       .orderBy($"cohort_day", $"day_offset")
 
+  /** PageRank over the item-transition graph: consecutive events by
+    * the same user form a directed edge between their `props.k`
+    * items, and three exact-integer power iterations rank the items
+    * (see [[graft.operators.GraphRank]] — damping as the rational
+    * 17/20, every step integral arithmetic, so the oracle's unrolled
+    * replay matches to the micro-unit). */
+  def eventsItemPagerank(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{get_json_object, lead}
+    val raw = env.events.select($"user_id", $"ts", $"event_id",
+      get_json_object($"props", "$.k").cast("long").as("item"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val edges = raw
+      .select($"item".as("src"), lead($"item", 1).over(w).as("dst"))
+      .filter($"dst".isNotNull)
+    graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 3)
+      .select($"node".as("item"), $"rank_mu", $"rank")
+      .orderBy($"rank_mu".desc, $"item")
+  }
+
   /** Duplicated-13-gram accounting over the whole corpus — the
     * intra-corpus counterpart of [[textDecontaminate]] (same gram
     * kernel, corpus vs itself instead of corpus vs bench): per-doc
@@ -472,6 +492,50 @@ object CorpusQueries {
         |WHERE substring(md5('graft-strat' || '|' || COALESCE(d.lang, '␀')
         |        || '|' || d.doc_id), 1, 15) < bb.bound
         |ORDER BY d.doc_id""".stripMargin),
+
+    // three unrolled exact-integer iterations: '//' (floor div) equals
+    // Spark's 'div' (trunc) because every operand is non-negative
+    Q.sql("events_item_pagerank", eventsItemPagerank,
+      """WITH raw AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events),
+        |ord AS (
+        |  SELECT item AS src,
+        |         lead(item) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS dst
+        |  FROM raw),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |      FROM ord WHERE dst IS NOT NULL GROUP BY src, dst),
+        |o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e GROUP BY src),
+        |nd AS (SELECT DISTINCT node FROM
+        |        (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+        |r0 AS (SELECT node, 1000000000000 // c.n AS r FROM nd, c),
+        |s1 AS (SELECT e.dst AS node, CAST(sum((r0.r // o.outw) * e.w) AS BIGINT) AS s
+        |       FROM e JOIN o USING (src) JOIN r0 ON r0.node = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nd.node,
+        |         (1000000000000 * 3 // 20) // c.n
+        |           + (COALESCE(s1.s, 0) * 17) // 20 AS r
+        |       FROM nd LEFT JOIN s1 USING (node), c),
+        |s2 AS (SELECT e.dst AS node, CAST(sum((r1.r // o.outw) * e.w) AS BIGINT) AS s
+        |       FROM e JOIN o USING (src) JOIN r1 ON r1.node = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nd.node,
+        |         (1000000000000 * 3 // 20) // c.n
+        |           + (COALESCE(s2.s, 0) * 17) // 20 AS r
+        |       FROM nd LEFT JOIN s2 USING (node), c),
+        |s3 AS (SELECT e.dst AS node, CAST(sum((r2.r // o.outw) * e.w) AS BIGINT) AS s
+        |       FROM e JOIN o USING (src) JOIN r2 ON r2.node = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nd.node,
+        |         (1000000000000 * 3 // 20) // c.n
+        |           + (COALESCE(s3.s, 0) * 17) // 20 AS r
+        |       FROM nd LEFT JOIN s3 USING (node), c)
+        |SELECT node AS item, CAST(r AS BIGINT) AS rank_mu,
+        |       CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+        |FROM r3 ORDER BY rank_mu DESC, item""".stripMargin),
 
     // every factor is forced to DOUBLE so DuckDB's DECIMAL literal
     // arithmetic cannot diverge from the driver's double fraction
