@@ -218,6 +218,40 @@ object TextAnalysis {
         col("ppl"))
   }
 
+  /** Inverted-index build — the search-index artifact over a corpus:
+    * per term its document frequency, collection frequency, and the
+    * top-`topK` postings by term frequency (one output row per
+    * (term, rank); a production index would write the full postings
+    * partitioned by term — the capped form keeps the artifact
+    * oracle-sized while exercising the same plan).
+    *
+    * Scale shape: one explode + two map-side-combinable aggregates,
+    * then a rank-filter window BY TERM that Spark rewrites to
+    * partial-per-partition group limits (WindowGroupLimit) — a
+    * stopword's million-doc posting list is pruned to topK per
+    * partition before the shuffle, so term skew never concentrates in
+    * one task's sort. The stats join is term-sized, not posting-sized.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int = 5): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(stats, "term")
+      .select(col("term"), col("df"), col("cf"),
+        col("rank").cast("int").as("rank"), col("doc_id"), col("tf"))
+  }
+
   /** Hashed-feature linear quality classifier INFERENCE — the
     * fasttext/CCNet filtering shape: each token hashes into one of
     * `buckets` feature buckets, the model is a weight per bucket, a

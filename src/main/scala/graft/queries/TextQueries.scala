@@ -95,6 +95,13 @@ object TextQueries {
         n = 2, minDfFrac = 0.06)
       .orderBy($"doc_id")
 
+  /** Inverted index over the corpus — per-term df/cf stats with the
+    * top-5 postings each; see
+    * [[graft.operators.TextAnalysis.invertedIndex]]. */
+  def textInvertedIndex(env: Env): DataFrame =
+    TextAnalysis.invertedIndex(env.documents, "doc_id", "text", topK = 5)
+      .orderBy($"term", $"rank")
+
   /** Hashed-feature linear quality classifier over every document —
     * fasttext-style model inference; see
     * [[graft.operators.TextAnalysis.qualityClassifier]] for the
@@ -522,6 +529,23 @@ object TextQueries {
 
     // 1-based list positions mirror the kernel's 0-based ones; the
     // covered-token SET (and so counts and rebuilt text) is identical
+    Q.sql("text_inverted_index", textInvertedIndex,
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY term, doc_id),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |              CAST(sum(tf) AS BIGINT) AS cf
+        |       FROM tf GROUP BY term),
+        |rk AS (SELECT term, doc_id, tf,
+        |         row_number() OVER (PARTITION BY term
+        |                            ORDER BY tf DESC, doc_id) AS rank
+        |       FROM tf)
+        |SELECT rk.term, st.df, st.cf, CAST(rk.rank AS INT) AS rank,
+        |       rk.doc_id, rk.tf
+        |FROM rk JOIN st USING (term) WHERE rk.rank <= 5
+        |ORDER BY term, rank""".stripMargin),
+
     // the 256-bucket weight table is rebuilt from the same md5
     // derivation over range(256); all arithmetic is exact longs until
     // the two final divisions (both correctly rounded in both engines)
