@@ -22,6 +22,35 @@ object AnnQueries {
     VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** HARD-NEGATIVE MINING for embedding-model training: per query the
+    * top-10 most-similar vectors that are NOT near-duplicates of the
+    * query document — similar enough to be hard, distinct enough to be
+    * true negatives (doc_id and vec_id share an id space by testdata
+    * contract). Composition of two verified operators: brute cosine
+    * top-15 (overfetch margin for the exclusions; on this corpus
+    * near-dup pairs per query are far below 5) anti-joined against the
+    * symmetrized MinHash near-dup pair set at jaccard ≥ 0.8, then
+    * re-ranked to 10. The anti join is a two-column equi hash join —
+    * never a nested loop — and the re-rank windows over ≤ 15 rows per
+    * query. */
+  def annHardNegatives(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val top = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
+      k = 15)
+    val pairs = graft.operators.TextDedup
+      .minhashNearDupPairs(env.documents, "doc_id", "text", threshold = 0.8)
+      .select($"doc_a", $"doc_b")
+    val sym = pairs.union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("qid", "vec_id")
+    val w = Window.partitionBy($"qid").orderBy($"rank")
+    top.join(sym, Seq("qid", "vec_id"), "left_anti")
+      .withColumn("hrank", row_number().over(w))
+      .filter($"hrank" <= 10)
+      .select($"qid", $"hrank".cast("int").as("rank"), $"vec_id", $"cos")
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH-bucketed approximate top-5. Fully ORACLE-VERIFIABLE: the
     * hyperplanes are md5-seeded ±1 weights, so DuckDB recomputes the
     * exact bucket of every vector, the multiprobe candidate set
@@ -141,6 +170,47 @@ object AnnQueries {
          |  FROM scored)
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
          |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
+
+    // brute top-15 minus the brute-force jaccard>=0.8 pair set (the
+    // dedup_minhash contract), re-ranked by original cosine rank
+    Q.sql("ann_hard_negatives", annHardNegatives,
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+         |             FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(s) - 1),
+         |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+         |       FROM toks),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |sym AS (SELECT doc_a AS qid, doc_b AS vid FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM scored),
+         |kept AS (
+         |  SELECT r.qid, r.vec_id, r.cos, r.rn FROM ranked r
+         |  WHERE r.rn <= 15 AND NOT EXISTS (
+         |    SELECT 1 FROM sym s
+         |    WHERE s.qid = r.qid AND s.vid = r.vec_id)),
+         |rr AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY rn) AS rank
+         |  FROM kept)
+         |SELECT qid, CAST(rank AS INT) AS rank, vec_id, cos
+         |FROM rr WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin),
 
     // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
