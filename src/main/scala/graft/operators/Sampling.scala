@@ -336,7 +336,22 @@ object Sampling {
     * shard is one trainer file (the within-shard sort is per-task).
     */
   def shuffleShard(df: DataFrame, idCol: String, shards: Int,
-                   salt: String = "graft-shard"): DataFrame = {
+                   salt: String = "graft-shard"): DataFrame =
+    shardBy(df, idCol, shards, salt, Nil)
+
+  /** Curriculum variant of [[shuffleShard]]: same md5-balanced shard
+    * assignment, but within-shard order follows `orderCols` (e.g. a
+    * difficulty or quality score, easiest first) before the hash
+    * tie-break — each trainer file presents its documents in
+    * curriculum order while the shards stay a balanced random
+    * partition of the corpus. */
+  def curriculumShard(df: DataFrame, idCol: String, shards: Int,
+                      orderCols: Seq[Column],
+                      salt: String = "graft-shard"): DataFrame =
+    shardBy(df, idCol, shards, salt, orderCols)
+
+  private def shardBy(df: DataFrame, idCol: String, shards: Int,
+                      salt: String, orderCols: Seq[Column]): DataFrame = {
     require(shards > 0, s"Sampling: shards must be positive, got $shards")
     Seq("_key", "shard", "pos").foreach(c =>
       require(!df.columns.contains(c),
@@ -344,7 +359,8 @@ object Sampling {
     val key = hashKey(Nil, idCol, salt)
     val shard = pmod(conv(substring(key, 1, 13), 16, 10).cast("long"),
       lit(shards.toLong)).cast("int")
-    val w = Window.partitionBy(col("shard")).orderBy(col("_key"), col(idCol))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(orderCols :+ col("_key").asc :+ col(idCol).asc: _*)
     df.withColumn("_key", key)
       .withColumn("shard", shard)
       .withColumn("pos", row_number().over(w))

@@ -282,6 +282,21 @@ object CorpusQueries {
       .select($"shard", $"pos", $"doc_id", $"source")
       .orderBy($"shard", $"pos")
 
+  /** Curriculum sharding: the trainer-file step with within-shard
+    * curriculum order — shards stay an md5-balanced random partition,
+    * but each file presents its documents best-quality-first by the
+    * hashed-feature classifier score (see
+    * [[Sampling.curriculumShard]]). */
+  def corpusCurriculumShard(env: Env): DataFrame = {
+    val scored = graft.operators.TextAnalysis
+      .qualityClassifier(env.documents, "doc_id", "text")
+      .select($"doc_id", $"score")
+    Sampling.curriculumShard(scored, "doc_id", shards = 16,
+        orderCols = Seq($"score".desc))
+      .select($"shard", $"pos", $"doc_id", $"score")
+      .orderBy($"shard", $"pos")
+  }
+
   /** Corpus data card: the composition report every corpus release
     * ships — document counts, token volumes, and mean document length
     * for every (source × lang) cell PLUS the per-source, per-lang, and
@@ -341,6 +356,24 @@ object CorpusQueries {
     graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 3)
       .select($"node".as("item"), $"rank_mu", $"rank")
       .orderBy($"rank_mu".desc, $"item")
+  }
+
+  /** Z-order layout key over (user, item): the data-layout
+    * optimization pass — events re-ordered by the Morton interleave of
+    * their two scan dimensions so file-level min/max statistics prune
+    * on either (see [[graft.operators.ZOrder]]). Inputs are masked to
+    * 21 bits (collision-as-locality, fine for a layout key); the
+    * output order IS the layout. */
+  def eventsZorderLayout(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.get_json_object
+    val mask = (1L << 21) - 1
+    val base = env.events.select($"event_id", $"user_id",
+      get_json_object($"props", "$.k").cast("long").as("item"))
+    base.withColumn("zcode",
+        graft.operators.ZOrder.zorderCode(
+          $"user_id".bitwiseAND(mask), $"item".bitwiseAND(mask)))
+      .select($"event_id", $"user_id", $"item", $"zcode")
+      .orderBy($"zcode", $"event_id")
   }
 
   /** Duplicated-13-gram accounting over the whole corpus — the
@@ -493,6 +526,17 @@ object CorpusQueries {
         |        || '|' || d.doc_id), 1, 15) < bb.bound
         |ORDER BY d.doc_id""".stripMargin),
 
+    // the interleave replays bit-for-bit with >> & << | on BIGINTs
+    Q.sql("events_zorder_layout", eventsZorderLayout,
+      s"""SELECT event_id, user_id,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
+         |  ${graft.operators.ZOrder.zorderSql(
+               "(user_id & 2097151)",
+               "(CAST(json_extract_string(props, '$.k') AS BIGINT) & 2097151)")}
+         |    AS zcode
+         |FROM events
+         |ORDER BY zcode, event_id""".stripMargin),
+
     // three unrolled exact-integer iterations: '//' (floor div) equals
     // Spark's 'div' (trunc) because every operand is non-negative
     Q.sql("events_item_pagerank", eventsItemPagerank,
@@ -618,6 +662,38 @@ object CorpusQueries {
         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
         |ORDER BY chunk_a, chunk_b""".stripMargin),
+
+    // classifier scores (the text_quality_classifier model rebuild)
+    // feed a score-ordered variant of the shuffle-shard replay
+    Q.sql("corpus_curriculum_shard", corpusCurriculumShard,
+      """WITH w AS (
+        |  SELECT CAST(f AS INT) AS f,
+        |    CAST('0x' || substring(md5('graft-qc-w' || '|' || f), 1, 13)
+        |         AS BIGINT) % 2000001 - 1000000 AS w_mu
+        |  FROM range(256) t(f)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents),
+        |ft AS (SELECT doc_id,
+        |         CAST(CAST('0x' || substring(md5('graft-qc' || '|' || tok), 1, 13)
+        |                   AS BIGINT) % 256 AS INT) AS f
+        |       FROM t),
+        |a AS (SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+        |        CAST(sum(w.w_mu) AS BIGINT) AS s_mu
+        |      FROM ft JOIN w USING (f) GROUP BY doc_id),
+        |sc AS (SELECT doc_id,
+        |         CAST(s_mu AS DOUBLE) / 1000000.0 / n_toks AS score
+        |       FROM a),
+        |d AS (SELECT doc_id, score,
+        |        md5('graft-shard' || '|' || doc_id) AS key,
+        |        CAST(CAST('0x' || substring(md5('graft-shard' || '|' || doc_id), 1, 13)
+        |                  AS BIGINT) % 16 AS INT) AS shard
+        |      FROM sc)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |                          ORDER BY score DESC, key, doc_id)
+        |       AS INT) AS pos,
+        |  doc_id, score
+        |FROM d ORDER BY shard, pos""".stripMargin),
 
     // shard = 52-bit md5 prefix mod 32 (non-negative, so % ≡ pmod);
     // within-shard order is the full md5 key — both engines replay it

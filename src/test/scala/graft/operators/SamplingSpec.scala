@@ -250,6 +250,24 @@ class SamplingSpec extends SparkSpec {
         100L, Seq("A" -> 0.4, "B" -> 0.4)) }
   }
 
+  test("curriculum shard: same shards as shuffle, score-ordered within") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 500L).map(i => (i, (i * 37 % 101).toDouble))
+      .toDF("doc_id", "score")
+    val cur = Sampling.curriculumShard(df, "doc_id", 8,
+        Seq(col("score").desc))
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Int]("pos"),
+                           r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val shuf = Sampling.shuffleShard(df, "doc_id", 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard")))
+      .toMap
+    // identical shard assignment, curriculum order within each shard
+    cur.foreach { case (s, _, id, _) => assert(shuf(id) == s) }
+    cur.groupBy(_._1).foreach { case (_, rows) =>
+      val scores = rows.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }) }
+  }
+
   test("shuffle shard: permutation, balance, determinism, guards") {
     val df = (1L to 2000L).map(i => (i, s"src${i % 4}"))
       .toDF("doc_id", "source")
