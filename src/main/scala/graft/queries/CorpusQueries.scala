@@ -358,6 +358,62 @@ object CorpusQueries {
       .orderBy($"rank_mu".desc, $"item")
   }
 
+  /** Per-event-type daily activity with a 7-day rolling event total —
+    * the time-series health view over the stream. The rolling window
+    * is a RANGE frame over the DAY-GRAIN aggregate (day-cardinality
+    * rows per type, never event-sized), partitioned by event type, so
+    * no single task ever holds more than one type's day series. The
+    * ns→day floor divides by a multiple of 1000, so DuckDB's
+    * µs-truncated timestamps land in the same day. */
+  def eventsRollingActive(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, countDistinct, expr, lit, sum}
+    val daily = env.events
+      .select($"event_type", expr("ts div 86400000000000").as("day"),
+        $"user_id")
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct($"user_id").as("n_users"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rangeBetween(-6, 0)
+    daily.withColumn("roll7_events", sum($"n_events").over(w))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Item co-occurrence lift over user baskets: for every item pair
+    * seen together in ≥ 5 distinct users' histories,
+    * lift = n_ab·N / (n_a·n_b) (> 1 ⟺ positive association — the
+    * PMI argument without the engine-varying logarithm; the single
+    * division of two exact longs is correctly rounded identically in
+    * both engines). The basket self-join is per-user (bounded by
+    * basket size, the standard co-occurrence shape), counts are
+    * map-side combinable, and the total-user scalar attaches through
+    * the codegen-safe [[graft.operators.PlanHints.withScalars]]. */
+  def eventsItemPmi(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, get_json_object, lit}
+    val ui = env.events
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val stats = ui.agg(countDistinct($"user_id").as("n_users"))
+    val ia = ui.groupBy($"item").agg(count(lit(1)).as("n_i"))
+    val pairs = ui.as("a")
+      .join(ui.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    val joined = pairs
+      .join(ia.select($"item".as("item_a"), $"n_i".as("n_a")), "item_a")
+      .join(ia.select($"item".as("item_b"), $"n_i".as("n_b")), "item_b")
+    graft.operators.PlanHints.withScalars(joined, stats)
+      .select($"item_a", $"item_b", $"n_ab",
+        (($"n_ab" * $"n_users").cast("double")
+          / ($"n_a" * $"n_b").cast("double")).as("lift"))
+      .orderBy($"lift".desc, $"item_a", $"item_b")
+  }
+
   /** Z-order layout key over (user, item): the data-layout
     * optimization pass — events re-ordered by the Morton interleave of
     * their two scan dimensions so file-level min/max statistics prune
@@ -525,6 +581,41 @@ object CorpusQueries {
         |WHERE substring(md5('graft-strat' || '|' || COALESCE(d.lang, '␀')
         |        || '|' || d.doc_id), 1, 15) < bb.bound
         |ORDER BY d.doc_id""".stripMargin),
+
+    // epoch_us // 86400e6 equals Spark's ns div 86400e9 because the
+    // divisor is a multiple of the µs truncation
+    Q.sql("events_rolling_active", eventsRollingActive,
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events, n_users,
+        |  CAST(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS roll7_events
+        |FROM daily ORDER BY event_type, day""".stripMargin),
+
+    Q.sql("events_item_pmi", eventsItemPmi,
+      """WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |       FROM ui),
+        |ia AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i
+        |       FROM ui GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |        CAST(count(*) AS BIGINT) AS n_ab
+        |      FROM ui a JOIN ui b
+        |        ON a.user_id = b.user_id AND a.item < b.item
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  CAST(p.n_ab * nu.n_users AS DOUBLE)
+        |    / CAST(x.n_i * y.n_i AS DOUBLE) AS lift
+        |FROM p JOIN ia x ON x.item = p.item_a
+        |       JOIN ia y ON y.item = p.item_b, nu
+        |ORDER BY lift DESC, item_a, item_b""".stripMargin),
 
     // the interleave replays bit-for-bit with >> & << | on BIGINTs
     Q.sql("events_zorder_layout", eventsZorderLayout,

@@ -131,7 +131,64 @@ object GapQueries {
           .as("roundtrip"))
       .orderBy($"c_custkey")
 
+  /** Referential-integrity audit over every FK edge of the schema —
+    * the data-validation report a warehouse runs after ingest: orphan
+    * counts per child→parent edge via left-anti joins (dims broadcast;
+    * the fact-fact edges shuffle on their keys — the same plan that
+    * holds at 100 TB, where a full-table EXCEPT would not). */
+  def auditFkOrphans(env: Env): DataFrame = {
+    def orphans(name: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("fk"), $"n_orphans")
+    Seq(
+      orphans("customer.c_nationkey->nation", env.customer, "c_nationkey",
+        env.nation, "n_nationkey"),
+      orphans("lineitem.l_orderkey->orders", env.lineitem, "l_orderkey",
+        env.orders, "o_orderkey"),
+      orphans("lineitem.l_partkey->part", env.lineitem, "l_partkey",
+        env.part, "p_partkey"),
+      orphans("lineitem.l_suppkey->supplier", env.lineitem, "l_suppkey",
+        env.supplier, "s_suppkey"),
+      orphans("nation.n_regionkey->region", env.nation, "n_regionkey",
+        env.region, "r_regionkey"),
+      orphans("orders.o_custkey->customer", env.orders, "o_custkey",
+        env.customer, "c_custkey"),
+      orphans("supplier.s_nationkey->nation", env.supplier, "s_nationkey",
+        env.nation, "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy($"fk")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q.sql("audit_fk_orphans", auditFkOrphans, {
+      def leg(name: String, child: String, ck: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk,
+           |  CAST((SELECT count(*) FROM $child c
+           |        WHERE NOT EXISTS (SELECT 1 FROM $parent p
+           |                          WHERE p.$pk = c.$ck)) AS BIGINT)
+           |    AS n_orphans""".stripMargin
+      Seq(
+        leg("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        leg("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        leg("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        leg("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        leg("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        leg("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        leg("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    }),
+
     Q.sql("p7_strength_gate", p7StrengthGate,
       """SELECT c_custkey AS src,
         |       round(0.75 + (c_custkey % 5) * 0.05, 2) AS strength
