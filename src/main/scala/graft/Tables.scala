@@ -27,10 +27,29 @@ final case class Env(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** `ts` is LongType = nanoseconds since epoch (see conf above). Use
-    * `Env.eventTs` for a TimestampType view (microsecond truncation).
+  /** `ts` is LongType = nanoseconds since epoch. Use `Tables.eventTs`
+    * for a TimestampType view (microsecond truncation).
+    *
+    * The driver has generated `events.parquet` with two physical `ts`
+    * types across rounds: TIMESTAMP(NANOS) (read as a long via the
+    * nanosAsLong conf above) and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ, to which that conf does not apply). Downstream
+    * plans and every DuckDB oracle (`epoch_ns(ts)`) assume the long
+    * view, so normalize here: a timestamp-typed `ts` is converted to
+    * ns since epoch. The NTZ→epoch cast interprets the wall clock in
+    * the session time zone, which every entry point pins to UTC —
+    * matching DuckDB's naive-timestamp-as-UTC `epoch_ns`.
     */
-  def events: DataFrame     = table("events")
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ => df.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
