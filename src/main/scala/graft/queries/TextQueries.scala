@@ -288,7 +288,17 @@ object TextQueries {
 
   private val langIdSql: String = langIdSelect + "\nORDER BY doc_id"
 
+  /** BPE merge-table training over the corpus vocabulary — six merges
+    * (enough to cross the single-char → multi-char symbol boundary on
+    * this vocabulary while keeping the unrolled oracle readable). */
+  def textBpeTrain(env: Env): DataFrame =
+    graft.operators.BpeTrain.trainMerges(env.documents, "text", merges = 6)
+      .orderBy($"step")
+
   val entries: Seq[Q] = Seq(
+    Q.sql("text_bpe_train", textBpeTrain,
+      graft.operators.BpeTrain.oracleSql("documents", "text", merges = 6)),
+
     Q.sql("text_stats", textStats,
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
         |m AS (SELECT doc_id, text, s,
