@@ -447,7 +447,46 @@ object CorpusQueries {
       .repetitionStats(env.documents, "doc_id", "text")
       .orderBy($"doc_id")
 
+  /** DSIR importance weights with src0 as the target domain — the
+    * data-selection scorer (see [[graft.operators.Dsir]]); feed
+    * `logw` to the weighted samplers to complete the resample. */
+  def corpusDsirWeights(env: Env): DataFrame =
+    graft.operators.Dsir.importanceWeights(
+        env.documents, "doc_id", "text", $"source" === "src0")
+      .orderBy($"doc_id")
+
   val entries: Seq[Q] = Seq(
+    Q.sql("corpus_dsir_weights", corpusDsirWeights,
+      """WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
+        |             string_split(text, ' ') AS s FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_target, CAST(u.i AS INT) AS pos,
+        |         substr(md5(s[u.i]), 1, 2) AS bucket
+        |  FROM t, unnest(range(1, len(s) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, is_target, CAST(len(s) + u.j AS INT) AS pos,
+        |         substr(md5(s[u.j] || ' ' || s[u.j + 1]), 1, 2) AS bucket
+        |  FROM t, unnest(range(1, len(s))) AS u(j)),
+        |ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM g
+        |       WHERE is_target GROUP BY bucket),
+        |cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM g
+        |       GROUP BY bucket),
+        |tot AS (SELECT CAST(count(*) FILTER (is_target) AS BIGINT) AS tot_t,
+        |               CAST(count(*) AS BIGINT) AS tot_r FROM g),
+        |p AS (SELECT g.doc_id, g.pos,
+        |        (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+        |           / CAST(tot.tot_t + 256 AS DOUBLE))
+        |        / (CAST(cr.cr + 1 AS DOUBLE)
+        |           / CAST(tot.tot_r + 256 AS DOUBLE)) AS ratio
+        |      FROM g JOIN cr USING (bucket) LEFT JOIN ct USING (bucket), tot),
+        |d AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+        |        round(list_sum(list_transform(list(ratio ORDER BY pos),
+        |          x -> ln(x))), 4) AS logw
+        |      FROM p GROUP BY doc_id)
+        |SELECT t.doc_id, t.is_target, d.n_grams, d.logw
+        |FROM t JOIN d USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
+
     Q.sql("corpus_mixture", corpusMixture,
       """WITH d AS (
         |  SELECT doc_id, source,
