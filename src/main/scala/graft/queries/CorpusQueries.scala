@@ -455,7 +455,53 @@ object CorpusQueries {
         env.documents, "doc_id", "text", $"source" === "src0")
       .orderBy($"doc_id")
 
+  /** UniMax budget split across the 20 sources at ≤2 epochs each,
+    * budget = one epoch of the whole corpus (see
+    * [[graft.operators.Unimax]]); the supply aggregate is the only
+    * corpus-sized stage. */
+  def corpusUnimaxEpochs(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{size, split, sum}
+    val supplies = env.documents
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("supply"))
+    graft.operators.Unimax.epochAllocation(supplies, "source", "supply",
+        maxEpochs = 2)
+      .withColumnRenamed("key", "source")
+      .orderBy($"source")
+  }
+
   val entries: Seq[Q] = Seq(
+    Q.sql("corpus_unimax_epochs", corpusUnimaxEpochs,
+      """WITH s AS (SELECT source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |               AS supply
+        |           FROM documents GROUP BY source),
+        |c AS (SELECT source, supply, supply * 2 AS cap FROM s),
+        |t AS (SELECT CAST(sum(supply) AS BIGINT) AS budget,
+        |             CAST(count(*) AS BIGINT) AS m FROM c),
+        |o AS (SELECT c.source, c.supply, c.cap, t.budget, t.m,
+        |        CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+        |        CAST(sum(cap) OVER (ORDER BY cap, source
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM c, t),
+        |k AS (SELECT
+        |        coalesce(max(CASE WHEN cap * (m - i) + cum <= budget
+        |                          THEN i END), 0) AS kk,
+        |        coalesce(max(CASE WHEN cap * (m - i) + cum <= budget
+        |                          THEN cum END), 0) AS cumk
+        |      FROM o),
+        |a AS (SELECT o.source, o.supply, o.cap,
+        |        CASE WHEN o.i <= k.kk THEN o.cap
+        |             ELSE (o.budget - k.cumk) // (o.m - k.kk)
+        |                  + CASE WHEN o.i - k.kk
+        |                              <= (o.budget - k.cumk) % (o.m - k.kk)
+        |                         THEN 1 ELSE 0 END END AS alloc
+        |      FROM o, k)
+        |SELECT source, supply, cap, CAST(alloc AS BIGINT) AS alloc,
+        |       round(CAST(alloc AS DOUBLE) / CAST(supply AS DOUBLE), 4)
+        |         AS epochs
+        |FROM a ORDER BY source""".stripMargin),
+
     Q.sql("corpus_dsir_weights", corpusDsirWeights,
       """WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
         |             string_split(text, ' ') AS s FROM documents),
