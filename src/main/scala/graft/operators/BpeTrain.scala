@@ -42,10 +42,40 @@ object BpeTrain {
     *         early (fewer rows) if no adjacent pair remains.
     */
   def trainMerges(docs: DataFrame, textCol: String,
-                  merges: Int = 6): DataFrame = {
+                  merges: Int = 6): DataFrame =
+    trainState(docs, textCol, merges)._1
+
+  /** Per-document BPE token counts under the vocabulary learned by
+    * [[trainMerges]] over the SAME corpus — the apply step. The
+    * trained word→piece-count table is vocab-sized, so it broadcasts
+    * to the corpus-sized word stream (at a 10⁷-word vocabulary swap
+    * the broadcast for a shuffled join; the synthetic vocab is tiny).
+    *
+    * @return (doc_id, n_words, n_bpe_tokens) — whitespace word count
+    *         and the BPE piece count after `merges` merges.
+    */
+  def tokenizedCounts(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Int = 6): DataFrame = {
+    val seqs = trainState(docs, textCol, merges)._2
+    val pieces = seqs.select(col("word"),
+      (size(split(col("seq"), java.util.regex.Pattern.quote(Delim), -1)) - 2)
+        .cast("long").as("n_pieces"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(pieces), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("n_pieces")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("nw").cast("int").as("n_words"),
+        col("n_bpe_tokens"))
+  }
+
+  /** The shared training loop: returns the merge table AND the final
+    * per-word symbol sequences (word, seq, wc) the apply step reads. */
+  private def trainState(docs: DataFrame, textCol: String,
+                         merges: Int): (DataFrame, DataFrame) = {
     require(merges > 0, s"BpeTrain: merges must be positive ($merges)")
     val spark = docs.sparkSession
-    import spark.implicits._
     val d = Delim
 
     val words = docs
@@ -62,7 +92,8 @@ object BpeTrain {
 
     // "ab" → "␟a␟b␟": every char becomes a framed single-char symbol.
     var seqs = words
-      .select(concat(lit(d),
+      .select(col("word"),
+        concat(lit(d),
           regexp_replace(col("word"), "(.)", "$1" + d)).as("seq"),
         col("wc"))
       .localCheckpoint(eager = false)
@@ -97,15 +128,17 @@ object BpeTrain {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, l, r, l + r, c))
         seqs = seqs
-          .select(replace(col("seq"),
+          .select(col("word"),
+            replace(col("seq"),
               lit(d + l + d + r + d), lit(d + l + r + d)).as("seq"),
             col("wc"))
           .localCheckpoint(eager = false)
         step += 1
       }
     }
-    spark.createDataset(learned.toSeq)
-      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    import spark.implicits._
+    (spark.createDataset(learned.toSeq)
+      .toDF("step", "lhs", "rhs", "merged", "pair_count"), seqs)
   }
 
   /** The DuckDB replay of [[trainMerges]] for `merges` iterations,
@@ -113,7 +146,8 @@ object BpeTrain {
     * same (count desc, pair asc) top-1, and applies the same literal
     * replace. Kept next to the operator so the two evolve together.
     */
-  def oracleSql(table: String, textCol: String, merges: Int): String = {
+  private def oraclePrefix(table: String, textCol: String,
+                           merges: Int): String = {
     val d = Delim
     val head =
       s"""WITH w AS (
@@ -121,7 +155,7 @@ object BpeTrain {
          |  FROM (SELECT unnest(string_split($textCol, ' ')) AS word
          |        FROM $table)
          |  WHERE word <> '' GROUP BY word),
-         |s0 AS (SELECT '$d' || regexp_replace(word, '(.)', '\\1$d', 'g')
+         |s0 AS (SELECT word, '$d' || regexp_replace(word, '(.)', '\\1$d', 'g')
          |         AS seq, wc FROM w)""".stripMargin
     val steps = (0 until merges).map { k =>
       s"""p$k AS (SELECT t[i] AS l, t[i + 1] AS r,
@@ -132,11 +166,36 @@ object BpeTrain {
          |b$k AS (SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged,
          |  cnt AS pair_count FROM p$k
          |  ORDER BY cnt DESC, l, r LIMIT 1),
-         |s${k + 1} AS (SELECT replace(seq, '$d' || b.lhs || '$d' || b.rhs || '$d',
+         |s${k + 1} AS (SELECT word, replace(seq, '$d' || b.lhs || '$d' || b.rhs || '$d',
          |  '$d' || b.lhs || b.rhs || '$d') AS seq, wc FROM s$k, b$k b)""".stripMargin
     }.mkString(",\n")
+    s"$head,\n$steps"
+  }
+
+  def oracleSql(table: String, textCol: String, merges: Int): String = {
     val union = (0 until merges).map(k => s"SELECT * FROM b$k")
       .mkString("\nUNION ALL ")
-    s"$head,\n$steps\n$union\nORDER BY step"
+    s"${oraclePrefix(table, textCol, merges)}\n$union\nORDER BY step"
+  }
+
+  /** DuckDB replay of [[tokenizedCounts]]: same unrolled training
+    * prefix, then piece counts off the final segmentation joined back
+    * to the corpus word stream. */
+  def tokenizeOracleSql(table: String, idCol: String, textCol: String,
+                        merges: Int): String = {
+    val d = Delim
+    s"""${oraclePrefix(table, textCol, merges)},
+       |pieces AS (SELECT word,
+       |  CAST(len(string_split(seq, '$d')) - 2 AS BIGINT) AS n_pieces
+       |  FROM s$merges),
+       |dw AS (SELECT $idCol AS doc_id, word
+       |  FROM (SELECT $idCol, unnest(string_split($textCol, ' ')) AS word
+       |        FROM $table)
+       |  WHERE word <> '')
+       |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       |  CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN pieces p USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 }

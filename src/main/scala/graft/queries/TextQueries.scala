@@ -295,9 +295,20 @@ object TextQueries {
     graft.operators.BpeTrain.trainMerges(env.documents, "text", merges = 6)
       .orderBy($"step")
 
+  /** The apply step: per-doc BPE piece counts under the merges learned
+    * by [[textBpeTrain]] — tokenizer train → tokenize, end to end. */
+  def textBpeTokens(env: Env): DataFrame =
+    graft.operators.BpeTrain
+      .tokenizedCounts(env.documents, "doc_id", "text", merges = 6)
+      .orderBy($"doc_id")
+
   val entries: Seq[Q] = Seq(
     Q.sql("text_bpe_train", textBpeTrain,
       graft.operators.BpeTrain.oracleSql("documents", "text", merges = 6)),
+
+    Q.sql("text_bpe_tokens", textBpeTokens,
+      graft.operators.BpeTrain.tokenizeOracleSql(
+        "documents", "doc_id", "text", merges = 6)),
 
     Q.sql("text_stats", textStats,
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),

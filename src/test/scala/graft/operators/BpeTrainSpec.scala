@@ -44,6 +44,21 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.length == 1 && got(0)._4 == "ab")
   }
 
+  test("tokenize: piece counts reflect the learned segmentation") {
+    // merges learned on this corpus: (l,o) then (lo,w) — so "low" is
+    // ONE piece, "lower" is low+e+r = 3, "new" stays n+e+w = 3.
+    val docs = Seq((1L, "low low low"), (2L, "low low lower lower"),
+        (3L, "new new new new new new"))
+      .toDF("doc_id", "text")
+    val got = BpeTrain.tokenizedCounts(docs, "doc_id", "text", merges = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, 3, 3L),        // 3 × low(1)
+      (2L, 4, 8L),        // 2 × low(1) + 2 × lower(3)
+      (3L, 6, 18L)))      // 6 × new(3)
+  }
+
   test("delimiter in the corpus fails loudly, not silently") {
     def deepMessages(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
