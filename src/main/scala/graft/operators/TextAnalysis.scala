@@ -34,6 +34,25 @@ object TextAnalysis {
     size(filter(tokens(text), t => set.map(s => t === s).reduce(_ || _)))
   }
 
+  /** Blocklist hits — the C4-style "bad words" gate. Token-exact (no
+    * substring false positives: "dupe" doesn't hit "dup"), pure
+    * codegen'd array ops. */
+  def badwordHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "badwordHits: empty blocklist")
+    val set = words.toSet
+    size(filter(tokens(text), t => set.map(w => t === w).reduce(_ || _)))
+  }
+
+  /** Adjacent-bigram phrase hits for a two-token blocklist phrase. */
+  def badPhraseHits(text: Column, first: String, second: String): Column = {
+    val s = tokens(text)
+    // sequence(1, x) descends when x < 1 — guard single-token docs
+    when(size(s) >= 2,
+      size(filter(sequence(lit(1), size(s) - 1),
+        j => element_at(s, j) === first && element_at(s, j + 1) === second)))
+      .otherwise(lit(0))
+  }
+
   /** Quality score ∈ [0,1]: weighted blend of
     *  - length factor   (prefers 200–4000 chars),
     *  - stopword ratio  (natural text has some),

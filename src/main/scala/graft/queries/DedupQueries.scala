@@ -101,6 +101,28 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  /** Near-dup cluster-size histogram — the data-card view of dedup
+    * pressure: how many components of each size, singleton row
+    * included (total docs minus clustered docs). The histogram runs on
+    * the component table (pairs-output-sized), never the corpus. */
+  def dedupClusterSizes(env: Env): DataFrame = {
+    import graft.operators.PlanHints
+    val comps = TextDedup.nearDupComponents(
+      TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text",
+        threshold = 0.8))
+      .localCheckpoint(eager = false) // histogram + clustered-count
+    val hist = comps.groupBy($"canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val totals = env.documents.agg(count(lit(1)).as("n_docs"))
+    val clustered = comps.agg(count(lit(1)).as("n_clustered"))
+    val singles = PlanHints.withScalars(totals, clustered)
+      .select(lit(1L).as("cluster_size"),
+        ($"n_docs" - $"n_clustered").as("n_clusters"))
+      .filter($"n_clusters" > 0)
+    hist.unionByName(singles).orderBy($"cluster_size")
+  }
+
   /** SimHash hamming ≤ 3 near-dup pairs (exact by pigeonhole). */
   def dedupSimhash(env: Env): DataFrame =
     TextDedup.simhashNearDupPairs(env.documents, "doc_id", "text", maxHamming = 3)
@@ -182,6 +204,35 @@ object DedupQueries {
          |FROM reach
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("dedup_cluster_sizes", dedupClusterSizes,
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |comp AS (SELECT doc_id, min(root) AS canonical_id
+         |         FROM reach GROUP BY doc_id),
+         |sized AS (SELECT CAST(count(*) AS BIGINT) AS cluster_size
+         |          FROM comp GROUP BY canonical_id),
+         |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |         FROM sized GROUP BY cluster_size),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |cl AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered FROM comp)
+         |SELECT cluster_size, n_clusters FROM hist
+         |UNION ALL
+         |SELECT 1, n_docs - n_clustered FROM tot, cl
+         |WHERE n_docs - n_clustered > 0
+         |ORDER BY cluster_size""".stripMargin),
 
     Q.sql("dedup_canonical", dedupCanonical,
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -302,7 +302,33 @@ object TextQueries {
       .tokenizedCounts(env.documents, "doc_id", "text", merges = 6)
       .orderBy($"doc_id")
 
+  /** C4-style blocklist gate: token-exact unigram ("dup") and
+    * adjacent-phrase ("slow scan") hits; keep = clean. Chosen terms
+    * flag a non-trivial slice of the synthetic corpus at every SF. */
+  def textBadwordsFilter(env: Env): DataFrame =
+    env.documents.select($"doc_id",
+        TextAnalysis.badwordHits($"text", Seq("dup")).as("n_badwords"),
+        TextAnalysis.badPhraseHits($"text", "slow", "scan")
+          .as("n_badphrases"))
+      .withColumn("keep", $"n_badwords" === 0 && $"n_badphrases" === 0)
+      .orderBy($"doc_id")
+
   val entries: Seq[Q] = Seq(
+    Q.sql("text_badwords_filter", textBadwordsFilter,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM documents),
+        |ph AS (SELECT doc_id, CAST(count(*) AS INT) AS np
+        |       FROM t, unnest(range(1, len(s))) AS u(j)
+        |       WHERE s[j] = 'slow' AND s[j + 1] = 'scan'
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(list_filter(t.s, x -> x = 'dup')) AS INT) AS n_badwords,
+        |  coalesce(ph.np, 0) AS n_badphrases,
+        |  len(list_filter(t.s, x -> x = 'dup')) = 0
+        |    AND coalesce(ph.np, 0) = 0 AS keep
+        |FROM t LEFT JOIN ph USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
+
     Q.sql("text_bpe_train", textBpeTrain,
       graft.operators.BpeTrain.oracleSql("documents", "text", merges = 6)),
 

@@ -60,4 +60,19 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got(id) == expected, s"doc $id: ${got(id)} vs $expected")
     }
   }
+
+  test("blocklist hits: token-exact words, adjacent phrases, short-doc guard") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "bad stuff bad dupe"),   // "dupe" must NOT match "bad"? — token-exact: 2 hits of "bad", none for substring
+      (2L, "slow scan slow scan x"),// phrase twice, overlap-free pairs
+      (3L, "scan slow"),            // reversed order — no phrase hit
+      (4L, "slow")).toDF("doc_id", "text") // single token: guard path
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.badwordHits(col("text"), Seq("bad")).as("w"),
+        TextAnalysis.badPhraseHits(col("text"), "slow", "scan").as("p"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2, 0), (2L, 0, 2), (3L, 0, 0), (4L, 0, 0)))
+  }
 }
