@@ -380,6 +380,38 @@ object CorpusQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Anomalous-day detection over the event stream — the monitoring
+    * companion to [[eventsRollingActive]]: a day is anomalous for a
+    * type when its count sits > 2 sample standard deviations from the
+    * trailing-7-day baseline (current day excluded). The z-test is
+    * evaluated in EXACT integer arithmetic — (n·x − s)²·(n−1) >
+    * 4·n·(n·q − s²) with s/q the windowed sum and sum-of-squares —
+    * so no engine-varying sqrt/float variance enters the verdict
+    * (counts are day-grain, so the squared terms stay far inside
+    * long range). Window frames are day-grain per type, never
+    * event-sized. */
+  def eventsAnomalyDays(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    val daily = env.events
+      .select($"event_type", expr("ts div 86400000000000").as("day"))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rangeBetween(-7, -1)
+    daily
+      .withColumn("n", count($"x").over(w))
+      .withColumn("s", sum($"x").over(w))
+      .withColumn("q", sum($"x" * $"x").over(w))
+      .select($"event_type", $"day", $"x".as("n_events"),
+        $"n".as("base_days"),
+        ($"n" >= 3 &&
+          ($"n" * $"x" - $"s") * ($"n" * $"x" - $"s") * ($"n" - 1)
+            > lit(4L) * $"n" * ($"n" * $"q" - $"s" * $"s"))
+          .as("is_anomaly"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Item co-occurrence lift over user baskets: for every item pair
     * seen together in ≥ 5 distinct users' histories,
     * lift = n_ab·N / (n_a·n_b) (> 1 ⟺ positive association — the
@@ -432,6 +464,39 @@ object CorpusQueries {
       .orderBy($"zcode", $"event_id")
   }
 
+  /** Per-source distinctive terms — the "domain signature" data card:
+    * top-5 terms per source by frequency lift (p(term|source) /
+    * p(term)), the PMI argument without the engine-varying logarithm
+    * (ordering by the ratio orders identically). The ratio is
+    * (a/b)/(c/d) over exact longs — three correctly-rounded IEEE ops,
+    * no long·long product to overflow at corpus scale. Count tables:
+    * per-(source,term) is the only corpus-keyed aggregate (map-side
+    * combinable); per-source and per-term tables broadcast; the top-5
+    * window plans as WindowGroupLimit (partial per-partition limits,
+    * so a stopword's source-spanning rows prune before the shuffle). */
+  def corpusDomainTerms(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, count, explode, lit, row_number, split}
+    val toks = env.documents
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .localCheckpoint(eager = false) // four aggregates off one pass
+    val tfs = toks.groupBy($"source", $"term").agg(count(lit(1)).as("tf_s"))
+    val perSource = toks.groupBy($"source").agg(count(lit(1)).as("t_s"))
+    val perTerm = toks.groupBy($"term").agg(count(lit(1)).as("tf_all"))
+    val total = toks.agg(count(lit(1)).as("t_all"))
+    val scored = graft.operators.PlanHints.withScalars(
+        tfs.join(broadcast(perSource), Seq("source"))
+          .join(broadcast(perTerm), Seq("term")), total)
+      .select($"source", $"term", $"tf_s",
+        (($"tf_s".cast("double") / $"t_s".cast("double"))
+          / ($"tf_all".cast("double") / $"t_all".cast("double"))).as("lift"))
+    val w = Window.partitionBy($"source").orderBy($"lift".desc, $"term")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"term", $"tf_s", $"lift")
+      .orderBy($"source", $"rank")
+  }
+
   /** Duplicated-13-gram accounting over the whole corpus — the
     * intra-corpus counterpart of [[textDecontaminate]] (same gram
     * kernel, corpus vs itself instead of corpus vs bench): per-doc
@@ -471,6 +536,46 @@ object CorpusQueries {
   }
 
   val entries: Seq[Q] = Seq(
+    Q.sql("events_anomaly_days", eventsAnomalyDays,
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, day, x,
+        |        CAST(count(x) OVER w AS BIGINT) AS n,
+        |        CAST(sum(x) OVER w AS BIGINT) AS s,
+        |        CAST(sum(x * x) OVER w AS BIGINT) AS q
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, x AS n_events, n AS base_days,
+        |       n >= 3 AND (n * x - s) * (n * x - s) * (n - 1)
+        |                  > 4 * n * (n * q - s * s) AS is_anomaly
+        |FROM b ORDER BY event_type, day""".stripMargin),
+
+    Q.sql("corpus_domain_terms", corpusDomainTerms,
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tfs AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s
+        |        FROM tok GROUP BY 1, 2),
+        |tsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS t_s
+        |         FROM tok GROUP BY 1),
+        |tterm AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_all
+        |          FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t_all FROM tok),
+        |sc AS (SELECT tfs.source, tfs.term, tfs.tf_s,
+        |         (CAST(tf_s AS DOUBLE) / CAST(t_s AS DOUBLE))
+        |         / (CAST(tf_all AS DOUBLE) / CAST(t_all AS DOUBLE)) AS lift
+        |       FROM tfs JOIN tsrc USING (source)
+        |            JOIN tterm USING (term), tot),
+        |r AS (SELECT source, term, tf_s, lift,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY lift DESC, term) AS INT) AS rank
+        |      FROM sc)
+        |SELECT source, rank, term, tf_s, lift
+        |FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin),
+
     Q.sql("corpus_unimax_epochs", corpusUnimaxEpochs,
       """WITH s AS (SELECT source,
         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
