@@ -412,6 +412,30 @@ object CorpusQueries {
       .orderBy($"event_type", $"day")
   }
 
+  /** Trending items per day — top-3 by count with a deterministic
+    * (count desc, item asc) tie-break. The batch leg of the streaming
+    * trending pattern: the count stage is the watermark-windowed
+    * aggregate [[graft.streaming.Streams.windowedEventCounts]] runs as
+    * a real stream (StreamsSpec pins stream ≡ batch), and ranking
+    * applies per CLOSED window downstream — ranking is not
+    * stream-incrementalizable, so production ranks sealed windows in
+    * foreachBatch exactly like this. Top-3 plans as WindowGroupLimit:
+    * per-partition partial limits prune before the shuffle. */
+  def eventsTrendingTopk(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, get_json_object, lit, row_number}
+    val daily = env.events
+      .select(expr("ts div 86400000000000").as("day"),
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+      .groupBy($"day", $"item").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"day").orderBy($"n".desc, $"item")
+    daily.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"day", $"rank".cast("int").as("rank"), $"item", $"n")
+      .orderBy($"day", $"rank")
+  }
+
   /** Item co-occurrence lift over user baskets: for every item pair
     * seen together in ≥ 5 distinct users' histories,
     * lift = n_ab·N / (n_a·n_b) (> 1 ⟺ positive association — the
@@ -552,6 +576,21 @@ object CorpusQueries {
         |       n >= 3 AND (n * x - s) * (n * x - s) * (n - 1)
         |                  > 4 * n * (n * q - s * s) AS is_anomaly
         |FROM b ORDER BY event_type, day""".stripMargin),
+
+    Q.sql("events_trending_topk", eventsTrendingTopk,
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |               AS item
+        |           FROM events),
+        |d AS (SELECT day, item, CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE item IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT day, item, n,
+        |        CAST(row_number() OVER (PARTITION BY day
+        |          ORDER BY n DESC, item) AS INT) AS rank
+        |      FROM d)
+        |SELECT day, rank, item, n
+        |FROM r WHERE rank <= 3
+        |ORDER BY day, rank""".stripMargin),
 
     Q.sql("corpus_domain_terms", corpusDomainTerms,
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term

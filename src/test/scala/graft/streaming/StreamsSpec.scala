@@ -33,6 +33,41 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set(("view", 2L), ("purchase", 1L)))
   }
 
+  test("trending: ranking closed stream windows matches the batch rank") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    // the events_trending_topk pattern: the COUNT stage streams (with
+    // watermark), ranking applies per sealed window downstream —
+    // here the key column doubles as the item key.
+    val data = Seq((ts(0), "a"), (ts(1), "a"), (ts(2), "b"), (ts(3), "b"),
+      (ts(4), "b"), (ts(5), "c"), (ts(61), "b"), (ts(62), "c"), (ts(63), "c"))
+    def rank2(df: DataFrame): Set[(Timestamp, Int, String, Long)] = {
+      val w = Window.partitionBy($"window_start")
+        .orderBy($"n".desc, $"event_type")
+      df.withColumn("rank", row_number().over(w)).filter($"rank" <= 2)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getInt(3), r.getString(1),
+          r.getLong(2))).toSet
+    }
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = Streams.windowedEventCounts(
+      input.toDF().toDF("ts", "event_type"), "ts",
+      watermark = "10 minutes", windowLen = "60 minutes")
+    input.addData(data: _*)
+    val q = counts.writeStream.format("memory").queryName("trend_counts")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val streamed = rank2(spark.table("trend_counts"))
+    val batch = rank2(Streams.windowedEventCounts(
+      data.toDF("ts", "event_type"), "ts",
+      watermark = "10 minutes", windowLen = "60 minutes"))
+    assert(streamed == batch)
+    assert(streamed.map { case (_, r, k, n) => (r, k, n) } ==
+      Set((1, "b", 3L), (2, "a", 2L), (1, "c", 2L), (2, "b", 1L)))
+  }
+
   test("streaming sessionize: session_window merges within gap, splits across") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
