@@ -154,7 +154,76 @@ object AnnQueries {
     s"($ab / (sqrt($aa) * sqrt($bb)))"
   }
 
+  /** Per-label embedding centroid drift — the domain-embedding data
+    * card: each label's centroid compared (cosine) to the global
+    * centroid. Float sums are NOT associative, so components are
+    * quantized to exact micro-unit longs first (floor(v·10⁶) — one
+    * correctly-rounded double product per element) and summed as
+    * longs: map-side-combinable, order-independent, engine-exact. The
+    * only float work is the final 64-term fold per label, run in fixed
+    * dimension order and rounded once (6 dp); sqrt is IEEE
+    * correctly-rounded, so the oracle replays it exactly. Scale shape:
+    * one posexplode pass, two combinable aggregates keyed by
+    * (label,dim)/(dim), a 64-row broadcast, and a label-sized fold. */
+  def annLabelCentroids(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = env.spark
+    import spark.implicits._
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val q = env.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("label"), col("d"),
+        floor(col("v").cast("double") * lit(1e6)).cast("long").as("qv"))
+      .localCheckpoint(eager = false) // label sums + global sums
+    val ls = q.groupBy(col("label"), col("d")).agg(sum(col("qv")).as("cs"))
+    val gs = q.groupBy(col("d")).agg(sum(col("qv")).as("cg"))
+    val folded = ls.join(broadcast(gs), Seq("d"))
+      .groupBy(col("label"))
+      .agg(collect_list(struct(col("d"), col("cs"), col("cg"))).as("ds"))
+      .as[(Int, Seq[(Int, Long, Long)])]
+      .map { case (label, ds) =>
+        var dot = 0.0; var na = 0.0; var ng = 0.0
+        ds.sortBy(_._1).foreach { case (_, cs, cg) =>
+          dot += cs.toDouble * cg.toDouble
+          na += cs.toDouble * cs.toDouble
+          ng += cg.toDouble * cg.toDouble
+        }
+        (label, r6(dot / (math.sqrt(na) * math.sqrt(ng))))
+      }
+      .toDF("label", "cos_to_global")
+    env.embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(folded, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
   val entries: Seq[Q] = Seq(
+    Q.sql("ann_label_centroids", annLabelCentroids,
+      """WITH q AS (SELECT label, u.i AS d,
+        |             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
+        |                  AS BIGINT) AS qv
+        |           FROM embeddings,
+        |                unnest(range(1, len(embedding) + 1)) AS u(i)),
+        |ls AS (SELECT label, d, CAST(sum(qv) AS BIGINT) AS cs
+        |       FROM q GROUP BY 1, 2),
+        |gs AS (SELECT d, CAST(sum(qv) AS BIGINT) AS cg FROM q GROUP BY 1),
+        |j AS (SELECT ls.label, ls.d,
+        |        CAST(ls.cs AS DOUBLE) AS cs, CAST(gs.cg AS DOUBLE) AS cg
+        |      FROM ls JOIN gs USING (d)),
+        |a AS (SELECT label,
+        |        list_sum(list(cs * cg ORDER BY d)) AS dot,
+        |        list_sum(list(cs * cs ORDER BY d)) AS na,
+        |        list_sum(list(cg * cg ORDER BY d)) AS ng
+        |      FROM j GROUP BY label),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |      FROM embeddings GROUP BY label)
+        |SELECT n.label, n.n_vecs,
+        |       round(a.dot / (sqrt(a.na) * sqrt(a.ng)), 6) AS cos_to_global
+        |FROM n JOIN a USING (label)
+        |ORDER BY label""".stripMargin),
     Q.sql("ann_brute_topk", annBruteTopK,
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qe FROM embeddings

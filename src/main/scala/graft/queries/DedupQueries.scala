@@ -123,6 +123,25 @@ object DedupQueries {
     hist.unionByName(singles).orderBy($"cluster_size")
   }
 
+  /** Cross-source near-dup overlap matrix — which sources duplicate
+    * which: every near-dup pair mapped to its (unordered) source pair
+    * and counted. The contamination-between-domains data card; runs on
+    * the pairs output joined twice to the doc→source map (broadcast at
+    * this cardinality, shuffled equi-join at corpus scale — never
+    * pair×pair work). */
+  def dedupSourceOverlap(env: Env): DataFrame = {
+    val pairs = TextDedup.minhashNearDupPairs(env.documents, "doc_id",
+      "text", threshold = 0.8)
+    val src = env.documents.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** SimHash hamming ≤ 3 near-dup pairs (exact by pigeonhole). */
   def dedupSimhash(env: Env): DataFrame =
     TextDedup.simhashNearDupPairs(env.documents, "doc_id", "text", maxHamming = 3)
@@ -204,6 +223,22 @@ object DedupQueries {
          |FROM reach
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("dedup_source_overlap", dedupSourceOverlap,
+      s"""$shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |sp AS (SELECT least(da.source, db.source) AS source_a,
+         |              greatest(da.source, db.source) AS source_b
+         |       FROM pairs p
+         |       JOIN documents da ON da.doc_id = p.doc_a
+         |       JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM sp GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin),
 
     Q.sql("dedup_cluster_sizes", dedupClusterSizes,
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
