@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   * iteration ever rescans the corpus, so at 100 TB the cost is one
   * scan + k vocab-sized shuffles.
   *
-  * Symbol sequences are delimiter-framed strings (`␟s1␟s2␟…␟`) rather
-  * than arrays so the merge step is a single codegen'd literal
-  * `replace` — left-to-right non-overlapping in both Spark
-  * (UTF8String.replace) and DuckDB, which IS greedy BPE pair
-  * application, and lets the oracle replay every iteration verbatim.
-  * A `raise_error` guard rejects corpora containing the delimiter
-  * (the Sampling reserved-value pattern).
+  * Symbol sequences are DOUBLE-delimiter-framed strings
+  * (`␟␟s1␟␟s2␟␟…`) rather than arrays so the merge step is ONE
+  * codegen'd literal `replace`. The framing is what makes a plain
+  * replace equal textbook greedy merging: the pair pattern
+  * `␟l␟␟r␟` consumes the inner boundary fully but only the inner
+  * HALVES of the outer boundaries, so back-to-back occurrences
+  * (`c b c b`, or a `ccccc` run merging (c,c)) touch disjoint
+  * characters and the engines' left-to-right non-overlapping scan
+  * (Spark UTF8String.replace ≡ DuckDB replace) merges exactly the
+  * pairs greedy BPE merges — single-delimiter framing provably
+  * under-merges runs (pass 1 consumes the shared delimiter), which is
+  * how Round9PropertySpec's greedy replay caught it. A `raise_error`
+  * guard rejects corpora containing the delimiter (the Sampling
+  * reserved-value pattern).
   *
   * Reference scope: the reference engine has no tokenizer surface —
   * this is part of the beyond-reference training-data brief.
@@ -58,8 +65,7 @@ object BpeTrain {
                       merges: Int = 6): DataFrame = {
     val seqs = trainState(docs, textCol, merges)._2
     val pieces = seqs.select(col("word"),
-      (size(split(col("seq"), java.util.regex.Pattern.quote(Delim), -1)) - 2)
-        .cast("long").as("n_pieces"))
+      size(symbolsOf(col("seq"))).cast("long").as("n_pieces"))
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -70,6 +76,12 @@ object BpeTrain {
         col("n_bpe_tokens"))
   }
 
+  /** Framed sequence → its symbols, in order (split on the delimiter,
+    * drop the boundary empties). */
+  private def symbolsOf(seq: org.apache.spark.sql.Column) =
+    filter(split(seq, java.util.regex.Pattern.quote(Delim), -1),
+      s => s =!= "")
+
   /** The shared training loop: returns the merge table AND the final
     * per-word symbol sequences (word, seq, wc) the apply step reads. */
   private def trainState(docs: DataFrame, textCol: String,
@@ -77,6 +89,7 @@ object BpeTrain {
     require(merges > 0, s"BpeTrain: merges must be positive ($merges)")
     val spark = docs.sparkSession
     val d = Delim
+    val dd = d + d
 
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
@@ -90,11 +103,11 @@ object BpeTrain {
           .otherwise(col("word")).as("word"),
         col("wc"))
 
-    // "ab" → "␟a␟b␟": every char becomes a framed single-char symbol.
+    // "ab" → "␟␟a␟␟b␟␟": single-char symbols, double-delim boundaries.
     var seqs = words
       .select(col("word"),
-        concat(lit(d),
-          regexp_replace(col("word"), "(.)", "$1" + d)).as("seq"),
+        concat(lit(dd),
+          regexp_replace(col("word"), "(.)", "$1" + dd)).as("seq"),
         col("wc"))
       .localCheckpoint(eager = false)
 
@@ -103,16 +116,14 @@ object BpeTrain {
     var step = 0
     var exhausted = false
     while (step < merges && !exhausted) {
-      // split keeps the leading/trailing empties ("␟a␟b␟" → ["","a","b",""]),
-      // so symbols live at 1-based positions 2..size-1 and adjacent pairs
-      // at (i, i+1) for i ∈ [2, size-2]. The size guard matters: Spark's
-      // sequence(2, x) DESCENDS when x < 2 instead of being empty.
-      val t = split(col("seq"), java.util.regex.Pattern.quote(d), -1)
+      // adjacent pairs over the in-order symbol list. The size guard
+      // matters: Spark's sequence(1, x) DESCENDS when x < 1 instead of
+      // being empty.
       val pairs = seqs
-        .select(col("wc"), t.as("t"))
+        .select(col("wc"), symbolsOf(col("seq")).as("t"))
         .select(col("wc"), explode(
-            when(size(col("t")) >= 4,
-              transform(sequence(lit(2), size(col("t")) - 2),
+            when(size(col("t")) >= 2,
+              transform(sequence(lit(1), size(col("t")) - 1),
                 i => struct(element_at(col("t"), i).as("l"),
                   element_at(col("t"), i + 1).as("r"))))
               .otherwise(array().cast(
@@ -127,10 +138,13 @@ object BpeTrain {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         learned += ((step, l, r, l + r, c))
+        // `␟l␟␟r␟` → `␟lr␟`: consumes only the inner halves of the
+        // outer boundaries, so adjacent occurrences are
+        // character-disjoint and one replace pass IS greedy.
         seqs = seqs
           .select(col("word"),
             replace(col("seq"),
-              lit(d + l + d + r + d), lit(d + l + r + d)).as("seq"),
+              lit(d + l + dd + r + d), lit(d + l + r + d)).as("seq"),
             col("wc"))
           .localCheckpoint(eager = false)
         step += 1
@@ -144,7 +158,8 @@ object BpeTrain {
   /** The DuckDB replay of [[trainMerges]] for `merges` iterations,
     * unrolled — each iteration re-derives the pair counts, takes the
     * same (count desc, pair asc) top-1, and applies the same literal
-    * replace. Kept next to the operator so the two evolve together.
+    * half-boundary replace. Kept next to the operator so the two
+    * evolve together.
     */
   private def oraclePrefix(table: String, textCol: String,
                            merges: Int): String = {
@@ -155,19 +170,24 @@ object BpeTrain {
          |  FROM (SELECT unnest(string_split($textCol, ' ')) AS word
          |        FROM $table)
          |  WHERE word <> '' GROUP BY word),
-         |s0 AS (SELECT word, '$d' || regexp_replace(word, '(.)', '\\1$d', 'g')
+         |s0 AS (SELECT word,
+         |         '$d$d' || regexp_replace(word, '(.)', '\\1$d$d', 'g')
          |         AS seq, wc FROM w)""".stripMargin
     val steps = (0 until merges).map { k =>
-      s"""p$k AS (SELECT t[i] AS l, t[i + 1] AS r,
+      s"""y$k AS (SELECT word, wc,
+         |  list_filter(string_split(seq, '$d'), x -> x <> '') AS t
+         |  FROM s$k),
+         |p$k AS (SELECT t[i] AS l, t[i + 1] AS r,
          |  CAST(sum(wc) AS BIGINT) AS cnt
-         |  FROM (SELECT string_split(seq, '$d') AS t, wc FROM s$k),
-         |       unnest(range(2, len(t) - 1)) AS u(i)
+         |  FROM y$k, unnest(range(1, len(t))) AS u(i)
          |  GROUP BY 1, 2),
          |b$k AS (SELECT $k AS step, l AS lhs, r AS rhs, l || r AS merged,
          |  cnt AS pair_count FROM p$k
          |  ORDER BY cnt DESC, l, r LIMIT 1),
-         |s${k + 1} AS (SELECT word, replace(seq, '$d' || b.lhs || '$d' || b.rhs || '$d',
-         |  '$d' || b.lhs || b.rhs || '$d') AS seq, wc FROM s$k, b$k b)""".stripMargin
+         |s${k + 1} AS (SELECT word,
+         |  replace(seq, '$d' || b.lhs || '$d$d' || b.rhs || '$d',
+         |          '$d' || b.lhs || b.rhs || '$d') AS seq, wc
+         |  FROM s$k, b$k b)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$steps"
   }
@@ -186,7 +206,8 @@ object BpeTrain {
     val d = Delim
     s"""${oraclePrefix(table, textCol, merges)},
        |pieces AS (SELECT word,
-       |  CAST(len(string_split(seq, '$d')) - 2 AS BIGINT) AS n_pieces
+       |  CAST(len(list_filter(string_split(seq, '$d'), x -> x <> ''))
+       |       AS BIGINT) AS n_pieces
        |  FROM s$merges),
        |dw AS (SELECT $idCol AS doc_id, word
        |  FROM (SELECT $idCol, unnest(string_split($textCol, ' ')) AS word
