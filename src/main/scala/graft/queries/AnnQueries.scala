@@ -154,6 +154,28 @@ object AnnQueries {
     s"($ab / (sqrt($aa) * sqrt($bb)))"
   }
 
+  /** Recall\@5 of the LSH index against the brute-force ground truth,
+    * per query — index-quality MEASUREMENT as a first-class query
+    * (the data-card view of the approximate/exact trade both sides of
+    * which are already individually hash-verified): the overlap count
+    * of two deterministic top-k sets is exact integer work, and the
+    * single recall division is correctly rounded, so even this
+    * accuracy REPORT is oracle-exact. */
+  def annRecallReport(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, round}
+    val brute = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
+        k = 5)
+      .select($"qid", $"vec_id")
+    val approx = VectorSearch.lshTopK(env.embeddings, queriesDf(env), k = 5)
+      .select($"qid", $"vec_id", lit(1).as("hit"))
+    brute.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(count($"hit").as("nh"))
+      .select($"qid", $"nh".cast("int").as("n_hits"),
+        round($"nh".cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
   /** Per-label embedding centroid drift — the domain-embedding data
     * card: each label's centroid compared (cosine) to the global
     * centroid. Float sums are NOT associative, so components are
@@ -201,6 +223,56 @@ object AnnQueries {
   }
 
   val entries: Seq[Q] = Seq(
+    Q.sql("ann_recall_report", annRecallReport,
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |branked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM bscored),
+         |btop AS (SELECT qid, vec_id FROM branked WHERE rn <= 5),
+         |bitsums AS (
+         |  SELECT v.vec_id, t.b AS b,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(v.embedding[i] AS DOUBLE) *
+         |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+         |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+         |                 THEN 1.0 ELSE -1.0 END))) AS s
+         |  FROM embeddings v, range(0, 8) t(b)),
+         |buckets AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+         |  FROM bitsums
+         |  GROUP BY vec_id),
+         |qb AS (
+         |  SELECT q.qid, q.qe, b.bucket AS qbucket
+         |  FROM q JOIN buckets b ON b.vec_id = q.qid),
+         |lcand AS (
+         |  SELECT qb.qid, e.vec_id,
+         |         round(${cos("qb.qe", "e.embedding")}, 6) AS cos
+         |  FROM qb
+         |  JOIN buckets vb
+         |    ON vb.vec_id <> qb.qid
+         |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT)) <= 2
+         |  JOIN embeddings e ON e.vec_id = vb.vec_id),
+         |lranked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM lcand),
+         |ltop AS (SELECT qid, vec_id FROM lranked WHERE rn <= 5)
+         |SELECT b.qid, CAST(count(l.vec_id) AS INT) AS n_hits,
+         |       round(CAST(count(l.vec_id) AS DOUBLE) / 5.0, 4) AS recall_at_5
+         |FROM btop b LEFT JOIN ltop l USING (qid, vec_id)
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin),
+
     Q.sql("ann_label_centroids", annLabelCentroids,
       """WITH q AS (SELECT label, u.i AS d,
         |             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
