@@ -141,6 +141,29 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** Packing-efficiency data card over [[corpusPackSequences]]: per
+    * shard, the bin count and fill rate (token mass over bin
+    * capacity) — the wasted-padding view a training run watches. Runs
+    * on the packer's output joined back to the token counts; exact
+    * integer sums plus one correctly-rounded division. */
+  def corpusPackEfficiency(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, round, size, split, sum}
+    val withTokens = env.documents.select(
+      $"doc_id", size(split($"text", " ")).as("n_tokens"))
+    SequencePack.packSequences(withTokens, "doc_id", "n_tokens",
+        shards = 8, capacity = 1000L)
+      .join(withTokens, Seq("doc_id"))
+      .groupBy($"shard")
+      .agg(countDistinct($"seq_id").as("n_bins"),
+        count(lit(1)).as("nd"),
+        sum($"n_tokens".cast("long")).as("total_tokens"))
+      .select($"shard", $"n_bins", $"nd".cast("int").as("n_docs"),
+        $"total_tokens",
+        round($"total_tokens".cast("double")
+          / ($"n_bins" * 1000L).cast("double"), 4).as("fill_rate"))
+      .orderBy($"shard")
+  }
+
   /** Context-window chunking: 64-token windows, 16-token overlap
     * (stride 48) — the LLM-prep splitter as a zero-shuffle narrow map
     * (see [[graft.operators.Boilerplate.chunkWindows]]). */
@@ -715,6 +738,34 @@ object CorpusQueries {
         |SELECT doc_id, shard, seq_id
         |FROM pack
         |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("corpus_pack_efficiency", corpusPackEfficiency,
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY doc_id % 8
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pack(shard, rn, doc_id, seq_id, fill) AS (
+        |  SELECT shard, rn, doc_id, CAST(1 AS BIGINT), n_tokens
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id,
+        |    CASE WHEN p.fill + d.n_tokens > 1000
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + d.n_tokens > 1000
+        |         THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+        |SELECT p.shard,
+        |  CAST(count(DISTINCT p.seq_id) AS BIGINT) AS n_bins,
+        |  CAST(count(*) AS INT) AS n_docs,
+        |  CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(d.n_tokens) AS DOUBLE)
+        |    / CAST(count(DISTINCT p.seq_id) * 1000 AS DOUBLE), 4)
+        |    AS fill_rate
+        |FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn
+        |GROUP BY p.shard
+        |ORDER BY p.shard""".stripMargin),
 
     Q.sql("events_asof", eventsAsof,
       """WITH e AS (SELECT user_id AS key, epoch_ns(ts) AS ts,
