@@ -69,6 +69,33 @@ object Streams {
               col("session_window.end").as("session_end"),
               col("n_events"), col("total_value"))
 
+  /** Watermarked STREAM-STREAM interval join — the two-input join
+    * Structured Streaming supports natively: each left event pairs
+    * with right events for the same key within `[left.ts − horizon,
+    * left.ts]` (an attribution/as-of-window shape, e.g. purchases ⋈
+    * preceding views). Both inputs carry watermarks and the join
+    * condition is TIME-BOUND in both directions, which is what lets
+    * Spark evict buffered rows: state is O(events per horizon +
+    * watermark), not O(stream history). Works identically on batch
+    * frames (StreamsSpec pins stream ≡ batch on shared input).
+    *
+    * Column contract: left = (key, lts, l_id), right = (key, rts,
+    * r_id, r_value); output one row per qualifying pair.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         horizon: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("lts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r,
+      l("key") === r("key") &&
+        r("rts") <= l("lts") &&
+        r("rts") >= l("lts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(l("key"), col("l_id"), col("lts"), col("r_id"), col("rts"),
+        col("r_value"))
+  }
+
   /** Streaming decontamination (LLM-pipeline brief): documents arrive
     * as a stream and are flagged against a STATIC benchmark set. The
     * bench side compiles ONCE into

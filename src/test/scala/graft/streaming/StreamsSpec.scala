@@ -68,6 +68,37 @@ class StreamsSpec extends SparkSpec {
       Set((1, "b", 3L), (2, "a", 2L), (1, "c", 2L), (2, "b", 1L)))
   }
 
+  test("stream-stream interval join: watermarked two-input join ≡ batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    // purchases ⋈ preceding views within 1 hour, same key
+    val views = Seq((1L, ts(0), 100L, 1.0), (1L, ts(30), 101L, 2.0),
+      (1L, ts(200), 102L, 3.0), (2L, ts(5), 103L, 4.0))
+    val buys = Seq((1L, ts(45), 900L), (1L, ts(210), 901L), (3L, ts(50), 902L))
+    def collect(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(5)))
+      .toSet
+    val li = MemoryStream[(Long, Timestamp, Long)]
+    val ri = MemoryStream[(Long, Timestamp, Long, Double)]
+    val joined = Streams.intervalJoinStream(
+      li.toDF().toDF("key", "lts", "l_id"),
+      ri.toDF().toDF("key", "rts", "r_id", "r_value"))
+    li.addData(buys: _*); ri.addData(views: _*)
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q.stop()
+    val streamed = collect(spark.table("ss_join"))
+    val batch = collect(Streams.intervalJoinStream(
+      buys.toDF("key", "lts", "l_id"),
+      views.toDF("key", "rts", "r_id", "r_value")))
+    assert(streamed == batch)
+    // purchase 900 sees views 100+101 (within the hour), 901 sees only
+    // 102 (100/101 are >1h before), 902 has no same-key view
+    assert(batch == Set((1L, 900L, 100L, 1.0), (1L, 900L, 101L, 2.0),
+      (1L, 901L, 102L, 3.0)))
+  }
+
   test("streaming sessionize: session_window merges within gap, splits across") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
