@@ -176,6 +176,24 @@ object AnnQueries {
       .orderBy($"qid")
   }
 
+  /** Recall\@5 of the IVF index against brute force — the
+    * [[annRecallReport]] pattern for the other index family, so the
+    * LSH-vs-IVF quality trade is readable side by side. */
+  def annIvfRecallReport(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, round}
+    val brute = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
+        k = 5)
+      .select($"qid", $"vec_id")
+    val approx = VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5)
+      .select($"qid", $"vec_id", lit(1).as("hit"))
+    brute.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(count($"hit").as("nh"))
+      .select($"qid", $"nh".cast("int").as("n_hits"),
+        round($"nh".cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
   /** Per-label embedding centroid drift — the domain-embedding data
     * card: each label's centroid compared (cosine) to the global
     * centroid. Float sums are NOT associative, so components are
@@ -270,6 +288,62 @@ object AnnQueries {
          |SELECT b.qid, CAST(count(l.vec_id) AS INT) AS n_hits,
          |       round(CAST(count(l.vec_id) AS DOUBLE) / 5.0, 4) AS recall_at_5
          |FROM btop b LEFT JOIN ltop l USING (qid, vec_id)
+         |GROUP BY b.qid
+         |ORDER BY b.qid""".stripMargin),
+
+    Q.sql("ann_ivf_recall_report", annIvfRecallReport,
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |branked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM bscored),
+         |btop AS (SELECT qid, vec_id FROM branked WHERE rn <= 5),
+         |cent AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM embeddings, range(1, 65) t(d)
+         |    GROUP BY cell, t.d)
+         |  GROUP BY cell),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= 3),
+         |icand AS (
+         |  SELECT p.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE e.vec_id <> p.qid),
+         |iranked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM icand),
+         |itop AS (SELECT qid, vec_id FROM iranked WHERE rn <= 5)
+         |SELECT b.qid, CAST(count(l.vec_id) AS INT) AS n_hits,
+         |       round(CAST(count(l.vec_id) AS DOUBLE) / 5.0, 4) AS recall_at_5
+         |FROM btop b LEFT JOIN itop l USING (qid, vec_id)
          |GROUP BY b.qid
          |ORDER BY b.qid""".stripMargin),
 
