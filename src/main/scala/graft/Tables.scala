@@ -16,6 +16,12 @@ final case class Env(spark: SparkSession, dir: String) {
   // min/max on the long are order-identical to the native timestamp, and
   // wall-clock projections convert explicitly (see Env.events scaladoc).
   spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // The events.ts normalization below interprets a TIMESTAMP_NTZ wall
+  // clock in the session time zone; DuckDB's epoch_ns reads the same
+  // wall clock as UTC. Pin UTC HERE — at the loader — so the invariant
+  // holds for every entry point (Bench/Verify pin it too; dev tools
+  // like Explain/ScaleUp get it for free instead of by convention).
+  spark.conf.set("spark.sql.session.timeZone", "UTC")
 
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
@@ -37,7 +43,7 @@ final case class Env(spark: SparkSession, dir: String) {
     * plans and every DuckDB oracle (`epoch_ns(ts)`) assume the long
     * view, so normalize here: a timestamp-typed `ts` is converted to
     * ns since epoch. The NTZ→epoch cast interprets the wall clock in
-    * the session time zone, which every entry point pins to UTC —
+    * the session time zone, which this loader pins to UTC above —
     * matching DuckDB's naive-timestamp-as-UTC `epoch_ns`.
     */
   def events: DataFrame = {

@@ -185,9 +185,10 @@ object BpeTrain {
          |  cnt AS pair_count FROM p$k
          |  ORDER BY cnt DESC, l, r LIMIT 1),
          |s${k + 1} AS (SELECT word,
-         |  replace(seq, '$d' || b.lhs || '$d$d' || b.rhs || '$d',
-         |          '$d' || b.lhs || b.rhs || '$d') AS seq, wc
-         |  FROM s$k, b$k b)""".stripMargin
+         |  coalesce(
+         |    replace(seq, '$d' || b.lhs || '$d$d' || b.rhs || '$d',
+         |            '$d' || b.lhs || b.rhs || '$d'), seq) AS seq, wc
+         |  FROM s$k LEFT JOIN b$k b ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$steps"
   }

@@ -39,8 +39,7 @@ object TextAnalysis {
     * codegen'd array ops. */
   def badwordHits(text: Column, words: Seq[String]): Column = {
     require(words.nonEmpty, "badwordHits: empty blocklist")
-    val set = words.toSet
-    size(filter(tokens(text), t => set.map(w => t === w).reduce(_ || _)))
+    stopwordCount(text, words) // same token-set membership count
   }
 
   /** Adjacent-bigram phrase hits for a two-token blocklist phrase. */
