@@ -71,43 +71,142 @@ object VectorSearch {
     math.sqrt(s)
   }
 
-  /** Exact brute-force top-k. The query set is small by contract: it is
-    * collected and broadcast (the explicit form of a broadcast join),
-    * the big vector table streams through one compiled map partition —
-    * one scan, no shuffle before the per-query top-k window. Ranking
-    * uses the 6-dp-rounded cosine with vec_id tie-break so result order
-    * is engine-stable.
+  /** The query set as a DISTRIBUTED chunked DataFrame: each row packs
+    * at most `chunkSize` valid (non-null, nonzero-norm) queries as
+    * primitive arrays — ids, precomputed norms, and the embeddings
+    * flattened row-major. The query side NEVER touches the driver
+    * (no `.collect()`): whether it is 40 rows or 40 million, it stays
+    * a DataFrame whose per-row payload is bounded by `chunkSize`, so
+    * downstream scans hold one chunk at a time per task.
     */
-  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
-                     k: Int, dim: Int = 64): DataFrame = {
-    val spark = vectors.sparkSession
+  private[graft] def queryChunks(queries: DataFrame, dim: Int,
+                                 chunkSize: Int = 256): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
-    val qs = queries.select(col("qid"), col("qe"))
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, e) => (id, e, normK(e, dim)) }
-      .filter(_._3 > 0) // zero-norm: cosine undefined, no results
-    val bc = spark.sparkContext.broadcast(qs)
-    val scored = vectors.select(col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
+    queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val queries = bc.value
-        it.flatMap { case (vid, e) =>
-          val nv = normK(e, dim)
-          if (nv == 0) Iterator.empty // cosine undefined (round6(NaN) throws)
-          else queries.iterator
-            .filter(_._1 != vid)
-            .map { case (qid, qe, nq) =>
-              (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
+        it.grouped(chunkSize).flatMap { g =>
+          val valid = g.iterator
+            .map { case (id, e) => (id, e, normK(e, dim)) }
+            .filter(_._3 > 0) // zero-norm: cosine undefined, no results
+            .toArray
+          if (valid.isEmpty) Iterator.empty
+          else {
+            val ids = valid.map(_._1)
+            val nqs = valid.map(_._3)
+            val flat = new Array[Float](valid.length * dim)
+            var j = 0
+            while (j < valid.length) {
+              System.arraycopy(valid(j)._2, 0, flat, j * dim, dim)
+              j += 1
             }
+            Iterator.single((ids, nqs, flat))
+          }
+        }
+      }
+      .toDF("qids", "nqs", "qflat")
+  }
+
+  /** Chunk-blocked dense scan — the distributed form of "every query
+    * against every vector": each vector row meets every query CHUNK
+    * exactly once via crossJoin. Catalyst/AQE picks the physical shape
+    * by the chunk side's measured size: BroadcastNestedLoopJoin while
+    * the chunks fit the broadcast threshold (the small-query regime),
+    * CartesianProduct partition-pairs beyond it — either way the work
+    * is the |Q|·|V| a dense scan inherently is, sharded across the
+    * cluster, with no driver collect and per-task memory bounded by
+    * chunkSize·dim. `prep` maps the stored vector to the (possibly
+    * approximate/reconstructed) image the scan scores against; null
+    * skips the vector. Scores replicate the collected-kernel
+    * arithmetic bit-for-bit: sequential dim-order double fold,
+    * HALF_UP 6-dp rounding, self-pairs excluded.
+    */
+  private def scanChunks(vectors: DataFrame, queries: DataFrame, dim: Int,
+                         chunkSize: Int = 256)
+                        (prep: Array[Float] => Array[Double]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull) // kernels assume non-null vectors
+      .crossJoin(queryChunks(queries, dim, chunkSize))
+      .as[(Long, Array[Float], Array[Long], Array[Double], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (vid, e, qids, nqs, qflat) =>
+          val image = prep(e)
+          if (image == null) Iterator.empty
+          else {
+            val nv = normKD(image, dim)
+            if (nv == 0) Iterator.empty // cosine undefined (round6(NaN) throws)
+            else qids.indices.iterator
+              .filter(j => qids(j) != vid)
+              .map { j =>
+                val off = j * dim
+                var s = 0.0
+                var i = 0
+                while (i < dim) { s += qflat(off + i).toDouble * image(i); i += 1 }
+                (qids(j), vid, round6(s / (nqs(j) * nv)))
+              }
+          }
         }
       }
       .toDF("qid", "vec_id", "cos")
+  }
+
+  private def topKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Full-precision re-rank of a small candidate set (|Q|·k·m rows):
+    * candidates broadcast-join to the vector table for the stored
+    * embedding, then the (cand ⋈ vectors) result — still candidate-
+    * sized — broadcast-joins to the DISTRIBUTED queries DataFrame on
+    * qid. Two broadcast-hash equi-joins, no query collect, and the
+    * full-precision vector table is touched only for candidate rows.
+    */
+  private def rerankExact(cand: DataFrame, vectors: DataFrame,
+                          queries: DataFrame, dim: Int,
+                          approxCol: String): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    broadcast(broadcast(cand)
+        .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+      .join(queries.select(col("qid"), col("qe")), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col(approxCol),
+        col("embedding"), col("qe"))
+      .as[(Long, Long, Double, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (qid, vid, approxCos, e, qe) =>
+          // norms > 0 guaranteed: the scan already excluded zero-norm
+          (qid, vid,
+           round6(dotK(qe, e, dim) / (normK(qe, dim) * normK(e, dim))),
+           approxCos)
+        }
+      }
+      .toDF("qid", "vec_id", "cos", approxCol)
+  }
+
+  /** Exact brute-force top-k, distributed on BOTH sides: the query set
+    * flows as [[queryChunks]] (never collected — it can be any size)
+    * and the vector table streams through the chunk-blocked compiled
+    * scan ([[scanChunks]]), then one shuffle for the per-query top-k
+    * window. Ranking uses the 6-dp-rounded cosine with vec_id
+    * tie-break so result order is engine-stable.
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
+                     k: Int, dim: Int = 64): DataFrame = {
+    val scored = scanChunks(vectors, queries, dim) { e =>
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { out(i) = e(i).toDouble; i += 1 }
+      out
+    }
+    topKWindow(scored, k)
   }
 
   /** Deterministic ±1 hyperplane weights: bit i of hyperplane `b` comes
@@ -144,54 +243,71 @@ object VectorSearch {
 
   /** Approximate top-k: candidates limited to LSH buckets within
     * `probeHamming` bit flips of the query's bucket (multiprobe), then
-    * exact cosine rank within the candidates. The scale path: the big
-    * side streams through one compiled partition map computing its
-    * bucket (bits × dim multiply-adds) and only scoring queries whose
-    * probe set covers that bucket — never a cross join. Recall /
-    * scan-fraction trades via `bits`/`probeHamming`; calibrated against
-    * `bruteForceTopK` in VectorSearchSpec.
+    * exact cosine rank within the candidates. Fully distributed on
+    * BOTH sides: the tiny index artifact (the md5-seeded planes) is
+    * broadcast TO the query DataFrame, whose compiled map emits one
+    * row per probe bucket (a bounded ×|masks| explode — 37 at the
+    * 8-bit/hamming≤2 defaults); the vector table computes its single
+    * bucket in a narrow map; the candidate pairing is a plain
+    * EQUI-JOIN on the bucket key — broadcast-hash while the query
+    * side is small, shuffle-hash when it grows with the corpus.
+    * No driver collect anywhere, so the operator survives query sets
+    * proportional to the corpus (the every-50th-vector bench
+    * contract at 100×). A (query, vector) pair meets at most once:
+    * each vector has exactly one bucket and a query's probe buckets
+    * are distinct. Recall / scan-fraction trades via
+    * `bits`/`probeHamming`; calibrated against `bruteForceTopK` in
+    * VectorSearchSpec.
     */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               bits: Int = 8, dim: Int = 64, probeHamming: Int = 2): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val planes = hyperplanes(bits, dim).map(_.toArray).toArray
-    val masks: Seq[Int] = {
+    val masks: Array[Int] = {
       def combos(from: Int, left: Int): Seq[Int] =
         if (left == 0) Seq(0)
         else (from until bits).flatMap(i => combos(i + 1, left - 1).map(_ | (1 << i)))
-      (0 to probeHamming).flatMap(h => combos(0, h))
+      (0 to probeHamming).flatMap(h => combos(0, h)).toArray
     }
-    val qs = queries.select(col("qid"), col("qe"))
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, e) =>
-        val bucket = bucketK(e, planes, dim)
-        (id, e, normK(e, dim), masks.map(bucket ^ _).toSet)
+    val bcP = spark.sparkContext.broadcast(planes)
+    val qprobes = queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bcP.value
+        it.flatMap { case (id, e) =>
+          val nq = normK(e, dim)
+          if (nq == 0) Iterator.empty // zero-norm: cosine undefined
+          else {
+            val bucket = bucketK(e, ps, dim)
+            masks.iterator.map(m => (bucket ^ m, id, e, nq))
+          }
+        }
       }
-      .filter(_._3 > 0) // zero-norm: cosine undefined, no results
-    val bc = spark.sparkContext.broadcast(qs)
-    val scored = vectors.select(col("vec_id"), col("embedding"))
+      .toDF("bkt", "qid", "qe", "nq")
+    val vbkt = vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val queries = bc.value
+        val ps = bcP.value
         it.flatMap { case (vid, e) =>
-          val bucket = bucketK(e, planes, dim)
           val nv = normK(e, dim)
           if (nv == 0) Iterator.empty // cosine undefined
-          else queries.iterator
-            .filter { case (qid, _, _, probes) => qid != vid && probes.contains(bucket) }
-            .map { case (qid, qe, nq, _) =>
-              (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
-            }
+          else Iterator.single((bucketK(e, ps, dim), vid, e, nv))
         }
       }
+      .toDF("bkt", "vec_id", "embedding", "nv")
+    val scored = vbkt.join(qprobes, Seq("bkt"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qe"), col("nq"),
+        col("vec_id"), col("embedding"), col("nv"))
+      .as[(Long, Array[Float], Double, Long, Array[Float], Double)]
+      .mapPartitions(_.map { case (qid, qe, nq, vid, e, nv) =>
+        (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
+      })
       .toDF("qid", "vec_id", "cos")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+    topKWindow(scored, k)
   }
 
   /** IVF-style approximate top-k: vectors are pre-assigned to coarse
@@ -200,7 +316,11 @@ object VectorSearch {
     * here), cell centroids are computed from the data, and each query
     * scans only the `nProbe` cells whose centroids are most cosine-
     * similar. The scan fraction is nProbe/nCells — the classic IVF
-    * trade — and the big side is one filtered streaming pass.
+    * trade. Both sides stay distributed: probe cells are computed in a
+    * compiled map over the query DataFrame (centroids broadcast to it)
+    * and candidates come from an equi-join on the cell key — no
+    * query-set collect, so query sets proportional to the corpus
+    * survive 100×.
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               cellCol: String = "label", nProbe: Int = 3,
@@ -260,41 +380,47 @@ object VectorSearch {
       centroids = train(assigned)
       r += 1
     }
-    // Probe selection per query: top-nProbe centroid cells
-    // (similarity desc, cell asc — deterministic tie-break).
-    val qs = queries.select(col("qid"), col("qe"))
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, e) =>
-        val nq = normK(e, dim)
-        val probes =
-          if (nq == 0) Set.empty[Int] // zero-norm query: no results
-          else centroids
-            .map { case (cell, c) => (cell, c, normKD(c, dim)) }
-            .collect { case (cell, c, nc) if nc > 0 =>
-              (cell, round6(dotKD(e, c, dim) / (nq * nc))) }
-            .sortBy { case (cell, sim) => (-sim, cell) }
-            .take(nProbe).map(_._1).toSet
-        (id, e, nq, probes)
-      }
-    val bc = spark.sparkContext.broadcast(qs)
-    val scored = assigned
+    // Probe selection per query — top-nProbe centroid cells (similarity
+    // desc, cell asc — deterministic tie-break) — computed in a compiled
+    // map over the DISTRIBUTED query DataFrame with the tiny centroid
+    // artifact broadcast to it (cell-count-sized, never corpus-sized),
+    // emitting one row per probe. Candidate pairing is then a plain
+    // equi-join on the cell key: broadcast-hash while the query side is
+    // small, shuffle-hash when it grows with the corpus. No driver
+    // collect on the query path.
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val qprobes = queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull)
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val queries = bc.value
-        it.flatMap { case (cell, vid, e) =>
-          val nv = normK(e, dim)
-          if (nv == 0) Iterator.empty // cosine undefined
-          else queries.iterator
-            .filter { case (qid, _, _, probes) => qid != vid && probes.contains(cell) }
-            .map { case (qid, qe, nq, _) =>
-              (qid, vid, round6(dotK(qe, e, dim) / (nq * nv)))
+        val cents = bcC.value
+          .map { case (cell, c) => (cell, c, normKD(c, dim)) }
+          .filter(_._3 > 0)
+        it.flatMap { case (id, e) =>
+          val nq = normK(e, dim)
+          if (nq == 0) Iterator.empty // zero-norm query: no results
+          else cents
+            .map { case (cell, c, nc) =>
+              (cell, round6(dotKD(e, c, dim) / (nq * nc)))
             }
+            .sortBy { case (cell, sim) => (-sim, cell) }
+            .take(nProbe).iterator
+            .map { case (cell, _) => (cell, id, e, nq) }
         }
-      }.toDF("qid", "vec_id", "cos")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
+      }
+      .toDF("cell", "qid", "qe", "nq")
+    val scored = assigned.toDF("cell", "vec_id", "embedding")
+      .join(qprobes, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qe"), col("nq"), col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float], Double, Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (qid, qe, nq, vid, e) =>
+        val nv = normK(e, dim)
+        if (nv == 0) None // cosine undefined
+        else Some((qid, vid, round6(dotK(qe, e, dim) / (nq * nv))))
+      })
+      .toDF("qid", "vec_id", "cos")
+    topKWindow(scored, k)
   }
 
   /** Embedding near-dup with an LSH prefilter — the scale path the
@@ -559,11 +685,12 @@ object VectorSearch {
     * re-rank to final top-k.
     *
     * Plan shape: one narrow pass for [[sq8Stats]] (bounded collect),
-    * one compiled scan over the vector table (queries broadcast, as in
-    * [[bruteForceTopK]]), ONE shuffle for the per-query candidate
-    * window, then a broadcast join of the tiny candidate set back to
-    * the vector table for the exact kernel — the full-precision table
-    * is touched only for |Q|·k·m rows. At 100 TB the codes table is
+    * one chunk-blocked compiled scan over the vector table
+    * ([[scanChunks]] — the query side stays a DataFrame, never
+    * collected), ONE shuffle for the per-query candidate window, then
+    * broadcast-hash joins of the tiny candidate set back to the vector
+    * table and the distributed queries for the exact kernel — the
+    * full-precision table is touched only for |Q|·k·m rows. At 100 TB the codes table is
     * what streams through the scan; here the codes are decoded on the
     * fly from the same parquet scan (the fixture has no persisted
     * codes column), which costs the same arithmetic and keeps the
@@ -577,56 +704,19 @@ object VectorSearch {
   def sq8TopK(vectors: DataFrame, queries: DataFrame, k: Int,
               m: Int = 4, dim: Int = 64): DataFrame = {
     val spark = vectors.sparkSession
-    import spark.implicits._
     val (lo, hi) = sq8Stats(vectors, dim)
-    val qs = queries.select(col("qid"), col("qe"))
-      .filter(col("qe").isNotNull) // oracle's qe²>0 guard kills these too
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, e) => (id, e, normK(e, dim)) }
-      .filter(_._3 > 0)
-    val bcq = spark.sparkContext.broadcast(qs)
     val bcLo = spark.sparkContext.broadcast(lo)
     val bcHi = spark.sparkContext.broadcast(hi)
-    val approx = vectors.select(col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull)
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val queries = bcq.value
-        val l = bcLo.value; val h = bcHi.value
-        it.flatMap { case (vid, e) =>
-          if (normK(e, dim) == 0) Iterator.empty
-          else {
-            val dv = sq8DeqK(e, l, h, dim)
-            val ndv = normKD(dv, dim)
-            if (ndv == 0) Iterator.empty
-            else queries.iterator
-              .filter(_._1 != vid)
-              .map { case (qid, qe, nq) =>
-                (qid, vid, round6(dotKD(qe, dv, dim) / (nq * ndv)))
-              }
-          }
-        }
-      }
-      .toDF("qid", "vec_id", "cos_sq8")
+    val approx = scanChunks(vectors, queries, dim) { e =>
+      if (normK(e, dim) == 0) null
+      else sq8DeqK(e, bcLo.value, bcHi.value, dim)
+    }.withColumnRenamed("cos", "cos_sq8")
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sq8").desc, col("vec_id").asc)
     val cand = approx.withColumn("crn", row_number().over(wCand))
       .filter(col("crn") <= k * m)
       .drop("crn")
-    val reranked = broadcast(cand)
-      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("qid"), col("vec_id"), col("cos_sq8"), col("embedding"))
-      .as[(Long, Long, Double, Array[Float])]
-      .mapPartitions { it =>
-        val qmap = bcq.value.iterator
-          .map { case (qid, qe, nq) => qid -> ((qe, nq)) }.toMap
-        it.map { case (qid, vid, approxCos, e) =>
-          // norm > 0 guaranteed: the scan already excluded zero-norm
-          (qid, vid, round6(dotK(qmap(qid)._1, e, dim) / (qmap(qid)._2 * normK(e, dim))),
-           approxCos)
-        }
-      }
-      .toDF("qid", "vec_id", "cos", "cos_sq8")
+    val reranked = rerankExact(cand, vectors, queries, dim, "cos_sq8")
     val wFinal = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     reranked.withColumn("rank", row_number().over(wFinal))
@@ -750,55 +840,28 @@ object VectorSearch {
     val cb1 = train(sweep)
     val bc1 = spark.sparkContext.broadcast(cb1)
 
-    val qs = queries.select(col("qid"), col("qe"))
-      .filter(col("qe").isNotNull)
-      .as[(Long, Array[Float])].collect()
-      .map { case (id, e) => (id, e, normK(e, dim)) }
-      .filter(_._3 > 0)
-    val bcq = spark.sparkContext.broadcast(qs)
-    val approx = vs.mapPartitions { it =>
-      val cb = bc1.value
-      val queries = bcq.value
-      it.flatMap { case (vid, e) =>
-        if (normK(e, dim) == 0) Iterator.empty
-        else {
-          val codes = assign(cb)(e)
-          val recon = new Array[Double](dim)
-          var j = 0
-          while (j < m) {
-            val cent = cb(j)(codes(j))
-            var d = 0
-            while (d < sub) { recon(j * sub + d) = cent(d); d += 1 }
-            j += 1
-          }
-          val nr = normKD(recon, dim)
-          if (nr == 0) Iterator.empty
-          else queries.iterator
-            .filter(_._1 != vid)
-            .map { case (qid, qe, nq) =>
-              (qid, vid, round6(dotKD(qe, recon, dim) / (nq * nr)))
-            }
+    val approx = scanChunks(vectors, queries, dim) { e =>
+      if (normK(e, dim) == 0) null
+      else {
+        val cb = bc1.value
+        val codes = assign(cb)(e)
+        val recon = new Array[Double](dim)
+        var j = 0
+        while (j < m) {
+          val cent = cb(j)(codes(j))
+          var d = 0
+          while (d < sub) { recon(j * sub + d) = cent(d); d += 1 }
+          j += 1
         }
+        recon
       }
-    }.toDF("qid", "vec_id", "cos_pq")
+    }.withColumnRenamed("cos", "cos_pq")
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("cos_pq").desc, col("vec_id").asc)
     val cand = approx.withColumn("crn", row_number().over(wCand))
       .filter(col("crn") <= k * candMult)
       .drop("crn")
-    val reranked = broadcast(cand)
-      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .select(col("qid"), col("vec_id"), col("cos_pq"), col("embedding"))
-      .as[(Long, Long, Double, Array[Float])]
-      .mapPartitions { it =>
-        val qmap = bcq.value.iterator
-          .map { case (qid, qe, nq) => qid -> ((qe, nq)) }.toMap
-        it.map { case (qid, vid, approxCos, e) =>
-          (qid, vid, round6(dotK(qmap(qid)._1, e, dim) / (qmap(qid)._2 * normK(e, dim))),
-           approxCos)
-        }
-      }
-      .toDF("qid", "vec_id", "cos", "cos_pq")
+    val reranked = rerankExact(cand, vectors, queries, dim, "cos_pq")
     val wFinal = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     reranked.withColumn("rank", row_number().over(wFinal))

@@ -17,14 +17,34 @@ object ExplainAll {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val flags = Seq(
-      "CartesianProduct" -> "cartesian product",
-      "BroadcastNestedLoopJoin" -> "nested-loop join",
-      "No Partition Defined" -> "single-partition window")
+    // Dense-scan joins that are INTENTIONAL (pinned in
+    // OperatorPlanShapeSpec): the chunk-blocked brute scans
+    // (VectorSearch.scanChunks — inherently |Q|·|V| work sharded via one
+    // crossJoin against bounded query chunks) and the 32-row block-cell
+    // enumeration in ann_cos_pairs. Value = max allowed
+    // cartesian/nested-loop nodes; every other query allows zero.
+    val intentionalDense = Map(
+      "ann_cos_pairs" -> 1,
+      "ann_brute_topk" -> 1,
+      "ann_hard_negatives" -> 1,
+      "ann_sq8_rerank" -> 1,
+      "ann_pq_rerank" -> 1,
+      "ann_recall_report" -> 1,    // brute ground-truth side
+      "ann_ivf_recall_report" -> 1,
+      "text_hybrid_rrf" -> 1)      // brute vector leg (50-query contract)
+    def count(plan: String, pat: String): Int =
+      pat.r.findAllMatchIn(plan).size
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val hits = flags.collect { case (pat, label) if plan.contains(pat) => label }
+        val dense = count(plan, "CartesianProduct") +
+          count(plan, "BroadcastNestedLoopJoin")
+        val hits =
+          (if (dense > intentionalDense.getOrElse(name, 0))
+             Seq(s"dense join ×$dense (allowed ${intentionalDense.getOrElse(name, 0)})")
+           else Nil) ++
+          (if (plan.contains("No Partition Defined"))
+             Seq("single-partition window") else Nil)
         println(s"[audit] $name: ${if (hits.isEmpty) "ok" else hits.mkString("; ")}")
       } catch {
         case e: Throwable => println(s"[audit] $name: ERROR ${e.getMessage}")

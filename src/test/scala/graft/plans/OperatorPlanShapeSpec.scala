@@ -167,7 +167,7 @@ class OperatorPlanShapeSpec extends SparkSpec {
       out.queryExecution.executedPlan.toString)
   }
 
-  test("sq8TopK: broadcast-hash re-rank join, no nested-loop, no cartesian") {
+  test("sq8TopK: one chunk-blocked scan join, broadcast-hash re-rank joins") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     import spark.implicits._
     val q = emb.filter($"vec_id" % 100 === 0)
@@ -175,13 +175,61 @@ class OperatorPlanShapeSpec extends SparkSpec {
     val out = graft.operators.VectorSearch.sq8TopK(emb, q, k = 5)
     out.count()
     val nodes = Bucketing.physicalNodes(out)
-    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
-           !nodes.exists(_.isInstanceOf[CartesianProductExec]),
+    // the dense scan is the chunk-blocked crossJoin against queryChunks
+    // (inherently |Q|·|V| work, per-task memory bounded by the chunk
+    // row) — exactly ONE such node; a second would mean a raw
+    // uncollected-query path regressed into an all-pairs join
+    val dense = nodes.count(n => n.isInstanceOf[BroadcastNestedLoopJoinExec]
+                             || n.isInstanceOf[CartesianProductExec])
+    assert(dense == 1, out.queryExecution.executedPlan.toString)
+    // the candidate set joins back to the vector table and the
+    // distributed queries broadcast-side (two broadcast-hash joins)
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 2,
       out.queryExecution.executedPlan.toString)
-    // the candidate set joins back to the vector table broadcast-side
-    assert(nodes.exists(
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
-      out.queryExecution.executedPlan.toString)
+  }
+
+  test("lsh/ivf topK: distributed query side — equi-join on bucket/cell, no collect") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import spark.implicits._
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    for ((out, key) <- Seq(
+           graft.operators.VectorSearch.lshTopK(emb, q, k = 5) -> "bkt",
+           graft.operators.VectorSearch.ivfTopK(emb, q, k = 5) -> "cell")) {
+      out.count()
+      val nodes = Bucketing.physicalNodes(out)
+      // candidate pairing is a hash EQUI-join on the probe key — never
+      // a nested loop / cartesian, so a corpus-proportional query set
+      // shuffles instead of collecting
+      assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec]
+                             || n.isInstanceOf[CartesianProductExec]),
+        out.queryExecution.executedPlan.toString)
+      val joins = nodes.collect { case j: BaseJoinExec => j }
+      assert(joins.exists(j =>
+          (j.leftKeys ++ j.rightKeys).exists(_.toString.contains(key))),
+        joins.map(j => s"${j.nodeName}: ${j.leftKeys} = ${j.rightKeys}")
+          .mkString("; "))
+    }
+  }
+
+  test("queryChunks: bounded rows, valid queries only, no driver collect needed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import spark.implicits._
+    val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val chunks = graft.operators.VectorSearch.queryChunks(q, dim = 64,
+      chunkSize = 64)
+    val rows = chunks.selectExpr("size(qids) AS n", "size(nqs) AS m",
+      "size(qflat) AS f").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(0)
+      assert(n >= 1 && n <= 64, s"chunk of $n queries exceeds chunkSize")
+      assert(r.getInt(1) == n && r.getInt(2) == n * 64,
+        "chunk arrays out of step")
+    }
+    val total = rows.map(_.getInt(0)).sum
+    assert(total == q.count(), "every valid query appears in exactly one chunk")
   }
 
   test("sessionize: one exchange, one shared sort for both windows") {
