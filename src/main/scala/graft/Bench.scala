@@ -16,7 +16,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures a bounded stdout window and
+    // sbt echoes every forked-JVM log line into it — streaming-query
+    // WARN chatter was crowding the JSON line out of the capture
+    spark.sparkContext.setLogLevel("ERROR")
 
     def esc(s: String): String = s.flatMap {
       case '"'  => "\\\""
@@ -55,6 +58,14 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
     println(json)
+    // The driver records only the LAST ~2000 chars of stdout — a
+    // 160+-query line can NEVER fit that window whole, which left
+    // every round's driver artifact with parsed=null. Emit a compact,
+    // COMPLETE summary line after the full one so the tail window
+    // always contains one parseable JSON object (headline total +
+    // error count + pointer to the tracked full capture).
+    val nErr = results.count(_._3.isDefined)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
     // The driver tail-captures stdout and can clip the single long line
     // past the first ~40 queries — persist the full JSON to files too
     // so every timing survives into the round record (BENCH_FULL.json

@@ -61,9 +61,14 @@ final case class Env(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** Nanos-since-epoch long → TimestampType (micros; truncates sub-micro). */
+  /** Nanos-since-epoch long → TimestampType (micros; truncates
+    * sub-micro). The ns→µs division goes through decimal, not `/`
+    * (double division): epoch-2024 µs values sit near 1.7e15 where a
+    * double's ULP is 0.25, so `(c / 1000L).cast("long")` truncates to
+    * the wrong µs for ~1 in 4 timestamps. */
   def eventTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
+    org.apache.spark.sql.functions.timestamp_micros(
+      (c.cast("decimal(25,0)") / 1000).cast("long"))
 
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

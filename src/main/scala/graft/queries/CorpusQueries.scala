@@ -38,7 +38,7 @@ object CorpusQueries {
       |        list_slice(s, u.i * 48 + 1, u.i * 48 + 64) AS ct
       |      FROM n, unnest(range(0, nc)) AS u(i))""".stripMargin
 
-  private val decontaminateSql: String =
+  private[queries] val decontaminateSql: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
       |              FROM documents),
       |g AS (SELECT doc_id,

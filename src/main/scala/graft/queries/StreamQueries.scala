@@ -76,6 +76,134 @@ object StreamQueries {
     pq.unionByName(csv).orderBy($"sink", $"fast_id")
   }
 
+  /** File-source STREAMING view of the events table with the same
+    * physical-type normalization as `Env.events`: `ts` is always long
+    * nanoseconds, whichever physical type the driver generated
+    * (TIMESTAMP(NANOS) → LongType via the nanosAsLong conf;
+    * timestamp[us] → explicit unix_micros conversion under the UTC
+    * session the Env loader pins). The schema probe is a footer-only
+    * batch read — no scan, no collect.
+    */
+  /** Streaming file-source read of a testdata table. FileStreamSource
+    * force-overrides basePath to the PATH ITSELF for non-glob paths,
+    * which fails when the path is a single parquet file (basePath must
+    * be a directory) — a character-class glob keeps the explicit
+    * directory basePath in force and matches both the single-file
+    * layout (driver testdata) and a directory (ScaleUp output). */
+  private def streamRead(env: Env, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    val phys = env.spark.read.parquet(s"${env.dir}/$name.parquet").schema
+    env.spark.readStream.schema(phys)
+      .option("basePath", env.dir)
+      .parquet(s"${env.dir}/[${name.head}]${name.tail}.parquet")
+  }
+
+  private def streamEvents(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = streamRead(env, "events")
+    val phys = raw.schema
+    phys("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+  }
+
+  /** T4 — [[Streams.intervalJoinStream]] as a VERIFIED query: both
+    * legs stream from the events parquet via the FILE SOURCE (no
+    * driver collect — unlike t3's bounded MemoryStream harness), the
+    * watermarked stream-stream interval join runs as a real streaming
+    * query under Trigger.AvailableNow (one batch for one file, so the
+    * watermark drops nothing and the result equals the batch join),
+    * and the memory-sink output is checked against the plain SQL
+    * interval join. Purchases pair with same-user views in the
+    * preceding hour; timestamps µs-truncated on both sides (the
+    * events_sessionize precedent — DuckDB's nanos scan can't see
+    * finer).
+    */
+  def t4IntervalJoinStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    val l = streamEvents(env).filter($"event_type" === "purchase")
+      .select($"user_id".as("key"),
+        graft.Tables.eventTs($"ts" - $"ts" % 1000).as("lts"),
+        $"event_id".as("l_id"))
+    val r = streamEvents(env).filter($"event_type" === "view")
+      .select($"user_id".as("key"),
+        graft.Tables.eventTs($"ts" - $"ts" % 1000).as("rts"),
+        $"event_id".as("r_id"), $"value".as("r_value"))
+    val sink = s"t4_ij_${System.nanoTime()}"
+    val q = Streams.intervalJoinStream(l, r, horizon = "1 hour")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sink)
+      .select($"key".as("user_id"), $"l_id", unix_micros($"lts").as("lts_us"),
+        $"r_id", unix_micros($"rts").as("rts_us"), $"r_value")
+      .orderBy($"user_id", $"l_id", $"r_id")
+  }
+
+  /** T5 — [[Streams.streamingDedup]] as a VERIFIED query: documents
+    * stream from parquet (file source), event-time synthesized
+    * deterministically from doc_id, fingerprint = the canonical
+    * bag-of-words hash (`dedup_exact`'s key), and
+    * dropDuplicatesWithinWatermark keeps one row per fingerprint.
+    * WHICH duplicate survives depends on arrival order (Structured
+    * Streaming does not order files/rows), so the verified projection
+    * is the surviving fingerprint SET — exactly the distinct-key
+    * semantics the operator guarantees — not the arbitrary payload.
+    */
+  def t5DedupStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val docs = streamRead(env, "documents")
+      .select($"doc_id",
+        // base offset keeps doc_id 0 ABOVE the initial watermark (an
+        // epoch-0 event time equals it and is discarded as late)
+        timestamp_micros(lit(1704067200000000L) + $"doc_id" * 60000000L)
+          .as("ts"),
+        graft.operators.TextDedup.shingleFingerprint($"text", n = 1)
+          .as("fingerprint"))
+    val sink = s"t5_dedup_${System.nanoTime()}"
+    val q = Streams.streamingDedup(docs, "ts", "fingerprint")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(sink).select($"fingerprint").orderBy($"fingerprint")
+  }
+
+  /** T6 — [[Streams.decontaminateEachBatch]] as a VERIFIED query: the
+    * bench index (Bloom + exact gram relation) compiles ONCE from the
+    * static bench split, the training split streams from parquet, and
+    * every micro-batch replays the batch operator's prefilter+verify
+    * through foreachBatch into a parquet scratch sink (read back,
+    * ordered). Per-doc results are batch-independent (no keyed stream
+    * state), so the union over micro-batches equals the batch
+    * operator output and the entry SHARES text_decontaminate's
+    * oracle verbatim.
+    */
+  def t6DecontaminateStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val bench = env.documents.filter($"doc_id" % 5 === 0)
+    val idx = graft.operators.Decontaminate.benchIndex(bench, "doc_id", "text")
+    val train = streamRead(env, "documents")
+      .filter($"doc_id" % 5 =!= 0)
+    val out = s"$scratchBase/t6_decon_${System.nanoTime()}"
+    val q = Streams.decontaminateEachBatch(train, idx, "doc_id", "text") {
+      (flags, _) => flags.write.mode("append").parquet(out)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(out).orderBy($"doc_id")
+  }
+
   /** Per-process scratch root, deleted on JVM exit so repeated Verify
     * runs don't accumulate orphaned pid-suffixed trees in tmpdir. */
   private lazy val scratchBase: String = {
@@ -101,6 +229,27 @@ object StreamQueries {
         |  UNION ALL
         |  SELECT 'csv', fast_id, name FROM rows_)
         |ORDER BY sink, fast_id""".stripMargin),
+
+    Q.sql("t4_interval_join_stream", t4IntervalJoinStream,
+      """SELECT l.user_id AS user_id, l.event_id AS l_id,
+        |       epoch_us(l.ts) AS lts_us,
+        |       r.event_id AS r_id, epoch_us(r.ts) AS rts_us,
+        |       r.value AS r_value
+        |FROM events l JOIN events r ON r.user_id = l.user_id
+        |WHERE l.event_type = 'purchase' AND r.event_type = 'view'
+        |  AND epoch_us(r.ts) <= epoch_us(l.ts)
+        |  AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
+        |ORDER BY user_id, l_id, r_id""".stripMargin),
+
+    Q.sql("t5_dedup_stream", t5DedupStream,
+      """SELECT DISTINCT
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(text, ' '))), '|')) AS fingerprint
+        |FROM documents
+        |ORDER BY fingerprint""".stripMargin),
+
+    Q.sql("t6_decontaminate_stream", t6DecontaminateStream,
+      CorpusQueries.decontaminateSql),
 
     Q.sql("t3_queue_drain", t3QueueDrain,
       """SELECT c_custkey AS identifier,
