@@ -76,14 +76,24 @@ object StreamQueries {
     pq.unionByName(csv).orderBy($"sink", $"fast_id")
   }
 
-  /** File-source STREAMING view of the events table with the same
-    * physical-type normalization as `Env.events`: `ts` is always long
-    * nanoseconds, whichever physical type the driver generated
-    * (TIMESTAMP(NANOS) → LongType via the nanosAsLong conf;
-    * timestamp[us] → explicit unix_micros conversion under the UTC
-    * session the Env loader pins). The schema probe is a footer-only
-    * batch read — no scan, no collect.
+  /** Stateful streaming queries allocate one state-store instance per
+    * shuffle partition per stateful operator — at the session's 32
+    * partitions that is pure constant overhead for these bounded
+    * harness runs (measured: the interval join spent most of its 7 s
+    * on store setup/commit). Run `body` under a smaller stateful
+    * parallelism and restore the session conf after; result
+    * correctness is partitioning-independent. A production deployment
+    * sizes `spark.sql.shuffle.partitions` (or the state-store
+    * provider) to the stream's actual key cardinality instead.
     */
+  private def withStreamPartitions[A](spark: org.apache.spark.sql.SparkSession,
+                                      n: Int = 8)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming file-source read of a testdata table. FileStreamSource
     * force-overrides basePath to the PATH ITSELF for non-glob paths,
     * which fails when the path is a single parquet file (basePath must
@@ -98,6 +108,12 @@ object StreamQueries {
       .parquet(s"${env.dir}/[${name.head}]${name.tail}.parquet")
   }
 
+  /** Streaming view of the events table with the same physical-type
+    * normalization as `Env.events`: `ts` is always long nanoseconds,
+    * whichever physical type the driver generated (TIMESTAMP(NANOS) →
+    * LongType via the nanosAsLong conf; timestamp[us] → explicit
+    * unix_micros conversion under the UTC session the Env loader
+    * pins). */
   private def streamEvents(env: Env): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampType}
@@ -135,12 +151,14 @@ object StreamQueries {
         graft.Tables.eventTs($"ts" - $"ts" % 1000).as("rts"),
         $"event_id".as("r_id"), $"value".as("r_value"))
     val sink = s"t4_ij_${System.nanoTime()}"
-    val q = Streams.intervalJoinStream(l, r, horizon = "1 hour")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = Streams.intervalJoinStream(l, r, horizon = "1 hour")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(sink)
       .select($"key".as("user_id"), $"l_id", unix_micros($"lts").as("lts_us"),
         $"r_id", unix_micros($"rts").as("rts_us"), $"r_value")
@@ -170,12 +188,14 @@ object StreamQueries {
         graft.operators.TextDedup.shingleFingerprint($"text", n = 1)
           .as("fingerprint"))
     val sink = s"t5_dedup_${System.nanoTime()}"
-    val q = Streams.streamingDedup(docs, "ts", "fingerprint")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = Streams.streamingDedup(docs, "ts", "fingerprint")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(sink).select($"fingerprint").orderBy($"fingerprint")
   }
 
@@ -189,6 +209,75 @@ object StreamQueries {
     * operator output and the entry SHARES text_decontaminate's
     * oracle verbatim.
     */
+  /** T7 — [[Streams.sessionizeStream]] as a VERIFIED query: gap-based
+    * session aggregation with `session_window`, streamed from the
+    * events parquet, Trigger.AvailableNow, memory sink. Append-mode
+    * watermarked aggregation only EMITS a session once the watermark
+    * passes its end — with one data batch plus the closing no-data
+    * batch, the final watermark is max(ts) − delay, so sessions ending
+    * inside the last delay window stay buffered when the query stops.
+    * That is real streaming semantics, not an artifact, and the oracle
+    * encodes the same horizon (`HAVING session_end ≤ max(ts) − delay`).
+    * Split rule is session_window's (a gap of EXACTLY the threshold
+    * splits; the batch operator's `>` keeps it — documented in the
+    * operator's scaladoc), and the oracle replays `>=`.
+    */
+  def t7SessionizeStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = streamEvents(env)
+      .select($"user_id",
+        graft.Tables.eventTs($"ts" - $"ts" % 1000).as("ts"),
+        $"value")
+    val sink = s"t7_sess_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val q = Streams.sessionizeStream(ev, "ts", gap = "30 minutes",
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.table(sink)
+      .select($"user_id",
+        unix_micros($"session_start").as("session_start_us"),
+        unix_micros($"session_end").as("session_end_us"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start_us")
+  }
+
+  /** T8 — [[Streams.windowedEventCounts]] as a VERIFIED query: the
+    * watermarked tumbling-hour aggregation streamed from the events
+    * parquet. Same emission horizon as [[t7SessionizeStream]]: append
+    * mode emits a window once the watermark (max ts − delay after the
+    * closing no-data batch) passes its end, and the oracle replays
+    * that horizon; epoch-aligned tumbling windows replay as integer
+    * floor division.
+    */
+  def t8WindowedCountsStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = streamEvents(env)
+      .select(graft.Tables.eventTs($"ts" - $"ts" % 1000).as("ts"),
+        $"event_type")
+    val sink = s"t8_wc_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val q = Streams.windowedEventCounts(ev, "ts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.table(sink)
+      .select(unix_micros($"window_start").as("window_start_us"),
+        $"event_type", $"n")
+      .orderBy($"window_start_us", $"event_type")
+  }
+
   def t6DecontaminateStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -250,6 +339,43 @@ object StreamQueries {
 
     Q.sql("t6_decontaminate_stream", t6DecontaminateStream,
       CorpusQueries.decontaminateSql),
+
+    Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
+      """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),
+        |mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+        |SELECT (tus // 3600000000) * 3600000000 AS window_start_us,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM e
+        |GROUP BY 1, 2
+        |HAVING window_start_us + 3600000000 <= (SELECT m - 600000000 FROM mx)
+        |ORDER BY window_start_us, event_type""".stripMargin),
+
+    // session_window semantics: split on gap >= 30min (the stream
+    // operator's rule), end = last event + gap; emission horizon =
+    // final watermark (max ts - 10min) per append-mode semantics
+    Q.sql("t7_sessionize_stream", t7SessionizeStream,
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value
+        |           FROM events),
+        |f AS (SELECT *,
+        |        CASE WHEN lag(tus) OVER w IS NULL
+        |                  OR tus - lag(tus) OVER w >= 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+        |s AS (SELECT *,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |          ORDER BY tus ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |      FROM f),
+        |mx AS (SELECT max(epoch_us(ts)) AS m FROM events)
+        |SELECT user_id,
+        |  min(tus) AS session_start_us,
+        |  max(tus) + 1800000000 AS session_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s
+        |GROUP BY user_id, sid
+        |HAVING max(tus) + 1800000000 <= (SELECT m - 600000000 FROM mx)
+        |ORDER BY user_id, session_start_us""".stripMargin),
 
     Q.sql("t3_queue_drain", t3QueueDrain,
       """SELECT c_custkey AS identifier,
