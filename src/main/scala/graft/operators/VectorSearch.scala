@@ -423,6 +423,128 @@ object VectorSearch {
     topKWindow(scored, k)
   }
 
+  /** Corpus-scale k-NN JOIN through the IVF index — [[ivfTopK]]'s
+    * result for |Q| on the order of |V| (every-document queries:
+    * corpus-wide SemDeDup, hard-negative mining). [[ivfTopK]]'s
+    * row-level cell join is exact but ships each candidate's embedding
+    * across the join once PER QUERY — at |Q| ≈ |V| that is
+    * |V|²·probes/cells bytes of join payload (measured: 45 s at sf1,
+    * ~45 GB of row traffic, kernel work ~2 s). Here the vector side is
+    * sharded into (cell, blk) LIST rows first, so each embedding
+    * crosses the wire once per cell-block, queries join to block rows
+    * (|Q|·probes·blocks rows), and a compiled kernel scores each
+    * query against its block with a PER-BLOCK top-k cut before the
+    * global window. Exactness: the global top-k under (cos desc,
+    * vec_id asc) is contained in the union of per-block top-ks under
+    * the same ordering, and scores/rounding replicate [[ivfTopK]]
+    * bit-for-bit — same oracle, same output shape. The query side is
+    * blocked per cell the same way, so a join row is a (vector-block
+    * × query-chunk) SHARD — the two-sided block-matrix shape of
+    * [[cosineThresholdPairs]] with cell filtering — and the window
+    * input is capped at |Q|·probes·blocks·k rows.
+    */
+  def ivfKnnJoin(vectors: DataFrame, queries: DataFrame, k: Int,
+                 cellCol: String = "label", nProbe: Int = 3,
+                 dim: Int = 64, blocks: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val assigned = vectors
+      .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Int, Long, Array[Float])]
+    val centroids = assigned.groupByKey(_._1)
+      .mapGroups { (cell, it) =>
+        val sum = new Array[Double](dim)
+        var n = 0
+        it.foreach { case (_, _, e) =>
+          var i = 0
+          while (i < dim) { sum(i) += e(i); i += 1 }
+          n += 1
+        }
+        (cell, sum.map(s => round4(s / math.max(n, 1))))
+      }.collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val qprobes = queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcC.value
+          .map { case (cell, c) => (cell, c, normKD(c, dim)) }
+          .filter(_._3 > 0)
+        it.flatMap { case (id, e) =>
+          val nq = normK(e, dim)
+          if (nq == 0) Iterator.empty
+          else cents
+            .map { case (cell, c, nc) =>
+              (cell, round6(dotKD(e, c, dim) / (nq * nc)))
+            }
+            .sortBy { case (cell, sim) => (-sim, cell) }
+            .take(nProbe).iterator
+            .map { case (cell, _) => (cell, id, e, nq) }
+        }
+      }
+      .toDF("cell", "qid", "qe", "nq")
+    // Both sides aggregate to LIST rows before the join: vector
+    // (cell, blk) blocks and query (cell, qblk) chunks. The join then
+    // produces cells·blocks·queryBlocks SHARD rows — each embedding's
+    // bytes cross the join once per opposing sub-block, never once per
+    // candidate pair (a row-level join at |Q| ≈ |V| measured ~45 GB of
+    // join payload at sf1; this shape moves ~1 GB for the same pairs).
+    val blockLists = assigned
+      .map { case (cell, vid, e) => (cell, (vid % blocks).toInt, vid, e) }
+      .toDF("cell", "blk", "vec_id", "embedding")
+      .groupBy(col("cell"), col("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+    val qcells = qprobes
+      .select(col("cell"), (col("qid") % blocks).cast("int").as("qblk"),
+        col("qid"), col("qe"), col("nq"))
+      .groupBy(col("cell"), col("qblk"))
+      .agg(collect_list(struct(col("qid"), col("qe"), col("nq"))).as("qs"))
+    val joined = blockLists.join(qcells, Seq("cell"))
+      .select(col("vs"), col("qs"))
+      .as[(Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float], Double)])]
+    val scored = joined.mapPartitions { shards =>
+      shards.flatMap { case (vsRaw, qsRaw) =>
+        val block = vsRaw.iterator
+          .map { case (vid, e) =>
+            val ea = e.toArray
+            (vid, ea, normK(ea, dim))
+          }
+          .filter(_._3 > 0) // zero-norm: cosine undefined
+          .toArray
+        qsRaw.iterator.flatMap { case (qid, qeS, nq) =>
+          val qe = qeS.toArray
+          // bounded top-k insertion per (query, block) — the global
+          // top-k under (cos desc, vec_id asc) is contained in the
+          // union of per-block top-ks under the same ordering
+          val topV = new Array[Long](k)
+          val topC = new Array[Double](k)
+          var n = 0
+          var i = 0
+          while (i < block.length) {
+            val (vid, e, nv) = block(i)
+            if (vid != qid) {
+              val cos = round6(dotK(qe, e, dim) / (nq * nv))
+              if (n < k || cos > topC(n - 1) ||
+                  (cos == topC(n - 1) && vid < topV(n - 1))) {
+                var j = math.min(n, k - 1)
+                while (j > 0 && (topC(j - 1) < cos ||
+                       (topC(j - 1) == cos && topV(j - 1) > vid))) {
+                  topC(j) = topC(j - 1); topV(j) = topV(j - 1); j -= 1
+                }
+                topC(j) = cos; topV(j) = vid
+                if (n < k) n += 1
+              }
+            }
+            i += 1
+          }
+          (0 until n).iterator.map(j => (qid, topV(j), topC(j)))
+        }
+      }
+    }.toDF("qid", "vec_id", "cos")
+    topKWindow(scored, k)
+  }
+
   /** Embedding near-dup with an LSH prefilter — the scale path the
     * exact [[cosineThresholdPairs]] documents: `tables` independent
     * `bits`-bit hyperplane signatures (same md5-seeded planes as

@@ -102,6 +102,22 @@ object AnnQueries {
     VectorSearch.pqTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** Corpus-scale k-NN JOIN: EVERY vector is a query (|Q| = |V| — the
+    * all-pairs-top-k shape of corpus-wide SemDeDup / hard-negative
+    * mining at 100 TB), answered through the IVF index. This is the
+    * design point the round-9 distributed query side exists for: the
+    * full corpus flows down the query path (probe cells computed in a
+    * compiled map, candidates from the cell equi-join) with no driver
+    * collect anywhere — a query set this size would have been a
+    * driver OOM under the old collect-and-broadcast shape. Fully
+    * oracle-verifiable like [[annIvfTopK]] (same 4dp centroid grid,
+    * 6dp sims, deterministic tie-breaks). */
+  def annKnnJoin(env: Env): DataFrame =
+    VectorSearch.ivfKnnJoin(env.embeddings,
+        env.embeddings.select($"vec_id".as("qid"), $"embedding".as("qe")),
+        k = 3)
+      .orderBy($"qid", $"rank")
+
   /** JL random projection 64 → 16 dims, exploded to scalar rows for
     * the exact compare (the md5-seeded ±1/√k matrix is replayed
     * component-for-component in SQL). */
@@ -513,6 +529,49 @@ object AnnQueries {
          |  FROM cand)
          |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
          |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
+
+    // the ann_ivf_topk replay with q = EVERY vector and k = 3
+    Q.sql("ann_knn_join", annKnnJoin,
+      s"""WITH cent AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM embeddings, range(1, 65) t(d)
+         |    GROUP BY cell, t.d)
+         |  GROUP BY cell),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= 3),
+         |cand AS (
+         |  SELECT p.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE e.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM cand)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 3
          |ORDER BY qid, rank""".stripMargin),
 
     Q.sql("ann_ivf_refined", annIvfRefined,
