@@ -110,44 +110,100 @@ object VectorSearch {
   }
 
   /** Chunk-blocked dense scan — the distributed form of "every query
-    * against every vector": each vector row meets every query CHUNK
-    * exactly once via crossJoin. Catalyst/AQE picks the physical shape
-    * by the chunk side's measured size: BroadcastNestedLoopJoin while
-    * the chunks fit the broadcast threshold (the small-query regime),
-    * CartesianProduct partition-pairs beyond it — either way the work
-    * is the |Q|·|V| a dense scan inherently is, sharded across the
-    * cluster, with no driver collect and per-task memory bounded by
-    * chunkSize·dim. `prep` maps the stored vector to the (possibly
-    * approximate/reconstructed) image the scan scores against; null
-    * skips the vector. Scores replicate the collected-kernel
-    * arithmetic bit-for-bit: sequential dim-order double fold,
-    * HALF_UP 6-dp rounding, self-pairs excluded.
+    * against every vector", blocked on BOTH sides (the blocked-GEMM
+    * shard shape): vector chunks crossJoin query chunks, so each
+    * embedding's bytes cross the join once per opposing chunk, never
+    * once per pair, and each shard task scores chunk×chunk pairs with
+    * a compiled kernel. Catalyst/AQE picks the physical join by the
+    * measured chunk-side sizes (BroadcastNestedLoopJoin in the
+    * small-query regime, CartesianProduct partition-pairs beyond).
+    * No driver collect anywhere; per-task memory is bounded by
+    * 2·chunkSize·dim plus the top-cut arrays.
+    *
+    * `prep` maps the stored vector to the (possibly approximate /
+    * reconstructed) image the scan scores against; null skips the
+    * vector. `cutK` keeps only the best cutK candidates per (query,
+    * vector-chunk) under the final window's own ordering (cos desc,
+    * vec_id asc) — exact for any downstream per-query top-cutK,
+    * because the global top-cutK is contained in the union of
+    * per-chunk top-cutKs under the same ordering, while bounding the
+    * window input at |Q|·(|V|/chunkSize)·cutK rows instead of
+    * |Q|·|V| (pass Int.MaxValue to keep every pair). Scores replicate
+    * the collected-kernel arithmetic bit-for-bit: sequential
+    * dim-order double fold, HALF_UP 6-dp rounding, self-pairs
+    * excluded.
     */
   private def scanChunks(vectors: DataFrame, queries: DataFrame, dim: Int,
-                         chunkSize: Int = 256)
+                         cutK: Int, chunkSize: Int = 256)
                         (prep: Array[Float] => Array[Double]): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    vectors.select(col("vec_id"), col("embedding"))
+    val vchunks = vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
-      .crossJoin(queryChunks(queries, dim, chunkSize))
-      .as[(Long, Array[Float], Array[Long], Array[Double], Array[Float])]
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        it.flatMap { case (vid, e, qids, nqs, qflat) =>
-          val image = prep(e)
-          if (image == null) Iterator.empty
-          else {
-            val nv = normKD(image, dim)
-            if (nv == 0) Iterator.empty // cosine undefined (round6(NaN) throws)
-            else qids.indices.iterator
-              .filter(j => qids(j) != vid)
-              .map { j =>
-                val off = j * dim
+        it.grouped(chunkSize).map { g =>
+          val ids = g.map(_._1).toArray
+          val flat = new Array[Float](g.length * dim)
+          var j = 0
+          while (j < g.length) {
+            System.arraycopy(g(j)._2, 0, flat, j * dim, dim)
+            j += 1
+          }
+          (ids, flat)
+        }
+      }
+      .toDF("vids", "vflat")
+    vchunks.crossJoin(queryChunks(queries, dim, chunkSize))
+      .as[(Array[Long], Array[Float],
+           Array[Long], Array[Double], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (vids, vflat, qids, nqs, qflat) =>
+          // materialize this chunk's scan images once per shard
+          val images = new Array[Array[Double]](vids.length)
+          val nvs = new Array[Double](vids.length)
+          var v = 0
+          while (v < vids.length) {
+            val e = new Array[Float](dim)
+            System.arraycopy(vflat, v * dim, e, 0, dim)
+            val img = prep(e)
+            images(v) = img
+            nvs(v) = if (img == null) 0.0 else normKD(img, dim)
+            v += 1
+          }
+          qids.indices.iterator.flatMap { j =>
+            val qid = qids(j)
+            val nq = nqs(j)
+            val off = j * dim
+            val cut = math.min(cutK, vids.length)
+            val topV = new Array[Long](cut)
+            val topC = new Array[Double](cut)
+            var n = 0
+            var vv = 0
+            while (vv < vids.length) {
+              val nv = nvs(vv)
+              // nv == 0: null image or zero norm — cosine undefined
+              if (nv != 0 && vids(vv) != qid) {
+                val image = images(vv)
                 var s = 0.0
                 var i = 0
                 while (i < dim) { s += qflat(off + i).toDouble * image(i); i += 1 }
-                (qids(j), vid, round6(s / (nqs(j) * nv)))
+                val cos = round6(s / (nq * nv))
+                val vid = vids(vv)
+                if (n < cut || cos > topC(n - 1) ||
+                    (cos == topC(n - 1) && vid < topV(n - 1))) {
+                  var p = math.min(n, cut - 1)
+                  while (p > 0 && (topC(p - 1) < cos ||
+                         (topC(p - 1) == cos && topV(p - 1) > vid))) {
+                    topC(p) = topC(p - 1); topV(p) = topV(p - 1); p -= 1
+                  }
+                  topC(p) = cos; topV(p) = vid
+                  if (n < cut) n += 1
+                }
               }
+              vv += 1
+            }
+            (0 until n).iterator.map(p => (qid, topV(p), topC(p)))
           }
         }
       }
@@ -199,8 +255,10 @@ object VectorSearch {
     * tie-break so result order is engine-stable.
     */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame,
-                     k: Int, dim: Int = 64): DataFrame = {
-    val scored = scanChunks(vectors, queries, dim) { e =>
+                     k: Int, dim: Int = 64,
+                     chunkSize: Int = 256): DataFrame = {
+    val scored = scanChunks(vectors, queries, dim, cutK = k,
+        chunkSize = chunkSize) { e =>
       val out = new Array[Double](dim)
       var i = 0
       while (i < dim) { out(i) = e(i).toDouble; i += 1 }
@@ -829,7 +887,8 @@ object VectorSearch {
     val (lo, hi) = sq8Stats(vectors, dim)
     val bcLo = spark.sparkContext.broadcast(lo)
     val bcHi = spark.sparkContext.broadcast(hi)
-    val approx = scanChunks(vectors, queries, dim) { e =>
+    val approx = scanChunks(vectors, queries, dim,
+        cutK = math.min(k.toLong * m, Int.MaxValue).toInt) { e =>
       if (normK(e, dim) == 0) null
       else sq8DeqK(e, bcLo.value, bcHi.value, dim)
     }.withColumnRenamed("cos", "cos_sq8")
@@ -962,7 +1021,8 @@ object VectorSearch {
     val cb1 = train(sweep)
     val bc1 = spark.sparkContext.broadcast(cb1)
 
-    val approx = scanChunks(vectors, queries, dim) { e =>
+    val approx = scanChunks(vectors, queries, dim,
+        cutK = math.min(k.toLong * candMult, Int.MaxValue).toInt) { e =>
       if (normK(e, dim) == 0) null
       else {
         val cb = bc1.value

@@ -19,6 +19,23 @@ class VectorSearchSpec extends SparkSpec {
     assert(pairs((0L, 3L)) == -1.0)
   }
 
+  test("brute top-k is chunking-invariant (per-chunk cut exactness)") {
+    // the per-(query, vector-chunk) top-cut is hand-written insertion
+    // logic — pin that chunk boundaries can't change the result by
+    // running the same query set under pathological chunkings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 25 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def rows(cs: Int) =
+      VectorSearch.bruteForceTopK(emb, q, k = 4, chunkSize = cs)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val base = rows(256)
+    for (cs <- Seq(1, 3, 7)) {
+      assert(rows(cs) == base, s"chunkSize=$cs diverged")
+    }
+  }
+
   test("ivfKnnJoin equals ivfTopK for every-vector queries (block exactness)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.select($"vec_id".as("qid"), $"embedding".as("qe"))
