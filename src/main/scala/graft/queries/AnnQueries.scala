@@ -256,6 +256,52 @@ object AnnQueries {
       .orderBy(col("label"))
   }
 
+  /** The ann_ivf_topk oracle — shared with the streaming ANN entry
+    * (t9), whose per-query results are batch-independent so the
+    * streamed union replays exactly this SQL. */
+  private[queries] val ivfTopkSql: String =
+    s"""WITH cent AS (
+       |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+       |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+       |    FROM embeddings, range(1, 65) t(d)
+       |    GROUP BY cell, t.d)
+       |  GROUP BY cell),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |psim AS (
+       |  SELECT q.qid, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+       |  FROM q, cent c),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM psim) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE e.vec_id <> p.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM cand)
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q.sql("ann_recall_report", annRecallReport,
       s"""WITH q AS (
@@ -488,48 +534,7 @@ object AnnQueries {
     // Centroids: per-cell per-dimension mean rounded to 4dp (the kernel
     // rounds identically, making training order-independent); probes:
     // top-3 cells by rounded cosine, cell-asc tie-break.
-    Q.sql("ann_ivf_topk", annIvfTopK,
-      s"""WITH cent AS (
-         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
-         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
-         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
-         |    FROM embeddings, range(1, 65) t(d)
-         |    GROUP BY cell, t.d)
-         |  GROUP BY cell),
-         |q AS (
-         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |  WHERE vec_id % 50 = 0),
-         |psim AS (
-         |  SELECT q.qid, c.cell,
-         |    round(
-         |      list_sum(list_transform(range(1, 65),
-         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
-         |      / (sqrt(list_sum(list_transform(range(1, 65),
-         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
-         |         * sqrt(list_sum(list_transform(range(1, 65),
-         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
-         |  FROM q, cent c),
-         |probes AS (
-         |  SELECT qid, cell FROM (
-         |    SELECT qid, cell,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY sim DESC, cell ASC) AS rn
-         |    FROM psim) WHERE rn <= 3),
-         |cand AS (
-         |  SELECT p.qid, e.vec_id,
-         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
-         |  FROM probes p
-         |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
-         |  JOIN q ON q.qid = p.qid
-         |  WHERE e.vec_id <> p.qid),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM cand)
-         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
-         |FROM ranked WHERE rn <= 5
-         |ORDER BY qid, rank""".stripMargin),
+    Q.sql("ann_ivf_topk", annIvfTopK, ivfTopkSql),
 
     // the ann_ivf_topk replay with q = EVERY vector and k = 3
     Q.sql("ann_knn_join", annKnnJoin,

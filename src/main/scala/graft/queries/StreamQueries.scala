@@ -278,6 +278,37 @@ object StreamQueries {
       .orderBy($"window_start_us", $"event_type")
   }
 
+  /** T9 — streaming ANN: query vectors arrive as a stream (file
+    * source over the embeddings parquet, every-50th filter) and each
+    * micro-batch is answered against the STATIC corpus through the
+    * IVF index ([[graft.operators.VectorSearch.ivfTopK]]) inside
+    * foreachBatch — the online-serving shape of the index (t6's
+    * static-side pattern with the ANN operator as the per-batch
+    * kernel). Per-query results are batch-independent, so the
+    * streamed union equals the batch query and the entry SHARES
+    * ann_ivf_topk's oracle verbatim.
+    */
+  def t9AnnStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val queries = streamRead(env, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val out = s"$scratchBase/t9_ann_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val q = queries.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.VectorSearch
+            .ivfTopK(env.embeddings, batch, k = 5)
+            .write.mode("append").parquet(out)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.read.parquet(out).orderBy($"qid", $"rank")
+  }
+
   def t6DecontaminateStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -339,6 +370,10 @@ object StreamQueries {
 
     Q.sql("t6_decontaminate_stream", t6DecontaminateStream,
       CorpusQueries.decontaminateSql),
+
+    // per-query results are batch-independent → shares ann_ivf_topk's
+    // oracle verbatim
+    Q.sql("t9_ann_stream", t9AnnStream, AnnQueries.ivfTopkSql),
 
     Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),
