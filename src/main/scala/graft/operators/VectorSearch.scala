@@ -176,34 +176,37 @@ object VectorSearch {
             val nq = nqs(j)
             val off = j * dim
             val cut = math.min(cutK, vids.length)
-            val topV = new Array[Long](cut)
-            val topC = new Array[Double](cut)
-            var n = 0
-            var vv = 0
-            while (vv < vids.length) {
-              val nv = nvs(vv)
-              // nv == 0: null image or zero norm — cosine undefined
-              if (nv != 0 && vids(vv) != qid) {
-                val image = images(vv)
-                var s = 0.0
-                var i = 0
-                while (i < dim) { s += qflat(off + i).toDouble * image(i); i += 1 }
-                val cos = round6(s / (nq * nv))
-                val vid = vids(vv)
-                if (n < cut || cos > topC(n - 1) ||
-                    (cos == topC(n - 1) && vid < topV(n - 1))) {
-                  var p = math.min(n, cut - 1)
-                  while (p > 0 && (topC(p - 1) < cos ||
-                         (topC(p - 1) == cos && topV(p - 1) > vid))) {
-                    topC(p) = topC(p - 1); topV(p) = topV(p - 1); p -= 1
+            if (cut <= 0) Iterator.empty // k = 0: empty result, not a crash
+            else {
+              val topV = new Array[Long](cut)
+              val topC = new Array[Double](cut)
+              var n = 0
+              var vv = 0
+              while (vv < vids.length) {
+                val nv = nvs(vv)
+                // nv == 0: null image or zero norm — cosine undefined
+                if (nv != 0 && vids(vv) != qid) {
+                  val image = images(vv)
+                  var s = 0.0
+                  var i = 0
+                  while (i < dim) { s += qflat(off + i).toDouble * image(i); i += 1 }
+                  val cos = round6(s / (nq * nv))
+                  val vid = vids(vv)
+                  if (n < cut || cos > topC(n - 1) ||
+                      (cos == topC(n - 1) && vid < topV(n - 1))) {
+                    var p = math.min(n, cut - 1)
+                    while (p > 0 && (topC(p - 1) < cos ||
+                           (topC(p - 1) == cos && topV(p - 1) > vid))) {
+                      topC(p) = topC(p - 1); topV(p) = topV(p - 1); p -= 1
+                    }
+                    topC(p) = cos; topV(p) = vid
+                    if (n < cut) n += 1
                   }
-                  topC(p) = cos; topV(p) = vid
-                  if (n < cut) n += 1
                 }
+                vv += 1
               }
-              vv += 1
+              (0 until n).iterator.map(p => (qid, topV(p), topC(p)))
             }
-            (0 until n).iterator.map(p => (qid, topV(p), topC(p)))
           }
         }
       }
@@ -218,20 +221,24 @@ object VectorSearch {
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** Full-precision re-rank of a small candidate set (|Q|·k·m rows):
-    * candidates broadcast-join to the vector table for the stored
-    * embedding, then the (cand ⋈ vectors) result — still candidate-
-    * sized — broadcast-joins to the DISTRIBUTED queries DataFrame on
-    * qid. Two broadcast-hash equi-joins, no query collect, and the
-    * full-precision vector table is touched only for candidate rows.
+  /** Full-precision re-rank of a candidate set (|Q|·k·m rows):
+    * candidates equi-join to the vector table for the stored
+    * embedding, then to the DISTRIBUTED queries DataFrame on qid. No
+    * broadcast HINT — the candidate set scales with |Q|, so forcing a
+    * broadcast would reintroduce exactly the driver-size dependence
+    * the distributed query side removes; AQE broadcasts the small
+    * side when it measures small (the bench regime — pinned in
+    * OperatorPlanShapeSpec) and falls back to shuffle joins when the
+    * query set grows with the corpus. The full-precision vector table
+    * is touched only for candidate rows either way.
     */
   private def rerankExact(cand: DataFrame, vectors: DataFrame,
                           queries: DataFrame, dim: Int,
                           approxCol: String): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    broadcast(broadcast(cand)
-        .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id")))
+    cand
+      .join(vectors.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(queries.select(col("qid"), col("qe")), Seq("qid"))
       .select(col("qid"), col("vec_id"), col(approxCol),
         col("embedding"), col("qe"))
@@ -368,29 +375,27 @@ object VectorSearch {
     topKWindow(scored, k)
   }
 
-  /** IVF-style approximate top-k: vectors are pre-assigned to coarse
-    * cells (`cellCol` — in production the output of a k-means coarse
-    * quantizer; the embeddings table's `label` column plays that role
-    * here), cell centroids are computed from the data, and each query
-    * scans only the `nProbe` cells whose centroids are most cosine-
-    * similar. The scan fraction is nProbe/nCells — the classic IVF
-    * trade. Both sides stay distributed: probe cells are computed in a
-    * compiled map over the query DataFrame (centroids broadcast to it)
-    * and candidates come from an equi-join on the cell key — no
-    * query-set collect, so query sets proportional to the corpus
-    * survive 100×.
+  /** The IVF index: cell-assigned vectors plus their trained centroids
+    * — shared by [[ivfTopK]] and [[ivfKnnJoin]] so the two operators
+    * stay rounding/tie-break IDENTICAL (their oracle equivalence and
+    * the VectorSearchSpec equality pin depend on one code path, not
+    * two copies). Training: centroid per cell (mean per dimension),
+    * components rounded to 4dp — the rounding makes training
+    * ORDER-INDEPENDENT (group iteration order varies run to run and
+    * double addition is not associative, but ~1e-13 accumulation
+    * jitter cannot move a 4dp grid value), so centroids and
+    * everything derived from them are SQL-oracle-reproducible. The
+    * collect is cell-count-bounded, never corpus-sized. `refine`
+    * Lloyd sweeps reassign each vector to its nearest centroid
+    * (6dp-rounded cosine, lowest cell wins ties) and retrain on the
+    * same grids.
     */
-  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-              cellCol: String = "label", nProbe: Int = 3,
-              dim: Int = 64, refine: Int = 0): DataFrame = {
+  private def ivfIndex(vectors: DataFrame, cellCol: String, dim: Int,
+                       refine: Int)
+      : (org.apache.spark.sql.Dataset[(Int, Long, Array[Float])],
+         Array[(Int, Array[Double])]) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // Train: centroid per cell (mean per dimension), components rounded
-    // to 4dp. The rounding makes training ORDER-INDEPENDENT in practice:
-    // group iteration order varies run to run and double addition is not
-    // associative, but ~1e-13 accumulation jitter can't move a 4dp grid
-    // value — so centroids (and therefore probe selection and the final
-    // result) are stable and SQL-oracle-reproducible.
     var assigned = vectors
       .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
@@ -409,12 +414,6 @@ object VectorSearch {
           (cell, sum.map(s => round4(s / math.max(n, 1))))
         }.collect().sortBy(_._1)
     var centroids = train(assigned)
-    // Lloyd refinement: reassign each vector to its nearest centroid
-    // (6dp-rounded cosine, lowest cell wins ties — the probe-selection
-    // tie-break), retrain on the new cells. One distributed pass + one
-    // small grouped agg per iteration; determinism comes from the same
-    // rounding grids as the initial training, so the refined index
-    // stays SQL-oracle-reproducible.
     var r = 0
     while (r < refine) {
       val bcC = spark.sparkContext.broadcast(centroids)
@@ -438,16 +437,22 @@ object VectorSearch {
       centroids = train(assigned)
       r += 1
     }
-    // Probe selection per query — top-nProbe centroid cells (similarity
-    // desc, cell asc — deterministic tie-break) — computed in a compiled
-    // map over the DISTRIBUTED query DataFrame with the tiny centroid
-    // artifact broadcast to it (cell-count-sized, never corpus-sized),
-    // emitting one row per probe. Candidate pairing is then a plain
-    // equi-join on the cell key: broadcast-hash while the query side is
-    // small, shuffle-hash when it grows with the corpus. No driver
-    // collect on the query path.
+    (assigned, centroids)
+  }
+
+  /** Distributed probe selection — top-nProbe centroid cells per query
+    * (similarity desc, cell asc — deterministic tie-break), computed
+    * in a compiled map over the query DataFrame with the tiny centroid
+    * artifact broadcast to it, emitting one (cell, qid, qe, nq) row
+    * per probe. No driver collect on the query path.
+    */
+  private def ivfProbes(queries: DataFrame,
+                        centroids: Array[(Int, Array[Double])],
+                        nProbe: Int, dim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     val bcC = spark.sparkContext.broadcast(centroids)
-    val qprobes = queries.select(col("qid"), col("qe"))
+    queries.select(col("qid"), col("qe"))
       .filter(col("qe").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -467,6 +472,27 @@ object VectorSearch {
         }
       }
       .toDF("cell", "qid", "qe", "nq")
+  }
+
+  /** IVF-style approximate top-k: vectors are pre-assigned to coarse
+    * cells (`cellCol` — in production the output of a k-means coarse
+    * quantizer; the embeddings table's `label` column plays that role
+    * here), cell centroids are computed from the data, and each query
+    * scans only the `nProbe` cells whose centroids are most cosine-
+    * similar. The scan fraction is nProbe/nCells — the classic IVF
+    * trade. Both sides stay distributed: probe cells are computed in a
+    * compiled map over the query DataFrame (centroids broadcast to it)
+    * and candidates come from an equi-join on the cell key — no
+    * query-set collect, so query sets proportional to the corpus
+    * survive 100×.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              cellCol: String = "label", nProbe: Int = 3,
+              dim: Int = 64, refine: Int = 0): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val (assigned, centroids) =
+      ivfIndex(vectors, cellCol, dim, refine)
+    val qprobes = ivfProbes(queries, centroids, nProbe, dim)
     val scored = assigned.toDF("cell", "vec_id", "embedding")
       .join(qprobes, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
@@ -503,45 +529,12 @@ object VectorSearch {
     */
   def ivfKnnJoin(vectors: DataFrame, queries: DataFrame, k: Int,
                  cellCol: String = "label", nProbe: Int = 3,
-                 dim: Int = 64, blocks: Int = 8): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    val assigned = vectors
-      .select(col(cellCol).cast("int").as("cell"), col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull)
-      .as[(Int, Long, Array[Float])]
-    val centroids = assigned.groupByKey(_._1)
-      .mapGroups { (cell, it) =>
-        val sum = new Array[Double](dim)
-        var n = 0
-        it.foreach { case (_, _, e) =>
-          var i = 0
-          while (i < dim) { sum(i) += e(i); i += 1 }
-          n += 1
-        }
-        (cell, sum.map(s => round4(s / math.max(n, 1))))
-      }.collect().sortBy(_._1)
-    val bcC = spark.sparkContext.broadcast(centroids)
-    val qprobes = queries.select(col("qid"), col("qe"))
-      .filter(col("qe").isNotNull)
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cents = bcC.value
-          .map { case (cell, c) => (cell, c, normKD(c, dim)) }
-          .filter(_._3 > 0)
-        it.flatMap { case (id, e) =>
-          val nq = normK(e, dim)
-          if (nq == 0) Iterator.empty
-          else cents
-            .map { case (cell, c, nc) =>
-              (cell, round6(dotKD(e, c, dim) / (nq * nc)))
-            }
-            .sortBy { case (cell, sim) => (-sim, cell) }
-            .take(nProbe).iterator
-            .map { case (cell, _) => (cell, id, e, nq) }
-        }
-      }
-      .toDF("cell", "qid", "qe", "nq")
+                 dim: Int = 64, blocks: Int = 8,
+                 refine: Int = 0): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val (assigned, centroids) =
+      ivfIndex(vectors, cellCol, dim, refine)
+    val qprobes = ivfProbes(queries, centroids, nProbe, dim)
     // Both sides aggregate to LIST rows before the join: vector
     // (cell, blk) blocks and query (cell, qblk) chunks. The join then
     // produces cells·blocks·queryBlocks SHARD rows — each embedding's
@@ -571,6 +564,8 @@ object VectorSearch {
           .filter(_._3 > 0) // zero-norm: cosine undefined
           .toArray
         qsRaw.iterator.flatMap { case (qid, qeS, nq) =>
+          if (k <= 0) Iterator.empty // k = 0: empty result, not a crash
+          else {
           val qe = qeS.toArray
           // bounded top-k insertion per (query, block) — the global
           // top-k under (cos desc, vec_id asc) is contained in the
@@ -597,6 +592,7 @@ object VectorSearch {
             i += 1
           }
           (0 until n).iterator.map(j => (qid, topV(j), topC(j)))
+          }
         }
       }
     }.toDF("qid", "vec_id", "cos")
@@ -883,19 +879,23 @@ object VectorSearch {
     */
   def sq8TopK(vectors: DataFrame, queries: DataFrame, k: Int,
               m: Int = 4, dim: Int = 64): DataFrame = {
+    // clamped once, used by BOTH the scan cut and the window filter —
+    // an unclamped k*m Int product would wrap negative exactly where
+    // the clamp matters
+    val candCut = math.min(k.toLong * m, Int.MaxValue).toInt
     val spark = vectors.sparkSession
     val (lo, hi) = sq8Stats(vectors, dim)
     val bcLo = spark.sparkContext.broadcast(lo)
     val bcHi = spark.sparkContext.broadcast(hi)
     val approx = scanChunks(vectors, queries, dim,
-        cutK = math.min(k.toLong * m, Int.MaxValue).toInt) { e =>
+        cutK = candCut) { e =>
       if (normK(e, dim) == 0) null
       else sq8DeqK(e, bcLo.value, bcHi.value, dim)
     }.withColumnRenamed("cos", "cos_sq8")
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sq8").desc, col("vec_id").asc)
     val cand = approx.withColumn("crn", row_number().over(wCand))
-      .filter(col("crn") <= k * m)
+      .filter(col("crn") <= candCut)
       .drop("crn")
     val reranked = rerankExact(cand, vectors, queries, dim, "cos_sq8")
     val wFinal = Window.partitionBy(col("qid"))
@@ -937,6 +937,7 @@ object VectorSearch {
   def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
              m: Int = 8, nCells: Int = 16, dim: Int = 64,
              candMult: Int = 4): DataFrame = {
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
     val spark = vectors.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -1022,7 +1023,7 @@ object VectorSearch {
     val bc1 = spark.sparkContext.broadcast(cb1)
 
     val approx = scanChunks(vectors, queries, dim,
-        cutK = math.min(k.toLong * candMult, Int.MaxValue).toInt) { e =>
+        cutK = candCut) { e =>
       if (normK(e, dim) == 0) null
       else {
         val cb = bc1.value
@@ -1041,7 +1042,7 @@ object VectorSearch {
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("cos_pq").desc, col("vec_id").asc)
     val cand = approx.withColumn("crn", row_number().over(wCand))
-      .filter(col("crn") <= k * candMult)
+      .filter(col("crn") <= candCut)
       .drop("crn")
     val reranked = rerankExact(cand, vectors, queries, dim, "cos_pq")
     val wFinal = Window.partitionBy(col("qid"))

@@ -256,10 +256,13 @@ object AnnQueries {
       .orderBy(col("label"))
   }
 
-  /** The ann_ivf_topk oracle — shared with the streaming ANN entry
-    * (t9), whose per-query results are batch-independent so the
-    * streamed union replays exactly this SQL. */
-  private[queries] val ivfTopkSql: String =
+  /** The IVF-top-k oracle, parameterized by the query-set predicate
+    * and k — ONE body shared by ann_ivf_topk, ann_knn_join (every
+    * vector, k = 3) and the streaming ANN entry t9 (whose per-query
+    * results are batch-independent, so the streamed union replays
+    * exactly this SQL); a fix to the centroid grid / probe tie-break
+    * lands in all three or none. */
+  private[queries] def ivfTopkSqlFor(qWhere: String, k: Int): String =
     s"""WITH cent AS (
        |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
        |    SELECT CAST(label AS INT) AS cell, t.d AS d,
@@ -269,7 +272,7 @@ object AnnQueries {
        |  GROUP BY cell),
        |q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  $qWhere),
        |psim AS (
        |  SELECT q.qid, c.cell,
        |    round(
@@ -299,8 +302,11 @@ object AnnQueries {
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM cand)
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
-       |FROM ranked WHERE rn <= 5
+       |FROM ranked WHERE rn <= $k
        |ORDER BY qid, rank""".stripMargin
+
+  private[queries] val ivfTopkSql: String =
+    ivfTopkSqlFor("WHERE vec_id % 50 = 0", k = 5)
 
   val entries: Seq[Q] = Seq(
     Q.sql("ann_recall_report", annRecallReport,
@@ -537,47 +543,7 @@ object AnnQueries {
     Q.sql("ann_ivf_topk", annIvfTopK, ivfTopkSql),
 
     // the ann_ivf_topk replay with q = EVERY vector and k = 3
-    Q.sql("ann_knn_join", annKnnJoin,
-      s"""WITH cent AS (
-         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
-         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
-         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
-         |    FROM embeddings, range(1, 65) t(d)
-         |    GROUP BY cell, t.d)
-         |  GROUP BY cell),
-         |q AS (
-         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings),
-         |psim AS (
-         |  SELECT q.qid, c.cell,
-         |    round(
-         |      list_sum(list_transform(range(1, 65),
-         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
-         |      / (sqrt(list_sum(list_transform(range(1, 65),
-         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
-         |         * sqrt(list_sum(list_transform(range(1, 65),
-         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
-         |  FROM q, cent c),
-         |probes AS (
-         |  SELECT qid, cell FROM (
-         |    SELECT qid, cell,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY sim DESC, cell ASC) AS rn
-         |    FROM psim) WHERE rn <= 3),
-         |cand AS (
-         |  SELECT p.qid, e.vec_id,
-         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
-         |  FROM probes p
-         |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
-         |  JOIN q ON q.qid = p.qid
-         |  WHERE e.vec_id <> p.qid),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM cand)
-         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
-         |FROM ranked WHERE rn <= 3
-         |ORDER BY qid, rank""".stripMargin),
+    Q.sql("ann_knn_join", annKnnJoin, ivfTopkSqlFor("", k = 3)),
 
     Q.sql("ann_ivf_refined", annIvfRefined,
       s"""WITH cent AS (

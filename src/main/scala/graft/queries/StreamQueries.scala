@@ -39,7 +39,8 @@ object StreamQueries {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[CoverageAttempt]
     stream.addData(queue)
-    val sink = s"t3_drain_${System.nanoTime()}"
+    val sink = "t3_drain_sink"
+    spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
     val q = Streams.coverageStateMachine(stream.toDS())
       .writeStream.format("memory").queryName(sink)
       .outputMode("update").start()
@@ -150,7 +151,8 @@ object StreamQueries {
       .select($"user_id".as("key"),
         graft.Tables.eventTs($"ts" - $"ts" % 1000).as("rts"),
         $"event_id".as("r_id"), $"value".as("r_value"))
-    val sink = s"t4_ij_${System.nanoTime()}"
+    val sink = "t4_ij_sink"
+    spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
     withStreamPartitions(spark) {
       val q = Streams.intervalJoinStream(l, r, horizon = "1 hour")
         .writeStream.format("memory").queryName(sink)
@@ -187,7 +189,8 @@ object StreamQueries {
           .as("ts"),
         graft.operators.TextDedup.shingleFingerprint($"text", n = 1)
           .as("fingerprint"))
-    val sink = s"t5_dedup_${System.nanoTime()}"
+    val sink = "t5_dedup_sink"
+    spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
     withStreamPartitions(spark) {
       val q = Streams.streamingDedup(docs, "ts", "fingerprint")
         .writeStream.format("memory").queryName(sink)
@@ -230,7 +233,8 @@ object StreamQueries {
       .select($"user_id",
         graft.Tables.eventTs($"ts" - $"ts" % 1000).as("ts"),
         $"value")
-    val sink = s"t7_sess_${System.nanoTime()}"
+    val sink = "t7_sess_sink"
+    spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
     withStreamPartitions(spark) {
       val q = Streams.sessionizeStream(ev, "ts", gap = "30 minutes",
           watermark = "10 minutes")
@@ -263,7 +267,8 @@ object StreamQueries {
     val ev = streamEvents(env)
       .select(graft.Tables.eventTs($"ts" - $"ts" % 1000).as("ts"),
         $"event_type")
-    val sink = s"t8_wc_${System.nanoTime()}"
+    val sink = "t8_wc_sink"
+    spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
     withStreamPartitions(spark) {
       val q = Streams.windowedEventCounts(ev, "ts")
         .writeStream.format("memory").queryName(sink)
