@@ -48,6 +48,18 @@ class VectorSearchSpec extends SparkSpec {
       s"diff: ${(viaBlocks diff viaJoin).take(5)} / ${(viaJoin diff viaBlocks).take(5)}")
   }
 
+  test("ivfKnnJoin refine path equals ivfTopK refine path (shared index)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaJoin = rows(VectorSearch.ivfTopK(emb, q, k = 3, refine = 1))
+    val viaBlocks = rows(VectorSearch.ivfKnnJoin(emb, q, k = 3, refine = 1))
+    assert(viaBlocks == viaJoin)
+  }
+
   test("brute-force top-k ranks by cosine with id tie-break") {
     val base = Seq(1f, 0f, 0f)
     val df = vecDf(Seq(
