@@ -53,21 +53,67 @@ object SubstringDedup {
   private def encodeOcc(doc: Column, pos: Column): Column =
     shiftleft(doc, PosBits) + pos
 
+  /** Double-mod polynomial window hash: h_p = Σ_j c_{i+j}·B^{l-1-j}
+    * mod p over the window's CODEPOINTS, for two independent (B, p)
+    * pairs, packed into one long (h1·2^31 + h2 — h < p < 2^30 each).
+    * Deterministic and engine-portable: the DuckDB oracle recomputes
+    * the identical positional sum with inlined mod-power literals, so
+    * even the ~2^-60 collision case agrees on both sides.
+    */
+  val B1 = 257L;  val P1 = 1000000007L
+  val B2 = 263L;  val P2 = 998244353L
+
+  def modpow(b: Long, e: Int, p: Long): Long =
+    (0 until e).foldLeft(1L)((a, _) => a * b % p)
+
   /** (doc_id, pos, g): one row per length-`l` character window, `g` the
-    * window's md5. Documents shorter than `l` contribute nothing (the
-    * `when` guard also keeps `sequence` from generating a descending
-    * range for len < l).
+    * window's packed polynomial hash; `pos` is 1-based over codepoints.
+    * Documents shorter than `l` contribute nothing.
+    *
+    * This is a dense numeric loop, so it runs as a mapPartitions kernel
+    * (rolling-hash update: O(1) per position instead of O(l)) — the
+    * md5-per-window expression form it replaces spent its time in
+    * digest + substring allocation, and shipped 36-byte string keys
+    * where this ships one long. The kernel is cheap enough to
+    * recompute for each consumer; at corpus scale re-hashing beats
+    * caching a window stream many times the corpus size (no checkpoint).
     */
   def windowHashes(docs: DataFrame, idCol: String, textCol: String,
                    l: Int = DefaultL): DataFrame = {
-    val t = col(textCol)
-    val gramArr = when(length(t) >= l,
-        transform(sequence(lit(1), length(t) - (l - 1)),
-          i => md5(t.substr(i, lit(l)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"),
-        posexplode(gramArr).as(Seq("p0", "g")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pw1 = modpow(B1, l - 1, P1)
+    val pw2 = modpow(B2, l - 1, P2)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val cps = if (text == null) Array.empty[Int]
+                    else text.codePoints.toArray
+          val n = cps.length
+          if (n < l) Iterator.empty
+          else {
+            val out = new Array[(Long, Int, Long)](n - l + 1)
+            var a1 = 0L; var a2 = 0L
+            var j = 0
+            while (j < l) {
+              a1 = (a1 * B1 + cps(j)) % P1
+              a2 = (a2 * B2 + cps(j)) % P2
+              j += 1
+            }
+            out(0) = (id, 1, (a1 << 31) + a2)
+            var i = 1
+            while (i <= n - l) {
+              val cOut = cps(i - 1); val cIn = cps(i + l - 1)
+              a1 = ((a1 - cOut * pw1 % P1 + P1) * B1 + cIn) % P1
+              a2 = ((a2 - cOut * pw2 % P2 + P2) * B2 + cIn) % P2
+              out(i) = (id, i + 1, (a1 << 31) + a2)
+              i += 1
+            }
+            out.iterator
+          }
+        }
+      }.toDF("doc_id", "pos", "g")
   }
 
   /** Duplicated windows with keeper: (g, n_occ ≥ 2, keeper_key). */
@@ -88,7 +134,6 @@ object SubstringDedup {
   def removalSpans(docs: DataFrame, idCol: String, textCol: String,
                    l: Int = DefaultL): DataFrame = {
     val windows = windowHashes(docs, idCol, textCol, l)
-      .localCheckpoint(eager = false)
     val dup = duplicatedWindows(windows)
     val removed = windows
       .join(dup.hint("SHUFFLE_HASH"), Seq("g"))

@@ -15,6 +15,20 @@ object SubstringQueries {
 
   private val L = SubstringDedup.DefaultL // 40-char windows
 
+  /** The kernel's positional-sum hash, verbatim: Σ c_{i+j}·B^{L-1-j}
+    * mod p for two (B, p) pairs, packed h1·2^31 + h2. Powers are
+    * inlined literals (double `pow` would lose exactness). */
+  private def polyHash: String = {
+    import SubstringDedup.{B1, P1, B2, P2, modpow}
+    def powList(b: Long, p: Long): String =
+      (0 until L).map(j => modpow(b, L - 1 - j, p)).mkString("[", ", ", "]")
+    def leg(b: Long, p: Long): String =
+      s"""(CAST(list_sum(list_transform(range(0, $L),
+         |    j -> CAST(unicode(substr(text, CAST(u.i + j AS INT), 1)) AS BIGINT)
+         |         * (${powList(b, p)})[j + 1])) AS BIGINT) % $p)""".stripMargin
+    s"${leg(B1, P1)} * 2147483648 + ${leg(B2, P2)}"
+  }
+
   /** Shared oracle prefix: windows → duplicated windows → non-keeper
     * occurrences → maximal spans. */
   private def spanCte: String =
@@ -22,7 +36,7 @@ object SubstringQueries {
        |  SELECT doc_id, text FROM documents WHERE length(text) >= $L),
        |w AS (
        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
-       |         md5(substr(text, CAST(u.i AS INT), $L)) AS g
+       |         $polyHash AS g
        |  FROM docs, unnest(range(1, length(text) - ${L - 2})) AS u(i)),
        |dup AS (
        |  SELECT g, min(doc_id * 1048576 + pos) AS keeper_key
