@@ -489,11 +489,25 @@ object VectorSearch {
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               cellCol: String = "label", nProbe: Int = 3,
               dim: Int = 64, refine: Int = 0): DataFrame = {
-    import vectors.sparkSession.implicits._
     val (assigned, centroids) =
       ivfIndex(vectors, cellCol, dim, refine)
+    ivfScore(assigned.toDF("cell", "vec_id", "embedding"), centroids,
+      queries, k, nProbe, dim)
+  }
+
+  /** The serve side of IVF, shared by the inline index ([[ivfTopK]])
+    * and the persisted one ([[ivfServe]]): probe cells per query
+    * (distributed, centroids broadcast), candidates from the cell
+    * equi-join, exact cosine in a compiled kernel, global top-k.
+    */
+  private def ivfScore(assigned: DataFrame,
+                       centroids: Array[(Int, Array[Double])],
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       dim: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     val qprobes = ivfProbes(queries, centroids, nProbe, dim)
-    val scored = assigned.toDF("cell", "vec_id", "embedding")
+    val scored = assigned
       .join(qprobes, Seq("cell"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qe"), col("nq"), col("vec_id"), col("embedding"))
@@ -505,6 +519,49 @@ object VectorSearch {
       })
       .toDF("qid", "vec_id", "cos")
     topKWindow(scored, k)
+  }
+
+  /** Persist the trained IVF index as TABLES — the build-once /
+    * serve-many shape a 100 TB deployment needs (every other ann_*
+    * entry retrains inline per query set). Two artifacts under `dir`:
+    *  - `cells/`: (vec_id, embedding) parquet PARTITIONED BY the
+    *    coarse cell — a serve-time probe touches only its cells'
+    *    files (disk-level pruning, the on-disk analogue of the cell
+    *    equi-join), and a 1000-executor scan of one cell is just a
+    *    parquet directory read;
+    *  - `centroids/`: the tiny (cell, centroid) artifact — cell-count
+    *    sized, the piece a serving tier broadcasts.
+    * Floats/doubles round-trip parquet bit-exactly, so a served query
+    * returns [[ivfTopK]]'s answer to the last bit (one shared oracle).
+    */
+  def ivfWriteIndex(vectors: DataFrame, dir: String,
+                    cellCol: String = "label", dim: Int = 64,
+                    refine: Int = 0): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine)
+    assigned.toDF("cell", "vec_id", "embedding")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Serve top-k from a persisted index directory (see
+    * [[ivfWriteIndex]]). The centroid artifact is collected — it is
+    * cell-count-sized by construction, never corpus-sized — and the
+    * cell table stays a distributed scan feeding the same cell
+    * equi-join as the inline path.
+    */
+  def ivfServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+               queries: DataFrame, k: Int, nProbe: Int = 3,
+               dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val assigned = spark.read.parquet(s"$dir/cells")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+              col("embedding"))
+    ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 
   /** Corpus-scale k-NN JOIN through the IVF index — [[ivfTopK]]'s

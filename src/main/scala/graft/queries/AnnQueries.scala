@@ -71,6 +71,22 @@ object AnnQueries {
     VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** Index PERSISTENCE round trip — build the IVF index once, write it
+    * as tables (cell-partitioned vector parquet + the tiny centroid
+    * artifact), read it back, and serve the standard query set from
+    * the on-disk index. The build-once/serve-many shape of a real
+    * deployment; results are bit-exact vs [[annIvfTopK]] (floats and
+    * doubles round-trip parquet losslessly), so the entry shares its
+    * oracle. Scratch dir is per-process and idempotent (overwrite),
+    * like the s8 sink round trip.
+    */
+  def annIndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_index"
+    VectorSearch.ivfWriteIndex(env.embeddings, dir)
+    VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** IVF with ONE Lloyd refinement sweep — the label cells seed
     * k-means, every vector reassigns to its nearest centroid, the
     * centroids retrain, and probing runs against the TRAINED index.
@@ -541,6 +557,10 @@ object AnnQueries {
     // rounds identically, making training order-independent); probes:
     // top-3 cells by rounded cosine, cell-asc tie-break.
     Q.sql("ann_ivf_topk", annIvfTopK, ivfTopkSql),
+
+    // build→persist(parquet, cell-partitioned)→load→serve: bit-exact
+    // vs the inline index, so it shares ann_ivf_topk's oracle
+    Q.sql("ann_index_roundtrip", annIndexRoundtrip, ivfTopkSql),
 
     // the ann_ivf_topk replay with q = EVERY vector and k = 3
     Q.sql("ann_knn_join", annKnnJoin, ivfTopkSqlFor("", k = 3)),

@@ -331,7 +331,7 @@ object StreamQueries {
 
   /** Per-process scratch root, deleted on JVM exit so repeated Verify
     * runs don't accumulate orphaned pid-suffixed trees in tmpdir. */
-  private lazy val scratchBase: String = {
+  private[queries] lazy val scratchBase: String = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip_${ProcessHandle.current().pid()}"
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {

@@ -290,6 +290,37 @@ class VectorSearchSpec extends SparkSpec {
     assert(expDups.nonEmpty, "fixture has no in-cell near-dups — threshold too high")
   }
 
+  test("persisted IVF index serves bit-identical results to the inline path") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0 until 120).map { i =>
+      (i.toLong, i % 8, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    try {
+      VectorSearch.ivfWriteIndex(emb, dir, dim = 16, refine = 1)
+      // on-disk layout: the cell table is PARTITIONED by cell (a probe
+      // reads only its cells' directories)
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+      assert(cellDirs.length >= 2, s"expected cell=* partitions, got ${cellDirs.mkString(",")}")
+      val served = VectorSearch.ivfServe(spark, dir, queries, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      val inline = VectorSearch.ivfTopK(emb, queries, k = 4, dim = 16,
+          refine = 1)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == inline)
+      assert(served.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("LSH pair prefilter: exact precision, high recall on near-dups") {
     // planted corpus: 40 seeded random base vectors, each with a
     // perturbed copy at cosine ≳ 0.95 — the regime the prefilter
