@@ -213,6 +213,93 @@ object Multimodal {
 
   val resizeUdf = udf((c: Array[Byte], w: Int, h: Int) => resizeImage(c, w, h))
 
+  // ---- perceptual image dedup (average hash over real decodes) ----
+
+  /** 63-bit average hash of a decoded image: area-average the
+    * grayscale image onto an 8×8 grid, then bit i (row-major, bit 63
+    * forced 0 — keeps the hash a non-negative long on every engine) is
+    * 1 iff tile i's mean gray STRICTLY exceeds the global tile mean.
+    * Exactness contract: both the tile average and the threshold run
+    * in scaled integers (sum·64 comparisons, no FP), so images whose
+    * tiles are exact constants (the constructive corpora; any image
+    * whose dimensions are multiples of 8) hash deterministically.
+    * Returns -1 for undecodable content.
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val img = if (bytes == null) null else readImage(bytes)
+    if (img == null) return -1L
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) return -1L
+    val sums = new Array[Long](64)   // Σ gray·3 per tile (avoid /3)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val ty = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val tx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val g3 = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val t = ty * 8 + tx
+        sums(t) += g3; cnts(t) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // tile mean (scaled): m_t = sums(t)/cnts(t); global mean = Σm_t/64.
+    // Integer-exact when cnts divide sums (constant tiles); compare
+    // m_t·64 > Σm_t via longs. Non-constant tiles use the floor mean —
+    // deterministic either way.
+    val means = Array.tabulate(64)(t => sums(t) / math.max(cnts(t), 1L))
+    val total = means.sum
+    var hash = 0L
+    var t = 0
+    while (t < 63) { // bit 63 stays 0
+      if (means(t) * 64L > total) hash |= 1L << t
+      t += 1
+    }
+    hash
+  }
+
+  /** Near-duplicate image pairs by average-hash hamming distance —
+    * image-side analogue of [[TextDedup]]'s SimHash pass. Candidates
+    * come from a BAND equi-join (4 bands of ≤ 16 bits; pigeonhole: any
+    * pair at hamming ≤ 3 < 4 agrees on some band), never an all-pairs
+    * scan; the exact hamming filter runs on candidates only. Hashing
+    * is one narrow kernel map over the media table (real decode per
+    * row, SPI-cached); the band explode is ×4.
+    *
+    * @return (media_a, media_b, hamming ≤ maxHamming), media_a <
+    *         media_b, one row per pair.
+    */
+  def aHashDedupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "pigeonhole guarantee holds for hamming < bands=4")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => (id, aHash64(c)) })
+      .toDF("media_id", "ahash")
+      .filter(col("ahash") >= 0)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"),
+              col("b.media_id").as("media_b"),
+              bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
+                .cast("int").as("hamming"))
+      .distinct() // a pair may collide on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---- audio (REAL: javax.sound.sampled, JDK built-in) ----
 
   // javax.sound's AudioSystem entry points funnel EVERY call through a

@@ -151,7 +151,74 @@ object MultimodalQueries {
       .orderBy($"media_id")
   }
 
+  /** Constructive NEAR-DUP image corpus over `part`: keys group into
+    * triples by base = key/3; each key renders a 16×16 RGB PNG whose
+    * 2×2 tiles encode a 63-bit pattern (bits from md5(base) hex — so
+    * distinct bases sit at hamming ~31, unreachable by the dedup
+    * threshold). Keys 3b and 3b+1 are pixel-identical; key 3b+2 flips
+    * tiles 5 and 20 (hamming exactly 2). Real encode → decode → aHash
+    * recovers the planted pattern bit-for-bit (constant 2×2 tiles,
+    * lossless PNG), which is what makes the pair set SQL-predictable.
+    */
+  private[graft] def phashMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val base = key / 3
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(base.toString.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        def bit(i: Int): Boolean = {
+          val planted =
+            ((Character.digit(hex.charAt(i / 4), 16) >> (i % 4)) & 1) == 1
+          planted ^ (key % 3 == 2 && (i == 5 || i == 20))
+        }
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var t = 0
+        while (t < 64) {
+          val v = if (t < 63 && bit(t)) 0xffffff else 0
+          val tx = (t % 8) * 2; val ty = (t / 8) * 2
+          img.setRGB(tx, ty, v);     img.setRGB(tx + 1, ty, v)
+          img.setRGB(tx, ty + 1, v); img.setRGB(tx + 1, ty + 1, v)
+          t += 1
+        }
+        (key, Multimodal.pngBytes(img))
+      }.toDF("media_id", "content")
+  }
+
+  /** Perceptual-hash image dedup end to end: real PNG decode →
+    * area-average aHash → banded candidate join → exact hamming ≤ 3.
+    */
+  def mmImagePhashDedup(env: Env): DataFrame =
+    Multimodal.aHashDedupPairs(phashMedia(env), maxHamming = 3)
+      .orderBy($"media_a", $"media_b")
+
   val entries: Seq[Q] = Seq(
+    // the oracle replants the md5-bit pattern per key and pairs by
+    // exact hamming — the quadratic join is oracle-side only (the
+    // Spark side pairs via the 4-band pigeonhole equi-join)
+    Q.sql("mm_image_phash_dedup", mmImagePhashDedup,
+      """WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS key FROM part),
+        |v AS (
+        |  SELECT key, CAST(list_sum(list_transform(range(0, 63), i ->
+        |    CASE WHEN (
+        |      ((strpos('0123456789abcdef',
+        |                substr(md5(CAST(key // 3 AS VARCHAR)),
+        |                       CAST(1 + i // 4 AS INT), 1)) - 1)
+        |        >> CAST(i % 4 AS INT)) % 2 = 1)
+        |      <> (key % 3 = 2 AND (i = 5 OR i = 20))
+        |    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+        |    AS BIGINT) AS h
+        |  FROM k)
+        |SELECT a.key AS media_a, b.key AS media_b,
+        |       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM v a JOIN v b ON a.key < b.key
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin),
+
     Q.sql("mm_image_decode", mmImageDecode,
       """SELECT CAST(p_partkey AS BIGINT) AS media_id,
         |  CAST(3 + p_partkey % 7 AS INT) AS width,

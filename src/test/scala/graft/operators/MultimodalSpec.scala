@@ -83,6 +83,42 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 2L).count() > 0)
   }
 
+  test("aHash recovers a planted 63-bit tile pattern through PNG round-trip") {
+    def tileImage(bits: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var t = 0
+      while (t < 64) {
+        val v = if (t < 63 && ((bits >> t) & 1L) == 1L) 0xffffff else 0
+        val tx = (t % 8) * 2; val ty = (t / 8) * 2
+        for (dx <- 0 to 1; dy <- 0 to 1) img.setRGB(tx + dx, ty + dy, v)
+        t += 1
+      }
+      Multimodal.pngBytes(img)
+    }
+    val planted = 0x3a5c96f012345abcL & ((1L << 63) - 1)
+    assert(Multimodal.aHash64(tileImage(planted)) == planted)
+    assert(Multimodal.aHash64(tileImage(0L)) == 0L)
+    assert(Multimodal.aHash64("not an image".getBytes) == -1L)
+    assert(Multimodal.aHash64(null) == -1L)
+
+    // pair detection: identical, 2-bit-flipped, and a far hash
+    val flipped = planted ^ (1L << 5) ^ (1L << 20)
+    val far = ~planted & ((1L << 63) - 1)
+    val media = mediaDf(1L -> tileImage(planted), 2L -> tileImage(planted),
+      3L -> tileImage(flipped), 4L -> tileImage(far))
+    val pairs = Multimodal.aHashDedupPairs(media, maxHamming = 3)
+      .orderBy("media_a", "media_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0), (1L, 3L, 2), (2L, 3L, 2)))
+
+    // band join is an equi-join, never a cartesian pass
+    val plan = Multimodal.aHashDedupPairs(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("WAV round-trip: real encode + decode recover format and stats") {
     // stereo ramp: samples -100..99 interleaved over 100 frames
     val samples = Array.tabulate[Short](200)(i => (i - 100).toShort)
