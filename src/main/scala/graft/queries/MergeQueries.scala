@@ -112,7 +112,7 @@ object MergeQueries {
     * OWI records per customer; contributors first-wins by order key,
     * subjects/measurements additive (ref `oclc/classify.py:97-128`). */
   def m4OwiFold(env: Env): DataFrame = {
-    val meta = env.orders.select(
+    val meta = env.spread(env.orders).select( // see Env.spread
       lit("oclc").as("dataSource"),
       struct(lit("cust").as("idType"),
              $"o_custkey".cast("string").as("identifier")).as("primaryIdentifier"),

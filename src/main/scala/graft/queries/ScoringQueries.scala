@@ -51,7 +51,7 @@ object ScoringQueries {
     // localCheckpoint: the narrow request frame feeds BOTH the cluster
     // synthesis/parse and the evidence join-back — without it the
     // orders⋈customer join runs twice.
-    val requests = env.orders
+    val requests = env.spread(env.orders) // single-row-group input: see Env.spread
       .join(env.customer, $"o_custkey" === $"c_custkey")
       .select($"o_custkey".as("request_id"), $"c_name".as("working"),
               $"o_orderkey".as("cand_key"))

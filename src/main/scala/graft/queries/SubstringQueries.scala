@@ -63,14 +63,15 @@ object SubstringQueries {
 
   val entries: Seq[Q] = Seq(
     Q.sql("text_substring_dedup",
-      env => SubstringDedup.removalSpans(env.documents, "doc_id", "text", L)
+      env => SubstringDedup.removalSpans(env.spread(env.documents), "doc_id",
+          "text", L) // single-row-group input: see Env.spread
         .orderBy($"doc_id", $"span_start"),
       s"""$spanCte
          |SELECT doc_id, span_start, span_len, n_windows
          |FROM spans ORDER BY doc_id, span_start""".stripMargin),
 
     Q.sql("text_substring_scrub",
-      env => SubstringDedup.scrub(env.documents, "doc_id", "text", L)
+      env => SubstringDedup.scrub(env.spread(env.documents), "doc_id", "text", L)
         .orderBy($"doc_id"),
       s"""$spanCte,
          |gaps AS (
@@ -98,7 +99,7 @@ object SubstringQueries {
          |ORDER BY r.doc_id""".stripMargin),
 
     Q.sql("text_substring_stats",
-      env => SubstringDedup.sourceStats(env.documents, "doc_id", "text",
+      env => SubstringDedup.sourceStats(env.spread(env.documents), "doc_id", "text",
           "source", L)
         .orderBy($"source"),
       s"""$spanCte,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.DataFrame
 object TextQueries {
 
   def textStats(env: Env): DataFrame =
-    env.documents.select(
+    env.spread(env.documents).select( // single-row-group input: see Env.spread
       $"doc_id",
       TextAnalysis.tokenCount($"text").as("n_tokens"),
       TextAnalysis.regexTokenCount($"text").as("n_regex_tokens"),
@@ -22,7 +22,7 @@ object TextQueries {
       .orderBy($"doc_id")
 
   def textLangId(env: Env): DataFrame =
-    env.documents.select(
+    env.spread(env.documents).select( // single-row-group input: see Env.spread
       $"doc_id", $"lang".as("claimed_lang"),
       TextAnalysis.langId($"text").as("predicted_lang"))
       .orderBy($"doc_id")
@@ -91,8 +91,8 @@ object TextQueries {
     * dedup recipe over token n-grams — see
     * [[graft.operators.Boilerplate]]). */
   def textBoilerplateScrub(env: Env): DataFrame =
-    graft.operators.Boilerplate.scrub(env.documents, "doc_id", "text",
-        n = 2, minDfFrac = 0.06)
+    graft.operators.Boilerplate.scrub(env.spread(env.documents), "doc_id",
+        "text", n = 2, minDfFrac = 0.06) // see Env.spread
       .orderBy($"doc_id")
 
   /** Inverted index over the corpus — per-term df/cf stats with the
@@ -107,7 +107,7 @@ object TextQueries {
     * [[graft.operators.TextAnalysis.qualityClassifier]] for the
     * exactness and broadcast-model contracts. */
   def textQualityClassifier(env: Env): DataFrame =
-    TextAnalysis.qualityClassifier(env.documents, "doc_id", "text")
+    TextAnalysis.qualityClassifier(env.spread(env.documents), "doc_id", "text")
       .orderBy($"doc_id")
 
   /** Filter-cascade accounting — every document with its per-gate
@@ -118,11 +118,12 @@ object TextQueries {
     * composition of the already-verified gate columns; one join
     * (repetition kernel ⋈ scalar gates), no new operator machinery. */
   def textQualityGates(env: Env): DataFrame = {
-    val base = env.documents.select($"doc_id", $"lang", $"text",
+    val docs = env.spread(env.documents) // see Env.spread
+    val base = docs.select($"doc_id", $"lang", $"text",
       TextAnalysis.tokenCount($"text").as("n_tokens"),
       TextAnalysis.qualityScore($"text").as("quality"),
       TextAnalysis.langId($"text").as("predicted_lang"))
-    val rep = TextAnalysis.repetitionStats(env.documents, "doc_id", "text")
+    val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
     base.join(rep, Seq("doc_id"))
       .select($"doc_id", $"n_tokens",
         ($"n_tokens" >= 30).as("pass_len"),
@@ -176,7 +177,7 @@ object TextQueries {
       when(k % 3 === 0, concat(lit(" alt "), phone2)).otherwise(lit("")),
       when(k % 4 === 0, lit(" or support@help.example.org")).otherwise(lit("")),
       lit(" ref "), $"c_name")
-    env.customer.select($"c_custkey",
+    env.spread(env.customer).select($"c_custkey", // see Env.spread
         Pii.phoneCount(blob).as("n_phones"),
         Pii.emailCount(blob).as("n_emails"),
         Pii.redact(blob).as("redacted"))
@@ -251,10 +252,7 @@ object TextQueries {
   }
 
   def textFingerprint(env: Env): DataFrame =
-    env.documents.select(
-      $"doc_id",
-      TextAnalysis.fpMin($"text").as("fp_min"),
-      TextAnalysis.fpFull($"text").as("fp_full"))
+    TextAnalysis.fingerprints(env.spread(env.documents), "doc_id", "text")
       .orderBy($"doc_id")
 
   /** Self-contained langid SELECT (no ORDER BY) — reused by the
@@ -306,7 +304,7 @@ object TextQueries {
     * adjacent-phrase ("slow scan") hits; keep = clean. Chosen terms
     * flag a non-trivial slice of the synthetic corpus at every SF. */
   def textBadwordsFilter(env: Env): DataFrame =
-    env.documents.select($"doc_id",
+    env.spread(env.documents).select($"doc_id", // see Env.spread
         TextAnalysis.badwordHits($"text", Seq("dup")).as("n_badwords"),
         TextAnalysis.badPhraseHits($"text", "slow", "scan")
           .as("n_badphrases"))

@@ -27,12 +27,13 @@ object OpdsXml {
   private def expr_xpath(xml: Column, path: String): Column =
     xpath_string(xml, lit(path))
 
-  /** Parse a DataFrame of single-entry OPDS documents into rows. */
+  /** Parse a DataFrame of single-entry OPDS documents into rows — one
+    * StAX pass per document (see [[XmlKernels.opdsEntryScalars]]; the
+    * per-column xpath form re-parsed each document three times). The
+    * xpath accessors above remain the one-off/ad-hoc API.
+    */
   def parseEntries(df: DataFrame, xmlCol: String): DataFrame =
-    df.select(
-      entryId(col(xmlCol)).as("entry_id"),
-      entryTitle(col(xmlCol)).as("title"),
-      entryAuthor(col(xmlCol)).as("author"))
+    XmlKernels.opdsEntryScalars(df, xmlCol)
 
   /** Parse whole FEED documents into one row per entry — single
     * pull-parse per document, covering the namespaced fields real

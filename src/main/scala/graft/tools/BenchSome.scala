@@ -18,7 +18,10 @@ object BenchSome {
     Tables.names.foreach(t => try warmEnv.table(t).count() catch { case _: Throwable => () })
     for (name <- args.toSeq; rep <- 1 to 2) {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // noop write, matching graft.Bench: evaluates every output row
+      // (count() would let the optimizer delete unused joins/sorts)
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       println(f"$name rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
