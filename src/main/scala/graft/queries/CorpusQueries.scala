@@ -23,6 +23,31 @@ object CorpusQueries {
       .orderBy($"doc_id")
   }
 
+  /** FUZZY decontamination — the near-duplicate contamination stage
+    * the exact 13-gram check misses (a lightly-paraphrased benchmark
+    * document shares few verbatim 13-grams but sits at high Jaccard):
+    * every training doc with a bench near-dup at shingle Jaccard
+    * ≥ 0.8, via the banded increment×base machinery of
+    * [[graft.operators.TextDedup.minhashNearDupAgainst]] (bench plays
+    * the persisted base; the corpus is the increment — never a corpus
+    * self-join). Per-doc removal verdict: bench-match count + the
+    * strongest match. Same split as [[textDecontaminate]], so the two
+    * entries together are the exact+fuzzy cascade a real corpus build
+    * runs.
+    */
+  def textDecontaminateFuzzy(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, round}
+    val docs = env.documents
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val train = docs.filter($"doc_id" % 5 =!= 0)
+    graft.operators.TextDedup
+      .minhashNearDupAgainst(bench, train, "doc_id", "text", threshold = 0.8)
+      .groupBy($"inc_id".as("doc_id"))
+      .agg(cnt(lit(1)).as("n_bench_matches"),
+           max(round($"jaccard", 6)).as("max_jaccard"))
+      .orderBy($"doc_id")
+  }
+
   /** Shared DuckDB chunking fragment (window 64 / overlap 16, mirrors
     * [[graft.operators.Boilerplate.chunkWindows]]) — one copy for the
     * chunk-windows oracle and the passage-near-dup oracle so they
@@ -1134,6 +1159,23 @@ object CorpusQueries {
     // bit-identical to the exact form by construction (bloom false
     // positives die in the verify join) — same oracle
     Q.sql("text_decontaminate_bloom", textDecontaminateBloom, decontaminateSql),
+
+    // fuzzy leg of the decontamination cascade: brute-force Jaccard
+    // ground truth on the same 5-way split (oracle-side quadratic
+    // only; the Spark side pairs via the banded increment×base join)
+    Q.sql("text_decontaminate_fuzzy", textDecontaminateFuzzy,
+      s"""${DedupQueries.shingleCte}
+         |SELECT t.doc_id AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_bench_matches,
+         |       max(round(CAST(len(list_intersect(t.g, b.g)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(t.g, b.g))), 6))
+         |         AS max_jaccard
+         |FROM sh t JOIN sh b
+         |  ON t.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+         |WHERE CAST(len(list_intersect(t.g, b.g)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(t.g, b.g))) >= 0.8
+         |GROUP BY t.doc_id
+         |ORDER BY doc_id""".stripMargin),
 
     Q.sql("events_funnel", eventsFunnel,
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   // Shared DuckDB fragments (3-gram shingle set per doc).
-  private val shingleCte =
+  private[queries] val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
       |sh AS (SELECT doc_id,
       |         list_distinct(list_transform(range(1, len(s) - 1),
