@@ -31,7 +31,8 @@ object SparkEntry {
     _root_.graft.queries.CorpusQueries.entries ++
     _root_.graft.queries.ComplaintQueries.entries ++
     _root_.graft.queries.SubstringQueries.entries ++
-    _root_.graft.queries.UnigramQueries.entries
+    _root_.graft.queries.UnigramQueries.entries ++
+    _root_.graft.queries.NbQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

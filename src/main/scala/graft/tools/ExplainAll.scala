@@ -31,7 +31,12 @@ object ExplainAll {
       "ann_pq_rerank" -> 1,
       "ann_recall_report" -> 1,    // brute ground-truth side
       "ann_ivf_recall_report" -> 1,
-      "text_hybrid_rrf" -> 1)      // brute vector leg (50-query contract)
+      "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
+      // the DENSE NB model is classes × vocab BY DEFINITION — the one
+      // cross product is between two vocabulary-bounded aggregates
+      // (NaiveBayes.train), never against the document stream
+      "text_nb_train" -> 1,
+      "text_nb_classify" -> 1)
     def count(plan: String, pat: String): Int =
       pat.r.findAllMatchIn(plan).size
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
