@@ -575,7 +575,7 @@ object CorpusQueries {
     * coverage by grams that also occur in another document. */
   def textGramDedup(env: Env): DataFrame =
     graft.operators.TextDedup
-      .duplicatedGramStats(env.documents, "doc_id", "text")
+      .duplicatedGramStats(env.spread(env.documents), "doc_id", "text") // see Env.spread
       .orderBy($"doc_id")
 
   /** Gopher-rule repetition stats over every document. */

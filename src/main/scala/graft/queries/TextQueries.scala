@@ -51,8 +51,9 @@ object TextQueries {
   def textPrepPipeline(env: Env): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.row_number
-    val bench = env.documents.filter($"doc_id" % 5 === 0)
-    val corpus = env.documents.filter($"doc_id" % 5 =!= 0)
+    val docs = env.spread(env.documents) // single-row-group input: see Env.spread
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
     val base = corpus.select(
       $"doc_id", $"text",
       TextAnalysis.tokenCount($"text").as("n_tokens"),
