@@ -296,8 +296,9 @@ object Multimodal {
               col("b.media_id").as("media_b"),
               bit_count(col("a.ahash").bitwiseXOR(col("b.ahash")))
                 .cast("int").as("hamming"))
-      .distinct() // a pair may collide on several bands
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") <= maxHamming) // hamming is pair-determined:
+      .distinct() // filter first, so the dedup shuffle carries only
+                  // qualifying pairs (multi-band collisions)
   }
 
   // ---- audio (REAL: javax.sound.sampled, JDK built-in) ----

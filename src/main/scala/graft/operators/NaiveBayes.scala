@@ -71,7 +71,10 @@ object NaiveBayes {
 
   /** Classify every document: argmax over classes of
     * prior_qlp + Σ_tokens qlp(cls, token), ties to the
-    * alphabetically-first class.
+    * alphabetically-first class. Documents with no model-vocabulary
+    * tokens (empty text, or a fully-unseen vocabulary when the model
+    * trained elsewhere) keep their row with NULL predicted/score —
+    * never silently dropped.
     *
     * @return (doc_id, actual, predicted, score, correct).
     */
@@ -95,7 +98,7 @@ object NaiveBayes {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("cls").as("predicted"), col("score"))
     docs.select(col(idCol).as("doc_id"), col(clsCol).as("actual"))
-      .join(top, Seq("doc_id"))
+      .join(top, Seq("doc_id"), "left")
       .withColumn("correct", col("actual") === col("predicted"))
   }
 }

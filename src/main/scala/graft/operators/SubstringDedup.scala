@@ -21,14 +21,15 @@ import org.apache.spark.sql.functions._
   * Distributed design (the suffix-array of the paper is a single-node
   * structure; the equivalent corpus-wide question — "which length-L
   * windows repeat?" — is a hash aggregation):
-  *  - every position contributes its window's md5 (computed columnarly
-  *    with transform/substring — whole-stage codegen, no UDF); windows
-  *    travel as fixed 32-byte digests, never as L-char strings, so the
-  *    shuffle is ~32B/char regardless of L;
-  *  - ONE map-side-combinable groupBy on the digest finds duplicated
+  *  - every position contributes its window's double-mod polynomial
+  *    hash (a rolling mapPartitions kernel, O(1) per position);
+  *    windows travel as ONE long, never as L-char strings, so the
+  *    shuffle is ~8B/char regardless of L;
+  *  - ONE map-side-combinable groupBy on the hash finds duplicated
   *    windows and their keeper occurrence (min encoded (doc,pos));
-  *  - the window stream is lazily checkpointed (both the groupBy and
-  *    the join-back consume it — the corpus is hashed once);
+  *  - the hash kernel is cheap enough to recompute per consumer
+  *    (caching a window stream many times corpus size would cost
+  *    more than re-hashing);
   *  - the dup set joins back ON THE SAME KEY as a SHUFFLE_HASH build
   *    (at 100 TB the duplicated-window set is corpus-scale — a viral
   *    boilerplate line appears everywhere — so it is never broadcast,
@@ -45,10 +46,15 @@ object SubstringDedup {
 
   /** doc/pos pairs ride the aggregation as one orderable long (min of a
     * struct is not portable to the DuckDB oracle; min of this encoding
-    * is identical on both engines). Positions are 1-based and bounded
-    * by document length << 2^20.
+    * is identical on both engines). Positions are 1-based; 30 bits
+    * supports gigabyte-character documents, leaving 33 bits of doc_id
+    * (8.6e9 docs). The window kernel REJECTS inputs outside either
+    * bound — a silent wrap would corrupt keeper selection identically
+    * on both engines and verify green.
     */
-  private val PosBits = 20
+  private val PosBits = 30
+  private[operators] val MaxPos = (1L << PosBits) - 1
+  private[operators] val MaxDocId = (1L << (63 - PosBits)) - 1
 
   private def encodeOcc(doc: Column, pos: Column): Column =
     shiftleft(doc, PosBits) + pos
@@ -91,6 +97,8 @@ object SubstringDedup {
           val cps = if (text == null) Array.empty[Int]
                     else text.codePoints.toArray
           val n = cps.length
+          require(id >= 0 && id <= MaxDocId && n <= MaxPos,
+            s"doc $id (len $n) outside the (doc_id, pos) encoding bounds")
           if (n < l) Iterator.empty
           else {
             val out = new Array[(Long, Int, Long)](n - l + 1)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    never per token), and the ≤1-ulp ln divergence between engines
   *    flips a rounded unit only within ~10⁻¹⁰ of a half boundary;
   *  - Viterbi runs on exact longs: maximize Σqlp, tie-break fewer
-  *    pieces, encoded lexicographically as 32·Σqlp − nPieces — both
+  *    pieces, encoded lexicographically as PieceBase·Σqlp − nPieces — both
   *    engines agree bit-for-bit, so even near-tie segmentations hash
   *    identically.
   *
@@ -87,16 +87,29 @@ object UnigramLm {
       .toDF("piece", "freq", "qlp")
   }
 
+  /** Packing base for the combined Viterbi value (PieceBase·Σqlp −
+    * nPieces): nPieces must stay below it or the mod-decode wraps to a
+    * silently-wrong count — and the oracle replays the same wrap, so
+    * the error would verify green. Words are therefore REQUIRED
+    * shorter than this (loud failure beats agreeing wrongness);
+    * pre-split pathological unspaced runs upstream. Overflow margin:
+    * 4095 pieces · |UnkQlp| = 1.2e11, ×4096 ≈ 5e14 ≪ 2^63.
+    */
+  val PieceBase = 4096L
+
   /** Viterbi piece count for one word under the model: maximize
-    * 32·Σqlp − nPieces over all segmentations into vocab pieces (chars
-    * absent from the vocab score [[UnkQlp]]); returns the winning
-    * segmentation's piece count, which the combined value determines
-    * uniquely (nPieces = (−best) mod 32 since nPieces < 32).
+    * PieceBase·Σqlp − nPieces over all segmentations into vocab pieces
+    * (chars absent from the vocab score [[UnkQlp]]); returns the
+    * winning segmentation's piece count, which the combined value
+    * determines uniquely (nPieces = (−best) mod PieceBase since
+    * nPieces ≤ word length < PieceBase).
     */
   private[operators] def viterbiPieces(word: String,
       qlp: collection.Map[String, Long], maxPieceLen: Int): Int = {
     val n = word.length
-    val best = new Array[Long](n + 1) // combined 32·score − pieces
+    require(n < PieceBase,
+      s"word of ${n} chars ≥ $PieceBase: piece-count decode would wrap")
+    val best = new Array[Long](n + 1) // combined PieceBase·score − pieces
     var k = 1
     while (k <= n) {
       var b = Long.MinValue
@@ -105,7 +118,7 @@ object UnigramLm {
         val q = qlp.getOrElse(word.substring(k - m, k),
           if (m == 1) UnkQlp else Long.MinValue)
         if (q != Long.MinValue) {
-          val c = best(k - m) + 32L * q - 1L
+          val c = best(k - m) + PieceBase * q - 1L
           if (c > b) b = c
         }
         m += 1
@@ -113,10 +126,7 @@ object UnigramLm {
       best(k) = b
       k += 1
     }
-    (-(best(n) % 32)).toInt match {
-      case 0 => 0 // only for empty words (never: split yields non-empty)
-      case p => p
-    }
+    (-(best(n) % PieceBase)).toInt
   }
 
   /** Apply: per-document Viterbi piece accounting under a trained

@@ -1164,7 +1164,18 @@ object CorpusQueries {
     // ground truth on the same 5-way split (oracle-side quadratic
     // only; the Spark side pairs via the banded increment×base join)
     Q.sql("text_decontaminate_fuzzy", textDecontaminateFuzzy,
-      s"""${DedupQueries.shingleCte}
+      // fallback-aware shingle CTE: docs with < 3 tokens get the
+      // whole-text shingle, matching TextDedup.shingles (the shared
+      // DedupQueries CTE yields an empty list there, which would make
+      // a 2-token exact dup invisible to the oracle: 0/0 = NULL)
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+         |             FROM documents),
+         |sh AS (SELECT doc_id,
+         |         CASE WHEN len(s) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(s) - 1),
+         |                i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))
+         |              ELSE [array_to_string(s, ' ')] END AS g
+         |       FROM toks)
          |SELECT t.doc_id AS doc_id,
          |       CAST(count(*) AS BIGINT) AS n_bench_matches,
          |       max(round(CAST(len(list_intersect(t.g, b.g)) AS DOUBLE)

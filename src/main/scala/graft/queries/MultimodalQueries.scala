@@ -167,9 +167,7 @@ object MultimodalQueries {
       .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
       .map { key =>
         val base = key / 3
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(base.toString.getBytes("UTF-8"))
-          .map(b => f"$b%02x").mkString
+        val hex = graft.functions.TextNorm.md5Hex(base.toString)
         def bit(i: Int): Boolean = {
           val planted =
             ((Character.digit(hex.charAt(i / 4), 16) >> (i % 4)) & 1) == 1

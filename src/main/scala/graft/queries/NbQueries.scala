@@ -73,7 +73,8 @@ object NbQueries {
          |  FROM scored)
          |SELECT d.doc_id, d.source AS actual, t.predicted, t.score,
          |       d.source = t.predicted AS correct
-         |FROM documents d JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
+         |FROM documents d
+         |LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
          |ORDER BY d.doc_id""".stripMargin)
   )
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
   * The oracle replays training (substring counts → top-256 multi-char
   * + all single chars → quantized log-probs) and brute-forces Viterbi
   * by enumerating EVERY segmentation of each distinct word with a
-  * recursive CTE, maximizing the same 32·Σqlp − nPieces integer — the
+  * recursive CTE, maximizing the same PieceBase·Σqlp − nPieces integer — the
   * quadratic path enumeration is oracle-side only (the engine runs an
   * O(len·maxPieceLen) DP per memoized word).
   */
@@ -81,9 +81,11 @@ object UnigramQueries {
          |  FROM seg s JOIN sp p ON p.word = s.word AND p.i = s.pos + 1
          |  WHERE p.q IS NOT NULL),
          |best AS (
-         |  SELECT word, max(score * 32 - np) AS v
+         |  SELECT word, max(score * ${UnigramLm.PieceBase} - np) AS v
          |  FROM seg WHERE pos = length(word) GROUP BY word),
-         |wnp AS (SELECT word, CAST(-(v % 32) AS BIGINT) AS np FROM best),
+         |wnp AS (SELECT word,
+         |          CAST(-(v % ${UnigramLm.PieceBase}) AS BIGINT) AS np
+         |        FROM best),
          |per AS (
          |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
          |         CAST(sum(w.np) AS BIGINT) AS np

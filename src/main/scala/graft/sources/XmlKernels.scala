@@ -576,13 +576,19 @@ object XmlKernels {
 
   final case class OpdsScalar(entry_id: String, title: String, author: String)
 
-  /** One row per DOCUMENT: the first entry's (id, title, author name),
-    * ""-defaulted when absent — the `xpath_string` contract of the old
+  /** One row per DOCUMENT: the FIRST entry's (id, title, author name),
+    * ""-defaulted when the field is absent, null columns for null
+    * input — the `xpath_string` contract of the old
     * OpdsXml.parseEntries at ONE StAX parse per document. The xpath
     * form cost three full DOM parses per row (one per projected
     * column: 45 s for 150k docs at sf0.1, and the count()-based bench
     * pruned all three so it never showed); this kernel is the same
-    * single-parse shape as every other XML source.
+    * single-parse shape as every other XML source. Contract deltas vs
+    * the xpath form, both deliberate: fields come from the first
+    * ENTRY (the xpath axes could mix fields of different entries in a
+    * multi-entry document), and malformed XML degrades to the fields
+    * parsed so far (the sanitize/recover posture of every kernel
+    * here) instead of whatever fragment the DOM recovered.
     */
   def opdsEntryScalars(snapshot: DataFrame, xmlCol: String): DataFrame = {
     val spark = snapshot.sparkSession
@@ -591,11 +597,14 @@ object XmlKernels {
       .mapPartitions { it =>
         val f = newFactory()
         it.map { xml =>
-          val es = parseOpdsFeed(f, "", xml)
-          if (es.hasNext) {
-            val e = es.next()
-            OpdsScalar(e.entry_id, e.title, e.author_name.getOrElse(""))
-          } else OpdsScalar("", "", "")
+          if (xml == null) OpdsScalar(null, null, null)
+          else {
+            val es = parseOpdsFeed(f, "", xml)
+            if (es.hasNext) {
+              val e = es.next()
+              OpdsScalar(e.entry_id, e.title, e.author_name.getOrElse(""))
+            } else OpdsScalar("", "", "")
+          }
         }
       }.toDF()
   }

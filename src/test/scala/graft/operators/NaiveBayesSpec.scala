@@ -40,6 +40,17 @@ class NaiveBayesSpec extends SparkSpec {
     assert(out.forall(_._3))
   }
 
+  test("classify keeps vocabulary-less documents with null prediction") {
+    val withEmpty = docs.union(Seq((9L, "sport", "")).toDF("doc_id", "source", "text"))
+    val out = NaiveBayes.classify(withEmpty, "doc_id", "source", "text",
+        NaiveBayes.train(docs, "source", "text"),
+        NaiveBayes.priors(docs, "source"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 6) // never silently dropped
+    val empty = out.last
+    assert(empty.getLong(0) == 9L && empty.isNullAt(2) && empty.isNullAt(4))
+  }
+
   test("classify plan: model joins on the word key, never a doc-stream cross join") {
     val plan = NaiveBayes.classify(docs, "doc_id", "source", "text",
         NaiveBayes.train(docs, "source", "text"),

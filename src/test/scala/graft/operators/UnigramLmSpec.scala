@@ -61,6 +61,17 @@ class UnigramLmSpec extends SparkSpec with PropSupport {
     assert(out(2) == ((2L, 0L, 0L, 0.0)))
   }
 
+  test("long words decode exact piece counts (no mod wrap) and huge words fail loudly") {
+    // 40 single-char pieces: a mod-32 packing would decode 40 % 32 = 8
+    val q = Map("z" -> -1000000L)
+    val w40 = "z" * 40
+    assert(UnigramLm.viterbiPieces(w40, q, 4) == 40)
+    val huge = "z" * 5000
+    intercept[IllegalArgumentException] {
+      UnigramLm.viterbiPieces(huge, q, 4)
+    }
+  }
+
   test("property: piece count stays within [ceil(len/4), len]") {
     val word = Gen.choose(1, 12).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
