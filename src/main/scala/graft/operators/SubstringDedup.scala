@@ -46,13 +46,14 @@ object SubstringDedup {
 
   /** doc/pos pairs ride the aggregation as one orderable long (min of a
     * struct is not portable to the DuckDB oracle; min of this encoding
-    * is identical on both engines). Positions are 1-based; 30 bits
-    * supports gigabyte-character documents, leaving 33 bits of doc_id
-    * (8.6e9 docs). The window kernel REJECTS inputs outside either
-    * bound — a silent wrap would corrupt keeper selection identically
-    * on both engines and verify green.
+    * is identical on both engines). Positions are 1-based; 28 bits
+    * supports 268M-character documents, leaving 35 bits of doc_id
+    * (3.4e10 docs — the sf1 ScaleUp remap alone reaches 9e9). The
+    * window kernel REJECTS inputs outside either bound — a silent
+    * wrap would corrupt keeper selection identically on both engines
+    * and verify green.
     */
-  private val PosBits = 30
+  private val PosBits = 28
   private[operators] val MaxPos = (1L << PosBits) - 1
   private[operators] val MaxDocId = (1L << (63 - PosBits)) - 1
 

@@ -40,12 +40,10 @@ object NbQueries {
       |  FROM ctot c CROSS JOIN vocab vo CROSS JOIN vn
       |  LEFT JOIN cw ON cw.cls = c.cls AND cw.word = vo.word)""".stripMargin
 
-  val entries: Seq[Q] = Seq(
-    Q.sql("text_nb_train", textNbTrain,
-      s"""WITH $modelCte
-         |SELECT cls, word, n, qlp FROM model ORDER BY cls, word""".stripMargin),
-
-    Q.sql("text_nb_classify", textNbClassify,
+  /** Shared by the batch entry and the t10 streaming-serving entry
+    * (per-doc results are batch-independent, so the streamed union
+    * replays exactly this SQL). */
+  private[queries] val nbClassifySql: String =
       s"""WITH $modelCte,
          |prior AS (
          |  SELECT source AS cls, CAST(count(*) AS BIGINT) AS nd
@@ -75,6 +73,14 @@ object NbQueries {
          |       d.source = t.predicted AS correct
          |FROM documents d
          |LEFT JOIN top t ON t.doc_id = d.doc_id AND t.rn = 1
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("text_nb_train", textNbTrain,
+      s"""WITH $modelCte
+         |SELECT cls, word, n, qlp FROM model ORDER BY cls, word""".stripMargin),
+
+    Q.sql("text_nb_classify", textNbClassify, nbClassifySql)
   )
+
 }

@@ -314,6 +314,40 @@ object StreamQueries {
     spark.read.parquet(out).orderBy($"qid", $"rank")
   }
 
+  /** T10 — streaming MODEL SERVING for the Naive Bayes domain
+    * classifier: the model + priors train ONCE against the static
+    * corpus (lazy-checkpointed so the training plan runs once, not
+    * per micro-batch), documents stream in, and foreachBatch
+    * classifies each micro-batch under the frozen model — the
+    * t9 serving pattern with a trained model artifact instead of an
+    * index. Per-doc results are batch-independent, so the streamed
+    * union equals the batch classify and the entry SHARES
+    * text_nb_classify's oracle verbatim.
+    */
+  def t10NbStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val model = graft.operators.NaiveBayes
+      .train(env.documents, "source", "text")
+      .localCheckpoint(eager = false)
+    val prior = graft.operators.NaiveBayes.priors(env.documents, "source")
+      .localCheckpoint(eager = false)
+    val stream = streamRead(env, "documents")
+    val out = s"$scratchBase/t10_nb_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.NaiveBayes
+            .classify(batch, "doc_id", "source", "text", model, prior)
+            .write.mode("append").parquet(out)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.read.parquet(out).orderBy($"doc_id")
+  }
+
   def t6DecontaminateStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -379,6 +413,9 @@ object StreamQueries {
     // per-query results are batch-independent → shares ann_ivf_topk's
     // oracle verbatim
     Q.sql("t9_ann_stream", t9AnnStream, AnnQueries.ivfTopkSql),
+
+    // streamed model serving ≡ batch classify (batch-independent rows)
+    Q.sql("t10_nb_stream", t10NbStream, NbQueries.nbClassifySql),
 
     Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),

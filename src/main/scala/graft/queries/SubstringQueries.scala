@@ -39,12 +39,12 @@ object SubstringQueries {
        |         $polyHash AS g
        |  FROM docs, unnest(range(1, length(text) - ${L - 2})) AS u(i)),
        |dup AS (
-       |  SELECT g, min(doc_id * 1073741824 + pos) AS keeper_key
+       |  SELECT g, min(doc_id * 268435456 + pos) AS keeper_key
        |  FROM w GROUP BY g HAVING count(*) >= 2),
        |removed AS (
        |  SELECT w.doc_id, w.pos
        |  FROM w JOIN dup USING (g)
-       |  WHERE w.doc_id * 1073741824 + w.pos <> dup.keeper_key),
+       |  WHERE w.doc_id * 268435456 + w.pos <> dup.keeper_key),
        |brk AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
