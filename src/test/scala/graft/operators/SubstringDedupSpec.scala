@@ -88,6 +88,29 @@ class SubstringDedupSpec extends SparkSpec with PropSupport {
     assert(st == Seq(("s1", 0L, 0L), ("s2", 1L, 46L)))
   }
 
+  test("property: scrub conserves characters (kept = orig - span sum) per doc") {
+    val word = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
+    val gen = for {
+      a <- Gen.listOfN(15, word).map(_.mkString(" "))
+      b <- Gen.listOfN(15, word).map(_.mkString(" "))
+      shared <- Gen.listOfN(8, word).map(_.mkString(" "))
+    } yield Seq((1L, a + " " + shared), (2L, shared + " " + b),
+                (3L, a + " " + b))
+    checkN("scrub conservation", 15)(forAll(gen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val spanSum = SubstringDedup.removalSpans(df, "doc_id", "text", L)
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.sum("span_len").as("cut"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scrubbed = SubstringDedup.scrub(df, "doc_id", "text", L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3)))
+      scrubbed.forall { case (id, orig, kept, text) =>
+        kept == text.length && orig - kept == spanSum.getOrElse(id, 0L)
+      }
+    })
+  }
+
   test("property: planted shared passage is always fully covered in the non-keeper doc") {
     val word = Gen.listOfN(8, Gen.alphaLowerChar).map(_.mkString)
     val gen = for {
