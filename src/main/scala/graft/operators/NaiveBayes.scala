@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
   */
 object NaiveBayes {
 
-  val QScale = 1000000L
+  /** One quantization scale across the trained-model family — the
+    * guard-band argument and both oracles' 1e6 literals assume it. */
+  val QScale: Long = UnigramLm.QScale
 
   private def qlp(x: Column): Column =
     round(log(x) * QScale, 0).cast("long")
@@ -40,9 +42,8 @@ object NaiveBayes {
     * the intended dense shape.
     */
   def train(docs: DataFrame, clsCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(clsCol).as("cls"),
-        explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
+    val toks = TextAnalysis
+      .explodedWords(docs, textCol, clsCol).withColumnRenamed(clsCol, "cls")
       .localCheckpoint(eager = false) // feeds cw, ctot and the vocab
     val cw = toks.groupBy(col("cls"), col("word"))
       .agg(count(lit(1)).as("n"))
@@ -81,9 +82,8 @@ object NaiveBayes {
   def classify(docs: DataFrame, idCol: String, clsCol: String,
                textCol: String, model: DataFrame,
                prior: DataFrame): DataFrame = {
-    val tc = docs.select(col(idCol).as("doc_id"),
-        explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
+    val tc = TextAnalysis.explodedWords(docs, textCol, idCol)
+      .withColumnRenamed(idCol, "doc_id")
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("cnt"))
     val scored = tc

@@ -12,6 +12,19 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** One row per non-empty whitespace token, keeping `keyCols` — THE
+    * tokenization pipeline shared by the word-count/training operators
+    * ([[graft.operators.UnigramLm]], [[graft.operators.NaiveBayes]],
+    * and the [[graft.operators.BpeTrain]] word table): all their
+    * oracles replay DuckDB `string_split(text, ' ')` + empty filter,
+    * so the Spark side must mean exactly this in exactly one place.
+    */
+  def explodedWords(docs: DataFrame, textCol: String,
+                    keyCols: String*): DataFrame =
+    docs.select(keyCols.map(col) :+
+        explode(split(col(textCol), " ")).as("word"): _*)
+      .filter(col("word") =!= "")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

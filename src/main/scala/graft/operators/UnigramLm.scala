@@ -45,8 +45,7 @@ object UnigramLm {
 
   /** Distinct-word counts: (word, n). One corpus pass, combinable. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
+    TextAnalysis.explodedWords(docs, textCol)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
 
   /** Train the vocabulary. Returns the entries sorted by piece — a
@@ -59,10 +58,15 @@ object UnigramLm {
     import spark.implicits._
     val pieces = wordCounts(docs, textCol).as[(String, Long)]
       .mapPartitions(_.flatMap { case (w, n) =>
+        // CODEPOINT indexing, matching the DuckDB oracle's substr
+        // semantics (UTF-16 units would split surrogate pairs into
+        // mangled half-pieces on astral text — the SubstringDedup
+        // precedent)
+        val cps = w.codePoints.toArray
         for {
-          i <- (0 until w.length).iterator
-          m <- 1 to math.min(maxPieceLen, w.length - i)
-        } yield (w.substring(i, i + m), n)
+          i <- (0 until cps.length).iterator
+          m <- 1 to math.min(maxPieceLen, cps.length - i)
+        } yield (new String(cps, i, m), n)
       })
       .toDF("piece", "n")
       .groupBy(col("piece")).agg(sum(col("n")).as("freq"))
@@ -106,7 +110,8 @@ object UnigramLm {
     */
   private[operators] def viterbiPieces(word: String,
       qlp: collection.Map[String, Long], maxPieceLen: Int): Int = {
-    val n = word.length
+    val cps = word.codePoints.toArray // codepoint indexing (see train)
+    val n = cps.length
     require(n < PieceBase,
       s"word of ${n} chars ≥ $PieceBase: piece-count decode would wrap")
     val best = new Array[Long](n + 1) // combined PieceBase·score − pieces
@@ -115,7 +120,7 @@ object UnigramLm {
       var b = Long.MinValue
       var m = 1
       while (m <= math.min(maxPieceLen, k)) {
-        val q = qlp.getOrElse(word.substring(k - m, k),
+        val q = qlp.getOrElse(new String(cps, k - m, m),
           if (m == 1) UnkQlp else Long.MinValue)
         if (q != Long.MinValue) {
           val c = best(k - m) + PieceBase * q - 1L
@@ -131,8 +136,10 @@ object UnigramLm {
 
   /** Apply: per-document Viterbi piece accounting under a trained
     * vocabulary. One narrow kernel map; the vocab artifact broadcasts;
-    * per-partition word→pieces memo (the distinct-word working set is
-    * vocabulary-bounded).
+    * per-partition word→pieces memo. The memo is bounded by the
+    * DISTINCT words the partition sees — natural-language partitions
+    * keep it small, but an ID-heavy corpus grows it, so it resets at
+    * 2^20 entries (a pure cache: resets never change results).
     *
     * @return (doc_id, n_words, n_pieces, avg_pieces rounded 4dp).
     */
@@ -158,6 +165,7 @@ object UnigramLm {
             var p = memo.getOrDefault(w, -1)
             if (p < 0) {
               p = viterbiPieces(w, qlp, maxPieceLen)
+              if (memo.size >= (1 << 20)) memo.clear()
               memo.put(w, p)
             }
             pieces += p

@@ -9,9 +9,13 @@ import org.apache.spark.sql.DataFrame
   * The oracle replays training (substring counts → top-256 multi-char
   * + all single chars → quantized log-probs) and brute-forces Viterbi
   * by enumerating EVERY segmentation of each distinct word with a
-  * recursive CTE, maximizing the same PieceBase·Σqlp − nPieces integer — the
-  * quadratic path enumeration is oracle-side only (the engine runs an
-  * O(len·maxPieceLen) DP per memoized word).
+  * recursive CTE, maximizing the same PieceBase·Σqlp − nPieces
+  * integer. NOTE the enumeration is EXPONENTIAL in word length
+  * (~1.93^len compositions into parts ≤ 4) — fine for this corpus's
+  * ≤ 8-char vocabulary and oracle-side only (the engine runs an
+  * O(len·maxPieceLen) DP per memoized word at any length), but a
+  * corpus with long unspaced tokens would need a DP-unrolled oracle
+  * instead.
   */
 object UnigramQueries {
 

@@ -61,6 +61,21 @@ class UnigramLmSpec extends SparkSpec with PropSupport {
     assert(out(2) == ((2L, 0L, 0L, 0.0)))
   }
 
+  test("astral characters index by codepoint, matching the oracle's substr semantics") {
+    val astral = new String(Character.toChars(0x1D7D8)) // one codepoint, 2 UTF-16 units
+    val w = "a" + astral + "b"
+    // three single-codepoint pieces — UTF-16 indexing would see 4 units
+    // and produce mangled lone-surrogate pieces
+    val q = Map("a" -> -1000000L, "b" -> -1000000L, astral -> -1000000L)
+    assert(UnigramLm.viterbiPieces(w, q, 4) == 3)
+    // training on an astral corpus yields whole-codepoint pieces only
+    val vocab = UnigramLm.train(docs(w + " " + w), "text", 8, 2)
+    assert(vocab.exists(_.piece == astral))
+    assert(vocab.forall(v => !v.piece.exists(Character.isSurrogate)
+      || v.piece.codePoints.toArray.forall(Character.isValidCodePoint)))
+    assert(vocab.forall(v => v.piece.codePointCount(0, v.piece.length) <= 2))
+  }
+
   test("long words decode exact piece counts (no mod wrap) and huge words fail loudly") {
     // 40 single-char pieces: a mod-32 packing would decode 40 % 32 = 8
     val q = Map("z" -> -1000000L)
