@@ -91,9 +91,7 @@ object BpeTrain {
     val d = Delim
     val dd = d + d
 
-    val words = docs
-      .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
+    val words = TextAnalysis.explodedWords(docs, textCol)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(
         when(col("word").contains(d),
