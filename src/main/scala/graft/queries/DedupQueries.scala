@@ -101,6 +101,32 @@ object DedupQueries {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware dedup ARBITRATION — production pipelines keep the
+    * BEST member of each near-dup cluster (highest quality score,
+    * doc_id tie-break), not the smallest id: a boilerplate-ridden
+    * early crawl of a page should lose to its cleaner re-crawl even
+    * when the old copy has the lower id. Composes two verified
+    * operators (min-label components × the quality score); the
+    * per-cluster argmax is one combinable aggregate on the
+    * pairs-output-sized component table, never a corpus window.
+    */
+  def dedupKeepBest(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt, lit, max, max_by, struct}
+    val comps = TextDedup.nearDupComponents(
+      TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text",
+        threshold = 0.8))
+    val q = env.spread(env.documents).select($"doc_id",
+      graft.operators.TextAnalysis.qualityScore($"text").as("quality"))
+    comps.join(q, Seq("doc_id"))
+      .groupBy($"canonical_id")
+      .agg(cnt(lit(1)).as("n_members"),
+           max_by($"doc_id", struct($"quality", (-$"doc_id").as("neg")))
+             .as("best_id"),
+           max($"quality").as("best_quality"))
+      .select($"canonical_id", $"best_id", $"n_members", $"best_quality")
+      .orderBy($"canonical_id")
+  }
+
   /** Near-dup cluster-size histogram — the data-card view of dedup
     * pressure: how many components of each size, singleton row
     * included (total docs minus clustered docs). The histogram runs on
@@ -203,6 +229,49 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q.sql("dedup_simhash", dedupSimhash, simhashSql),
+
+    // components replayed brute-force + quality argmax per cluster
+    // (window form; ties impossible beyond doc_id, which both sides
+    // break ascending)
+    Q.sql("dedup_keep_best", dedupKeepBest,
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |comp AS (SELECT doc_id, min(root) AS canonical_id
+         |         FROM reach GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |         * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+         |      + 0.3 * least((CAST(len(list_filter(string_split(text, ' '),
+         |            x -> x IN ('a','the','and','of','to','in','is'))) AS DOUBLE)
+         |          / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0))
+         |          * 5.0, 1.0)
+         |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+         |            / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)
+         |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6) AS quality
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT c.canonical_id, c.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY c.canonical_id
+         |                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY c.canonical_id) AS nm
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT canonical_id, doc_id AS best_id,
+         |       CAST(nm AS BIGINT) AS n_members, quality AS best_quality
+         |FROM ranked WHERE rn = 1
+         |ORDER BY canonical_id""".stripMargin),
 
     Q.sql("dedup_components", dedupComponents,
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -33,6 +33,21 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("keep-best arbitration shape: max_by quality with doc_id tie-break") {
+    // direct check of the argmax the dedup_keep_best entry uses: the
+    // higher-quality member wins regardless of id order; equal quality
+    // falls back to the SMALLER id (max of (quality, -doc_id))
+    import org.apache.spark.sql.functions.{max_by, struct, col}
+    val rows = Seq((10L, 1L, 0.5), (11L, 1L, 0.9), (20L, 2L, 0.7),
+      (21L, 2L, 0.7)).toDF("doc_id", "canonical_id", "quality")
+    val best = rows.groupBy(col("canonical_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("quality"), (-col("doc_id")).as("neg"))).as("best_id"))
+      .orderBy("canonical_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(best == Seq((1L, 11L), (2L, 20L)))
+  }
+
   test("nearDupComponents: long chain converges within the iteration cap") {
     val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val out = TextDedup.nearDupComponents(pairs)
@@ -65,14 +80,18 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     assert(df.head().getDouble(0) == 0.2)
   }
 
-  test("property: minhash pairs = brute-force pairs on random corpora") {
-    // Small random corpora with planted duplicates: LSH + verify must
-    // equal brute force (recall bound astronomically close to 1 at
-    // jaccard >= 0.9, and the verify stage guarantees precision).
+  test("property: minhash precision is exact; recall holds in the guaranteed regime") {
+    // The honest approximate-operator contract: the verify stage makes
+    // PRECISION exact (every emitted pair is a true >= t pair), while
+    // RECALL is only guaranteed w.h.p. for pairs well above the
+    // threshold (1-(1-j^4)^16: ~0.79 at j=0.55 but 1-4e-8 at j=0.9).
+    // The old form demanded lsh == brute at t=0.5, which FLAKES
+    // whenever a random corpus produces a marginal pair the banding
+    // legitimately misses.
     val word = Gen.oneOf("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
     val doc = Gen.listOfN(12, word).map(_.mkString(" "))
     val corpus = Gen.listOfN(8, doc)
-    check("minhash = brute force")(forAll(corpus) { docs =>
+    check("minhash precision/recall")(forAll(corpus) { docs =>
       // plant one exact duplicate so non-empty results get exercised
       val all = (docs :+ docs.head).zipWithIndex.map { case (t, i) => (i.toLong, t) }
       val df = all.toDF("doc_id", "text")
@@ -81,12 +100,13 @@ class TextDedupSpec extends SparkSpec with PropSupport {
       val sh = all.map { case (i, t) =>
         (i, shingleSetLocal(t))
       }
-      val brute = (for {
+      def bruteAtLeast(t: Double) = (for {
         (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
         j = sa.intersect(sb).size.toDouble / sa.union(sb).size
-        if j >= 0.5
+        if j >= t
       } yield (ia, ib)).toSet
-      lsh == brute
+      lsh.subsetOf(bruteAtLeast(0.5)) &&       // precision: exact
+        bruteAtLeast(0.9).subsetOf(lsh)        // recall: guaranteed regime
     })
   }
 
