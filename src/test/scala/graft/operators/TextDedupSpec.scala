@@ -126,13 +126,18 @@ class TextDedupSpec extends SparkSpec with PropSupport {
         .select("inc_id", "base_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val sh = all.map { case (i, t) => (i, shingleSetLocal(t)) }
-      val brute = (for {
+      def brute(t: Double) = (for {
         (ia, sa) <- sh if ia % 3 == 0
         (ib, sb) <- sh if ib % 3 != 0
         j = sa.intersect(sb).size.toDouble / sa.union(sb).size
-        if j >= 0.8
+        if j >= t
       } yield (ia, ib)).toSet
-      got == brute
+      // precision exact; recall asserted in the guaranteed regime
+      // (banding misses a marginal j≈0.8 pair with p≈2e-4 — across
+      // 200 generated corpora that WILL eventually flake an
+      // exact-equality form; the planted j=1 pair sits in the
+      // guaranteed set)
+      got.subsetOf(brute(0.8)) && brute(0.9).subsetOf(got)
     })
   }
 
