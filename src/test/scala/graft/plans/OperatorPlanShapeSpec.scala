@@ -213,6 +213,46 @@ class OperatorPlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("substring dedup: shuffled-hash join-back on the window key, never broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val docs = (0L until 60L).map(i =>
+      (i, ("w" + (i % 7)) * 30)).toDF("doc_id", "text")
+    val spans = graft.operators.SubstringDedup
+      .removalSpans(docs, "doc_id", "text", 40)
+    spans.count()
+    val nodes = Bucketing.physicalNodes(spans)
+    // the duplicated-window set is corpus-scale at 100 TB: the
+    // join-back must be the hinted SHUFFLE_HASH on g, never a
+    // broadcast (and never a nested loop)
+    assert(nodes.exists(_.isInstanceOf[ShuffledHashJoinExec]),
+      spans.queryExecution.executedPlan.toString)
+    assert(!nodes.exists(n => n.isInstanceOf[BroadcastHashJoinExec]
+                           || n.isInstanceOf[BroadcastNestedLoopJoinExec]
+                           || n.isInstanceOf[CartesianProductExec]),
+      spans.queryExecution.executedPlan.toString)
+  }
+
+  test("nb classify: model pairing is a shuffled-hash equi-join on the word key") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val docs = (0L until 40L).map(i =>
+      (i, "c" + (i % 3), s"tok${i % 5} tok${i % 7} tok${i % 3}"))
+      .toDF("doc_id", "cls", "text")
+    val out = graft.operators.NaiveBayes.classify(docs, "doc_id", "cls",
+      "text", graft.operators.NaiveBayes.train(docs, "cls", "text"),
+      graft.operators.NaiveBayes.priors(docs, "cls"))
+    out.count()
+    val nodes = Bucketing.physicalNodes(out)
+    val shj = nodes.collect { case j: ShuffledHashJoinExec => j }
+    // the vocab×classes model is vocabulary-bounded but NOT
+    // broadcast-safe at 100 TB — the hinted shuffled-hash join on
+    // `word` is the pinned shape
+    assert(shj.exists(j => (j.leftKeys ++ j.rightKeys)
+        .exists(_.toString.contains("word"))),
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("queryChunks: bounded rows, valid queries only, no driver collect needed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     import spark.implicits._
