@@ -281,6 +281,10 @@ object Multimodal {
       .mapPartitions(_.map { case (id, c) => (id, aHash64(c)) })
       .toDF("media_id", "ahash")
       .filter(col("ahash") >= 0)
+      // feeds BOTH sides of the band self-join below — without the
+      // checkpoint the real PNG decode + aHash kernel runs twice
+      // (the TextDedup band/shingle-kernel convention)
+      .localCheckpoint(eager = false)
     val banded = hashes.select(col("media_id"), col("ahash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

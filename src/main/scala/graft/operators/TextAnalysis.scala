@@ -157,11 +157,31 @@ object TextAnalysis {
                   .toArray.distinct
               else Array(toks.mkString(" "))
             val fpMin = grams.iterator.map(hex).min
-            val fpFull = hex(grams.sorted.mkString("|"))
+            val fpFull = hex(grams.sorted(CodepointOrdering).mkString("|"))
             (id, fpMin, fpFull)
           }
         }
       }.toDF("doc_id", "fp_min", "fp_full")
+  }
+
+  /** Codepoint-order String comparator — Spark's string sort
+    * (array_sort included) and DuckDB's both compare UTF-8 bytes,
+    * which equals codepoint order; Java's natural String ordering
+    * compares UTF-16 code units, which ranks supplementary-plane
+    * codepoints (surrogates 0xD800+) BELOW U+E000..U+FFFF. Any kernel
+    * that must sort like the column form sorts with this.
+    */
+  private[graft] object CodepointOrdering extends Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val la = a.length; val lb = b.length
+      var i = 0
+      while (i < la && i < lb) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+      }
+      Integer.compare(la - i, lb - i)
+    }
   }
 
   /** Repetition statistics for quality filtering (the Gopher-rule

@@ -1162,7 +1162,15 @@ object CorpusQueries {
 
     // fuzzy leg of the decontamination cascade: brute-force Jaccard
     // ground truth on the same 5-way split (oracle-side quadratic
-    // only; the Spark side pairs via the banded increment×base join)
+    // only; the Spark side pairs via the banded increment×base join).
+    // EXACT-equality precondition: the 16×4 banding misses a pair at
+    // jaccard j with prob (1−j⁴)¹⁶ over the hash seeds (~2e-4 at the
+    // 0.8 threshold; ≈1.5e-7 at the corpus's lowest real pair,
+    // j = 0.889) — and with the fixed md5 seeds the outcome is FROZEN
+    // per corpus: a pair either always bands together or never does.
+    // DedupQueriesSpec.bandingPrecondition pins banded recall == 1
+    // against the brute pair set, so a testdata regeneration that
+    // strands a marginal pair fails in CI before the driver flakes.
     Q.sql("text_decontaminate_fuzzy", textDecontaminateFuzzy,
       // fallback-aware shingle CTE: docs with < 3 tokens get the
       // whole-text shingle, matching TextDedup.shingles (the shared

@@ -11,18 +11,21 @@ import org.apache.spark.sql.functions._
   * while the Spark side uses banded/chunked candidate joins, so a green
   * row proves the sub-quadratic plan reproduces the quadratic ground
   * truth exactly.
-  *
-  * Oracle note: documents all have ≥ 10 tokens, so the SQL skips the
-  * short-text fallback branch that the Scala operator carries.
   */
 object DedupQueries {
 
-  // Shared DuckDB fragments (3-gram shingle set per doc).
+  // Shared DuckDB fragments (3-gram shingle set per doc). Fallback-
+  // aware like TextDedup.shingles: a doc under 3 tokens contributes
+  // its whole text as one shingle — without it a duplicated 1–2-token
+  // doc pairs on the Spark side but scores NULL (0/0) Jaccard here,
+  // silently vanishing from every pair oracle built on this fragment.
   private[queries] val shingleCte =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
       |sh AS (SELECT doc_id,
-      |         list_distinct(list_transform(range(1, len(s) - 1),
-      |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+      |         CASE WHEN len(s) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(s) - 1),
+      |                i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))
+      |              ELSE [array_to_string(s, ' ')] END AS g
       |       FROM toks)""".stripMargin
 
   /** Exact dedup on the canonical token-set (1-gram) fingerprint —
@@ -232,7 +235,9 @@ object DedupQueries {
 
     // components replayed brute-force + quality argmax per cluster
     // (window form; ties impossible beyond doc_id, which both sides
-    // break ascending)
+    // break ascending). Shares dedup_minhash's exactness precondition:
+    // banded recall == 1 on the frozen corpus+seeds, pinned by
+    // DedupQueriesSpec.bandingPrecondition against the brute pair set.
     Q.sql("dedup_keep_best", dedupKeepBest,
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pairs AS (

@@ -4,11 +4,10 @@ import graft.{Env, Q}
 import graft.streaming.Streams
 import graft.streaming.Streams.CoverageAttempt
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{concat, lit}
 
 /** T3 as a VERIFIED query: the flatMapGroupsWithState queue drain runs
-  * as a real streaming query (MemoryStream → state store → memory
+  * as a real streaming query (file source → state store → memory
   * sink) inside the batch harness, and its FINAL STATE is checked
   * against a DuckDB oracle. The queue contents are constructed
   * order-invariant — each identifier gets either only failures or a
@@ -16,36 +15,53 @@ import org.apache.spark.sql.functions.{concat, lit}
   * Streaming does not guarantee) cannot change the outcome, and the
   * state machine's result is deterministic and SQL-expressible.
   *
-  * MemoryStream feeding collects the bounded queue to the driver — the
-  * harness pattern (StreamsSpec does the same); a production drain
-  * reads Kafka/files with identical downstream code.
+  * The attempt queue is STAGED to scratch parquet by a distributed
+  * write and streamed back as a FILE source (the t5/t6 pattern) — the
+  * queue never rides the driver, so a corpus-sized backlog survives
+  * 100× (the prior MemoryStream harness collected the whole customer
+  * table; a production drain points the same readStream at Kafka/the
+  * landing directory with identical downstream code). Update-mode
+  * emission appends one state row per (identifier, micro-batch) that
+  * touched it, so the verified projection folds to the FINAL state
+  * per identifier — max attempts wins; attempts is non-decreasing
+  * across emissions and tied rows are bit-identical, so the fold is
+  * deterministic whatever the file-to-batch split.
   */
 object StreamQueries {
 
   def t3QueueDrain(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val queue: Seq[CoverageAttempt] = env.customer
-      .select($"c_custkey".cast("long"),
+    import org.apache.spark.sql.functions.{explode, lit, max, max_by, sequence, when}
+    val stage = s"$scratchBase/t3_attempts"
+    env.customer
+      .select($"c_custkey".cast("long").as("id"),
               ($"c_custkey" % 3 === 0).as("allFail"),
               ($"c_custkey" % 5 + 1).cast("int").as("n"))
-      .collect().toSeq
-      .flatMap { r =>
-        val id = r.getLong(0).toString
-        if (r.getBoolean(1))
-          Seq.fill(r.getInt(2))(CoverageAttempt(id, "resolve", success = false))
-        else Seq(CoverageAttempt(id, "resolve", success = true))
-      }
-    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val stream = MemoryStream[CoverageAttempt]
-    stream.addData(queue)
+      .select($"id", $"allFail",
+        explode(sequence(lit(1), when($"allFail", $"n").otherwise(1))).as("k"))
+      .select($"id".cast("string").as("identifier"),
+              lit("resolve").as("operation"),
+              (!$"allFail").as("success"))
+      .write.mode("overwrite").parquet(stage)
+    val attempts = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CoverageAttempt].schema)
+      .parquet(stage)
+      .as[CoverageAttempt]
     val sink = "t3_drain_sink"
     spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
-    val q = Streams.coverageStateMachine(stream.toDS())
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update").start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark) {
+      val q = Streams.coverageStateMachine(attempts)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(sink)
+      .groupBy($"identifier")
+      .agg(max_by($"status", $"attempts").as("status"),
+           max($"attempts").as("attempts"))
       .select($"identifier".cast("long").as("identifier"), $"status",
               $"attempts")
       .orderBy($"identifier")

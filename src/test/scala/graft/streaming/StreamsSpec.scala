@@ -178,6 +178,40 @@ class StreamsSpec extends SparkSpec {
     assert(last("y").status == "SUCCESS" && last("y").attempts == 1)
   }
 
+  test("T3 streaming: file-source leg (staged parquet, AvailableNow, multi-batch fold)") {
+    // The t3_queue_drain driver entry stages attempts to parquet and
+    // streams them back as a FILE source — this pins that leg: two
+    // staged files forced into two micro-batches (maxFilesPerTrigger
+    // 1), so an identifier spanning both emits one update row per
+    // batch and the final-state fold (max attempts) must reduce them.
+    val dir = java.nio.file.Files.createTempDirectory("t3_file_leg").toString
+    Seq(CoverageAttempt("f", "resolve", success = false),
+        CoverageAttempt("f", "resolve", success = false))
+      .toDS().write.parquet(s"$dir/part1.parquet")
+    Seq(CoverageAttempt("f", "resolve", success = false),
+        CoverageAttempt("f", "resolve", success = false),
+        CoverageAttempt("s", "resolve", success = true))
+      .toDS().write.parquet(s"$dir/part2.parquet")
+    val attempts = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CoverageAttempt].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/*.parquet")
+      .as[CoverageAttempt]
+    val q = Streams.coverageStateMachine(attempts)
+      .writeStream.format("memory").queryName("coverage_states_file")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table("coverage_states_file").as[CoverageState].collect()
+    // multi-batch emission really happened (f appears once per batch)
+    assert(rows.count(_.identifier == "f") >= 2)
+    val last = rows.groupBy(_.identifier)
+      .map { case (k, vs) => k -> vs.maxBy(_.attempts) }
+    assert(last("f").status == "PERSISTENT_FAILURE" && last("f").attempts == 4)
+    assert(last("s").status == "SUCCESS" && last("s").attempts == 1)
+  }
+
   test("T1 sweep: batch leg folds processed statuses into the state table") {
     val records = Seq(
       ("i1", "REGISTERED", 0),
