@@ -171,47 +171,57 @@ object VectorSearch {
             nvs(v) = if (img == null) 0.0 else normKD(img, dim)
             v += 1
           }
-          qids.indices.iterator.flatMap { j =>
-            val qid = qids(j)
-            val nq = nqs(j)
-            val off = j * dim
-            val cut = math.min(cutK, vids.length)
-            if (cut <= 0) Iterator.empty // k = 0: empty result, not a crash
-            else {
-              val topV = new Array[Long](cut)
-              val topC = new Array[Double](cut)
-              var n = 0
-              var vv = 0
-              while (vv < vids.length) {
-                val nv = nvs(vv)
-                // nv == 0: null image or zero norm — cosine undefined
-                if (nv != 0 && vids(vv) != qid) {
-                  val image = images(vv)
-                  var s = 0.0
-                  var i = 0
-                  while (i < dim) { s += qflat(off + i).toDouble * image(i); i += 1 }
-                  val cos = round6(s / (nq * nv))
-                  val vid = vids(vv)
-                  if (n < cut || cos > topC(n - 1) ||
-                      (cos == topC(n - 1) && vid < topV(n - 1))) {
-                    var p = math.min(n, cut - 1)
-                    while (p > 0 && (topC(p - 1) < cos ||
-                           (topC(p - 1) == cos && topV(p - 1) > vid))) {
-                      topC(p) = topC(p - 1); topV(p) = topV(p - 1); p -= 1
-                    }
-                    topC(p) = cos; topV(p) = vid
-                    if (n < cut) n += 1
-                  }
-                }
-                vv += 1
-              }
-              (0 until n).iterator.map(p => (qid, topV(p), topC(p)))
-            }
-          }
+          scoreShard(images, nvs, vids, qids, nqs, qflat, dim, cutK)
         }
       }
       .toDF("qid", "vec_id", "cos")
   }
+
+  /** One (vector-chunk × query-chunk) shard: every query against every
+    * non-null image, per-query top-cut insertion under (cos desc,
+    * vec_id asc). Shared by the raw-embedding scan ([[scanChunks]])
+    * and the PQ codes scan so their arithmetic stays bit-identical. */
+  private def scoreShard(images: Array[Array[Double]], nvs: Array[Double],
+                         vids: Array[Long], qids: Array[Long],
+                         nqs: Array[Double], qflat: Array[Float],
+                         dim: Int, cutK: Int): Iterator[(Long, Long, Double)] =
+    qids.indices.iterator.flatMap { j =>
+      val qid = qids(j)
+      val nq = nqs(j)
+      val off = j * dim
+      val cut = math.min(cutK, vids.length)
+      if (cut <= 0) Iterator.empty // k = 0: empty result, not a crash
+      else {
+        val topV = new Array[Long](cut)
+        val topC = new Array[Double](cut)
+        var n = 0
+        var vv = 0
+        while (vv < vids.length) {
+          val nv = nvs(vv)
+          // nv == 0: null image or zero norm — cosine undefined
+          if (nv != 0 && vids(vv) != qid) {
+            val image = images(vv)
+            var s = 0.0
+            var i = 0
+            while (i < dim) { s += qflat(off + i).toDouble * image(i); i += 1 }
+            val cos = round6(s / (nq * nv))
+            val vid = vids(vv)
+            if (n < cut || cos > topC(n - 1) ||
+                (cos == topC(n - 1) && vid < topV(n - 1))) {
+              var p = math.min(n, cut - 1)
+              while (p > 0 && (topC(p - 1) < cos ||
+                     (topC(p - 1) == cos && topV(p - 1) > vid))) {
+                topC(p) = topC(p - 1); topV(p) = topV(p - 1); p -= 1
+              }
+              topC(p) = cos; topV(p) = vid
+              if (n < cut) n += 1
+            }
+          }
+          vv += 1
+        }
+        (0 until n).iterator.map(p => (qid, topV(p), topC(p)))
+      }
+    }
 
   private def topKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
@@ -325,18 +335,29 @@ object VectorSearch {
     * VectorSearchSpec.
     */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-              bits: Int = 8, dim: Int = 64, probeHamming: Int = 2): DataFrame = {
-    val spark = vectors.sparkSession
+              bits: Int = 8, dim: Int = 64, probeHamming: Int = 2): DataFrame =
+    lshScore(lshVectorBuckets(vectors, bits, dim),
+      lshQueryProbes(queries, bits, dim, probeHamming), dim, k)
+
+  /** Multiprobe masks: every bit pattern within `probeHamming` flips. */
+  private def lshMasks(bits: Int, probeHamming: Int): Array[Int] = {
+    def combos(from: Int, left: Int): Seq[Int] =
+      if (left == 0) Seq(0)
+      else (from until bits).flatMap(i => combos(i + 1, left - 1).map(_ | (1 << i)))
+    (0 to probeHamming).flatMap(h => combos(0, h)).toArray
+  }
+
+  /** The query side of the LSH scan: one (probe bucket, qid, qe, nq)
+    * row per multiprobe mask, computed in a compiled map with the
+    * plane artifact broadcast to it — never a driver collect. */
+  private def lshQueryProbes(queries: DataFrame, bits: Int, dim: Int,
+                             probeHamming: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val planes = hyperplanes(bits, dim).map(_.toArray).toArray
-    val masks: Array[Int] = {
-      def combos(from: Int, left: Int): Seq[Int] =
-        if (left == 0) Seq(0)
-        else (from until bits).flatMap(i => combos(i + 1, left - 1).map(_ | (1 << i)))
-      (0 to probeHamming).flatMap(h => combos(0, h)).toArray
-    }
+    val masks = lshMasks(bits, probeHamming)
     val bcP = spark.sparkContext.broadcast(planes)
-    val qprobes = queries.select(col("qid"), col("qe"))
+    queries.select(col("qid"), col("qe"))
       .filter(col("qe").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -351,7 +372,18 @@ object VectorSearch {
         }
       }
       .toDF("bkt", "qid", "qe", "nq")
-    val vbkt = vectors.select(col("vec_id"), col("embedding"))
+  }
+
+  /** The vector side of the LSH index: (bucket, vec_id, embedding,
+    * norm), one row per vector — the table [[lshWriteIndex]]
+    * persists. */
+  private def lshVectorBuckets(vectors: DataFrame, bits: Int,
+                               dim: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(bits, dim).map(_.toArray).toArray
+    val bcP = spark.sparkContext.broadcast(planes)
+    vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull) // kernels assume non-null vectors
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -363,6 +395,14 @@ object VectorSearch {
         }
       }
       .toDF("bkt", "vec_id", "embedding", "nv")
+  }
+
+  /** Shared serve side: candidates from the bucket equi-join, exact
+    * cosine in a compiled kernel, global top-k. */
+  private def lshScore(vbkt: DataFrame, qprobes: DataFrame, dim: Int,
+                       k: Int): DataFrame = {
+    val spark = vbkt.sparkSession
+    import spark.implicits._
     val scored = vbkt.join(qprobes, Seq("bkt"))
       .filter(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("qe"), col("nq"),
@@ -373,6 +413,40 @@ object VectorSearch {
       })
       .toDF("qid", "vec_id", "cos")
     topKWindow(scored, k)
+  }
+
+  /** Persist the LSH index as TABLES — the [[ivfWriteIndex]] shape for
+    * the hyperplane family: `buckets/` is the (vec_id, embedding,
+    * norm) table PARTITIONED BY bucket (a serve-time probe touches
+    * only its buckets' files), `meta/` the one-row (bits, dim)
+    * geometry. The planes themselves are seed-derived (md5 of a fixed
+    * string), so geometry IS the whole artifact — a serving tier
+    * rebuilds them from two ints. Floats/doubles round-trip parquet
+    * bit-exactly, so served results equal [[lshTopK]]'s to the last
+    * bit (one shared oracle). */
+  def lshWriteIndex(vectors: DataFrame, dir: String, bits: Int = 8,
+                    dim: Int = 64): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    lshVectorBuckets(vectors, bits, dim)
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/buckets")
+    Seq((bits, dim)).toDF("bits", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Serve top-k from a persisted LSH index (see [[lshWriteIndex]]).
+    * The only driver read is the one-row geometry; the bucket table
+    * stays a distributed scan feeding the same bucket equi-join as
+    * the inline path. */
+  def lshServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+               queries: DataFrame, k: Int,
+               probeHamming: Int = 2): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (bits, dim) = (meta.getInt(0), meta.getInt(1))
+    val vbkt = spark.read.parquet(s"$dir/buckets")
+      .select(col("bkt").cast("int").as("bkt"), col("vec_id"),
+        col("embedding"), col("nv"))
+    lshScore(vbkt, lshQueryProbes(queries, bits, dim, probeHamming), dim, k)
   }
 
   /** The IVF index: cell-assigned vectors plus their trained centroids
@@ -519,6 +593,56 @@ object VectorSearch {
       })
       .toDF("qid", "vec_id", "cos")
     topKWindow(scored, k)
+  }
+
+  /** Corpus-size-derived IVF geometry. Holding recall under growth
+    * needs nCells ∝ √|V| at a CONSTANT probe fraction (SCALING.md: the
+    * pinned 16-cell/3-probe config decays 0.56 → 0.36 recall@5 from
+    * sf0.01 to sf0.1 as occupancy grows; candidate volume per query is
+    * (nProbe/nCells)·|V|, so √-scaling keeps both the per-cell
+    * occupancy and the scanned fraction's absolute cost balanced —
+    * the classic IVF sizing rule). Integer-exact derivation so the
+    * DuckDB oracle replays it without float-boundary risk: bits =
+    * smallest b in [2,16] with 4^b ≥ n (i.e. nCells = 2^bits is the
+    * first power of two at or above √n), nProbe = round(nCells·3/16)
+    * — the same 3-in-16 fraction the fixed-geometry entries pin.
+    */
+  def ivfSizing(n: Long): (Int, Int) = {
+    var bits = 2
+    while (bits < 16 && (1L << (2 * bits)) < n) bits += 1
+    val nCells = 1 << bits
+    (bits, math.max(1, math.round(nCells * 3.0 / 16).toInt))
+  }
+
+  /** IVF top-k with AUTO-SCALED geometry: cells are `bits`-bit
+    * hyperplane buckets (the md5-seeded ±1 family of [[lshTopK]] — a
+    * deterministic, oracle-replayable coarse quantizer whose buckets
+    * are directionally coherent, so bucket centroids are meaningful
+    * probe targets without a Lloyd pass) with `bits` derived from the
+    * corpus size by [[ivfSizing]]. The only driver-side value is the
+    * sizing scalar `count()` — assignment, probe selection, and
+    * scoring all run the distributed [[ivfTopK]] path. A 100× corpus
+    * gets 10× the cells at the same scanned fraction, which is what
+    * keeps recall flat while the pinned-16-cell entries decay.
+    */
+  def ivfAutoTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                  dim: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val n = vectors.count() // sizing scalar — one long, never rows
+    val (bits, nProbe) = ivfSizing(n)
+    val planes = hyperplanes(bits, dim).map(_.toArray).toArray
+    val bcP = spark.sparkContext.broadcast(planes)
+    val assigned = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bcP.value
+        it.map { case (vid, e) => (bucketK(e, ps, dim), vid, e) }
+      }
+      .toDF("cell", "vec_id", "embedding")
+    ivfTopK(assigned, queries, k, cellCol = "cell", nProbe = nProbe,
+      dim = dim)
   }
 
   /** Persist the trained IVF index as TABLES — the build-once /
@@ -1002,8 +1126,38 @@ object VectorSearch {
     val vs = vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
       .as[(Long, Array[Float])]
+    val cb1 = pqTrainCodebook(vs, m, nCells, sub)
+    val bc1 = spark.sparkContext.broadcast(cb1)
 
-    // codebook[j][c]: Array[Double](sub) or null for an empty cell
+    val approx = scanChunks(vectors, queries, dim,
+        cutK = candCut) { e =>
+      if (normK(e, dim) == 0) null
+      else {
+        val cb = bc1.value
+        val codes = pqAssignK(cb, e, m, nCells, sub)
+        val recon = new Array[Double](dim)
+        var j = 0
+        while (j < m) {
+          val cent = cb(j)(codes(j))
+          var d = 0
+          while (d < sub) { recon(j * sub + d) = cent(d); d += 1 }
+          j += 1
+        }
+        recon
+      }
+    }
+    pqFinish(approx, vectors, queries, dim, k, candCut)
+  }
+
+  /** One deterministic Lloyd round: init cells vec_id % nCells, train
+    * (4dp-grid means — order-independent), reassign on 6dp squared L2
+    * (lowest cell on ties), retrain. Codebook training is a bounded
+    * collect (fixed m·nCells·subdim partial per partition), never a
+    * data-sized shuffle. cb(j)(c) is null for an empty cell. */
+  private def pqTrainCodebook(
+      vs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      m: Int, nCells: Int, sub: Int): Array[Array[Array[Double]]] = {
+    import vs.sparkSession.implicits._
     def train(assigned: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[Int])])
         : Array[Array[Array[Double]]] = {
       val partials = assigned.mapPartitions { it =>
@@ -1044,61 +1198,54 @@ object VectorSearch {
         else sums(j)(c).map(s => round4(s / counts(j)(c)))
       }
     }
-
-    // nearest cell per subspace: 6dp-rounded squared L2, strict <
-    // keeps the lowest cell on ties (ascending scan)
-    def assign(cb: Array[Array[Array[Double]]])(e: Array[Float]): Array[Int] =
-      Array.tabulate(m) { j =>
-        var bestDist = Double.PositiveInfinity
-        var bestCell = -1
-        var c = 0
-        while (c < nCells) {
-          val cent = cb(j)(c)
-          if (cent != null) {
-            var s = 0.0
-            var d = 0
-            while (d < sub) {
-              val diff = e(j * sub + d).toDouble - cent(d)
-              s += diff * diff
-              d += 1
-            }
-            val dist = round6(s)
-            if (dist < bestDist) { bestDist = dist; bestCell = c }
-          }
-          c += 1
-        }
-        bestCell
-      }
-
     val init = vs.map { case (vid, e) =>
       (vid, e, Array.fill(m)((vid % nCells).toInt))
     }.localCheckpoint(eager = false)
     val cb0 = train(init)
-    val bc0 = spark.sparkContext.broadcast(cb0)
-    val sweep = init.map { case (vid, e, _) => (vid, e, assign(bc0.value)(e)) }
-    val cb1 = train(sweep)
-    val bc1 = spark.sparkContext.broadcast(cb1)
+    val bc0 = vs.sparkSession.sparkContext.broadcast(cb0)
+    val sweep = init.map { case (vid, e, _) =>
+      (vid, e, pqAssignK(bc0.value, e, m, nCells, sub))
+    }
+    train(sweep)
+  }
 
-    val approx = scanChunks(vectors, queries, dim,
-        cutK = candCut) { e =>
-      if (normK(e, dim) == 0) null
-      else {
-        val cb = bc1.value
-        val codes = assign(cb)(e)
-        val recon = new Array[Double](dim)
-        var j = 0
-        while (j < m) {
-          val cent = cb(j)(codes(j))
+  /** Nearest cell per subspace: 6dp-rounded squared L2, strict <
+    * keeps the lowest cell on ties (ascending scan). */
+  private def pqAssignK(cb: Array[Array[Array[Double]]], e: Array[Float],
+                        m: Int, nCells: Int, sub: Int): Array[Int] =
+    Array.tabulate(m) { j =>
+      var bestDist = Double.PositiveInfinity
+      var bestCell = -1
+      var c = 0
+      while (c < nCells) {
+        val cent = cb(j)(c)
+        if (cent != null) {
+          var s = 0.0
           var d = 0
-          while (d < sub) { recon(j * sub + d) = cent(d); d += 1 }
-          j += 1
+          while (d < sub) {
+            val diff = e(j * sub + d).toDouble - cent(d)
+            s += diff * diff
+            d += 1
+          }
+          val dist = round6(s)
+          if (dist < bestDist) { bestDist = dist; bestCell = c }
         }
-        recon
+        c += 1
       }
-    }.withColumnRenamed("cos", "cos_pq")
+      bestCell
+    }
+
+  /** The shared tail of the PQ scan: per-query top-candCut on the
+    * asymmetric score, full-precision re-rank, final top-k. The
+    * candidate SET after the window is chunk-split invariant, so the
+    * inline and served paths converge here bit-for-bit. */
+  private def pqFinish(approx: DataFrame, vectors: DataFrame,
+                       queries: DataFrame, dim: Int, k: Int,
+                       candCut: Int): DataFrame = {
+    val scored = approx.withColumnRenamed("cos", "cos_pq")
     val wCand = Window.partitionBy(col("qid"))
       .orderBy(col("cos_pq").desc, col("vec_id").asc)
-    val cand = approx.withColumn("crn", row_number().over(wCand))
+    val cand = scored.withColumn("crn", row_number().over(wCand))
       .filter(col("crn") <= candCut)
       .drop("crn")
     val reranked = rerankExact(cand, vectors, queries, dim, "cos_pq")
@@ -1107,6 +1254,127 @@ object VectorSearch {
     reranked.withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("cos_pq"))
+  }
+
+  /** Persist the trained PQ index as TABLES: `codes/` holds one m-byte
+    * code row per scan-eligible vector (the 16×-compressed artifact a
+    * 100 TB deployment actually serves from — the approx phase never
+    * touches an embedding), `codebooks/` the m·nCells centroid rows,
+    * `meta/` the one-row geometry. Zero-norm vectors are excluded at
+    * write exactly like the inline scan's null-image rule, and code
+    * assignment is the deterministic [[pqAssignK]], so a served query
+    * returns [[pqTopK]]'s answer to the last bit (one shared oracle).
+    */
+  def pqWriteIndex(vectors: DataFrame, dir: String, m: Int = 8,
+                   nCells: Int = 16, dim: Int = 64): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    require(m * sub == dim, s"pqWriteIndex: m=$m must divide dim=$dim")
+    val vs = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+    val cb = pqTrainCodebook(vs, m, nCells, sub)
+    val bc = spark.sparkContext.broadcast(cb)
+    vs.mapPartitions(_.flatMap { case (vid, e) =>
+        if (normK(e, dim) == 0) None // cosine undefined: not served
+        else Some((vid, pqAssignK(bc.value, e, m, nCells, sub)))
+      })
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val rows = for {
+      j <- 0 until m; c <- 0 until nCells; if cb(j)(c) != null
+    } yield (j, c, cb(j)(c).toSeq)
+    spark.createDataset(rows).toDF("subspace", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((m, nCells, dim)).toDF("m", "ncells", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Serve top-k from a persisted PQ index (see [[pqWriteIndex]]): the
+    * asymmetric scan runs over the CODES table (codebook broadcast,
+    * images reconstructed per shard — no embedding bytes move until
+    * re-rank), then the full-precision re-rank touches the vector
+    * table for candidate rows only. Driver reads are the one-row meta
+    * and the m·nCells codebook — bounded by construction. */
+  def pqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+              vectors: DataFrame, queries: DataFrame, k: Int,
+              candMult: Int = 4): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val sub = dim / m
+    val cb: Array[Array[Array[Double]]] = {
+      val out = Array.fill[Array[Double]](m, nCells)(null)
+      spark.read.parquet(s"$dir/codebooks")
+        .as[(Int, Int, Array[Double])].collect()
+        .foreach { case (j, c, cent) => out(j)(c) = cent }
+      out
+    }
+    val bc = spark.sparkContext.broadcast(cb)
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val codes = spark.read.parquet(s"$dir/codes")
+    val approx = scanPqCodes(codes, queries, bc, m, sub, dim, candCut)
+    pqFinish(approx, vectors, queries, dim, k, candCut)
+  }
+
+  /** Chunk-blocked scan over PQ CODES — [[scanChunks]] with the m-byte
+    * code row in place of the embedding: code chunks crossJoin query
+    * chunks, each shard reconstructs its images once from the
+    * broadcast codebook and scores through the shared kernel. The
+    * moved bytes per vector are m ints, not dim floats. */
+  private def scanPqCodes(codes: DataFrame, queries: DataFrame,
+                          bcCb: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+                          m: Int, sub: Int, dim: Int, cutK: Int,
+                          chunkSize: Int = 256): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cchunks = codes.select(col("vec_id"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        it.grouped(chunkSize).map { g =>
+          val ids = g.map(_._1).toArray
+          val flat = new Array[Int](g.length * m)
+          var j = 0
+          while (j < g.length) {
+            System.arraycopy(g(j)._2, 0, flat, j * m, m)
+            j += 1
+          }
+          (ids, flat)
+        }
+      }
+      .toDF("vids", "cflat")
+    cchunks.crossJoin(queryChunks(queries, dim, chunkSize))
+      .as[(Array[Long], Array[Int],
+           Array[Long], Array[Double], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (vids, cflat, qids, nqs, qflat) =>
+          val cb = bcCb.value
+          val images = new Array[Array[Double]](vids.length)
+          val nvs = new Array[Double](vids.length)
+          var v = 0
+          while (v < vids.length) {
+            val img = new Array[Double](dim)
+            var ok = true
+            var j = 0
+            while (j < m) {
+              val c = cflat(v * m + j)
+              val cent = if (c >= 0) cb(j)(c) else null
+              if (cent == null) ok = false
+              else {
+                var d = 0
+                while (d < sub) { img(j * sub + d) = cent(d); d += 1 }
+              }
+              j += 1
+            }
+            images(v) = if (ok) img else null
+            nvs(v) = if (ok) normKD(img, dim) else 0.0
+            v += 1
+          }
+          scoreShard(images, nvs, vids, qids, nqs, qflat, dim, cutK)
+        }
+      }
+      .toDF("qid", "vec_id", "cos")
   }
 
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.

@@ -87,6 +87,30 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** LSH index persistence round trip — the [[annIndexRoundtrip]]
+    * shape for the hyperplane family: bucket-partitioned vector
+    * parquet + the one-row geometry, served back bit-exactly (shares
+    * ann_lsh_topk's oracle). */
+  def annLshIndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/lsh_index"
+    VectorSearch.lshWriteIndex(env.embeddings, dir)
+    VectorSearch.lshServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** PQ index persistence round trip: train once, persist the m-byte
+    * codes + codebooks, and serve the standard query set from the
+    * codes table (the approx scan never touches an embedding; only
+    * re-rank candidates do). Bit-exact vs [[annPqRerank]] — shares
+    * its oracle. */
+  def annPqIndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/pq_index"
+    VectorSearch.pqWriteIndex(env.embeddings, dir)
+    VectorSearch.pqServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** IVF with ONE Lloyd refinement sweep — the label cells seed
     * k-means, every vector reassigns to its nearest centroid, the
     * centroids retrain, and probing runs against the TRAINED index.
@@ -94,6 +118,18 @@ object AnnQueries {
     * centroid grid, cell-asc tie-breaks). */
   def annIvfRefined(env: Env): DataFrame =
     VectorSearch.ivfTopK(env.embeddings, queriesDf(env), k = 5, refine = 1)
+      .orderBy($"qid", $"rank")
+
+  /** IVF with AUTO-SCALED geometry — cells and probes derived from the
+    * corpus size (nCells = first power of two ≥ √n, probe fraction
+    * pinned at 3/16), so a 100× corpus keeps its recall instead of
+    * decaying like the fixed-16-cell entries (measured 0.56 → 0.36
+    * sf0.01 → sf0.1 at pinned geometry). Cells are the md5-seeded
+    * hyperplane buckets, so the whole construction — sizing rule,
+    * bucket assignment, centroids, probe ranking — replays exactly in
+    * SQL. */
+  def annIvfAutoscale(env: Env): DataFrame =
+    VectorSearch.ivfAutoTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
   /** SQ8 scalar-quantized approximate top-5 with exact re-rank: the
@@ -324,6 +360,139 @@ object AnnQueries {
   private[queries] val ivfTopkSql: String =
     ivfTopkSqlFor("WHERE vec_id % 50 = 0", k = 5)
 
+  // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
+  // the md5 hex digit of the seed string — identical to
+  // VectorSearch.hyperplanes. bit_count(xor(buckets)) <= 2 is exactly
+  // the kernel's multiprobe mask-set membership. ONE body shared by
+  // ann_lsh_topk and the persisted-index roundtrip (bit-exact serve).
+  private[queries] val lshTopkSql: String =
+    s"""WITH bitsums AS (
+       |  SELECT v.vec_id, t.b AS b,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> CAST(v.embedding[i] AS DOUBLE) *
+       |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+       |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+       |                 THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM embeddings v, range(0, 8) t(b)),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+       |  FROM bitsums
+       |  GROUP BY vec_id),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |qb AS (
+       |  SELECT q.qid, q.qe, b.bucket AS qbucket
+       |  FROM q JOIN buckets b ON b.vec_id = q.qid),
+       |cand AS (
+       |  SELECT qb.qid, e.vec_id,
+       |         round(${cos("qb.qe", "e.embedding")}, 6) AS cos
+       |  FROM qb
+       |  JOIN buckets vb
+       |    ON vb.vec_id <> qb.qid
+       |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT)) <= 2
+       |  JOIN embeddings e ON e.vec_id = vb.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM cand)
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  // PQ 8x16 training replay (init cells vec_id % 16, one Lloyd sweep
+  // on the 4dp grid / 6dp squared L2, lowest-cell ties), encoding,
+  // reconstruction as the j-major 64-list, then the sq8-style
+  // candidate window + exact re-rank. ONE body shared by
+  // ann_pq_rerank and the persisted-index roundtrip (bit-exact
+  // serve over the codes table).
+  private[queries] val pqRerankSql: String =
+    s"""WITH sv AS (
+       |  SELECT vec_id, j.j AS j, d.d AS d,
+       |         CAST(embedding[j.j * 8 + d.d] AS DOUBLE) AS x
+       |  FROM embeddings, range(0, 8) j(j), range(1, 9) d(d)),
+       |cb0 AS (
+       |  SELECT sv.j, sv.vec_id % 16 AS cell, sv.d,
+       |         round(sum(sv.x) / count(*), 4) AS c
+       |  FROM sv GROUP BY sv.j, sv.vec_id % 16, sv.d),
+       |cb0l AS (SELECT j, cell, list(c ORDER BY d) AS cl
+       |         FROM cb0 GROUP BY j, cell),
+       |svl AS (SELECT vec_id, j, list(x ORDER BY d) AS xl
+       |        FROM sv GROUP BY vec_id, j),
+       |d1 AS (
+       |  SELECT s.vec_id, s.j, b.cell,
+       |         round(list_sum(list_transform(range(1, 9),
+       |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
+       |  FROM svl s JOIN cb0l b ON b.j = s.j),
+       |a1 AS (
+       |  SELECT vec_id, j, cell FROM (
+       |    SELECT vec_id, j, cell,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |cb1 AS (
+       |  SELECT sv.j, a1.cell, sv.d, round(sum(sv.x) / count(*), 4) AS c
+       |  FROM sv JOIN a1 ON a1.vec_id = sv.vec_id AND a1.j = sv.j
+       |  GROUP BY sv.j, a1.cell, sv.d),
+       |cb1l AS (SELECT j, cell, list(c ORDER BY d) AS cl
+       |         FROM cb1 GROUP BY j, cell),
+       |d2 AS (
+       |  SELECT s.vec_id, s.j, b.cell,
+       |         round(list_sum(list_transform(range(1, 9),
+       |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
+       |  FROM svl s JOIN cb1l b ON b.j = s.j),
+       |code AS (
+       |  SELECT vec_id, j, cell FROM (
+       |    SELECT vec_id, j, cell,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |recon AS (
+       |  SELECT c2.vec_id, list(cb.c ORDER BY cb.j, cb.d) AS rv
+       |  FROM code c2 JOIN cb1 cb ON cb.j = c2.j AND cb.cell = c2.cell
+       |  GROUP BY c2.vec_id),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |      WHERE vec_id % 50 = 0),
+       |approx AS (
+       |  SELECT q.qid, r.vec_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |            i -> CAST(q.qe[i] AS DOUBLE) * r.rv[i]))
+       |          / (sqrt(list_sum(list_transform(range(1, 65),
+       |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(range(1, 65),
+       |                 i -> r.rv[i] * r.rv[i])))), 6) AS cos_pq
+       |  FROM q JOIN recon r ON r.vec_id <> q.qid
+       |  JOIN embeddings e ON e.vec_id = r.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |          i -> CAST(e.embedding[i] AS DOUBLE)
+       |               * CAST(e.embedding[i] AS DOUBLE))) > 0
+       |    AND list_sum(list_transform(range(1, 65),
+       |          i -> r.rv[i] * r.rv[i])) > 0
+       |    AND list_sum(list_transform(range(1, 65),
+       |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) > 0),
+       |cand AS (
+       |  SELECT qid, vec_id, cos_pq FROM (
+       |    SELECT qid, vec_id, cos_pq,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos_pq DESC, vec_id ASC) AS rn
+       |    FROM approx) WHERE rn <= 20),
+       |rr AS (
+       |  SELECT c3.qid, c3.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c3.cos_pq
+       |  FROM cand c3
+       |  JOIN embeddings e ON e.vec_id = c3.vec_id
+       |  JOIN q ON q.qid = c3.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos, cos_pq,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM rr)
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q.sql("ann_recall_report", annRecallReport,
       s"""WITH q AS (
@@ -512,46 +681,12 @@ object AnnQueries {
          |FROM rr WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin),
 
-    // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
-    // the md5 hex digit of the seed string — identical to
-    // VectorSearch.hyperplanes. bit_count(xor(buckets)) <= 2 is exactly
-    // the kernel's multiprobe mask-set membership.
-    Q.sql("ann_lsh_topk", annLshTopK,
-      s"""WITH bitsums AS (
-         |  SELECT v.vec_id, t.b AS b,
-         |    list_sum(list_transform(range(1, 65),
-         |      i -> CAST(v.embedding[i] AS DOUBLE) *
-         |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
-         |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
-         |                 THEN 1.0 ELSE -1.0 END))) AS s
-         |  FROM embeddings v, range(0, 8) t(b)),
-         |buckets AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
-         |  FROM bitsums
-         |  GROUP BY vec_id),
-         |q AS (
-         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |  WHERE vec_id % 50 = 0),
-         |qb AS (
-         |  SELECT q.qid, q.qe, b.bucket AS qbucket
-         |  FROM q JOIN buckets b ON b.vec_id = q.qid),
-         |cand AS (
-         |  SELECT qb.qid, e.vec_id,
-         |         round(${cos("qb.qe", "e.embedding")}, 6) AS cos
-         |  FROM qb
-         |  JOIN buckets vb
-         |    ON vb.vec_id <> qb.qid
-         |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT)) <= 2
-         |  JOIN embeddings e ON e.vec_id = vb.vec_id),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM cand)
-         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
-         |FROM ranked WHERE rn <= 5
-         |ORDER BY qid, rank""".stripMargin),
+    Q.sql("ann_lsh_topk", annLshTopK, lshTopkSql),
+
+    // build→persist(bucket-partitioned parquet + one-row geometry)→
+    // load→serve: bit-exact vs the inline path, so it shares
+    // ann_lsh_topk's oracle
+    Q.sql("ann_lsh_index_roundtrip", annLshIndexRoundtrip, lshTopkSql),
 
     // Centroids: per-cell per-dimension mean rounded to 4dp (the kernel
     // rounds identically, making training order-independent); probes:
@@ -564,6 +699,75 @@ object AnnQueries {
 
     // the ann_ivf_topk replay with q = EVERY vector and k = 3
     Q.sql("ann_knn_join", annKnnJoin, ivfTopkSqlFor("", k = 3)),
+
+    // sizing rule replayed integer-exact (smallest b with 4^b >= n);
+    // cells replayed via the LSH bitsum fragment bounded by a
+    // constant range(0,16) + params filter; everything downstream is
+    // the standard IVF oracle with (cells, nprobe) from params
+    Q.sql("ann_ivf_autoscale", annIvfAutoscale,
+      s"""WITH params AS (
+         |  SELECT CAST(b.b AS INT) AS bits,
+         |         greatest(1, CAST(round(power(2, b.b) * 3.0 / 16) AS INT))
+         |           AS nprobe
+         |  FROM range(2, 17) b(b)
+         |  WHERE power(4, b.b) >= (SELECT count(*) FROM embeddings)
+         |  ORDER BY b.b LIMIT 1),
+         |bitsums AS (
+         |  SELECT v.vec_id, t.b AS b,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> CAST(v.embedding[i] AS DOUBLE) *
+         |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+         |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+         |                 THEN 1.0 ELSE -1.0 END))) AS s
+         |  FROM embeddings v, range(0, 16) t(b)
+         |  WHERE t.b < (SELECT bits FROM params)),
+         |cells AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS cell
+         |  FROM bitsums GROUP BY vec_id),
+         |cent AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT c.cell AS cell, t.d AS d,
+         |           round(sum(CAST(e.embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id,
+         |         range(1, 65) t(d)
+         |    GROUP BY c.cell, t.d)
+         |  GROUP BY cell),
+         |q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= (SELECT nprobe FROM params)),
+         |cand AS (
+         |  SELECT p.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN cells c ON c.cell = p.cell
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE e.vec_id <> p.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM cand)
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
 
     Q.sql("ann_ivf_refined", annIvfRefined,
       s"""WITH cent AS (
@@ -703,90 +907,13 @@ object AnnQueries {
     // assignment with lowest-cell ties (row_number ORDER BY dist,
     // cell), reconstruction as the j-major 64-list, then the sq8-style
     // candidate window + exact re-rank
-    Q.sql("ann_pq_rerank", annPqRerank,
-      s"""WITH sv AS (
-         |  SELECT vec_id, j.j AS j, d.d AS d,
-         |         CAST(embedding[j.j * 8 + d.d] AS DOUBLE) AS x
-         |  FROM embeddings, range(0, 8) j(j), range(1, 9) d(d)),
-         |cb0 AS (
-         |  SELECT sv.j, sv.vec_id % 16 AS cell, sv.d,
-         |         round(sum(sv.x) / count(*), 4) AS c
-         |  FROM sv GROUP BY sv.j, sv.vec_id % 16, sv.d),
-         |cb0l AS (SELECT j, cell, list(c ORDER BY d) AS cl
-         |         FROM cb0 GROUP BY j, cell),
-         |svl AS (SELECT vec_id, j, list(x ORDER BY d) AS xl
-         |        FROM sv GROUP BY vec_id, j),
-         |d1 AS (
-         |  SELECT s.vec_id, s.j, b.cell,
-         |         round(list_sum(list_transform(range(1, 9),
-         |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
-         |  FROM svl s JOIN cb0l b ON b.j = s.j),
-         |a1 AS (
-         |  SELECT vec_id, j, cell FROM (
-         |    SELECT vec_id, j, cell,
-         |           row_number() OVER (PARTITION BY vec_id, j
-         |                              ORDER BY dist, cell) AS rn
-         |    FROM d1) WHERE rn = 1),
-         |cb1 AS (
-         |  SELECT sv.j, a1.cell, sv.d, round(sum(sv.x) / count(*), 4) AS c
-         |  FROM sv JOIN a1 ON a1.vec_id = sv.vec_id AND a1.j = sv.j
-         |  GROUP BY sv.j, a1.cell, sv.d),
-         |cb1l AS (SELECT j, cell, list(c ORDER BY d) AS cl
-         |         FROM cb1 GROUP BY j, cell),
-         |d2 AS (
-         |  SELECT s.vec_id, s.j, b.cell,
-         |         round(list_sum(list_transform(range(1, 9),
-         |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
-         |  FROM svl s JOIN cb1l b ON b.j = s.j),
-         |code AS (
-         |  SELECT vec_id, j, cell FROM (
-         |    SELECT vec_id, j, cell,
-         |           row_number() OVER (PARTITION BY vec_id, j
-         |                              ORDER BY dist, cell) AS rn
-         |    FROM d2) WHERE rn = 1),
-         |recon AS (
-         |  SELECT c2.vec_id, list(cb.c ORDER BY cb.j, cb.d) AS rv
-         |  FROM code c2 JOIN cb1 cb ON cb.j = c2.j AND cb.cell = c2.cell
-         |  GROUP BY c2.vec_id),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |      WHERE vec_id % 50 = 0),
-         |approx AS (
-         |  SELECT q.qid, r.vec_id,
-         |    round(list_sum(list_transform(range(1, 65),
-         |            i -> CAST(q.qe[i] AS DOUBLE) * r.rv[i]))
-         |          / (sqrt(list_sum(list_transform(range(1, 65),
-         |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
-         |             * sqrt(list_sum(list_transform(range(1, 65),
-         |                 i -> r.rv[i] * r.rv[i])))), 6) AS cos_pq
-         |  FROM q JOIN recon r ON r.vec_id <> q.qid
-         |  JOIN embeddings e ON e.vec_id = r.vec_id
-         |  WHERE list_sum(list_transform(range(1, 65),
-         |          i -> CAST(e.embedding[i] AS DOUBLE)
-         |               * CAST(e.embedding[i] AS DOUBLE))) > 0
-         |    AND list_sum(list_transform(range(1, 65),
-         |          i -> r.rv[i] * r.rv[i])) > 0
-         |    AND list_sum(list_transform(range(1, 65),
-         |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) > 0),
-         |cand AS (
-         |  SELECT qid, vec_id, cos_pq FROM (
-         |    SELECT qid, vec_id, cos_pq,
-         |           row_number() OVER (PARTITION BY qid
-         |                              ORDER BY cos_pq DESC, vec_id ASC) AS rn
-         |    FROM approx) WHERE rn <= 20),
-         |rr AS (
-         |  SELECT c3.qid, c3.vec_id,
-         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c3.cos_pq
-         |  FROM cand c3
-         |  JOIN embeddings e ON e.vec_id = c3.vec_id
-         |  JOIN q ON q.qid = c3.qid),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos, cos_pq,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY cos DESC, vec_id ASC) AS rn
-         |  FROM rr)
-         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
-         |FROM ranked WHERE rn <= 5
-         |ORDER BY qid, rank""".stripMargin),
+    Q.sql("ann_pq_rerank", annPqRerank, pqRerankSql),
+
+    // build→persist(m-byte codes + codebooks + one-row geometry)→
+    // load→serve: the approx scan runs over the codes table only;
+    // bit-exact vs the inline path, so it shares ann_pq_rerank's
+    // oracle
+    Q.sql("ann_pq_index_roundtrip", annPqIndexRoundtrip, pqRerankSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,
     // /sqrt(16) = /4 exact, 6dp edge rounding

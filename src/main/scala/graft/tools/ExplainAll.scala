@@ -29,6 +29,7 @@ object ExplainAll {
       "ann_hard_negatives" -> 1,
       "ann_sq8_rerank" -> 1,
       "ann_pq_rerank" -> 1,
+      "ann_pq_index_roundtrip" -> 1, // codes-table chunk scan (scanPqCodes)
       "ann_recall_report" -> 1,    // brute ground-truth side
       "ann_ivf_recall_report" -> 1,
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)

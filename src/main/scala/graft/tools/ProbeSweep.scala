@@ -37,6 +37,17 @@ object ProbeSweep {
         .head().getDouble(0)
       println(f"[probe] $sfDir nProbe=$p%2d recall@5=$rec%.4f")
     }
+    // the auto-scaled geometry (ann_ivf_autoscale): cells ∝ √n at a
+    // constant 3/16 probe fraction — the configuration whose recall
+    // should HOLD across these sf points while the pinned one decays
+    val n = env.embeddings.count()
+    val (bits, nProbe) = VectorSearch.ivfSizing(n)
+    val auto = VectorSearch.ivfAutoTopK(env.embeddings, q, k = 5)
+      .select($"qid", $"vec_id", lit(1).as("hit"))
+    val autoRec = brute.join(auto, Seq("qid", "vec_id"), "left")
+      .agg((count($"hit") / count(lit(1))).as("recall"))
+      .head().getDouble(0)
+    println(f"[probe] $sfDir AUTOSCALE n=$n cells=${1 << bits} nProbe=$nProbe recall@5=$autoRec%.4f")
     spark.stop()
   }
 }

@@ -346,4 +346,97 @@ class VectorSearchSpec extends SparkSpec {
     info(s"LSH pair recall at 0.8 on planted near-dups: ${lsh.size}/${exact.size}")
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("persisted LSH index serves bit-identical results to the inline path") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_idx").toString
+    try {
+      VectorSearch.lshWriteIndex(emb, dir, bits = 4, dim = 16)
+      // bucket-partitioned layout: a probe reads only its buckets
+      val bktDirs = new java.io.File(s"$dir/buckets").listFiles()
+        .filter(_.getName.startsWith("bkt=")).map(_.getName)
+      assert(bktDirs.length >= 2, s"expected bkt=* partitions, got ${bktDirs.mkString(",")}")
+      val served = VectorSearch.lshServe(spark, dir, queries, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val inline = VectorSearch.lshTopK(emb, queries, k = 4, bits = 4,
+          dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == inline)
+      assert(served.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("persisted PQ index serves bit-identical results to the inline path") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx").toString
+    try {
+      VectorSearch.pqWriteIndex(emb, dir, m = 4, nCells = 8, dim = 16)
+      // the codes artifact is the compressed form: m ints per vector
+      val codes = spark.read.parquet(s"$dir/codes")
+      assert(codes.count() == 150)
+      assert(codes.head().getSeq[Int](1).length == 4)
+      val served = VectorSearch.pqServe(spark, dir, emb, queries, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val inline = VectorSearch.pqTopK(emb, queries, k = 4, m = 4,
+          nCells = 8, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == inline)
+      assert(served.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("ivfSizing: nCells tracks sqrt(n) at a constant 3/16 probe fraction") {
+    // smallest power of two >= sqrt(n), bits clamped to [2, 16]
+    assert(VectorSearch.ivfSizing(1L) == (2, 1))
+    assert(VectorSearch.ivfSizing(16L) == (2, 1))       // 4^2 = 16 covers
+    assert(VectorSearch.ivfSizing(17L) == (3, 2))       // next bucket
+    assert(VectorSearch.ivfSizing(500L) == (5, 6))      // sf0.01 -> 32 cells
+    assert(VectorSearch.ivfSizing(2000L) == (6, 12))    // sf0.1 -> 64 cells
+    assert(VectorSearch.ivfSizing(20000L) == (8, 48))   // sf1 -> 256 cells
+    assert(VectorSearch.ivfSizing(Long.MaxValue)._1 == 16) // clamped
+    // the probe fraction stays 3/16 at every derived size
+    (2 to 16).foreach { bits =>
+      val n = 1L << (2 * bits)
+      val (b, p) = VectorSearch.ivfSizing(n)
+      assert(b == bits && p == math.max(1, math.round((1 << b) * 3.0 / 16).toInt))
+    }
+  }
+
+  test("ivfAutoTopK: hyperplane-cell index returns exact cosines for its candidates") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 120).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" % 20 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val auto = VectorSearch.ivfAutoTopK(emb, q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val brute = VectorSearch.bruteForceTopK(emb, q, k = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(auto.nonEmpty)
+    // every returned (query, candidate) cosine matches the exact value
+    auto.foreach { case (k, c) => assert(brute.get(k).contains(c), k) }
+  }
 }
