@@ -371,6 +371,48 @@ object StreamQueries {
     spark.read.parquet(out).orderBy($"doc_id")
   }
 
+  /** T11 — [[Streams.trendingCounts]] as a VERIFIED query: the
+    * streaming leg of events_trending_topk. The watermarked
+    * day-window × item count streams from the events parquet
+    * (AvailableNow, append mode — only SEALED windows emit, same
+    * horizon rule as [[t8WindowedCountsStream]]), then the
+    * non-incrementalizable rank applies per sealed window in a batch
+    * pass over the sink — exactly the production split the batch
+    * entry's scaladoc prescribes. Oracle = the batch trending SQL
+    * restricted to day windows the final watermark sealed.
+    */
+  def t11TrendingStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{expr, get_json_object, row_number}
+    val ev = streamEvents(env)
+      .select(graft.Tables.eventTs($"ts" - $"ts" % 1000).as("ts"),
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+    val sink = "t11_trend_sink"
+    spark.catalog.dropTempView(sink): Unit // reruns replace, not accumulate
+    withStreamPartitions(spark) {
+      val q = Streams.trendingCounts(ev, "ts", "item")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val w = Window.partitionBy($"day").orderBy($"n".desc, $"item")
+    spark.table(sink)
+      // integer `div`, not Column `/` (double division wobbles at
+      // epoch-µs magnitudes — the Tables.eventTs gotcha)
+      .select(expr("unix_micros(window_start) div 86400000000")
+          .cast("long").as("day"),
+        $"item", $"n")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"day", $"rank".cast("int").as("rank"), $"item", $"n")
+      .orderBy($"day", $"rank")
+  }
+
   def t6DecontaminateStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -476,6 +518,29 @@ object StreamQueries {
         |GROUP BY user_id, sid
         |HAVING max(tus) + 1800000000 <= (SELECT m - 600000000 FROM mx)
         |ORDER BY user_id, session_start_us""".stripMargin),
+
+    // the events_trending_topk replay restricted to day windows the
+    // final watermark (max ts − 10 min) sealed — the t7/t8 horizon
+    // rule; rank per sealed window, (n desc, item) tie-break
+    Q.sql("t11_trending_stream", t11TrendingStream,
+      """WITH e AS (SELECT epoch_us(ts) AS tus,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |               AS item
+        |           FROM events),
+        |mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |d AS (SELECT tus // 86400000000 AS day, item,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM e WHERE item IS NOT NULL GROUP BY 1, 2),
+        |sealed AS (SELECT * FROM d
+        |           WHERE (day + 1) * 86400000000
+        |                 <= (SELECT m - 600000000 FROM mx)),
+        |r AS (SELECT day, item, n,
+        |        CAST(row_number() OVER (PARTITION BY day
+        |          ORDER BY n DESC, item) AS INT) AS rank
+        |      FROM sealed)
+        |SELECT day, rank, item, n
+        |FROM r WHERE rank <= 3
+        |ORDER BY day, rank""".stripMargin),
 
     Q.sql("t3_queue_drain", t3QueueDrain,
       """SELECT c_custkey AS identifier,

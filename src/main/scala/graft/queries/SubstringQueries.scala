@@ -30,11 +30,17 @@ object SubstringQueries {
   }
 
   /** Shared oracle prefix: windows → duplicated windows → non-keeper
-    * occurrences → maximal spans. */
-  private def spanCte: String =
-    s"""WITH docs AS (
-       |  SELECT doc_id, text FROM documents WHERE length(text) >= $L),
-       |w AS (
+    * occurrences → maximal spans. [[spanChainFor]] emits the CTE chain
+    * WITHOUT the WITH keyword over an arbitrary (doc_id, text)
+    * relation so composed-pipeline oracles (text_prep_pipeline2) can
+    * run the same span algebra over an intermediate stage; the
+    * standalone entries prepend WITH over `documents`. */
+  private def spanCte: String = "WITH " + spanChainFor("documents")
+
+  private[queries] def spanChainFor(rel: String): String =
+    s"""docs AS MATERIALIZED (
+       |  SELECT doc_id, text FROM $rel WHERE length(text) >= $L),
+       |w AS MATERIALIZED (
        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
        |         $polyHash AS g
        |  FROM docs, unnest(range(1, length(text) - ${L - 2})) AS u(i)),
@@ -55,11 +61,35 @@ object SubstringQueries {
        |  SELECT doc_id, pos,
        |         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
        |  FROM brk),
-       |spans AS (
+       |spans AS MATERIALIZED (
        |  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        |         CAST(max(pos) - min(pos) + $L AS INT) AS span_len,
        |         CAST(count(*) AS BIGINT) AS n_windows
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** Gap-complement rebuild of scrubbed text (references the `docs` +
+    * `spans` CTEs of [[spanChainFor]]); shared with the composed
+    * pipeline oracle. */
+  private[queries] val rebuiltChain: String =
+    """gaps AS (
+      |  SELECT doc_id,
+      |         coalesce(lag(span_start + span_len)
+      |                    OVER (PARTITION BY doc_id ORDER BY span_start),
+      |                  1) AS gap_start,
+      |         span_start AS gap_end
+      |  FROM spans
+      |  UNION ALL
+      |  SELECT s.doc_id, max(s.span_start + s.span_len),
+      |         max(length(d.text)) + 1
+      |  FROM spans s JOIN docs d USING (doc_id)
+      |  GROUP BY s.doc_id),
+      |rebuilt AS (
+      |  SELECT g.doc_id,
+      |         string_agg(substr(d.text, CAST(g.gap_start AS INT),
+      |                           CAST(g.gap_end - g.gap_start AS INT)),
+      |                    '' ORDER BY g.gap_start) AS new_text
+      |  FROM gaps g JOIN docs d USING (doc_id)
+      |  GROUP BY g.doc_id)""".stripMargin
 
   val entries: Seq[Q] = Seq(
     Q.sql("text_substring_dedup",
@@ -74,25 +104,7 @@ object SubstringQueries {
       env => SubstringDedup.scrub(env.spread(env.documents), "doc_id", "text", L)
         .orderBy($"doc_id"),
       s"""$spanCte,
-         |gaps AS (
-         |  SELECT doc_id,
-         |         coalesce(lag(span_start + span_len)
-         |                    OVER (PARTITION BY doc_id ORDER BY span_start),
-         |                  1) AS gap_start,
-         |         span_start AS gap_end
-         |  FROM spans
-         |  UNION ALL
-         |  SELECT s.doc_id, max(s.span_start + s.span_len),
-         |         max(length(d.text)) + 1
-         |  FROM spans s JOIN docs d USING (doc_id)
-         |  GROUP BY s.doc_id),
-         |rebuilt AS (
-         |  SELECT g.doc_id,
-         |         string_agg(substr(d.text, CAST(g.gap_start AS INT),
-         |                           CAST(g.gap_end - g.gap_start AS INT)),
-         |                    '' ORDER BY g.gap_start) AS new_text
-         |  FROM gaps g JOIN docs d USING (doc_id)
-         |  GROUP BY g.doc_id)
+         |$rebuiltChain
          |SELECT r.doc_id, CAST(length(d.text) AS INT) AS orig_len,
          |       CAST(length(r.new_text) AS INT) AS kept_len, r.new_text
          |FROM rebuilt r JOIN docs d USING (doc_id)

@@ -87,6 +87,97 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The FULL Lee-et-al prep flow as one composed verified query —
+    * every round-9 stage chained in production order:
+    *   quality gates (langid + quality + repetition)
+    *   → exact dedup (lowest doc_id per bag-of-words fingerprint)
+    *   → MinHash near-dup with KEEP-BEST arbitration (the
+    *     dedup_keep_best argmax: best quality wins its cluster, not
+    *     the smallest id)
+    *   → ExactSubstr scrub (Lee et al. span dedup APPLIED — survivor
+    *     text is rewritten, and every later stage sees the new text)
+    *   → decontamination, exact 13-gram AND fuzzy ≥ 0.8 vs the bench
+    *     split
+    *   → greedy sequence packing of what remains.
+    * Each stage is the identical operator its standalone entry
+    * verifies; the oracle replays the whole composition (two recursive
+    * CTEs: component closure + the packing fold). Scale shape: every
+    * stage is the standalone entry's plan — banded pair joins, the
+    * rolling-hash span kernel, one pack shuffle — composed through
+    * lazy localCheckpoints at the stage boundaries that feed multiple
+    * consumers.
+    */
+  def textPrepPipeline2(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, max_by, row_number, struct}
+    val docs = env.spread(env.documents) // single-row-group input: see Env.spread
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    // stage 1 — gates
+    val base = corpus.select(
+      $"doc_id", $"text",
+      TextAnalysis.qualityScore($"text").as("quality"),
+      TextAnalysis.langId($"text").as("predicted_lang"))
+    val kept = base.filter($"predicted_lang" === "en" && $"quality" >= 0.65)
+      .localCheckpoint(eager = false) // feeds repetition join + dedup
+    val repOk = TextAnalysis.repetitionStats(kept, "doc_id", "text")
+      .filter($"top_2gram_frac" <= 0.10 && $"dup_token_frac" <= 0.70)
+      .select($"doc_id")
+    val gated = kept.join(repOk, "doc_id")
+    // stage 2 — exact dedup
+    val exact = gated
+      .withColumn("fp",
+        graft.operators.TextDedup.shingleFingerprint($"text", n = 1))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("rn", "fp")
+      .localCheckpoint(eager = false) // feeds pair scan + arbitration
+    // stage 3 — near-dup components, keep the BEST member per cluster
+    val comps = graft.operators.TextDedup.nearDupComponents(
+        graft.operators.TextDedup.minhashNearDupPairs(exact, "doc_id",
+          "text", threshold = 0.8))
+      .localCheckpoint(eager = false) // feeds argmax + anti-join
+    val best = comps.join(exact.select($"doc_id", $"quality"), Seq("doc_id"))
+      .groupBy($"canonical_id")
+      .agg(max_by($"doc_id", struct($"quality", (-$"doc_id").as("neg")))
+        .as("doc_id"))
+      .select($"doc_id")
+    val losers = comps.select($"doc_id")
+      .join(best, Seq("doc_id"), "left_anti")
+    val surv = exact.join(losers, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false) // feeds span kernel + rewrite join
+    // stage 4 — ExactSubstr scrub applied to the survivor corpus
+    val scrubbed = graft.operators.SubstringDedup
+      .scrub(surv, "doc_id", "text")
+      .select($"doc_id", $"new_text")
+    val surv2 = surv
+      .join(scrubbed, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"new_text", $"text").as("text"),
+        $"quality")
+      .localCheckpoint(eager = false) // feeds both decon legs + pack
+    // stage 5 — decontaminate the REWRITTEN text: exact + fuzzy legs
+    val exCont = graft.operators.Decontaminate
+      .contaminated(surv2, bench, "doc_id", "text", n = 13)
+      .select($"doc_id")
+    val fzCont = graft.operators.TextDedup
+      .minhashNearDupAgainst(bench, surv2, "doc_id", "text",
+        threshold = 0.8)
+      .select($"inc_id".as("doc_id")).distinct()
+    val clean = surv2
+      .join(exCont.union(fzCont).distinct(), Seq("doc_id"), "left_anti")
+    // stage 6 — pack what remains (token counts of the final text)
+    val withTokens = clean.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("n_tokens"), $"quality")
+      .localCheckpoint(eager = false) // feeds the packer + the re-join
+    graft.operators.SequencePack
+      .packSequences(withTokens, "doc_id", "n_tokens", shards = 8,
+        capacity = 1000)
+      .join(withTokens, Seq("doc_id"))
+      .select($"doc_id", $"shard", $"seq_id",
+        $"n_tokens".cast("int").as("n_tokens"), $"quality")
+      .orderBy($"doc_id")
+  }
+
   /** Corpus-frequency boilerplate scrub: bigrams in ≥ ceil(6% of docs)
     * distinct documents are removed from every document (the C4 line-
     * dedup recipe over token n-grams — see
@@ -429,6 +520,143 @@ object TextQueries {
          |SELECT doc_id, n_tokens, quality FROM ex
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |ORDER BY doc_id""".stripMargin),
+
+    // the composed Lee-et-al flow: gates → exact dedup → keep-best
+    // near-dup → ExactSubstr scrub (span algebra over the SURVIVOR
+    // relation via SubstringQueries.spanChainFor) → exact+fuzzy
+    // decontamination of the rewritten text → recursive packing fold.
+    // Two recursive CTEs (component closure, pack) under one
+    // WITH RECURSIVE.
+    Q.sql("text_prep_pipeline2", textPrepPipeline2,
+      s"""WITH RECURSIVE t AS (SELECT doc_id, text, string_split(text, ' ') AS s
+         |           FROM documents WHERE doc_id % 5 <> 0),
+         |m AS (SELECT doc_id, text, s,
+         |        CAST(len(s) AS INT) AS n_tokens,
+         |        CAST(len(list_filter(s,
+         |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+         |          AS n_stopwords
+         |      FROM t),
+         |q AS (SELECT doc_id, text, s,
+         |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+         |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+         |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+         |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+         |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+         |                         BETWEEN 3.0 AND 10.0
+         |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
+         |      FROM m),
+         |lang AS (SELECT doc_id, predicted_lang FROM (
+         |${TextQueries.langIdSelect.linesIterator.map("  " + _).mkString("\n")}
+         |) ll),
+         |kept AS MATERIALIZED (SELECT q.doc_id, q.text, q.s, q.quality
+         |         FROM q JOIN lang USING (doc_id)
+         |         WHERE lang.predicted_lang = 'en' AND q.quality >= 0.65),
+         |rg AS (SELECT doc_id, len(s) AS n, len(list_distinct(s)) AS nd,
+         |         unnest(list_transform(range(1, len(s)),
+         |           i -> s[i] || ' ' || s[i+1])) AS g
+         |       FROM kept),
+         |rc AS (SELECT doc_id, n, nd, g, count(*) AS cnt
+         |       FROM rg GROUP BY doc_id, n, nd, g),
+         |rep AS (SELECT doc_id,
+         |          round(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_frac,
+         |          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top2
+         |        FROM rc GROUP BY doc_id, n, nd),
+         |cleaned AS (SELECT k.* FROM kept k JOIN rep r USING (doc_id)
+         |            WHERE r.top2 <= 0.10 AND r.dup_frac <= 0.70),
+         |ex AS MATERIALIZED (SELECT doc_id, text, s, quality
+         |       FROM (SELECT *, md5(array_to_string(
+         |               list_sort(list_distinct(s)), '|')) AS fp FROM cleaned)
+         |       QUALIFY row_number() OVER (PARTITION BY fp
+         |                                  ORDER BY doc_id) = 1),
+         |shx AS MATERIALIZED (SELECT doc_id,
+         |          CASE WHEN len(s) >= 3
+         |               THEN list_distinct(list_transform(range(1, len(s) - 1),
+         |                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))
+         |               ELSE [array_to_string(s, ' ')] END AS g
+         |        FROM ex),
+         |pairs AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+         |          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |                / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |comp AS (SELECT doc_id, min(root) AS canonical_id
+         |         FROM reach GROUP BY doc_id),
+         |bestm AS (SELECT canonical_id, doc_id AS best_id FROM (
+         |  SELECT c.canonical_id, c.doc_id,
+         |         row_number() OVER (PARTITION BY c.canonical_id
+         |                            ORDER BY e.quality DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN ex e USING (doc_id)) WHERE rn = 1),
+         |surv AS MATERIALIZED (SELECT e.doc_id, e.text, e.quality
+         |         FROM ex e LEFT JOIN comp c ON c.doc_id = e.doc_id
+         |         LEFT JOIN bestm b ON b.canonical_id = c.canonical_id
+         |         WHERE c.doc_id IS NULL OR e.doc_id = b.best_id),
+         |${SubstringQueries.spanChainFor("surv")},
+         |${SubstringQueries.rebuiltChain},
+         |surv2 AS MATERIALIZED (SELECT s.doc_id, coalesce(r.new_text, s.text) AS text,
+         |                 s.quality
+         |          FROM surv s LEFT JOIN rebuilt r USING (doc_id)),
+         |s2 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS s, quality
+         |       FROM surv2),
+         |btoks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS s
+         |          FROM documents WHERE doc_id % 5 = 0),
+         |bgrams AS (SELECT DISTINCT unnest(CASE WHEN len(s) >= 13
+         |             THEN list_transform(range(1, len(s) - 11),
+         |                    i -> array_to_string(list_slice(s, i, i + 12), ' '))
+         |             ELSE [array_to_string(s, ' ')] END) AS g
+         |           FROM btoks),
+         |cgrams AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 13
+         |             THEN list_distinct(list_transform(range(1, len(s) - 11),
+         |                    i -> array_to_string(list_slice(s, i, i + 12), ' ')))
+         |             ELSE [array_to_string(s, ' ')] END) AS g
+         |           FROM s2),
+         |contx AS (SELECT DISTINCT cg.doc_id
+         |          FROM cgrams cg JOIN bgrams bg USING (g)),
+         |bsh AS MATERIALIZED (SELECT doc_id,
+         |          CASE WHEN len(s) >= 3
+         |               THEN list_distinct(list_transform(range(1, len(s) - 1),
+         |                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))
+         |               ELSE [array_to_string(s, ' ')] END AS g
+         |        FROM btoks),
+         |ssh AS MATERIALIZED (SELECT doc_id,
+         |          CASE WHEN len(s) >= 3
+         |               THEN list_distinct(list_transform(range(1, len(s) - 1),
+         |                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]))
+         |               ELSE [array_to_string(s, ' ')] END AS g
+         |        FROM s2),
+         |fpairs AS (SELECT DISTINCT t2.doc_id
+         |           FROM ssh t2 JOIN bsh b2
+         |             ON CAST(len(list_intersect(t2.g, b2.g)) AS DOUBLE)
+         |                / len(list_distinct(list_concat(t2.g, b2.g))) >= 0.8),
+         |clean AS MATERIALIZED (SELECT * FROM s2
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM contx)
+         |            AND doc_id NOT IN (SELECT doc_id FROM fpairs)),
+         |d AS MATERIALIZED (SELECT doc_id, doc_id % 8 AS shard,
+         |        CAST(len(s) AS BIGINT) AS n_tokens, quality,
+         |        row_number() OVER (PARTITION BY doc_id % 8
+         |                           ORDER BY doc_id) AS rn
+         |      FROM clean),
+         |pack(shard, rn, doc_id, seq_id, fill) AS (
+         |  SELECT shard, rn, doc_id, CAST(1 AS BIGINT), n_tokens
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.doc_id,
+         |    CASE WHEN p.fill + d.n_tokens > 1000
+         |         THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.fill + d.n_tokens > 1000
+         |         THEN d.n_tokens ELSE p.fill + d.n_tokens END
+         |  FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT p.doc_id, p.shard, p.seq_id,
+         |       CAST(d.n_tokens AS INT) AS n_tokens, d.quality
+         |FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn
+         |ORDER BY p.doc_id""".stripMargin),
 
     // Every numeric leg is explicitly DOUBLE (DuckDB would otherwise
     // promote the 0.5/1.2 literals to DECIMAL and diverge from IEEE);

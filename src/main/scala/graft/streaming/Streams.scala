@@ -29,6 +29,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** T11 — the COUNT stage of streaming trending-top-k: watermarked
+    * tumbling windows keyed by ITEM ([[windowedEventCounts]] with the
+    * ranked key in place of event_type). Ranking is not
+    * stream-incrementalizable, so production ranks each SEALED window
+    * downstream (foreachBatch / a batch pass over the sink) — the
+    * split the events_trending_topk batch entry documents; StreamsSpec
+    * pins stream ≡ batch for the composed pattern.
+    */
+  def trendingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     watermark: String = "10 minutes",
+                     windowLen: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
   /** Streaming exact dedup with bounded state (LLM-pipeline brief): a
     * document stream deduplicated on a content fingerprint, keeping
     * state only within the watermark horizon —
