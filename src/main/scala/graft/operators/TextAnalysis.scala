@@ -65,6 +65,51 @@ object TextAnalysis {
       .otherwise(lit(0))
   }
 
+  /** Gopher rule-card ingredients (Rae et al. 2021, arXiv 2112.11446,
+    * Table A1 document filters). Each ingredient is an exact integer
+    * count so every rule becomes a cross-multiplied integer predicate —
+    * no FP ratio ever computed, hence bit-identical across engines.
+    * All three are codegen'd higher-order array ops (zero shuffle).
+    */
+  def wordCharCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, x) => acc + length(x))
+
+  /** Words containing at least one ASCII-alphabetic character. */
+  def alphaWordCount(text: Column): Column =
+    size(filter(tokens(text), x => x.rlike("[A-Za-z]"))).cast("long")
+
+  /** "Symbol" words per Gopher: hash marks or ellipses. */
+  def symbolWordCount(text: Column): Column =
+    size(filter(tokens(text), x => x.contains("#") || x.contains("...")))
+      .cast("long")
+
+  /** The Gopher rule card over a document table: per-doc counts, the
+    * five per-rule verdicts, and the combined keep. See
+    * `TextQueries.textGopherGates` for the registry entry + oracle.
+    */
+  def gopherGates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokenCount(text).cast("long").as("n_words"),
+      wordCharCount(text).as("n_word_chars"),
+      alphaWordCount(text).as("n_alpha_words"),
+      symbolWordCount(text).as("n_symbol_words"),
+      stopwordCount(text).cast("long").as("n_stopwords"))
+    val passWc = col("n_words") >= 50 && col("n_words") <= 100000L
+    val passMwl = col("n_word_chars") >= col("n_words") * 3 &&
+      col("n_word_chars") <= col("n_words") * 10
+    val passSym = col("n_symbol_words") * 10 <= col("n_words")
+    val passAlpha = col("n_alpha_words") * 5 >= col("n_words") * 4
+    val passStop = col("n_stopwords") >= 2
+    base.select(col("doc_id"), col("n_words"), col("n_word_chars"),
+      passWc.as("pass_word_count"),
+      passMwl.as("pass_mean_word_len"),
+      passSym.as("pass_symbol_ratio"),
+      passAlpha.as("pass_alpha_frac"),
+      passStop.as("pass_stopwords"),
+      (passWc && passMwl && passSym && passAlpha && passStop).as("kept"))
+  }
+
   /** Quality score ∈ [0,1]: weighted blend of
     *  - length factor   (prefers 200–4000 chars),
     *  - stopword ratio  (natural text has some),

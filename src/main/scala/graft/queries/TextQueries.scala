@@ -229,6 +229,21 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** The canonical Gopher document-filter rule card (Rae et al. 2021,
+    * arXiv 2112.11446 Table A1) — the companion to [[textQualityGates]]
+    * with the PAPER's rules instead of the blended score: word count in
+    * [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * ≤ 0.1, ≥ 80% of words alphabetic, ≥ 2 stop words. Every rule is a
+    * cross-multiplied comparison of exact integer counts (3·n ≤ chars,
+    * 10·sym ≤ n, 5·alpha ≥ 4·n) so no FP ratio exists to diverge
+    * between engines. Scale shape: one narrow codegen'd pass over the
+    * corpus, zero shuffles besides the presentation sort.
+    */
+  def textGopherGates(env: Env): DataFrame =
+    TextAnalysis
+      .gopherGates(env.spread(env.documents), "doc_id", "text")
+      .orderBy($"doc_id")
+
   /** Corpus-trained bigram-LM perplexity per document — the LM quality
     * filter. The LM counts, smoothing rationals, and the per-doc
     * ordered ln-fold are all replayed by the oracle. */
@@ -894,6 +909,41 @@ object TextQueries {
          |         AS kept
          |FROM q JOIN lang USING (doc_id) JOIN rep USING (doc_id)
          |ORDER BY q.doc_id""".stripMargin),
+
+    // every rule replayed as the same cross-multiplied integer
+    // predicate — list_sum on an empty-token doc yields 0 via the
+    // single-empty-token split (len('') = 0), matching the Spark fold
+    Q.sql("text_gopher_gates", textGopherGates,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM documents),
+        |m AS (SELECT doc_id,
+        |        CAST(len(s) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(s, x -> length(x)))
+        |             AS BIGINT) AS n_word_chars,
+        |        CAST(len(list_filter(s,
+        |               x -> regexp_matches(x, '[A-Za-z]')))
+        |             AS BIGINT) AS n_alpha_words,
+        |        CAST(len(list_filter(s,
+        |               x -> contains(x, '#') OR contains(x, '...')))
+        |             AS BIGINT) AS n_symbol_words,
+        |        CAST(len(list_filter(s,
+        |               x -> x IN ('a','the','and','of','to','in','is')))
+        |             AS BIGINT) AS n_stopwords
+        |      FROM t)
+        |SELECT doc_id, n_words, n_word_chars,
+        |  n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+        |  n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+        |    AS pass_mean_word_len,
+        |  n_symbol_words * 10 <= n_words AS pass_symbol_ratio,
+        |  n_alpha_words * 5 >= n_words * 4 AS pass_alpha_frac,
+        |  n_stopwords >= 2 AS pass_stopwords,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10)
+        |    AND n_symbol_words * 10 <= n_words
+        |    AND n_alpha_words * 5 >= n_words * 4
+        |    AND n_stopwords >= 2 AS kept
+        |FROM m
+        |ORDER BY doc_id""".stripMargin),
 
     // add-one-smoothed bigram probabilities as exact-long divisions;
     // the only transcendentals are the one ordered ln-fold and final

@@ -75,4 +75,35 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(got.toSeq == Seq((1L, 2, 0), (2L, 0, 2), (3L, 0, 0), (4L, 0, 0)))
   }
+
+  test("gopher gates: each rule trips on its own boundary case") {
+    // 1: 50 in-range words incl. 2 stopwords → all pass
+    // 2: 49 words → word-count fail only (others pass)
+    // 3: mean word length below 3 (50 × "ab") → mean-len fail,
+    //    also alpha passes, stopwords fail (0 stopwords)
+    // 4: symbol words: 11 "#" among 50 → 11·10 > 50 symbol fail;
+    //    alpha: 39·5 = 195 < 200 = 50·4 → alpha fail too
+    // 5: boundary mean length exactly 3 (words of len 3) → pass
+    val w48 = Seq.fill(48)("word")
+    val doc1 = (Seq("the", "a") ++ w48).mkString(" ")            // 50 words
+    val doc2 = (Seq("the", "a") ++ w48.take(47)).mkString(" ")   // 49 words
+    val doc3 = Seq.fill(50)("ab").mkString(" ")
+    val doc4 = (Seq.fill(11)("#") ++ Seq("the", "a") ++ Seq.fill(37)("word"))
+      .mkString(" ")
+    val doc5 = (Seq("the") ++ Seq.fill(49)("cat")).mkString(" ") // 3+49·3=150=3·50
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3), (4L, doc4),
+                   (5L, doc5)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherGates(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4),
+                 r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+                 r.getBoolean(8)))
+    assert(got.toSeq == Seq(
+      //    wc     mwl    sym    alpha  stop   kept
+      (1L, true,  true,  true,  true,  true,  true),
+      (2L, false, true,  true,  true,  true,  false),
+      (3L, true,  false, true,  true,  false, false),
+      (4L, true,  true,  false, false, true,  false),
+      (5L, true,  true,  true,  true,  false, false)))
+  }
 }
