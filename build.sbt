@@ -27,5 +27,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g on purpose — a LARGER heap measured far WORSE on the full
+  // bench (cold pass 238 s → 807 s at 32g): Spark's ContextCleaner
+  // purges shuffle state, broadcasts, and block-tracker entries only
+  // when GC processes its weak references, so a big heap that never
+  // collects lets driver bookkeeping bloat across a 189-query run.
+  // The bench harness paces an explicit GC between queries instead.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

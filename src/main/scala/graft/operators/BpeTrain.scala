@@ -218,4 +218,33 @@ object BpeTrain {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB replay of the per-source fertility card: the tokenize
+    * replay's piece counts rolled up by document source. Fertility
+    * (pieces per word) is one division of exact longs — correctly
+    * rounded IEEE, so bit-identical across engines.
+    */
+  def fertilityOracleSql(table: String, idCol: String, textCol: String,
+                         sourceCol: String, merges: Int): String = {
+    val d = Delim
+    s"""${oraclePrefix(table, textCol, merges)},
+       |pieces AS (SELECT word,
+       |  CAST(len(list_filter(string_split(seq, '$d'), x -> x <> ''))
+       |       AS BIGINT) AS n_pieces
+       |  FROM s$merges),
+       |dw AS (SELECT $idCol AS doc_id, word
+       |  FROM (SELECT $idCol, unnest(string_split($textCol, ' ')) AS word
+       |        FROM $table)
+       |  WHERE word <> ''),
+       |per AS (SELECT d.$sourceCol AS source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(p.n_pieces) AS BIGINT) AS n_bpe_tokens
+       |FROM dw JOIN pieces p USING (word)
+       |JOIN $table d ON d.$idCol = dw.doc_id
+       |GROUP BY d.$sourceCol)
+       |SELECT source, n_words, n_bpe_tokens,
+       |  round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility
+       |FROM per
+       |ORDER BY source""".stripMargin
+  }
 }

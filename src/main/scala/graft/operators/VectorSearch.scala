@@ -1377,6 +1377,307 @@ object VectorSearch {
       .toDF("qid", "vec_id", "cos")
   }
 
+  // ---- IVFPQ: coarse cells + PQ-coded residuals (Jégou et al.) ----
+
+  /** Double-array variant of [[pqTrainCodebook]], for RESIDUAL
+    * training (float − 4dp-double is an exact double; re-quantizing to
+    * float here would lose the cross-engine bit-identity the oracle
+    * replay depends on). Same deterministic recipe: init cells
+    * vec_id % nCells, 4dp-grid means, one reassignment sweep on
+    * 6dp squared L2 (lowest cell on ties), retrain. */
+  private def pqTrainCodebookD(
+      vs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      m: Int, nCells: Int, sub: Int): Array[Array[Array[Double]]] = {
+    import vs.sparkSession.implicits._
+    def train(assigned: org.apache.spark.sql.Dataset[(Long, Array[Double], Array[Int])])
+        : Array[Array[Array[Double]]] = {
+      val partials = assigned.mapPartitions { it =>
+        val sums = Array.fill(m, nCells)(new Array[Double](sub))
+        val counts = Array.fill(m, nCells)(0L)
+        var any = false
+        it.foreach { case (_, e, cells) =>
+          any = true
+          var j = 0
+          while (j < m) {
+            val s = sums(j)(cells(j))
+            var d = 0
+            while (d < sub) { s(d) += e(j * sub + d); d += 1 }
+            counts(j)(cells(j)) += 1
+            j += 1
+          }
+        }
+        if (any) Iterator.single((sums.map(_.toSeq.map(_.toSeq)), counts.map(_.toSeq)))
+        else Iterator.empty
+      }.collect()
+      val sums = Array.fill(m, nCells)(new Array[Double](sub))
+      val counts = Array.fill(m, nCells)(0L)
+      partials.foreach { case (ps, pc) =>
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < nCells) {
+            counts(j)(c) += pc(j)(c)
+            var d = 0
+            while (d < sub) { sums(j)(c)(d) += ps(j)(c)(d); d += 1 }
+            c += 1
+          }
+          j += 1
+        }
+      }
+      Array.tabulate(m, nCells) { (j, c) =>
+        if (counts(j)(c) == 0L) null
+        else sums(j)(c).map(s => round4(s / counts(j)(c)))
+      }
+    }
+    val init = vs.map { case (vid, e) =>
+      (vid, e, Array.fill(m)((vid % nCells).toInt))
+    }.localCheckpoint(eager = false) // feeds cb0 train AND the sweep
+    val cb0 = train(init)
+    val bc0 = vs.sparkSession.sparkContext.broadcast(cb0)
+    val sweep = init.map { case (vid, e, _) =>
+      (vid, e, pqAssignKD(bc0.value, e, m, nCells, sub))
+    }
+    train(sweep)
+  }
+
+  /** [[pqAssignK]] over double residuals. */
+  private def pqAssignKD(cb: Array[Array[Array[Double]]], e: Array[Double],
+                         m: Int, nCells: Int, sub: Int): Array[Int] =
+    Array.tabulate(m) { j =>
+      var bestDist = Double.PositiveInfinity
+      var bestCell = -1
+      var c = 0
+      while (c < nCells) {
+        val cent = cb(j)(c)
+        if (cent != null) {
+          var s = 0.0
+          var d = 0
+          while (d < sub) {
+            val diff = e(j * sub + d) - cent(d)
+            s += diff * diff
+            d += 1
+          }
+          val dist = round6(s)
+          if (dist < bestDist) { bestDist = dist; bestCell = c }
+        }
+        c += 1
+      }
+      bestCell
+    }
+
+  /** IVFPQ top-k — the composed billion-scale serving structure
+    * (Jégou, Douze, Schmid 2011, "Product quantization for nearest
+    * neighbor search"): a coarse IVF quantizer bounds each query's
+    * scan to its nProbe most-similar cells, and WITHIN a cell the
+    * approximate score reads a PQ code of the RESIDUAL
+    * (vector − cell centroid) — residual magnitudes are much smaller
+    * than vector magnitudes, so the same m-byte code carries more
+    * precision than raw-vector PQ. Candidates are then re-ranked on
+    * exact cosine, exactly like [[pqTopK]].
+    *
+    * Scale shape: coarse centroids + both codebooks are tiny broadcast
+    * artifacts; the probe selection runs in a compiled map over the
+    * DISTRIBUTED query side ([[ivfProbes]] — no query collect at any
+    * |Q|); candidates come from the cell equi-join, so scan volume per
+    * query is (nProbe/nCells)·|V| of m-byte codes, never the raw
+    * embedding table; the only corpus-sized shuffles are the cell join
+    * and the two top-k windows. At 100 TB this is the structure that
+    * serves: codes are 32× smaller than float32 vectors and cells are
+    * read selectively (the persisted-index variants [[ivfWriteIndex]]/
+    * [[pqWriteIndex]] show the artifact layout).
+    *
+    * Determinism: coarse cells are the given `cellCol` (refine = 0 —
+    * the [[ivfTopK]] convention), centroids on the 4dp grid, residuals
+    * are exact double subtractions, PQ trains with the deterministic
+    * one-sweep Lloyd of [[pqTrainCodebookD]], and every score rounds
+    * to 6dp with vec_id tie-breaks — the DuckDB oracle replays all of
+    * it bit-for-bit.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                cellCol: String = "label", nProbe: Int = 3, m: Int = 8,
+                nCells: Int = 16, dim: Int = 64,
+                candMult: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    require(m * sub == dim, s"ivfPqTopK: m=$m must divide dim=$dim")
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine = 0)
+    val bcCent = spark.sparkContext.broadcast(centroids.toMap)
+    // residuals: training set is EVERY assigned vector (the pq
+    // convention — zero-norm vectors still shape the codebook); the
+    // scan-eligibility flag mirrors pqTopK's null-image rule
+    val resid = assigned.mapPartitions { it =>
+      val cents = bcCent.value
+      it.map { case (cell, vid, e) =>
+        val c = cents(cell)
+        val r = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { r(i) = e(i).toDouble - c(i); i += 1 }
+        (vid, cell, r, normK(e, dim) > 0)
+      }
+    }.localCheckpoint(eager = false) // feeds codebook train + encode
+    val cb = pqTrainCodebookD(
+      resid.map { case (vid, _, r, _) => (vid, r) }, m, nCells, sub)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    // encode + reconstruct: centroid + residual codeword, one row per
+    // scan-eligible vector, keyed by coarse cell for the probe join
+    val recon = resid.filter(_._4).mapPartitions { it =>
+      val cbv = bcCb.value
+      val cents = bcCent.value
+      it.flatMap { case (vid, cell, r, _) =>
+        val codes = pqAssignKD(cbv, r, m, nCells, sub)
+        var ok = true
+        val fv = new Array[Double](dim)
+        val c = cents(cell)
+        var j = 0
+        while (j < m) {
+          val cw = if (codes(j) >= 0) cbv(j)(codes(j)) else null
+          if (cw == null) ok = false
+          else {
+            var d = 0
+            while (d < sub) { fv(j * sub + d) = c(j * sub + d) + cw(d); d += 1 }
+          }
+          j += 1
+        }
+        if (ok) Some((cell, vid, fv)) else None
+      }
+    }.toDF("cell", "vec_id", "fv")
+    ivfPqScore(recon, centroids, vectors, queries, k, nProbe, dim, candCut)
+  }
+
+  /** The shared IVFPQ serve tail — probe selection on the distributed
+    * query side, cell equi-join against the reconstruction rows,
+    * compiled asymmetric scoring, candidate cut + exact re-rank. One
+    * body for the inline index ([[ivfPqTopK]]) and the persisted one
+    * ([[ivfPqServe]]), so served results are bit-exact vs inline. */
+  private def ivfPqScore(recon: DataFrame,
+                         centroids: Array[(Int, Array[Double])],
+                         vectors: DataFrame, queries: DataFrame, k: Int,
+                         nProbe: Int, dim: Int, candCut: Int): DataFrame = {
+    val spark = recon.sparkSession
+    import spark.implicits._
+    val qprobes = ivfProbes(queries, centroids, nProbe, dim)
+    val scored = recon.join(qprobes, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qe"), col("nq"), col("vec_id"), col("fv"))
+      .as[(Long, Array[Float], Double, Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (qid, qe, nq, vid, fv) =>
+        val nf = normKD(fv, dim)
+        if (nf == 0) None // reconstruction degenerate: cosine undefined
+        else Some((qid, vid, round6(dotKD(qe, fv, dim) / (nq * nf))))
+      })
+      .toDF("qid", "vec_id", "cos")
+    pqFinish(scored, vectors, queries, dim, k, candCut)
+  }
+
+  /** Persist the trained IVFPQ index: `codes/` holds one (vec_id,
+    * m-byte residual code) row per scan-eligible vector PARTITIONED BY
+    * coarse cell — the artifact a 100 TB deployment serves (cell
+    * pruning × 32×-compressed codes; embeddings are touched only at
+    * re-rank) — plus the cell-count-sized `centroids/`, the m·nCells
+    * `codebooks/`, and one-row `meta/`. Training follows [[ivfPqTopK]]
+    * exactly (all assigned vectors shape the codebook; zero-norm
+    * originals are excluded from the SERVED set only), so a served
+    * query reproduces the inline answer to the last bit.
+    */
+  def ivfPqWriteIndex(vectors: DataFrame, dir: String,
+                      cellCol: String = "label", m: Int = 8,
+                      nCells: Int = 16, dim: Int = 64): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    require(m * sub == dim, s"ivfPqWriteIndex: m=$m must divide dim=$dim")
+    val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine = 0)
+    val bcCent = spark.sparkContext.broadcast(centroids.toMap)
+    val resid = assigned.mapPartitions { it =>
+      val cents = bcCent.value
+      it.map { case (cell, vid, e) =>
+        val c = cents(cell)
+        val r = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { r(i) = e(i).toDouble - c(i); i += 1 }
+        (vid, cell, r, normK(e, dim) > 0)
+      }
+    }.localCheckpoint(eager = false) // feeds codebook train + encode
+    val cb = pqTrainCodebookD(
+      resid.map { case (vid, _, r, _) => (vid, r) }, m, nCells, sub)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    resid.filter(_._4).mapPartitions { it =>
+        val cbv = bcCb.value
+        it.map { case (vid, cell, r, _) =>
+          (cell, vid, pqAssignKD(cbv, r, m, nCells, sub))
+        }
+      }
+      .toDF("cell", "vec_id", "codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    val rows = for {
+      j <- 0 until m; c <- 0 until nCells; if cb(j)(c) != null
+    } yield (j, c, cb(j)(c).toSeq)
+    spark.createDataset(rows).toDF("subspace", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((m, nCells, dim)).toDF("m", "ncells", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Serve IVFPQ top-k from a persisted index directory (see
+    * [[ivfPqWriteIndex]]). Driver reads are the one-row meta, the
+    * cell-count-sized centroid table, and the m·nCells codebook —
+    * bounded by construction. Reconstructions are rebuilt per code
+    * row from the broadcast artifacts; scoring/re-rank is the shared
+    * [[ivfPqScore]] tail, so output is bit-exact vs [[ivfPqTopK]].
+    */
+  def ivfPqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 vectors: DataFrame, queries: DataFrame, k: Int,
+                 nProbe: Int = 3, candMult: Int = 4): DataFrame = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val sub = dim / m
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val cb: Array[Array[Array[Double]]] = {
+      val out = Array.fill[Array[Double]](m, nCells)(null)
+      spark.read.parquet(s"$dir/codebooks")
+        .as[(Int, Int, Array[Double])].collect()
+        .foreach { case (j, c, cent) => out(j)(c) = cent }
+      out
+    }
+    val bcCent = spark.sparkContext.broadcast(centroids.toMap)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val recon = spark.read.parquet(s"$dir/codes")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+              col("codes"))
+      .as[(Int, Long, Array[Int])]
+      .mapPartitions { it =>
+        val cbv = bcCb.value
+        val cents = bcCent.value
+        it.flatMap { case (cell, vid, codes) =>
+          var ok = true
+          val fv = new Array[Double](dim)
+          val c = cents(cell)
+          var j = 0
+          while (j < m) {
+            val cw = if (codes(j) >= 0) cbv(j)(codes(j)) else null
+            if (cw == null) ok = false
+            else {
+              var d = 0
+              while (d < sub) {
+                fv(j * sub + d) = c(j * sub + d) + cw(d); d += 1
+              }
+            }
+            j += 1
+          }
+          if (ok) Some((cell, vid, fv)) else None
+        }
+      }
+      .toDF("cell", "vec_id", "fv")
+    ivfPqScore(recon, centroids, vectors, queries, k, nProbe, dim, candCut)
+  }
+
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.
     * Block-matrix shape: vectors are grouped into B hash blocks, the
     * B(B+1)/2 block-cell pairs are enumerated with a join (tiny), and a

@@ -154,6 +154,31 @@ object AnnQueries {
     VectorSearch.pqTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** IVFPQ — coarse cells bound the scan to 3 of 16 cells per query,
+    * and within a cell the approximate score reads an 8-byte PQ code
+    * of the RESIDUAL (vector − cell centroid), the Jégou-et-al
+    * composition every billion-scale ANN deployment serves. Same
+    * deterministic recipe as IVF + PQ separately (label cells, 4dp
+    * centroid grid, exact-double residuals, one Lloyd sweep, 6dp
+    * scores, vec_id ties), so DuckDB replays the full composition:
+    * centroids → residuals → codebooks → codes → reconstructions →
+    * probes → candidates → exact re-rank. */
+  def annIvfPqTopK(env: Env): DataFrame =
+    VectorSearch.ivfPqTopK(env.embeddings, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
+  /** IVFPQ index persistence round trip: train once, persist the
+    * cell-partitioned residual codes + centroids + codebooks, serve
+    * the standard query set from the codes table. Bit-exact vs
+    * [[annIvfPqTopK]] — shares its oracle. */
+  def annIvfPqIndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivfpq_index"
+    VectorSearch.ivfPqWriteIndex(env.embeddings, dir)
+    VectorSearch.ivfPqServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Corpus-scale k-NN JOIN: EVERY vector is a query (|Q| = |V| — the
     * all-pairs-top-k shape of corpus-wide SemDeDup / hard-negative
     * mining at 100 TB), answered through the IVF index. This is the
@@ -472,6 +497,132 @@ object AnnQueries {
        |          i -> r.rv[i] * r.rv[i])) > 0
        |    AND list_sum(list_transform(range(1, 65),
        |          i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) > 0),
+       |cand AS (
+       |  SELECT qid, vec_id, cos_pq FROM (
+       |    SELECT qid, vec_id, cos_pq,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos_pq DESC, vec_id ASC) AS rn
+       |    FROM approx) WHERE rn <= 20),
+       |rr AS (
+       |  SELECT c3.qid, c3.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c3.cos_pq
+       |  FROM cand c3
+       |  JOIN embeddings e ON e.vec_id = c3.vec_id
+       |  JOIN q ON q.qid = c3.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos, cos_pq,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM rr)
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  // IVFPQ replay: the ivf oracle's centroid/probe fragments composed
+  // with the pq oracle's training replay, run on RESIDUALS (exact
+  // double subtraction against the 4dp centroid grid). recon = coarse
+  // centroid + residual codeword; approx restricted to probed cells;
+  // exact re-rank tail identical to pqRerankSql.
+  private[queries] val ivfPqSql: String =
+    s"""WITH cent AS (
+       |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+       |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+       |    FROM embeddings, range(1, 65) t(d)
+       |    GROUP BY cell, t.d)
+       |  GROUP BY cell),
+       |ev AS (
+       |  SELECT e.vec_id, CAST(e.label AS INT) AS cell, e.embedding
+       |  FROM embeddings e),
+       |rsv AS (
+       |  SELECT ev.vec_id, ev.cell, j.j AS j, d.d AS d,
+       |         CAST(ev.embedding[j.j * 8 + d.d] AS DOUBLE)
+       |           - c.centroid[j.j * 8 + d.d] AS x
+       |  FROM ev JOIN cent c ON c.cell = ev.cell,
+       |       range(0, 8) j(j), range(1, 9) d(d)),
+       |cb0 AS (
+       |  SELECT rsv.j, rsv.vec_id % 16 AS cell, rsv.d,
+       |         round(sum(rsv.x) / count(*), 4) AS c
+       |  FROM rsv GROUP BY rsv.j, rsv.vec_id % 16, rsv.d),
+       |cb0l AS (SELECT j, cell, list(c ORDER BY d) AS cl
+       |         FROM cb0 GROUP BY j, cell),
+       |rvl AS (SELECT vec_id, j, list(x ORDER BY d) AS xl
+       |        FROM rsv GROUP BY vec_id, j),
+       |d1 AS (
+       |  SELECT s.vec_id, s.j, b.cell,
+       |         round(list_sum(list_transform(range(1, 9),
+       |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
+       |  FROM rvl s JOIN cb0l b ON b.j = s.j),
+       |a1 AS (
+       |  SELECT vec_id, j, cell FROM (
+       |    SELECT vec_id, j, cell,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |cb1 AS (
+       |  SELECT rsv.j, a1.cell, rsv.d, round(sum(rsv.x) / count(*), 4) AS c
+       |  FROM rsv JOIN a1 ON a1.vec_id = rsv.vec_id AND a1.j = rsv.j
+       |  GROUP BY rsv.j, a1.cell, rsv.d),
+       |cb1l AS (SELECT j, cell, list(c ORDER BY d) AS cl
+       |         FROM cb1 GROUP BY j, cell),
+       |d2 AS (
+       |  SELECT s.vec_id, s.j, b.cell,
+       |         round(list_sum(list_transform(range(1, 9),
+       |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
+       |  FROM rvl s JOIN cb1l b ON b.j = s.j),
+       |code AS (
+       |  SELECT vec_id, j, cell FROM (
+       |    SELECT vec_id, j, cell,
+       |           row_number() OVER (PARTITION BY vec_id, j
+       |                              ORDER BY dist, cell) AS rn
+       |    FROM d2) WHERE rn = 1),
+       |reconr AS (
+       |  SELECT c2.vec_id, list(cb.c ORDER BY cb.j, cb.d) AS rv
+       |  FROM code c2 JOIN cb1 cb ON cb.j = c2.j AND cb.cell = c2.cell
+       |  GROUP BY c2.vec_id),
+       |recon AS (
+       |  SELECT r.vec_id, ev.cell,
+       |         list_transform(range(1, 65),
+       |           i -> c.centroid[i] + r.rv[i]) AS fv
+       |  FROM reconr r JOIN ev ON ev.vec_id = r.vec_id
+       |  JOIN cent c ON c.cell = ev.cell),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |psim AS (
+       |  SELECT q.qid, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+       |  FROM q, cent c),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM psim) WHERE rn <= 3),
+       |approx AS (
+       |  SELECT p.qid, r.vec_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |            i -> CAST(q.qe[i] AS DOUBLE) * r.fv[i]))
+       |          / (sqrt(list_sum(list_transform(range(1, 65),
+       |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(range(1, 65),
+       |                 i -> r.fv[i] * r.fv[i])))), 6) AS cos_pq
+       |  FROM probes p
+       |  JOIN recon r ON r.cell = p.cell
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN embeddings e ON e.vec_id = r.vec_id
+       |  WHERE r.vec_id <> p.qid
+       |    AND list_sum(list_transform(range(1, 65),
+       |          i -> CAST(e.embedding[i] AS DOUBLE)
+       |               * CAST(e.embedding[i] AS DOUBLE))) > 0
+       |    AND list_sum(list_transform(range(1, 65),
+       |          i -> r.fv[i] * r.fv[i])) > 0),
        |cand AS (
        |  SELECT qid, vec_id, cos_pq FROM (
        |    SELECT qid, vec_id, cos_pq,
@@ -908,6 +1059,11 @@ object AnnQueries {
     // cell), reconstruction as the j-major 64-list, then the sq8-style
     // candidate window + exact re-rank
     Q.sql("ann_pq_rerank", annPqRerank, pqRerankSql),
+
+    Q.sql("ann_ivfpq_topk", annIvfPqTopK, ivfPqSql),
+
+    // persisted-index serve is bit-exact vs the inline index
+    Q.sql("ann_ivfpq_roundtrip", annIvfPqIndexRoundtrip, ivfPqSql),
 
     // build→persist(m-byte codes + codebooks + one-row geometry)→
     // load→serve: the approx scan runs over the codes table only;

@@ -107,7 +107,18 @@ object TextQueries {
     * lazy localCheckpoints at the stage boundaries that feed multiple
     * consumers.
     */
-  def textPrepPipeline2(env: Env): DataFrame = {
+  /** The intermediate corpora of the composed prep flow, one frame per
+    * stage boundary — shared by [[textPrepPipeline2]] (which packs the
+    * final survivors) and [[corpusPrepYield]] (which counts every
+    * stage). Checkpoint placement is unchanged from the fused form:
+    * each lazily-materialized frame feeds multiple consumers once.
+    */
+  private[queries] final case class PrepStages(
+      corpus: DataFrame, kept: DataFrame, cleaned: DataFrame,
+      exact: DataFrame, surv: DataFrame, surv2: DataFrame,
+      clean: DataFrame)
+
+  private[queries] def prepStages(env: Env): PrepStages = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{coalesce, max_by, row_number, struct}
     val docs = env.spread(env.documents) // single-row-group input: see Env.spread
@@ -165,8 +176,13 @@ object TextQueries {
       .select($"inc_id".as("doc_id")).distinct()
     val clean = surv2
       .join(exCont.union(fzCont).distinct(), Seq("doc_id"), "left_anti")
+    PrepStages(corpus, kept, gated, exact, surv, surv2, clean)
+  }
+
+  def textPrepPipeline2(env: Env): DataFrame = {
+    val st = prepStages(env)
     // stage 6 — pack what remains (token counts of the final text)
-    val withTokens = clean.select($"doc_id",
+    val withTokens = st.clean.select($"doc_id",
       TextAnalysis.tokenCount($"text").as("n_tokens"), $"quality")
       .localCheckpoint(eager = false) // feeds the packer + the re-join
     graft.operators.SequencePack
@@ -176,6 +192,34 @@ object TextQueries {
       .select($"doc_id", $"shard", $"seq_id",
         $"n_tokens".cast("int").as("n_tokens"), $"quality")
       .orderBy($"doc_id")
+  }
+
+  /** Per-stage yield funnel of the composed prep flow — the ablation
+    * table a corpus build publishes (how many documents and tokens
+    * each stage removed). One row per stage boundary: surviving docs
+    * and surviving tokens, token counts taken on the stage's CURRENT
+    * text (the substring scrub shrinks tokens without dropping docs).
+    * Pure aggregation over [[prepStages]]'s shared lazily-checkpointed
+    * frames — each stage's corpus is computed once and feeds both its
+    * own count and the downstream stages.
+    */
+  def corpusPrepYield(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum}
+    val st = prepStages(env)
+    def stageRow(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(fcount(lit(1)).as("n_docs"),
+             sum(TextAnalysis.tokenCount($"text").cast("long"))
+               .as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+                $"n_docs", $"n_tokens")
+    stageRow(0, "0_corpus", st.corpus)
+      .union(stageRow(1, "1_gates", st.kept))
+      .union(stageRow(2, "2_repetition", st.cleaned))
+      .union(stageRow(3, "3_exact_dedup", st.exact))
+      .union(stageRow(4, "4_near_dup", st.surv))
+      .union(stageRow(5, "5_substr_scrub", st.surv2))
+      .union(stageRow(6, "6_decontaminate", st.clean))
+      .orderBy($"stage_idx")
   }
 
   /** Corpus-frequency boilerplate scrub: bigrams in ≥ ceil(6% of docs)
@@ -407,6 +451,28 @@ object TextQueries {
       .tokenizedCounts(env.documents, "doc_id", "text", merges = 6)
       .orderBy($"doc_id")
 
+  /** Per-source tokenizer fertility (pieces per word) under the
+    * corpus-trained BPE vocabulary — the tokenizer-efficiency card a
+    * multilingual/multi-domain corpus build publishes per slice. Rides
+    * the per-doc piece counts (vocab-sized broadcast, see
+    * [[graft.operators.BpeTrain.tokenizedCounts]]) and adds one
+    * source-keyed combinable rollup; fertility is a single division of
+    * exact longs, rounded once.
+    */
+  def textBpeFertility(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{round, sum}
+    graft.operators.BpeTrain
+      .tokenizedCounts(env.documents, "doc_id", "text", merges = 6)
+      .join(env.documents.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(sum($"n_words".cast("long")).as("n_words"),
+           sum($"n_bpe_tokens").as("n_bpe_tokens"))
+      .select($"source", $"n_words", $"n_bpe_tokens",
+        round($"n_bpe_tokens".cast("double") / $"n_words", 6)
+          .as("fertility"))
+      .orderBy($"source")
+  }
+
   /** C4-style blocklist gate: token-exact unigram ("dup") and
     * adjacent-phrase ("slow scan") hits; keep = clean. Chosen terms
     * flag a non-trivial slice of the synthetic corpus at every SF. */
@@ -418,132 +484,14 @@ object TextQueries {
       .withColumn("keep", $"n_badwords" === 0 && $"n_badphrases" === 0)
       .orderBy($"doc_id")
 
-  val entries: Seq[Q] = Seq(
-    Q.sql("text_badwords_filter", textBadwordsFilter,
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
-        |           FROM documents),
-        |ph AS (SELECT doc_id, CAST(count(*) AS INT) AS np
-        |       FROM t, unnest(range(1, len(s))) AS u(j)
-        |       WHERE s[j] = 'slow' AND s[j + 1] = 'scan'
-        |       GROUP BY doc_id)
-        |SELECT t.doc_id,
-        |  CAST(len(list_filter(t.s, x -> x = 'dup')) AS INT) AS n_badwords,
-        |  coalesce(ph.np, 0) AS n_badphrases,
-        |  len(list_filter(t.s, x -> x = 'dup')) = 0
-        |    AND coalesce(ph.np, 0) = 0 AS keep
-        |FROM t LEFT JOIN ph USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin),
-
-    Q.sql("text_bpe_train", textBpeTrain,
-      graft.operators.BpeTrain.oracleSql("documents", "text", merges = 6)),
-
-    Q.sql("text_bpe_tokens", textBpeTokens,
-      graft.operators.BpeTrain.tokenizeOracleSql(
-        "documents", "doc_id", "text", merges = 6)),
-
-    Q.sql("text_stats", textStats,
-      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
-        |m AS (SELECT doc_id, text, s,
-        |        CAST(len(s) AS INT) AS n_tokens,
-        |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-        |             AS INT) AS n_regex_tokens,
-        |        CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,
-        |        CAST(len(list_filter(s,
-        |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
-        |          AS n_stopwords
-        |      FROM t)
-        |SELECT doc_id, n_tokens, n_regex_tokens, est_bpe, n_stopwords,
-        |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-        |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-        |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
-        |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
-        |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
-        |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
-        |                         BETWEEN 3.0 AND 10.0
-        |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
-        |FROM m
-        |ORDER BY doc_id""".stripMargin),
-
-    Q.sql("text_langid", textLangId, langIdSql),
-
-    Q.sql("text_prep_pipeline", textPrepPipeline,
-      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s
-         |           FROM documents WHERE doc_id % 5 <> 0),
-         |m AS (SELECT doc_id, text, s,
-         |        CAST(len(s) AS INT) AS n_tokens,
-         |        CAST(len(list_filter(s,
-         |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
-         |          AS n_stopwords
-         |      FROM t),
-         |q AS (SELECT doc_id, s, n_tokens,
-         |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-         |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
-         |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
-         |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
-         |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
-         |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
-         |                         BETWEEN 3.0 AND 10.0
-         |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
-         |      FROM m),
-         |lang AS (SELECT doc_id, predicted_lang FROM (
-         |${TextQueries.langIdSelect.linesIterator.map("  " + _).mkString("\n")}
-         |) ll),
-         |kept AS (SELECT q.doc_id, q.s, q.n_tokens, q.quality
-         |         FROM q JOIN lang USING (doc_id)
-         |         WHERE lang.predicted_lang = 'en' AND q.quality >= 0.65),
-         |rg AS (SELECT doc_id, len(s) AS n, len(list_distinct(s)) AS nd,
-         |         unnest(list_transform(range(1, len(s)),
-         |           i -> s[i] || ' ' || s[i+1])) AS g
-         |       FROM kept),
-         |rc AS (SELECT doc_id, n, nd, g, count(*) AS cnt
-         |       FROM rg GROUP BY doc_id, n, nd, g),
-         |rep AS (SELECT doc_id,
-         |          round(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_frac,
-         |          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top2
-         |        FROM rc GROUP BY doc_id, n, nd),
-         |cleaned AS (SELECT k.* FROM kept k JOIN rep r USING (doc_id)
-         |            WHERE r.top2 <= 0.10 AND r.dup_frac <= 0.70),
-         |btoks AS (SELECT doc_id, string_split(text, ' ') AS s
-         |          FROM documents WHERE doc_id % 5 = 0),
-         |bgrams AS (SELECT DISTINCT unnest(CASE WHEN len(s) >= 13
-         |             THEN list_transform(range(1, len(s) - 11),
-         |                    i -> array_to_string(list_slice(s, i, i + 12), ' '))
-         |             ELSE [array_to_string(s, ' ')] END) AS g
-         |           FROM btoks),
-         |cgrams AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 13
-         |             THEN list_distinct(list_transform(range(1, len(s) - 11),
-         |                    i -> array_to_string(list_slice(s, i, i + 12), ' ')))
-         |             ELSE [array_to_string(s, ' ')] END) AS g
-         |           FROM cleaned),
-         |cont AS (SELECT DISTINCT cg.doc_id
-         |         FROM cgrams cg JOIN bgrams bg USING (g)),
-         |decon AS (SELECT * FROM cleaned
-         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
-         |ex AS (SELECT doc_id, s, n_tokens, quality
-         |       FROM (SELECT *, md5(array_to_string(
-         |               list_sort(list_distinct(s)), '|')) AS fp FROM decon)
-         |       QUALIFY row_number() OVER (PARTITION BY fp
-         |                                  ORDER BY doc_id) = 1),
-         |sh AS (SELECT doc_id,
-         |         list_distinct(list_transform(range(1, len(s) - 1),
-         |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
-         |       FROM ex),
-         |pairs AS (SELECT b.doc_id AS doc_b
-         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-         |                / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
-         |SELECT doc_id, n_tokens, quality FROM ex
-         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
-         |ORDER BY doc_id""".stripMargin),
-
-    // the composed Lee-et-al flow: gates → exact dedup → keep-best
-    // near-dup → ExactSubstr scrub (span algebra over the SURVIVOR
-    // relation via SubstringQueries.spanChainFor) → exact+fuzzy
-    // decontamination of the rewritten text → recursive packing fold.
-    // Two recursive CTEs (component closure, pack) under one
-    // WITH RECURSIVE.
-    Q.sql("text_prep_pipeline2", textPrepPipeline2,
-      s"""WITH RECURSIVE t AS (SELECT doc_id, text, string_split(text, ' ') AS s
+  // Shared oracle CTE chain of the composed prep flow — stages
+  // t (corpus) → kept (gates) → cleaned (repetition) → ex (exact
+  // dedup) → surv (near-dup) → surv2 (substring scrub) → clean
+  // (decontamination). Consumed verbatim by BOTH the pipeline2
+  // oracle (which packs clean) and the prep-yield oracle (which
+  // counts every stage), so the two entries can never drift.
+  private[queries] lazy val prepChainCte: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, string_split(text, ' ') AS s
          |           FROM documents WHERE doc_id % 5 <> 0),
          |m AS (SELECT doc_id, text, s,
          |        CAST(len(s) AS INT) AS n_tokens,
@@ -652,7 +600,138 @@ object TextQueries {
          |                / len(list_distinct(list_concat(t2.g, b2.g))) >= 0.8),
          |clean AS MATERIALIZED (SELECT * FROM s2
          |          WHERE doc_id NOT IN (SELECT doc_id FROM contx)
-         |            AND doc_id NOT IN (SELECT doc_id FROM fpairs)),
+         |            AND doc_id NOT IN (SELECT doc_id FROM fpairs))""".stripMargin
+
+  val entries: Seq[Q] = Seq(
+    Q.sql("text_badwords_filter", textBadwordsFilter,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM documents),
+        |ph AS (SELECT doc_id, CAST(count(*) AS INT) AS np
+        |       FROM t, unnest(range(1, len(s))) AS u(j)
+        |       WHERE s[j] = 'slow' AND s[j + 1] = 'scan'
+        |       GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(list_filter(t.s, x -> x = 'dup')) AS INT) AS n_badwords,
+        |  coalesce(ph.np, 0) AS n_badphrases,
+        |  len(list_filter(t.s, x -> x = 'dup')) = 0
+        |    AND coalesce(ph.np, 0) = 0 AS keep
+        |FROM t LEFT JOIN ph USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin),
+
+    Q.sql("text_bpe_train", textBpeTrain,
+      graft.operators.BpeTrain.oracleSql("documents", "text", merges = 6)),
+
+    Q.sql("text_bpe_tokens", textBpeTokens,
+      graft.operators.BpeTrain.tokenizeOracleSql(
+        "documents", "doc_id", "text", merges = 6)),
+
+    Q.sql("text_bpe_fertility", textBpeFertility,
+      graft.operators.BpeTrain.fertilityOracleSql(
+        "documents", "doc_id", "text", "source", merges = 6)),
+
+    Q.sql("text_stats", textStats,
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+        |m AS (SELECT doc_id, text, s,
+        |        CAST(len(s) AS INT) AS n_tokens,
+        |        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |             AS INT) AS n_regex_tokens,
+        |        CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,
+        |        CAST(len(list_filter(s,
+        |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+        |          AS n_stopwords
+        |      FROM t)
+        |SELECT doc_id, n_tokens, n_regex_tokens, est_bpe, n_stopwords,
+        |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+        |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+        |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+        |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+        |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+        |                         BETWEEN 3.0 AND 10.0
+        |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
+        |FROM m
+        |ORDER BY doc_id""".stripMargin),
+
+    Q.sql("text_langid", textLangId, langIdSql),
+
+    Q.sql("text_prep_pipeline", textPrepPipeline,
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s
+         |           FROM documents WHERE doc_id % 5 <> 0),
+         |m AS (SELECT doc_id, text, s,
+         |        CAST(len(s) AS INT) AS n_tokens,
+         |        CAST(len(list_filter(s,
+         |          x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+         |          AS n_stopwords
+         |      FROM t),
+         |q AS (SELECT doc_id, s, n_tokens,
+         |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+         |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+         |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+         |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+         |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+         |                         BETWEEN 3.0 AND 10.0
+         |                    THEN 1.0 ELSE 0.5 END), 6) AS quality
+         |      FROM m),
+         |lang AS (SELECT doc_id, predicted_lang FROM (
+         |${TextQueries.langIdSelect.linesIterator.map("  " + _).mkString("\n")}
+         |) ll),
+         |kept AS (SELECT q.doc_id, q.s, q.n_tokens, q.quality
+         |         FROM q JOIN lang USING (doc_id)
+         |         WHERE lang.predicted_lang = 'en' AND q.quality >= 0.65),
+         |rg AS (SELECT doc_id, len(s) AS n, len(list_distinct(s)) AS nd,
+         |         unnest(list_transform(range(1, len(s)),
+         |           i -> s[i] || ' ' || s[i+1])) AS g
+         |       FROM kept),
+         |rc AS (SELECT doc_id, n, nd, g, count(*) AS cnt
+         |       FROM rg GROUP BY doc_id, n, nd, g),
+         |rep AS (SELECT doc_id,
+         |          round(1.0 - CAST(nd AS DOUBLE) / n, 6) AS dup_frac,
+         |          round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top2
+         |        FROM rc GROUP BY doc_id, n, nd),
+         |cleaned AS (SELECT k.* FROM kept k JOIN rep r USING (doc_id)
+         |            WHERE r.top2 <= 0.10 AND r.dup_frac <= 0.70),
+         |btoks AS (SELECT doc_id, string_split(text, ' ') AS s
+         |          FROM documents WHERE doc_id % 5 = 0),
+         |bgrams AS (SELECT DISTINCT unnest(CASE WHEN len(s) >= 13
+         |             THEN list_transform(range(1, len(s) - 11),
+         |                    i -> array_to_string(list_slice(s, i, i + 12), ' '))
+         |             ELSE [array_to_string(s, ' ')] END) AS g
+         |           FROM btoks),
+         |cgrams AS (SELECT doc_id, unnest(CASE WHEN len(s) >= 13
+         |             THEN list_distinct(list_transform(range(1, len(s) - 11),
+         |                    i -> array_to_string(list_slice(s, i, i + 12), ' ')))
+         |             ELSE [array_to_string(s, ' ')] END) AS g
+         |           FROM cleaned),
+         |cont AS (SELECT DISTINCT cg.doc_id
+         |         FROM cgrams cg JOIN bgrams bg USING (g)),
+         |decon AS (SELECT * FROM cleaned
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |ex AS (SELECT doc_id, s, n_tokens, quality
+         |       FROM (SELECT *, md5(array_to_string(
+         |               list_sort(list_distinct(s)), '|')) AS fp FROM decon)
+         |       QUALIFY row_number() OVER (PARTITION BY fp
+         |                                  ORDER BY doc_id) = 1),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(s) - 1),
+         |           i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])) AS g
+         |       FROM ex),
+         |pairs AS (SELECT b.doc_id AS doc_b
+         |          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |          WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |                / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
+         |SELECT doc_id, n_tokens, quality FROM ex
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin),
+
+    // the composed Lee-et-al flow: gates → exact dedup → keep-best
+    // near-dup → ExactSubstr scrub (span algebra over the SURVIVOR
+    // relation via SubstringQueries.spanChainFor) → exact+fuzzy
+    // decontamination of the rewritten text → recursive packing fold.
+    // Two recursive CTEs (component closure, pack) under one
+    // WITH RECURSIVE.
+    Q.sql("text_prep_pipeline2", textPrepPipeline2,
+      s"""${prepChainCte.linesIterator.mkString("\n         |")},
          |d AS MATERIALIZED (SELECT doc_id, doc_id % 8 AS shard,
          |        CAST(len(s) AS BIGINT) AS n_tokens, quality,
          |        row_number() OVER (PARTITION BY doc_id % 8
@@ -672,6 +751,35 @@ object TextQueries {
          |       CAST(d.n_tokens AS INT) AS n_tokens, d.quality
          |FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn
          |ORDER BY p.doc_id""".stripMargin),
+
+    // the funnel card over the SAME chain: count docs + tokens at
+    // every stage boundary (token counts on the stage's current text —
+    // the scrub stage shrinks tokens without dropping docs)
+    Q.sql("corpus_prep_yield", corpusPrepYield,
+      s"""${prepChainCte.linesIterator.mkString("\n         |")}
+         |SELECT stage_idx, stage, n_docs, n_tokens FROM (
+         |  SELECT CAST(0 AS INT) AS stage_idx, '0_corpus' AS stage,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len(s)) AS BIGINT) AS n_tokens FROM t
+         |  UNION ALL
+         |  SELECT CAST(1 AS INT), '1_gates', CAST(count(*) AS BIGINT),
+         |         CAST(sum(len(s)) AS BIGINT) FROM kept
+         |  UNION ALL
+         |  SELECT CAST(2 AS INT), '2_repetition', CAST(count(*) AS BIGINT),
+         |         CAST(sum(len(s)) AS BIGINT) FROM cleaned
+         |  UNION ALL
+         |  SELECT CAST(3 AS INT), '3_exact_dedup', CAST(count(*) AS BIGINT),
+         |         CAST(sum(len(s)) AS BIGINT) FROM ex
+         |  UNION ALL
+         |  SELECT CAST(4 AS INT), '4_near_dup', CAST(count(*) AS BIGINT),
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM surv
+         |  UNION ALL
+         |  SELECT CAST(5 AS INT), '5_substr_scrub', CAST(count(*) AS BIGINT),
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM surv2
+         |  UNION ALL
+         |  SELECT CAST(6 AS INT), '6_decontaminate', CAST(count(*) AS BIGINT),
+         |         CAST(sum(len(s)) AS BIGINT) FROM clean)
+         |ORDER BY stage_idx""".stripMargin),
 
     // Every numeric leg is explicitly DOUBLE (DuckDB would otherwise
     // promote the 0.5/1.2 literals to DECIMAL and diverge from IEEE);

@@ -186,6 +186,43 @@ class VectorSearchSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("IVFPQ: probed-cell candidates, exact re-rank, residual codes beat nothing") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val out = VectorSearch.ivfPqTopK(emb, q, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+    }
+    // no self-matches ever
+    assert(out.forall { case (qid, _, vid, _, _) => qid != vid })
+    // coarse structure respected (refine = 0 ⇒ cells ARE the label
+    // column): every candidate's label must be one of its query's
+    // 3 probed cells — the IVF half of the composition
+    val labels = emb.select($"vec_id", $"label".cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val probed = out.groupBy(_._1).view
+      .mapValues(_.map(t => labels(t._3)).toSet)
+    probed.foreach { case (_, cells) => assert(cells.size <= 3) }
+    // reported exact cosine equals the brute-force cosine for the pair
+    // — the PQ half only PICKS candidates, never scores the output
+    val exactCos = VectorSearch.bruteForceTopK(emb, q, k = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    out.foreach { case (qid, _, vid, c, _) =>
+      assert(exactCos((qid, vid)) == c, s"($qid,$vid)")
+    }
+    // determinism: coarse assign + residual train + encode reproduce
+    val again = VectorSearch.ivfPqTopK(emb, q, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+                 r.getDouble(4)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("SQ8: bounds cover the data and re-rank cosines are exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (lo, hi) = VectorSearch.sq8Stats(emb)
