@@ -167,6 +167,26 @@ object AnnQueries {
     VectorSearch.ivfPqTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** Recall\@5 of the composed IVFPQ index against brute force — the
+    * [[annRecallReport]] pattern on the third index family, so the
+    * LSH / IVF / IVFPQ quality trade reads side by side (the PQ
+    * candidate cut can only LOWER recall vs plain IVF at equal
+    * probes; this card prices that loss). */
+  def annIvfPqRecallReport(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, round}
+    val brute = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
+        k = 5)
+      .select($"qid", $"vec_id")
+    val approx = VectorSearch.ivfPqTopK(env.embeddings, queriesDf(env), k = 5)
+      .select($"qid", $"vec_id", lit(1).as("hit"))
+    brute.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(count($"hit").as("nh"))
+      .select($"qid", $"nh".cast("int").as("n_hits"),
+        round($"nh".cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
   /** IVFPQ index persistence round trip: train once, persist the
     * cell-partitioned residual codes + centroids + codebooks, serve
     * the standard query set from the codes table. Bit-exact vs
@@ -523,8 +543,8 @@ object AnnQueries {
   // double subtraction against the 4dp centroid grid). recon = coarse
   // centroid + residual codeword; approx restricted to probed cells;
   // exact re-rank tail identical to pqRerankSql.
-  private[queries] val ivfPqSql: String =
-    s"""WITH cent AS (
+  private[queries] val ivfPqChain: String =
+    s"""cent AS (
        |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
        |    SELECT CAST(label AS INT) AS cell, t.d AS d,
        |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
@@ -639,10 +659,34 @@ object AnnQueries {
        |  SELECT qid, vec_id, cos, cos_pq,
        |         row_number() OVER (PARTITION BY qid
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
-       |  FROM rr)
+       |  FROM rr)""".stripMargin
+
+  private[queries] val ivfPqSql: String =
+    s"""WITH $ivfPqChain
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
        |FROM ranked WHERE rn <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  // recall@5 of the composed index vs brute force: the chain's ranked
+  // set against a brute top-5 leg sharing the chain's q CTE
+  private[queries] val ivfPqRecallSql: String =
+    s"""WITH $ivfPqChain,
+       |itop AS (SELECT qid, vec_id FROM ranked WHERE rn <= 5),
+       |bscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS bcos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       |branked AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY bcos DESC, vec_id ASC) AS rn
+       |  FROM bscored),
+       |btop AS (SELECT qid, vec_id FROM branked WHERE rn <= 5)
+       |SELECT b.qid, CAST(count(l.vec_id) AS INT) AS n_hits,
+       |       round(CAST(count(l.vec_id) AS DOUBLE) / 5.0, 4) AS recall_at_5
+       |FROM btop b LEFT JOIN itop l USING (qid, vec_id)
+       |GROUP BY b.qid
+       |ORDER BY b.qid""".stripMargin
 
   val entries: Seq[Q] = Seq(
     Q.sql("ann_recall_report", annRecallReport,
@@ -1064,6 +1108,8 @@ object AnnQueries {
 
     // persisted-index serve is bit-exact vs the inline index
     Q.sql("ann_ivfpq_roundtrip", annIvfPqIndexRoundtrip, ivfPqSql),
+
+    Q.sql("ann_ivfpq_recall_report", annIvfPqRecallReport, ivfPqRecallSql),
 
     // build→persist(m-byte codes + codebooks + one-row geometry)→
     // load→serve: the approx scan runs over the codes table only;

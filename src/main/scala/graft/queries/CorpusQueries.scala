@@ -546,6 +546,43 @@ object CorpusQueries {
     * combinable); per-source and per-term tables broadcast; the top-5
     * window plans as WindowGroupLimit (partial per-partition limits,
     * so a stopword's source-spanning rows prune before the shuffle). */
+  /** Per-source lexical-diversity card — distinct-1 / distinct-2 of
+    * Li et al. 2016 ("A Diversity-Promoting Objective Function"):
+    * distinct n-grams over total n-grams, per corpus slice. A
+    * collapsing ratio is the data-card smell test for template spam
+    * and over-deduplication targets. Exact integer counts (two
+    * combinable count-distinct aggregates keyed by source); the two
+    * ratios are single correctly-rounded divisions. One explode pass
+    * per gram order, nothing quadratic, nothing collected.
+    */
+  def corpusDistinctNgrams(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{array, concat_ws, count,
+      countDistinct, element_at, explode, lit, round, sequence, size,
+      split, transform, when}
+    val toks = env.documents.select($"source", split($"text", " ").as("s"))
+      .localCheckpoint(eager = false) // feeds both gram orders
+    val uni = toks.select($"source", explode($"s").as("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_unigrams"),
+           countDistinct($"w").as("d_unigrams"))
+    val bi = toks.select($"source",
+        explode(when(size($"s") >= 2,
+            transform(sequence(lit(1), size($"s") - 1),
+              j => concat_ws(" ", element_at($"s", j), element_at($"s", j + 1))))
+          .otherwise(array())).as("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_bigrams"),
+           countDistinct($"g").as("d_bigrams"))
+    uni.join(bi, Seq("source"), "left")
+      .select($"source", $"n_unigrams", $"d_unigrams",
+        round($"d_unigrams".cast("double") / $"n_unigrams", 6)
+          .as("distinct1"),
+        $"n_bigrams", $"d_bigrams",
+        round($"d_bigrams".cast("double") / $"n_bigrams", 6)
+          .as("distinct2"))
+      .orderBy($"source")
+  }
+
   def corpusDomainTerms(env: Env): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, count, explode, lit, row_number, split}
@@ -639,6 +676,29 @@ object CorpusQueries {
         |SELECT day, rank, item, n
         |FROM r WHERE rank <= 3
         |ORDER BY day, rank""".stripMargin),
+
+    Q.sql("corpus_distinct_ngrams", corpusDistinctNgrams,
+      """WITH t AS (SELECT source, string_split(text, ' ') AS s
+        |           FROM documents),
+        |u AS (SELECT source, unnest(s) AS w FROM t),
+        |uni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unigrams,
+        |          CAST(count(DISTINCT w) AS BIGINT) AS d_unigrams
+        |        FROM u GROUP BY source),
+        |b AS (SELECT source,
+        |        unnest(CASE WHEN len(s) >= 2
+        |               THEN list_transform(range(1, len(s)),
+        |                      i -> s[i] || ' ' || s[i+1])
+        |               ELSE [] END) AS g
+        |      FROM t),
+        |bi AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |         CAST(count(DISTINCT g) AS BIGINT) AS d_bigrams
+        |       FROM b GROUP BY source)
+        |SELECT uni.source, n_unigrams, d_unigrams,
+        |       round(CAST(d_unigrams AS DOUBLE) / n_unigrams, 6) AS distinct1,
+        |       n_bigrams, d_bigrams,
+        |       round(CAST(d_bigrams AS DOUBLE) / n_bigrams, 6) AS distinct2
+        |FROM uni LEFT JOIN bi USING (source)
+        |ORDER BY uni.source""".stripMargin),
 
     Q.sql("corpus_domain_terms", corpusDomainTerms,
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term

@@ -337,6 +337,38 @@ object StreamQueries {
     spark.read.parquet(out).orderBy($"qid", $"rank")
   }
 
+  /** T12 — streaming serving from the persisted IVFPQ index: the
+    * composed coarse-cells + residual-codes artifact is built ONCE
+    * ([[graft.operators.VectorSearch.ivfPqWriteIndex]]), query vectors
+    * stream in micro-batches, and foreachBatch serves each batch from
+    * the codes table with exact re-rank — the t9 pattern on the index
+    * family a 100 TB deployment actually ships. Per-query results are
+    * batch-independent, so the streamed union shares
+    * ann_ivfpq_topk's oracle verbatim.
+    */
+  def t12IvfPqStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val queries = streamRead(env, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val idxDir = s"$scratchBase/t12_ivfpq_index"
+    graft.operators.VectorSearch.ivfPqWriteIndex(env.embeddings, idxDir)
+    val out = s"$scratchBase/t12_ivfpq_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val q = queries.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.VectorSearch
+            .ivfPqServe(spark, idxDir, env.embeddings, batch, k = 5)
+            .write.mode("append").parquet(out)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.read.parquet(out).orderBy($"qid", $"rank")
+  }
+
   /** T10 — streaming MODEL SERVING for the Naive Bayes domain
     * classifier: the model + priors train ONCE against the static
     * corpus (lazy-checkpointed so the training plan runs once, not
@@ -481,6 +513,10 @@ object StreamQueries {
 
     // streamed model serving ≡ batch classify (batch-independent rows)
     Q.sql("t10_nb_stream", t10NbStream, NbQueries.nbClassifySql),
+
+    // IVFPQ served per micro-batch from the persisted index — shares
+    // ann_ivfpq_topk's oracle (batch-independent per-query results)
+    Q.sql("t12_ivfpq_stream", t12IvfPqStream, AnnQueries.ivfPqSql),
 
     Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),

@@ -23,6 +23,12 @@ object BenchSome {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       println(f"$name rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same between-runs hygiene as graft.Bench (outside the timed
+      // window): drop leaked checkpoint blocks, keep the cleaner fed
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
     }
     spark.stop()
   }

@@ -32,6 +32,7 @@ object ExplainAll {
       "ann_pq_index_roundtrip" -> 1, // codes-table chunk scan (scanPqCodes)
       "ann_recall_report" -> 1,    // brute ground-truth side
       "ann_ivf_recall_report" -> 1,
+      "ann_ivfpq_recall_report" -> 1, // brute ground-truth side
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
       // the DENSE NB model is classes × vocab BY DEFINITION — the one
       // cross product is between two vocabulary-bounded aggregates
