@@ -209,6 +209,76 @@ object TextAnalysis {
       }.toDF("doc_id", "fp_min", "fp_full")
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    * 2003 — the MOSS algorithm): hash every token k-gram, slide a
+    * w-window over the hash sequence, and keep each window's minimum
+    * (rightmost on ties). Guarantees: any shared substring of at
+    * least w+k-1 tokens yields a shared fingerprint (the detection
+    * floor), and selected positions are never more than w apart (the
+    * density ceiling) — the position-robust middle ground between
+    * one-per-doc MinHash ([[fpMin]]) and every-position ExactSubstr.
+    *
+    * Determinism/oracle: hashes are the first 13 md5 hex digits as a
+    * long (the repo's h52 recipe — replayed in DuckDB as
+    * CAST('0x'||substr(md5(g),1,13) AS BIGINT)), windows are pure
+    * integer index arithmetic, and the tie rule is (hash asc, pos
+    * desc) — all engine-exact. Scale shape: one narrow mapPartitions
+    * kernel with a reused MessageDigest, output bounded by ~n/2
+    * fingerprints per doc (expected n·2/(w+1)), zero shuffles.
+    *
+    * @return (doc_id, pos, fp) — 1-based k-gram position and its
+    *         52-bit fingerprint, the distinct selected set per doc.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h52(s: String): Long = {
+          md.reset()
+          val hex = md.digest(s.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.take(13)
+          java.lang.Long.parseLong(hex, 16)
+        }
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = text.split(" ", -1)
+            val grams: Array[String] =
+              if (toks.length >= k)
+                (0 to toks.length - k)
+                  .map(i => toks.slice(i, i + k).mkString(" ")).toArray
+              else Array(toks.mkString(" "))
+            val hs = grams.map(h52)
+            val ng = hs.length
+            val nw = math.max(ng - w + 1, 1)
+            val sel = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+            var wp = 0
+            while (wp < nw) {
+              var bestH = Long.MaxValue
+              var bestP = -1
+              var p = wp
+              val end = math.min(wp + w, ng)
+              while (p < end) {
+                // rightmost minimum: a later equal hash wins
+                if (hs(p) < bestH || (hs(p) == bestH && p > bestP)) {
+                  bestH = hs(p); bestP = p
+                }
+                p += 1
+              }
+              sel.update(bestP, bestH)
+              wp += 1
+            }
+            sel.iterator.map { case (p, h) => (id, p + 1, h) }
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "fp")
+  }
+
   /** Codepoint-order String comparator — Spark's string sort
     * (array_sort included) and DuckDB's both compare UTF-8 bytes,
     * which equals codepoint order; Java's natural String ordering

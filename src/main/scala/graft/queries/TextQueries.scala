@@ -402,6 +402,43 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Winnowing fingerprints over the corpus — see
+    * [[graft.operators.TextAnalysis.winnowFingerprints]] for the
+    * algorithm, guarantees, and the h52 hash recipe the oracle
+    * replays. */
+  def textWinnowFingerprint(env: Env): DataFrame =
+    graft.operators.TextAnalysis
+      .winnowFingerprints(env.spread(env.documents), "doc_id", "text")
+      .orderBy($"doc_id", $"pos")
+
+  /** MOSS-style near-dup candidate pairs from the winnowed sets:
+    * docs pair when they share ≥ 2 selected fingerprints, ranked by
+    * the shared count. Over-common fingerprints (doc frequency > 10)
+    * are suppressed first — MOSS's common-code rule and this repo's
+    * capped-postings pattern — which bounds the fp self-join: no
+    * fingerprint contributes more than 10·9/2 pairs, so the candidate
+    * volume is O(|fp| · cap²) at any corpus size, never quadratic in
+    * documents. The winnow kernel output feeds the cap count and both
+    * join sides from one lazy checkpoint.
+    */
+  def dedupWinnowPairs(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val fps = graft.operators.TextAnalysis
+      .winnowFingerprints(env.spread(env.documents), "doc_id", "text")
+      .select($"doc_id", $"fp").distinct()
+      .localCheckpoint(eager = false) // feeds cap count + both sides
+    val rare = fps.groupBy($"fp").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 10).select($"fp")
+    val kept = fps.join(rare, Seq("fp"))
+    val a = kept.as("a"); val b = kept.as("b")
+    a.join(b, col("a.fp") === col("b.fp") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   def textFingerprint(env: Env): DataFrame =
     TextAnalysis.fingerprints(env.spread(env.documents), "doc_id", "text")
       .orderBy($"doc_id")
@@ -601,6 +638,32 @@ object TextQueries {
          |clean AS MATERIALIZED (SELECT * FROM s2
          |          WHERE doc_id NOT IN (SELECT doc_id FROM contx)
          |            AND doc_id NOT IN (SELECT doc_id FROM fpairs))""".stripMargin
+
+  // Shared winnowing CTE chain (t -> g -> h -> wins -> m): consumed by
+  // the fingerprint dump and the MOSS pair generator, so hash recipe,
+  // window arithmetic, and the rightmost-min tie rule cannot drift.
+  private[queries] val winnowCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS s
+      |      FROM documents),
+      |g AS (SELECT doc_id,
+      |        CASE WHEN len(s) >= 3
+      |             THEN list_transform(range(1, len(s) - 1),
+      |                    i -> array_to_string(list_slice(s, i, i + 2), ' '))
+      |             ELSE [array_to_string(s, ' ')] END AS gs
+      |      FROM t),
+      |h AS (SELECT doc_id, CAST(u.i AS INT) AS pos,
+      |        CAST('0x' || substring(md5(gs[u.i]), 1, 13) AS BIGINT) AS hv,
+      |        len(gs) AS ng
+      |      FROM g, unnest(range(1, len(gs) + 1)) u(i)),
+      |wins AS (SELECT doc_id, CAST(wp.j AS INT) AS wpos
+      |         FROM (SELECT DISTINCT doc_id, greatest(ng - 3, 1) AS nw
+      |               FROM h),
+      |              unnest(range(1, nw + 1)) wp(j)),
+      |m AS (SELECT w.doc_id, w.wpos, h.pos, h.hv,
+      |        row_number() OVER (PARTITION BY w.doc_id, w.wpos
+      |                           ORDER BY h.hv ASC, h.pos DESC) AS rn
+      |      FROM wins w JOIN h ON h.doc_id = w.doc_id
+      |        AND h.pos >= w.wpos AND h.pos < w.wpos + 4)""".stripMargin
 
   val entries: Seq[Q] = Seq(
     Q.sql("text_badwords_filter", textBadwordsFilter,
@@ -1123,6 +1186,33 @@ object TextQueries {
         |         i -> s[i]), ' ') AS scrubbed_text
         |FROM t LEFT JOIN ca USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
+
+    // winnowing replay: 3-gram h52 hashes, window-of-4 minima with
+    // the (hash asc, pos desc) rightmost tie rule, distinct selected
+    Q.sql("text_winnow_fingerprint", textWinnowFingerprint,
+      s"""WITH $winnowCte
+         |SELECT DISTINCT doc_id, pos, hv AS fp
+         |FROM m WHERE rn = 1
+         |ORDER BY doc_id, pos""".stripMargin),
+
+    // MOSS pair generation off the winnowed sets: over-common
+    // fingerprints (doc frequency > 10) are dropped exactly like
+    // MOSS's common-code suppression — and like the capped-postings
+    // inverted index here — so no hot fingerprint can go quadratic;
+    // pairs rank by the size of the shared fingerprint set
+    Q.sql("dedup_winnow_pairs", dedupWinnowPairs,
+      s"""WITH $winnowCte,
+         |sel AS (SELECT DISTINCT doc_id, hv AS fp
+         |        FROM m WHERE rn = 1),
+         |rare AS (SELECT fp FROM sel GROUP BY fp
+         |         HAVING count(*) <= 10),
+         |k AS (SELECT s.doc_id, s.fp FROM sel s JOIN rare USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q.sql("text_fingerprint", textFingerprint,
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
