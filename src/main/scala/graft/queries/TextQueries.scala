@@ -411,6 +411,42 @@ object TextQueries {
       .winnowFingerprints(env.spread(env.documents), "doc_id", "text")
       .orderBy($"doc_id", $"pos")
 
+  /** CC-Net's head/middle/tail perplexity split (Wenzek et al. 2020)
+    * as a mixture card: documents bucket by corpus-LM perplexity at
+    * the tercile thresholds, counts roll up per (source, bucket) —
+    * the table a CC-Net-style build uses to decide which slices to
+    * keep or down-sample. Thresholds are ONE distributed exact
+    * percentile aggregate (no global-order window — the plan-audit
+    * single-partition trap), rounded to the same 4dp grid as the ppl
+    * values and broadcast back via the constant-key scalar join.
+    * Tie policy is boundary-inclusive (ppl ≤ t1 → head, ≤ t2 →
+    * middle) on identical rounded doubles in both engines, so bucket
+    * sizes are deterministic even when the boundary value repeats.
+    * Docs with < 2 tokens have no bigrams (NULL ppl) and sit outside
+    * the split, exactly as in text_perplexity.
+    */
+  def corpusPplBuckets(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, expr, lit, round, when}
+    val ppl = TextAnalysis
+      .perplexity(env.spread(env.documents), "doc_id", "text")
+      .filter($"ppl".isNotNull)
+      .join(env.documents.select($"doc_id", $"source"), Seq("doc_id"))
+      .select($"doc_id", $"source", $"ppl")
+      .localCheckpoint(eager = false) // feeds thresholds + bucketing
+    val thr = ppl.agg(
+      round(expr("percentile(ppl, CAST(1 AS DOUBLE)/3)"), 4).as("t1"),
+      round(expr("percentile(ppl, CAST(2 AS DOUBLE)/3)"), 4).as("t2"))
+    graft.operators.PlanHints.withScalars(ppl, thr)
+      .withColumn("bucket",
+        when($"ppl" <= $"t1", "head")
+          .when($"ppl" <= $"t2", "middle")
+          .otherwise("tail"))
+      .groupBy($"source", $"bucket", $"t1", $"t2")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"source", $"bucket", $"n_docs", $"t1", $"t2")
+      .orderBy($"source", $"bucket")
+  }
+
   /** MOSS-style near-dup candidate pairs from the winnowed sets:
     * docs pair when they share ≥ 2 selected fingerprints, ranked by
     * the shared count. Over-common fingerprints (doc frequency > 10)
@@ -664,6 +700,23 @@ object TextQueries {
       |                           ORDER BY h.hv ASC, h.pos DESC) AS rn
       |      FROM wins w JOIN h ON h.doc_id = w.doc_id
       |        AND h.pos >= w.wpos AND h.pos < w.wpos + 4)""".stripMargin
+
+  // Shared corpus-bigram-LM oracle chain (t/v/bg/cb/cu/p/d) — one body
+  // for the per-doc perplexity dump and the CC-Net bucket card.
+  private[queries] val pplCte: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |v AS (SELECT count(DISTINCT u.x) AS vocab FROM t, unnest(s) AS u(x)),
+      |bg AS (SELECT doc_id, CAST(u.i AS INT) AS pos, s[u.i] AS w1,
+      |              s[u.i + 1] AS w2
+      |       FROM t, unnest(range(1, len(s))) AS u(i)),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      |p AS (SELECT bg.doc_id, bg.pos,
+      |        CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + v.vocab AS DOUBLE) AS p
+      |      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
+      |d AS (SELECT doc_id, count(*) AS nb,
+      |        list_sum(list_transform(list(p ORDER BY pos), x -> ln(x))) AS ll
+      |      FROM p GROUP BY doc_id)""".stripMargin
 
   val entries: Seq[Q] = Seq(
     Q.sql("text_badwords_filter", textBadwordsFilter,
@@ -1121,24 +1174,34 @@ object TextQueries {
     // exp per doc, rounded once at 4dp (see TextAnalysis.perplexity on
     // the cross-engine ulp analysis)
     Q.sql("text_perplexity", textPerplexity,
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |v AS (SELECT count(DISTINCT u.x) AS vocab FROM t, unnest(s) AS u(x)),
-        |bg AS (SELECT doc_id, CAST(u.i AS INT) AS pos, s[u.i] AS w1,
-        |              s[u.i + 1] AS w2
-        |       FROM t, unnest(range(1, len(s))) AS u(i)),
-        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
-        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
-        |p AS (SELECT bg.doc_id, bg.pos,
-        |        CAST(cb.cb + 1 AS DOUBLE) / CAST(cu.cu + v.vocab AS DOUBLE) AS p
-        |      FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
-        |d AS (SELECT doc_id, count(*) AS nb,
-        |        list_sum(list_transform(list(p ORDER BY pos), x -> ln(x))) AS ll
-        |      FROM p GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.s) AS INT) AS n_tokens,
-        |       CAST(coalesce(d.nb, 0) AS INT) AS n_bigrams,
-        |       round(exp(-(d.ll / d.nb)), 4) AS ppl
-        |FROM t LEFT JOIN d USING (doc_id)
-        |ORDER BY t.doc_id""".stripMargin),
+      s"""WITH $pplCte
+         |SELECT t.doc_id, CAST(len(t.s) AS INT) AS n_tokens,
+         |       CAST(coalesce(d.nb, 0) AS INT) AS n_bigrams,
+         |       round(exp(-(d.ll / d.nb)), 4) AS ppl
+         |FROM t LEFT JOIN d USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // the CC-Net split off the same LM chain: tercile thresholds via
+    // quantile_cont (Spark's percentile uses the identical
+    // q·(n−1)-interpolation definition), boundary-inclusive buckets
+    // on the shared 4dp ppl grid
+    Q.sql("corpus_ppl_buckets", corpusPplBuckets,
+      s"""WITH $pplCte,
+         |pp AS (SELECT d.doc_id, round(exp(-(d.ll / d.nb)), 4) AS ppl
+         |       FROM d),
+         |ps AS (SELECT pp.doc_id, doc.source, pp.ppl
+         |       FROM pp JOIN documents doc USING (doc_id)),
+         |thr AS (SELECT round(quantile_cont(ppl, 1.0/3), 4) AS t1,
+         |               round(quantile_cont(ppl, 2.0/3), 4) AS t2
+         |        FROM ps),
+         |b AS (SELECT source,
+         |        CASE WHEN ppl <= t1 THEN 'head'
+         |             WHEN ppl <= t2 THEN 'middle'
+         |             ELSE 'tail' END AS bucket, t1, t2
+         |      FROM ps, thr)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs, t1, t2
+         |FROM b GROUP BY source, bucket, t1, t2
+         |ORDER BY source, bucket""".stripMargin),
 
     // first-occurrence winner replayed as a row_number window (the
     // oracle's clarity form of the engine's skew-immune min-struct agg)
