@@ -198,6 +198,35 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Threshold-sensitivity sweep for near-dup removal — pair count and
+    * affected-doc count at Jaccard ≥ 0.80/0.85/0.90/0.95, the table a
+    * corpus build reads before picking its dedup threshold. One banded
+    * candidate pass at the 0.80 floor (the recall-guaranteed regime —
+    * see the bandingPrecondition pin) feeds every row: the higher
+    * thresholds just re-filter the verified exact Jaccards, so the
+    * whole sweep costs one near-dup join. Each row aggregates the
+    * EXPLODED pair endpoints (n_pairs = endpoint-rows/2 — exact, the
+    * count is even by construction), which keeps the two stats in ONE
+    * aggregate and avoids a single-row crossJoin.
+    */
+  def dedupThresholdSweep(env: Env): DataFrame = {
+    val pairs = TextDedup
+      .minhashNearDupPairs(env.spread(env.documents), "doc_id", "text",
+        threshold = 0.8)
+      .localCheckpoint(eager = false) // one candidate pass, four rows
+    val ex = pairs.select($"jaccard",
+      explode(array($"doc_a", $"doc_b")).as("d"))
+    Seq(0.80, 0.85, 0.90, 0.95)
+      .map { t =>
+        ex.filter($"jaccard" >= t)
+          .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+               countDistinct($"d").as("n_docs"))
+          .select(lit(t).as("threshold"), $"n_pairs", $"n_docs")
+      }
+      .reduce(_ union _)
+      .orderBy($"threshold")
+  }
+
   val entries: Seq[Q] = Seq(
     Q.sql("dedup_exact", dedupExact,
       """WITH t AS (SELECT doc_id,
@@ -232,6 +261,41 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q.sql("dedup_simhash", dedupSimhash, simhashSql),
+
+    // one brute pair set at the 0.80 floor, re-filtered per threshold;
+    // endpoint union counts both stats in one aggregate like Spark
+    Q.sql("dedup_threshold_sweep", dedupThresholdSweep,
+      s"""$shingleCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |               / len(list_distinct(list_concat(a.g, b.g))), 6) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |ex AS (SELECT j, doc_a AS d FROM pairs
+         |       UNION ALL SELECT j, doc_b FROM pairs)
+         |SELECT threshold, n_pairs, n_docs FROM (
+         |  SELECT CAST(0.80 AS DOUBLE) AS threshold,
+         |         CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+         |         CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |  FROM ex WHERE j >= 0.80
+         |  UNION ALL
+         |  SELECT CAST(0.85 AS DOUBLE),
+         |         CAST(count(*) / 2 AS BIGINT),
+         |         CAST(count(DISTINCT d) AS BIGINT)
+         |  FROM ex WHERE j >= 0.85
+         |  UNION ALL
+         |  SELECT CAST(0.90 AS DOUBLE),
+         |         CAST(count(*) / 2 AS BIGINT),
+         |         CAST(count(DISTINCT d) AS BIGINT)
+         |  FROM ex WHERE j >= 0.90
+         |  UNION ALL
+         |  SELECT CAST(0.95 AS DOUBLE),
+         |         CAST(count(*) / 2 AS BIGINT),
+         |         CAST(count(DISTINCT d) AS BIGINT)
+         |  FROM ex WHERE j >= 0.95)
+         |ORDER BY threshold""".stripMargin),
 
     // components replayed brute-force + quality argmax per cluster
     // (window form; ties impossible beyond doc_id, which both sides
