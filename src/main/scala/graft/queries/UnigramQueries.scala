@@ -56,6 +56,61 @@ object UnigramQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-source fertility under the trained unigram-LM vocabulary —
+    * the companion to `text_bpe_fertility`, so the BPE-vs-Unigram
+    * pieces-per-word trade reads side by side per corpus slice. Same
+    * scale shape as the tokens entry (vocab-sized broadcast, per-word
+    * Viterbi memo) plus one source-keyed combinable rollup. */
+  def textUnigramFertility(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{round, sum}
+    val vocab = UnigramLm.train(env.documents, "text", VMulti, MaxLen)
+    UnigramLm.tokenize(env.spread(env.documents), "doc_id", "text",
+        vocab, MaxLen)
+      .join(env.documents.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(sum($"n_words").cast("long").as("n_words"),
+           sum($"n_pieces").cast("long").as("n_pieces"))
+      .select($"source", $"n_words", $"n_pieces",
+        round($"n_pieces".cast("double") / $"n_words", 6).as("fertility"))
+      .orderBy($"source")
+  }
+
+  /** Shared Viterbi-replay chain (dw/dwf/uw/wp/sp/seg/best/wnp/per)
+    * — consumed by the per-doc tokens entry and the per-source
+    * fertility rollup. */
+  private val tokensCte: String =
+    s"""      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |       FROM documents),
+      |dwf AS (SELECT doc_id, word FROM dw WHERE word <> ''),
+      |uw AS (SELECT DISTINCT word FROM dwf),
+      |wp AS (
+      |  SELECT word, CAST(u.i AS INT) AS i, CAST(v.m AS INT) AS m,
+      |         substr(word, CAST(u.i AS INT), CAST(v.m AS INT)) AS pc
+      |  FROM uw, unnest(range(1, length(word) + 1)) AS u(i),
+      |       unnest(range(1, ${MaxLen + 1})) AS v(m)
+      |  WHERE u.i + v.m - 1 <= length(word)),
+      |sp AS (
+      |  SELECT wp.word, wp.i, wp.m,
+      |         coalesce(q.qlp, CASE WHEN wp.m = 1 THEN ${UnigramLm.UnkQlp}
+      |                              ELSE NULL END) AS q
+      |  FROM wp LEFT JOIN vq q ON q.piece = wp.pc),
+      |seg(word, pos, score, np) AS (
+      |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM uw
+      |  UNION
+      |  SELECT s.word, s.pos + p.m, s.score + p.q, s.np + 1
+      |  FROM seg s JOIN sp p ON p.word = s.word AND p.i = s.pos + 1
+      |  WHERE p.q IS NOT NULL),
+      |best AS (
+      |  SELECT word, max(score * ${UnigramLm.PieceBase} - np) AS v
+      |  FROM seg WHERE pos = length(word) GROUP BY word),
+      |wnp AS (SELECT word,
+      |          CAST(-(v % ${UnigramLm.PieceBase}) AS BIGINT) AS np
+      |        FROM best),
+      |per AS (
+      |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
+      |         CAST(sum(w.np) AS BIGINT) AS np
+      |  FROM dwf d JOIN wnp w USING (word) GROUP BY d.doc_id)""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q.sql("text_unigram_train", textUnigramTrain,
       s"""WITH $trainCte
@@ -63,37 +118,7 @@ object UnigramQueries {
 
     Q.sql("text_unigram_tokens", textUnigramTokens,
       s"""WITH RECURSIVE $trainCte,
-         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |       FROM documents),
-         |dwf AS (SELECT doc_id, word FROM dw WHERE word <> ''),
-         |uw AS (SELECT DISTINCT word FROM dwf),
-         |wp AS (
-         |  SELECT word, CAST(u.i AS INT) AS i, CAST(v.m AS INT) AS m,
-         |         substr(word, CAST(u.i AS INT), CAST(v.m AS INT)) AS pc
-         |  FROM uw, unnest(range(1, length(word) + 1)) AS u(i),
-         |       unnest(range(1, ${MaxLen + 1})) AS v(m)
-         |  WHERE u.i + v.m - 1 <= length(word)),
-         |sp AS (
-         |  SELECT wp.word, wp.i, wp.m,
-         |         coalesce(q.qlp, CASE WHEN wp.m = 1 THEN ${UnigramLm.UnkQlp}
-         |                              ELSE NULL END) AS q
-         |  FROM wp LEFT JOIN vq q ON q.piece = wp.pc),
-         |seg(word, pos, score, np) AS (
-         |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM uw
-         |  UNION
-         |  SELECT s.word, s.pos + p.m, s.score + p.q, s.np + 1
-         |  FROM seg s JOIN sp p ON p.word = s.word AND p.i = s.pos + 1
-         |  WHERE p.q IS NOT NULL),
-         |best AS (
-         |  SELECT word, max(score * ${UnigramLm.PieceBase} - np) AS v
-         |  FROM seg WHERE pos = length(word) GROUP BY word),
-         |wnp AS (SELECT word,
-         |          CAST(-(v % ${UnigramLm.PieceBase}) AS BIGINT) AS np
-         |        FROM best),
-         |per AS (
-         |  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS nw,
-         |         CAST(sum(w.np) AS BIGINT) AS np
-         |  FROM dwf d JOIN wnp w USING (word) GROUP BY d.doc_id)
+         |${tokensCte.linesIterator.mkString("\n         |")}
          |SELECT doc.doc_id,
          |       coalesce(p.nw, 0) AS n_words,
          |       coalesce(p.np, 0) AS n_pieces,
@@ -101,6 +126,20 @@ object UnigramQueries {
          |            ELSE round(CAST(p.np AS DOUBLE) / p.nw, 4)
          |       END AS avg_pieces
          |FROM documents doc LEFT JOIN per p USING (doc_id)
-         |ORDER BY doc.doc_id""".stripMargin)
+         |ORDER BY doc.doc_id""".stripMargin),
+
+    // per-source rollup of the same replay — the tokenizer-selection
+    // table next to text_bpe_fertility (unigram vs BPE pieces/word)
+    Q.sql("text_unigram_fertility", textUnigramFertility,
+      s"""WITH RECURSIVE $trainCte,
+         |${tokensCte.linesIterator.mkString("\n         |")},
+         |psrc AS (SELECT doc.source, coalesce(p.nw, 0) AS nw,
+         |                coalesce(p.np, 0) AS np
+         |         FROM documents doc LEFT JOIN per p USING (doc_id))
+         |SELECT source, CAST(sum(nw) AS BIGINT) AS n_words,
+         |       CAST(sum(np) AS BIGINT) AS n_pieces,
+         |       round(CAST(sum(np) AS DOUBLE) / sum(nw), 6) AS fertility
+         |FROM psrc GROUP BY source
+         |ORDER BY source""".stripMargin)
   )
 }
