@@ -1149,91 +1149,34 @@ object VectorSearch {
     pqFinish(approx, vectors, queries, dim, k, candCut)
   }
 
-  /** One deterministic Lloyd round: init cells vec_id % nCells, train
-    * (4dp-grid means — order-independent), reassign on 6dp squared L2
-    * (lowest cell on ties), retrain. Codebook training is a bounded
-    * collect (fixed m·nCells·subdim partial per partition), never a
-    * data-sized shuffle. cb(j)(c) is null for an empty cell. */
+  /** Float-vector PQ training — a widening wrapper over the single
+    * generic implementation [[pqTrainCodebookD]]. Bit-exact: in the
+    * old float-specialized copy every element reached the double
+    * accumulator via the same Float→Double promotion this map applies
+    * once up front, so the two paths produce identical codebooks (and
+    * the 'served bit-exact vs inline' shared-oracle contract cannot
+    * drift between copies — there is only one copy now). */
   private def pqTrainCodebook(
       vs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       m: Int, nCells: Int, sub: Int): Array[Array[Array[Double]]] = {
     import vs.sparkSession.implicits._
-    def train(assigned: org.apache.spark.sql.Dataset[(Long, Array[Float], Array[Int])])
-        : Array[Array[Array[Double]]] = {
-      val partials = assigned.mapPartitions { it =>
-        val sums = Array.fill(m, nCells)(new Array[Double](sub))
-        val counts = Array.fill(m, nCells)(0L)
-        var any = false
-        it.foreach { case (_, e, cells) =>
-          any = true
-          var j = 0
-          while (j < m) {
-            val s = sums(j)(cells(j))
-            var d = 0
-            while (d < sub) { s(d) += e(j * sub + d); d += 1 }
-            counts(j)(cells(j)) += 1
-            j += 1
-          }
-        }
-        if (any) Iterator.single((sums.map(_.toSeq.map(_.toSeq)), counts.map(_.toSeq)))
-        else Iterator.empty
-      }.collect()
-      val sums = Array.fill(m, nCells)(new Array[Double](sub))
-      val counts = Array.fill(m, nCells)(0L)
-      partials.foreach { case (ps, pc) =>
-        var j = 0
-        while (j < m) {
-          var c = 0
-          while (c < nCells) {
-            counts(j)(c) += pc(j)(c)
-            var d = 0
-            while (d < sub) { sums(j)(c)(d) += ps(j)(c)(d); d += 1 }
-            c += 1
-          }
-          j += 1
-        }
-      }
-      Array.tabulate(m, nCells) { (j, c) =>
-        if (counts(j)(c) == 0L) null
-        else sums(j)(c).map(s => round4(s / counts(j)(c)))
-      }
-    }
-    val init = vs.map { case (vid, e) =>
-      (vid, e, Array.fill(m)((vid % nCells).toInt))
-    }.localCheckpoint(eager = false)
-    val cb0 = train(init)
-    val bc0 = vs.sparkSession.sparkContext.broadcast(cb0)
-    val sweep = init.map { case (vid, e, _) =>
-      (vid, e, pqAssignK(bc0.value, e, m, nCells, sub))
-    }
-    train(sweep)
+    pqTrainCodebookD(vs.map { case (vid, e) => (vid, widen(e)) },
+      m, nCells, sub)
   }
 
-  /** Nearest cell per subspace: 6dp-rounded squared L2, strict <
-    * keeps the lowest cell on ties (ascending scan). */
+  /** Nearest cell per subspace over a float vector — same widening
+    * delegation to [[pqAssignKD]] (e(i).toDouble − cent(d) ≡ the
+    * widened-array subtraction, bit for bit). */
   private def pqAssignK(cb: Array[Array[Array[Double]]], e: Array[Float],
                         m: Int, nCells: Int, sub: Int): Array[Int] =
-    Array.tabulate(m) { j =>
-      var bestDist = Double.PositiveInfinity
-      var bestCell = -1
-      var c = 0
-      while (c < nCells) {
-        val cent = cb(j)(c)
-        if (cent != null) {
-          var s = 0.0
-          var d = 0
-          while (d < sub) {
-            val diff = e(j * sub + d).toDouble - cent(d)
-            s += diff * diff
-            d += 1
-          }
-          val dist = round6(s)
-          if (dist < bestDist) { bestDist = dist; bestCell = c }
-        }
-        c += 1
-      }
-      bestCell
-    }
+    pqAssignKD(cb, widen(e), m, nCells, sub)
+
+  private def widen(e: Array[Float]): Array[Double] = {
+    val out = new Array[Double](e.length)
+    var i = 0
+    while (i < e.length) { out(i) = e(i).toDouble; i += 1 }
+    out
+  }
 
   /** The shared tail of the PQ scan: per-query top-candCut on the
     * asymmetric score, full-precision re-rank, final top-k. The
@@ -1379,12 +1322,16 @@ object VectorSearch {
 
   // ---- IVFPQ: coarse cells + PQ-coded residuals (Jégou et al.) ----
 
-  /** Double-array variant of [[pqTrainCodebook]], for RESIDUAL
-    * training (float − 4dp-double is an exact double; re-quantizing to
-    * float here would lose the cross-engine bit-identity the oracle
-    * replay depends on). Same deterministic recipe: init cells
-    * vec_id % nCells, 4dp-grid means, one reassignment sweep on
-    * 6dp squared L2 (lowest cell on ties), retrain. */
+  /** THE PQ codebook trainer — the one generic implementation; the
+    * float entry [[pqTrainCodebook]] widens into it. Double arrays so
+    * RESIDUAL training stays exact (float − 4dp-double is an exact
+    * double; re-quantizing to float would lose the cross-engine
+    * bit-identity the oracle replay depends on). One deterministic
+    * Lloyd round: init cells vec_id % nCells, train (4dp-grid means —
+    * order-independent), reassign on 6dp squared L2 (lowest cell on
+    * ties), retrain. Codebook training is a bounded collect (fixed
+    * m·nCells·subdim partial per partition), never a data-sized
+    * shuffle. cb(j)(c) is null for an empty cell. */
   private def pqTrainCodebookD(
       vs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       m: Int, nCells: Int, sub: Int): Array[Array[Array[Double]]] = {
@@ -1440,7 +1387,9 @@ object VectorSearch {
     train(sweep)
   }
 
-  /** [[pqAssignK]] over double residuals. */
+  /** Nearest cell per subspace: 6dp-rounded squared L2, strict <
+    * keeps the lowest cell on ties (ascending scan). The one generic
+    * implementation — [[pqAssignK]] widens floats into it. */
   private def pqAssignKD(cb: Array[Array[Array[Double]]], e: Array[Double],
                          m: Int, nCells: Int, sub: Int): Array[Int] =
     Array.tabulate(m) { j =>
@@ -1493,20 +1442,24 @@ object VectorSearch {
     * to 6dp with vec_id tie-breaks — the DuckDB oracle replays all of
     * it bit-for-bit.
     */
-  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                cellCol: String = "label", nProbe: Int = 3, m: Int = 8,
-                nCells: Int = 16, dim: Int = 64,
-                candMult: Int = 4): DataFrame = {
+  /** The shared IVFPQ residual-index builder — ONE body for the
+    * inline path ([[ivfPqTopK]]) and the persisted one
+    * ([[ivfPqWriteIndex]]), so the residual + codebook recipe cannot
+    * drift between them. Residual training set is EVERY assigned
+    * vector (the pq convention — zero-norm vectors still shape the
+    * codebook); the scan-eligibility flag mirrors pqTopK's null-image
+    * rule. Returns the lazily-checkpointed residual rows, the coarse
+    * centroids, and the broadcast centroid map + trained codebook. */
+  private def ivfPqBuild(vectors: DataFrame, cellCol: String, m: Int,
+                         nCells: Int, dim: Int, sub: Int)
+      : (org.apache.spark.sql.Dataset[(Long, Int, Array[Double], Boolean)],
+         Array[(Int, Array[Double])],
+         org.apache.spark.broadcast.Broadcast[Map[Int, Array[Double]]],
+         org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]) = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val sub = dim / m
-    require(m * sub == dim, s"ivfPqTopK: m=$m must divide dim=$dim")
-    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
     val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine = 0)
     val bcCent = spark.sparkContext.broadcast(centroids.toMap)
-    // residuals: training set is EVERY assigned vector (the pq
-    // convention — zero-norm vectors still shape the codebook); the
-    // scan-eligibility flag mirrors pqTopK's null-image rule
     val resid = assigned.mapPartitions { it =>
       val cents = bcCent.value
       it.map { case (cell, vid, e) =>
@@ -1519,7 +1472,39 @@ object VectorSearch {
     }.localCheckpoint(eager = false) // feeds codebook train + encode
     val cb = pqTrainCodebookD(
       resid.map { case (vid, _, r, _) => (vid, r) }, m, nCells, sub)
-    val bcCb = spark.sparkContext.broadcast(cb)
+    (resid, centroids, bcCent, spark.sparkContext.broadcast(cb))
+  }
+
+  /** Rebuild the approximate vector from a coarse centroid + residual
+    * codeword — the shared decode kernel of the inline encode path
+    * and the persisted-code serve path. Null when any subspace code
+    * is unassigned (empty cell), matching both former inline copies. */
+  private def pqReconstruct(cbv: Array[Array[Array[Double]]],
+                            cent: Array[Double], codes: Array[Int],
+                            dim: Int, m: Int, sub: Int): Array[Double] = {
+    val fv = new Array[Double](dim)
+    var j = 0
+    while (j < m) {
+      val cw = if (codes(j) >= 0) cbv(j)(codes(j)) else null
+      if (cw == null) return null
+      var d = 0
+      while (d < sub) { fv(j * sub + d) = cent(j * sub + d) + cw(d); d += 1 }
+      j += 1
+    }
+    fv
+  }
+
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                cellCol: String = "label", nProbe: Int = 3, m: Int = 8,
+                nCells: Int = 16, dim: Int = 64,
+                candMult: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    require(m * sub == dim, s"ivfPqTopK: m=$m must divide dim=$dim")
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val (resid, centroids, bcCent, bcCb) =
+      ivfPqBuild(vectors, cellCol, m, nCells, dim, sub)
     // encode + reconstruct: centroid + residual codeword, one row per
     // scan-eligible vector, keyed by coarse cell for the probe join
     val recon = resid.filter(_._4).mapPartitions { it =>
@@ -1527,20 +1512,8 @@ object VectorSearch {
       val cents = bcCent.value
       it.flatMap { case (vid, cell, r, _) =>
         val codes = pqAssignKD(cbv, r, m, nCells, sub)
-        var ok = true
-        val fv = new Array[Double](dim)
-        val c = cents(cell)
-        var j = 0
-        while (j < m) {
-          val cw = if (codes(j) >= 0) cbv(j)(codes(j)) else null
-          if (cw == null) ok = false
-          else {
-            var d = 0
-            while (d < sub) { fv(j * sub + d) = c(j * sub + d) + cw(d); d += 1 }
-          }
-          j += 1
-        }
-        if (ok) Some((cell, vid, fv)) else None
+        val fv = pqReconstruct(cbv, cents(cell), codes, dim, m, sub)
+        if (fv != null) Some((cell, vid, fv)) else None
       }
     }.toDF("cell", "vec_id", "fv")
     ivfPqScore(recon, centroids, vectors, queries, k, nProbe, dim, candCut)
@@ -1588,21 +1561,9 @@ object VectorSearch {
     import spark.implicits._
     val sub = dim / m
     require(m * sub == dim, s"ivfPqWriteIndex: m=$m must divide dim=$dim")
-    val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine = 0)
-    val bcCent = spark.sparkContext.broadcast(centroids.toMap)
-    val resid = assigned.mapPartitions { it =>
-      val cents = bcCent.value
-      it.map { case (cell, vid, e) =>
-        val c = cents(cell)
-        val r = new Array[Double](dim)
-        var i = 0
-        while (i < dim) { r(i) = e(i).toDouble - c(i); i += 1 }
-        (vid, cell, r, normK(e, dim) > 0)
-      }
-    }.localCheckpoint(eager = false) // feeds codebook train + encode
-    val cb = pqTrainCodebookD(
-      resid.map { case (vid, _, r, _) => (vid, r) }, m, nCells, sub)
-    val bcCb = spark.sparkContext.broadcast(cb)
+    val (resid, centroids, _, bcCb) =
+      ivfPqBuild(vectors, cellCol, m, nCells, dim, sub)
+    val cb = bcCb.value
     resid.filter(_._4).mapPartitions { it =>
         val cbv = bcCb.value
         it.map { case (vid, cell, r, _) =>
@@ -1656,22 +1617,8 @@ object VectorSearch {
         val cbv = bcCb.value
         val cents = bcCent.value
         it.flatMap { case (cell, vid, codes) =>
-          var ok = true
-          val fv = new Array[Double](dim)
-          val c = cents(cell)
-          var j = 0
-          while (j < m) {
-            val cw = if (codes(j) >= 0) cbv(j)(codes(j)) else null
-            if (cw == null) ok = false
-            else {
-              var d = 0
-              while (d < sub) {
-                fv(j * sub + d) = c(j * sub + d) + cw(d); d += 1
-              }
-            }
-            j += 1
-          }
-          if (ok) Some((cell, vid, fv)) else None
+          val fv = pqReconstruct(cbv, cents(cell), codes, dim, m, sub)
+          if (fv != null) Some((cell, vid, fv)) else None
         }
       }
       .toDF("cell", "vec_id", "fv")

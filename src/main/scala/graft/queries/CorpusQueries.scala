@@ -489,21 +489,44 @@ object CorpusQueries {
     * lift = n_ab·N / (n_a·n_b) (> 1 ⟺ positive association — the
     * PMI argument without the engine-varying logarithm; the single
     * division of two exact longs is correctly rounded identically in
-    * both engines). The basket self-join is per-user (bounded by
-    * basket size, the standard co-occurrence shape), counts are
-    * map-side combinable, and the total-user scalar attaches through
-    * the codegen-safe [[graft.operators.PlanHints.withScalars]]. */
+    * both engines). The basket self-join is per-user, and the PAIR
+    * leg is capped: each user contributes only their
+    * [[PmiBasketCap]] (=48) most-popular distinct items (global
+    * frequency desc, item id tie-break — fully deterministic), the
+    * standard basket-truncation guard of production co-occurrence
+    * pipelines. Without it a single bot/power user with a B-item
+    * history emits B²/2 pairs — skew-quadratic at 100× (the round-10
+    * audit wart); with it the pair volume is ≤ U·C²/2 at ANY basket
+    * skew. Marginals (n_users, n_i) stay computed over the FULL
+    * basket set so the lift denominator is unbiased — the cap only
+    * bounds pair enumeration. The rank filter plans as
+    * WindowGroupLimit (partial per-partition limits before the
+    * window shuffle), the capped basket is lazily checkpointed so the
+    * window runs ONCE for both self-join sides, counts are map-side
+    * combinable, and the total-user scalar attaches through the
+    * codegen-safe [[graft.operators.PlanHints.withScalars]]. */
+  val PmiBasketCap = 48
+
   def eventsItemPmi(env: Env): DataFrame = {
-    import org.apache.spark.sql.functions.{count, countDistinct, get_json_object, lit}
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, countDistinct, get_json_object, lit, row_number}
     val ui = env.events
       .select($"user_id",
         get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
       .distinct()
       .localCheckpoint(eager = false)
     val stats = ui.agg(countDistinct($"user_id").as("n_users"))
     val ia = ui.groupBy($"item").agg(count(lit(1)).as("n_i"))
-    val pairs = ui.as("a")
-      .join(ui.as("b"),
+    val w = Window.partitionBy($"user_id").orderBy($"n_i".desc, $"item")
+    val capped = ui
+      .join(ia, "item")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= PmiBasketCap)
+      .select($"user_id", $"item")
+      .localCheckpoint(eager = false)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
         $"a.user_id" === $"b.user_id" && $"a.item" < $"b.item")
       .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
@@ -961,18 +984,28 @@ object CorpusQueries {
         |    AS roll7_events
         |FROM daily ORDER BY event_type, day""".stripMargin),
 
+    // pair leg reads the capped basket (top-48 per user by global
+    // frequency desc, item tie-break); marginals read the full one
     Q.sql("events_item_pmi", eventsItemPmi,
-      """WITH ui AS (
+      s"""WITH ui0 AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
         |  FROM events),
+        |ui AS (SELECT user_id, item FROM ui0 WHERE item IS NOT NULL),
         |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |       FROM ui),
         |ia AS (SELECT item, CAST(count(*) AS BIGINT) AS n_i
         |       FROM ui GROUP BY item),
+        |capped AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT ui.user_id, ui.item,
+        |      row_number() OVER (PARTITION BY ui.user_id
+        |                         ORDER BY ia.n_i DESC, ui.item) AS rk
+        |    FROM ui JOIN ia USING (item))
+        |  WHERE rk <= $PmiBasketCap),
         |p AS (SELECT a.item AS item_a, b.item AS item_b,
         |        CAST(count(*) AS BIGINT) AS n_ab
-        |      FROM ui a JOIN ui b
+        |      FROM capped a JOIN capped b
         |        ON a.user_id = b.user_id AND a.item < b.item
         |      GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT p.item_a, p.item_b, p.n_ab,

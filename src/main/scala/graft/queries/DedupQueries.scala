@@ -214,7 +214,11 @@ object DedupQueries {
       .minhashNearDupPairs(env.spread(env.documents), "doc_id", "text",
         threshold = 0.8)
       .localCheckpoint(eager = false) // one candidate pass, four rows
-    val ex = pairs.select($"jaccard",
+    // round to the oracle's 6dp grid BEFORE re-filtering so both
+    // engines threshold the SAME value (the unrounded Spark jaccard
+    // vs the oracle's rounded j was asymmetric — safe at realistic
+    // shingle-set sizes, but needlessly so)
+    val ex = pairs.select(round($"jaccard", 6).as("jaccard"),
       explode(array($"doc_a", $"doc_b")).as("d"))
     Seq(0.80, 0.85, 0.90, 0.95)
       .map { t =>

@@ -1182,9 +1182,13 @@ object TextQueries {
          |ORDER BY t.doc_id""".stripMargin),
 
     // the CC-Net split off the same LM chain: tercile thresholds via
-    // quantile_cont (Spark's percentile uses the identical
-    // q·(n−1)-interpolation definition), boundary-inclusive buckets
-    // on the shared 4dp ppl grid
+    // quantile_cont (same q·(n−1) rank definition as Spark's
+    // percentile, but NOT the same FP formula — Spark computes
+    // lower·(1−d)+higher·d, DuckDB lower+d·(higher−lower); the two
+    // can differ in the last ulp. The 4dp rounding grid absorbs that
+    // unless a tercile lands within an ulp of a .00005 boundary —
+    // accepted flake window, never observed on this ppl grid),
+    // boundary-inclusive buckets on the shared 4dp ppl grid
     Q.sql("corpus_ppl_buckets", corpusPplBuckets,
       s"""WITH $pplCte,
          |pp AS (SELECT d.doc_id, round(exp(-(d.ll / d.nb)), 4) AS ppl
