@@ -487,22 +487,182 @@ object TextAnalysis {
       : DataFrame = {
     val spark = docs.sparkSession
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val weights = broadcast(spark.range(buckets.toLong).toDF("f")
+    val weights = spark.range(buckets.toLong).toDF("f")
       .select(col("f").cast("int").as("f"),
         (pmod(conv(substring(md5(concat(lit(s"$salt-w|"), col("f"))), 1, 13),
                    16, 10).cast("long"), lit(2000001L)) - lit(1000000L))
-          .as("w_mu")))
+          .as("w_mu"))
+    qualityClassifierWith(docs, idCol, textCol, weights, buckets, salt)
+  }
+
+  /** The INFERENCE half of the hashed linear classifier, generic over
+    * the weight table: token → bucket → broadcast weight lookup →
+    * associative integer sum (+ optional bias) → mean score + keep
+    * decision. The md5 stand-in ([[qualityClassifier]]) and the
+    * centroid-TRAINED model ([[qualityTrainCentroid]]) run this
+    * identical code path — a learned weight table feeds the
+    * classifier unchanged.
+    *
+    * @param weights (f: int, w_mu: long) — one integer weight per
+    *   bucket, plus an OPTIONAL bias row at f = −1 (a trained decision
+    *   threshold; every document implicitly carries one unit of it).
+    *   Whatever the training provenance, the per-doc sum stays exact
+    *   long arithmetic and `score` is the micro-unit mean.
+    */
+  def qualityClassifierWith(docs: DataFrame, idCol: String, textCol: String,
+                            weights: DataFrame, buckets: Int = 256,
+                            salt: String = "graft-qc"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w = weights.select(col("f").cast("int").as("f"),
+      col("w_mu").cast("long").as("w_mu"))
+    // always exactly one row, zero when no bias entry is present — the
+    // md5 stand-in path adds an exact long 0 and stays bit-identical
+    val bias = w.filter(col("f") === -1)
+      .agg(coalesce(sum(col("w_mu")), lit(0L)).as("bias"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .withColumn("f", pmod(
         conv(substring(md5(concat(lit(s"$salt|"), col("tok"))), 1, 13),
              16, 10).cast("long"),
         lit(buckets.toLong)).cast("int"))
-    toks.join(weights, "f")
+    val sums = toks.join(broadcast(w.filter(col("f") >= 0)), "f")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w_mu")).as("s_mu"))
+    PlanHints.withScalars(sums, bias)
       .select(col("doc_id"), col("n_toks").cast("int").as("n_toks"),
-        (col("s_mu").cast("double") / 1e6 / col("n_toks")).as("score"),
-        (col("s_mu") > 0).as("keep"))
+        ((col("s_mu") + col("bias")).cast("double") / 1e6 / col("n_toks"))
+          .as("score"),
+        (col("s_mu") + col("bias") > 0).as("keep"))
+  }
+
+  /** Hashed-feature token counts per document — the design matrix of
+    * the quality classifier family: every whitespace token
+    * (split(" ") — empty text yields one "" token, so no document
+    * drops out) hashes to one of `buckets` features; cnt is the exact
+    * integer token count per (doc, feature). */
+  private def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                             buckets: Int, salt: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("f", pmod(
+        conv(substring(md5(concat(lit(s"$salt|"), col("tok"))), 1, 13),
+             16, 10).cast("long"),
+        lit(buckets.toLong)).cast("int"))
+      .groupBy(col("doc_id"), col("f"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Nearest-centroid (Rocchio) TRAINER for the hashed linear quality
+    * classifier — the real counterpart to [[qualityClassifier]]'s
+    * stand-in weights. This is the CCNet/fastText filtering shape
+    * trained for real: a labeled document set (`labelCol`, boolean —
+    * e.g. an expensive gate cascade's verdict being distilled into one
+    * cheap broadcastable scorer, or a curated-vs-crawl bucket label)
+    * supervises a linear model over the SAME hashed bag-of-words
+    * features the inference path uses, so the learned table feeds
+    * [[qualityClassifierWith]] unchanged.
+    *
+    * Model, all-integer and closed-form (no optimizer loop):
+    *  - direction: w_f = sp_f·Nn − sn_f·Np where sp_f/sn_f are the
+    *    positive/negative classes' token counts in bucket f and Np/Nn
+    *    the class document counts — the class-mean difference
+    *    (μ⁺ − μ⁻) scaled by Np·Nn so it stays exact long arithmetic;
+    *  - threshold: project every labeled doc onto w (s_d = Σ x_df·w_f)
+    *    and pick the cut c maximizing training accuracy — a prefix-sum
+    *    scan over the distinct projected scores (ties: smallest cut;
+    *    the "predict none positive" sentinel included). The model's
+    *    bias row is f = −1, w = 1 − c, so the serving decision
+    *    s + bias > 0 ⇔ s ≥ c.
+    *
+    * Everything is exact long arithmetic — associative, partial-
+    * aggregable, bit-reproducible on any partitioning — and unrolls to
+    * join+aggregate+window ANSI SQL for the DuckDB oracle. Products
+    * stay in range for labeled sets up to ~10⁷ docs; a quality-filter
+    * training set is a bounded curated sample by construction
+    * (reference analog: the classification sweeps of
+    * /root/reference/monitor.py:30-96 run over bounded identifier
+    * batches, not the full corpus).
+    *
+    * Scale shape: one groupBy(f) whose output is `buckets` rows, one
+    * broadcast scoring join + per-doc partial aggregation, then the
+    * threshold scan as a DISTRIBUTED prefix sum with no global-order
+    * window: range-repartition the (score, np, nn) table, take
+    * per-partition windows keyed by spark_partition_id, and add
+    * cross-partition offsets from a partition-count-bounded broadcast
+    * self-join — no single-partition exchange anywhere, no driver
+    * collect.
+    *
+    * @param labelCol boolean column on `docs`: true = positive class.
+    * @return (f: int, w: long) — dense rows f ∈ [0, buckets) (zeros
+    *   kept) plus the f = −1 bias row; feed directly to
+    *   [[qualityClassifierWith]].
+    */
+  def qualityTrainCentroid(docs: DataFrame, idCol: String, textCol: String,
+                           labelCol: String, buckets: Int = 256,
+                           salt: String = "graft-qc"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // design matrix + labels each feed two consumers — pin them once
+    val x = hashedFeatures(docs, idCol, textCol, buckets, salt)
+      .localCheckpoint(eager = false)
+    val y = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(labelCol).as("pos"))
+      .localCheckpoint(eager = false)
+    val counts = y.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
+    val perF = x.join(y, "doc_id")
+      .groupBy(col("f"))
+      .agg(sum(when(col("pos"), col("cnt")).otherwise(0L)).as("sp"),
+           sum(when(col("pos"), 0L).otherwise(col("cnt"))).as("sn"))
+    val wDense = PlanHints.withScalars(
+        spark.range(buckets.toLong).select(col("id").cast("int").as("f"))
+          .join(perF, Seq("f"), "left"), counts)
+      .select(col("f"),
+        (coalesce(col("sp"), lit(0L)) * col("nn")
+          - coalesce(col("sn"), lit(0L)) * col("np")).as("w"))
+      .localCheckpoint(eager = false) // feeds scoring + model output
+    val s = x.join(broadcast(wDense), "f")
+      .groupBy(col("doc_id")).agg(sum(col("cnt") * col("w")).as("s"))
+    val byScore = s.join(y, "doc_id")
+      .groupBy(col("s"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np_s"),
+           sum(when(col("pos"), 0L).otherwise(1L)).as("nn_s"))
+    // ---- distributed exclusive prefix sum over ascending score ----
+    // pid is only meaningful under the checkpoint: both consumers must
+    // see the one materialized assignment
+    val prefixParts = 8
+    val parted = byScore.repartitionByRange(prefixParts, col("s"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    // cross-partition offsets: each partition's totals contribute to
+    // every LATER pid — an explode to the (constant, bounded) later
+    // pid list + equi-join, never a non-equi pid×pid join
+    val offsets = parted.groupBy(col("pid"))
+      .agg(sum(col("np_s")).as("tp"), sum(col("nn_s")).as("tn"))
+      .filter(col("pid") < prefixParts - 1)
+      .select(explode(sequence(col("pid") + 1, lit(prefixParts - 1)))
+          .as("pid"), col("tp"), col("tn"))
+      .groupBy(col("pid"))
+      .agg(sum(col("tp")).as("off_np"), sum(col("tn")).as("off_nn"))
+    val win = Window.partitionBy(col("pid")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = parted.join(broadcast(offsets), Seq("pid"), "left")
+      .select(col("s"),
+        (coalesce(col("off_np"), lit(0L))
+          + coalesce(sum(col("np_s")).over(win), lit(0L))).as("cum_np"),
+        (coalesce(col("off_nn"), lit(0L))
+          + coalesce(sum(col("nn_s")).over(win), lit(0L))).as("cum_nn"))
+    // correct(cut = s): positives at/above the cut + negatives below;
+    // sentinel cut above max = "keep nothing" (correct = Nn)
+    val cand = PlanHints.withScalars(cum, counts)
+      .select(col("s").as("cut"),
+        (col("np") - col("cum_np") + col("cum_nn")).as("correct"))
+      .unionByName(PlanHints.withScalars(
+          byScore.agg(max(col("s")).as("max_s")), counts)
+        .select((col("max_s") + 1L).as("cut"), col("nn").as("correct")))
+    val best = cand.orderBy(col("correct").desc, col("cut").asc).limit(1)
+    wDense.unionByName(
+      best.select(lit(-1).cast("int").as("f"), (lit(1L) - col("cut")).as("w")))
   }
 }

@@ -246,6 +246,46 @@ object TextQueries {
     TextAnalysis.qualityClassifier(env.spread(env.documents), "doc_id", "text")
       .orderBy($"doc_id")
 
+  /** The labeled training set of the quality-classifier distillation:
+    * the hand-written gate cascade's own verdict (quality ≥ 0.65, the
+    * prep pipeline's stage-1 gate) becomes the supervision signal for
+    * one cheap broadcastable hashed linear scorer — the production
+    * recipe for corpus filters (expensive heuristic/model labels a
+    * bounded set; a linear model over hashed features serves at corpus
+    * scale). */
+  private def qualityLabeled(env: Env): DataFrame =
+    env.spread(env.documents)
+      .withColumn("gate_keep", TextAnalysis.qualityScore($"text") >= 0.65)
+
+  /** Centroid training of the hashed quality classifier (Rocchio
+    * direction + accuracy-optimal decision threshold); see
+    * [[graft.operators.TextAnalysis.qualityTrainCentroid]] for the
+    * all-integer closed form and the windowless distributed prefix
+    * scan. Output is the dense learned weight table (one row per
+    * bucket, f = −1 bias row first). */
+  def textQualityTrain(env: Env): DataFrame =
+    TextAnalysis.qualityTrainCentroid(qualityLabeled(env), "doc_id",
+        "text", labelCol = "gate_keep")
+      .orderBy($"f")
+
+  /** The TRAINED model serving documents through the identical
+    * inference path as `text_quality_classifier` (token → bucket →
+    * broadcast weight → integer sum + bias): train on the gate
+    * verdict, then score every document and compare the keep decision
+    * to the label — the accuracy surface a corpus build monitors
+    * before swapping the cheap filter in for the gate cascade. */
+  def textQualityTrained(env: Env): DataFrame = {
+    val docs = qualityLabeled(env)
+    val w = TextAnalysis.qualityTrainCentroid(docs, "doc_id", "text",
+        labelCol = "gate_keep")
+      .select($"f", $"w".as("w_mu"))
+    TextAnalysis.qualityClassifierWith(docs, "doc_id", "text", w)
+      .join(docs.select($"doc_id", $"gate_keep".as("label")), "doc_id")
+      .select($"doc_id", $"n_toks", $"score", $"keep",
+        $"label", ($"keep" === $"label").as("correct"))
+      .orderBy($"doc_id")
+  }
+
   /** Filter-cascade accounting — every document with its per-gate
     * verdicts (length, LID-agrees-with-label, quality score,
     * repetition) and the combined keep decision. The ablation view a
@@ -718,6 +758,71 @@ object TextQueries {
       |        list_sum(list_transform(list(p ORDER BY pos), x -> ln(x))) AS ll
       |      FROM p GROUP BY doc_id)""".stripMargin
 
+  /** The centroid trainer replayed in SQL — hashed design matrix, the
+    * gate-verdict labels, the integer Rocchio direction, the projected
+    * scores, and the accuracy-optimal cut (prefix sums over distinct
+    * scores + the keep-nothing sentinel). Shared by the train dump and
+    * the trained-serve oracle so the replayed model can never drift
+    * between them. */
+  private val centroidCte: String =
+    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents),
+      |ft AS (SELECT doc_id,
+      |         CAST(CAST('0x' || substring(md5('graft-qc' || '|' || tok), 1, 13)
+      |                   AS BIGINT) % 256 AS INT) AS f
+      |       FROM t),
+      |x AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM ft GROUP BY doc_id, f),
+      |qm AS (SELECT doc_id, text,
+      |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |           x -> x IN ('a','the','and','of','to','in','is'))) AS INT)
+      |           AS n_stopwords
+      |       FROM documents),
+      |y AS (SELECT doc_id,
+      |  round(0.4 * (least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+      |               * least(4000.0 / greatest(CAST(length(text) AS DOUBLE), 1.0), 1.0))
+      |      + 0.3 * least((CAST(n_stopwords AS DOUBLE)
+      |                     / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 5.0, 1.0)
+      |      + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE)
+      |                         / greatest(CAST(n_tokens AS DOUBLE), 1.0)
+      |                         BETWEEN 3.0 AND 10.0
+      |                    THEN 1.0 ELSE 0.5 END), 6) >= 0.65 AS pos
+      |      FROM qm),
+      |counts AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |                  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      |           FROM y),
+      |perf AS (SELECT x.f,
+      |           CAST(sum(CASE WHEN y.pos THEN x.cnt ELSE 0 END) AS BIGINT) AS sp,
+      |           CAST(sum(CASE WHEN y.pos THEN 0 ELSE x.cnt END) AS BIGINT) AS sn
+      |         FROM x JOIN y USING (doc_id) GROUP BY x.f),
+      |wd AS (SELECT r.f,
+      |         CAST(coalesce(p.sp, 0) * c.nn - coalesce(p.sn, 0) * c.np
+      |              AS BIGINT) AS w
+      |       FROM (SELECT CAST(f AS INT) AS f FROM range(256) t(f)) r
+      |       LEFT JOIN perf p USING (f) CROSS JOIN counts c),
+      |sc AS (SELECT x.doc_id, CAST(sum(x.cnt * wd.w) AS BIGINT) AS s
+      |       FROM x JOIN wd USING (f) GROUP BY x.doc_id),
+      |bys AS (SELECT sc.s,
+      |          CAST(sum(CASE WHEN y.pos THEN 1 ELSE 0 END) AS BIGINT) AS np_s,
+      |          CAST(sum(CASE WHEN y.pos THEN 0 ELSE 1 END) AS BIGINT) AS nn_s
+      |        FROM sc JOIN y USING (doc_id) GROUP BY sc.s),
+      |cum AS (SELECT s,
+      |          coalesce(CAST(sum(np_s) OVER wl AS BIGINT), 0) AS cum_np,
+      |          coalesce(CAST(sum(nn_s) OVER wl AS BIGINT), 0) AS cum_nn
+      |        FROM bys
+      |        WINDOW wl AS (ORDER BY s
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |cand AS (SELECT cum.s AS cut, c.np - cum.cum_np + cum.cum_nn AS correct
+      |         FROM cum CROSS JOIN counts c
+      |         UNION ALL
+      |         SELECT (SELECT max(s) + 1 FROM bys) AS cut, c.nn AS correct
+      |         FROM counts c),
+      |best AS (SELECT cut FROM cand ORDER BY correct DESC, cut ASC LIMIT 1),
+      |model AS (SELECT f, w FROM wd
+      |          UNION ALL
+      |          SELECT -1 AS f, CAST(1 - cut AS BIGINT) AS w FROM best)""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q.sql("text_badwords_filter", textBadwordsFilter,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
@@ -1081,6 +1186,29 @@ object TextQueries {
         |  CAST(s_mu AS DOUBLE) / 1000000.0 / n_toks AS score,
         |  s_mu > 0 AS keep
         |FROM a ORDER BY doc_id""".stripMargin),
+
+    // the REAL trainer: integer Rocchio direction + accuracy-optimal
+    // threshold, replayed step-by-step in SQL — exact longs end to
+    // end, so the learned table hash-matches bit-for-bit
+    Q.sql("text_quality_train", textQualityTrain,
+      s"""WITH $centroidCte
+         |SELECT f, w FROM model ORDER BY f""".stripMargin),
+
+    // the trained model served through the SAME inference path as
+    // text_quality_classifier (per-token bucket join + integer sum +
+    // bias); label/correct expose the training-set accuracy surface
+    Q.sql("text_quality_trained", textQualityTrained,
+      s"""WITH $centroidCte,
+         |a AS (SELECT ft.doc_id, CAST(count(*) AS INT) AS n_toks,
+         |        CAST(sum(m.w) AS BIGINT) AS s_mu
+         |      FROM ft JOIN model m USING (f) GROUP BY ft.doc_id),
+         |b AS (SELECT w AS bias FROM model WHERE f = -1)
+         |SELECT a.doc_id, a.n_toks,
+         |  CAST(a.s_mu + b.bias AS DOUBLE) / 1000000.0 / a.n_toks AS score,
+         |  a.s_mu + b.bias > 0 AS keep, y.pos AS label,
+         |  (a.s_mu + b.bias > 0) = y.pos AS correct
+         |FROM a CROSS JOIN b JOIN y USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin),
 
     // composes the text_stats quality expression, the langid fold, and
     // the text_repetition aggregation, then the boolean gates

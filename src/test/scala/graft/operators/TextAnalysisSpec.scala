@@ -125,6 +125,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d3.toSeq == Seq((3L, 1, h52("one two"))))
   }
 
+  test("centroid trainer: learns a separable label, exact cut semantics") {
+    // positives say "good", negatives say "junk" — perfectly separable
+    // by the Rocchio direction; the trained threshold must reach 100%
+    // training accuracy and the served keep must equal the label.
+    val docs = (1L to 20L).map { i =>
+      val pos = i % 3 != 0
+      val body = if (pos) "good fine nice" else "junk spam bad"
+      (i, s"$body doc $i", pos)
+    }.toDF("doc_id", "text", "y")
+    val model = TextAnalysis.qualityTrainCentroid(docs, "doc_id", "text", "y")
+    val rows = model.collect().map(r => (r.getInt(0), r.getLong(1)))
+    // dense: every bucket present exactly once, plus the f = -1 bias
+    assert(rows.length == 257)
+    assert(rows.map(_._1).sorted.toSeq == (-1 to 255))
+    val served = TextAnalysis
+      .qualityClassifierWith(docs, "doc_id", "text",
+        model.select($"f", $"w".as("w_mu")))
+      .join(docs.select($"doc_id", $"y"), "doc_id")
+      .collect()
+    assert(served.length == 20)
+    assert(served.forall(r => r.getAs[Boolean]("keep") == r.getAs[Boolean]("y")),
+      "separable training set must be classified perfectly")
+  }
+
+  test("centroid trainer: threshold scan picks the accuracy-argmax cut") {
+    // one feature dimension effectively: token "t" repeated k times →
+    // score proportional to k; label = k >= 4. The best cut must
+    // classify every doc correctly even though classes are imbalanced.
+    val docs = (1L to 9L).map { i =>
+      (i, Seq.fill(i.toInt)("t").mkString(" "), i >= 4L)
+    }.toDF("doc_id", "text", "y")
+    val served = TextAnalysis.qualityClassifierWith(docs, "doc_id", "text",
+        TextAnalysis.qualityTrainCentroid(docs, "doc_id", "text", "y")
+          .select($"f", $"w".as("w_mu")))
+      .join(docs.select($"doc_id", $"y"), "doc_id")
+      .collect()
+    assert(served.forall(r => r.getAs[Boolean]("keep") == r.getAs[Boolean]("y")))
+  }
+
+  test("centroid trainer: model is partitioning-invariant") {
+    val docs = (1L to 30L).map { i =>
+      (i, if (i % 2 == 0) s"alpha beta g$i" else s"gamma delta g$i", i % 5 != 0)
+    }.toDF("doc_id", "text", "y")
+    val a = TextAnalysis.qualityTrainCentroid(docs, "doc_id", "text", "y")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val b = TextAnalysis
+      .qualityTrainCentroid(docs.repartition(7), "doc_id", "text", "y")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("gopher gates: each rule trips on its own boundary case") {
     // 1: 50 in-range words incl. 2 stopwords → all pass
     // 2: 49 words → word-count fail only (others pass)
