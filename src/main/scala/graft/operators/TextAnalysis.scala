@@ -237,11 +237,16 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // top 52 bits of the digest (== the first 13 hex chars parsed
+        // base-16, taken directly from the bytes — no per-position hex
+        // format/parse allocation)
         def h52(s: String): Long = {
           md.reset()
-          val hex = md.digest(s.getBytes("UTF-8"))
-            .map(b => f"$b%02x").mkString.take(13)
-          java.lang.Long.parseLong(hex, 16)
+          val d = md.digest(s.getBytes("UTF-8"))
+          ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) |
+            ((d(2) & 0xffL) << 28) | ((d(3) & 0xffL) << 20) |
+            ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+            ((d(6) & 0xf0L) >>> 4)
         }
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
@@ -256,20 +261,23 @@ object TextAnalysis {
             val ng = hs.length
             val nw = math.max(ng - w + 1, 1)
             val sel = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+            // monotonic deque sliding minimum, O(n) amortized for any
+            // w: indices with strictly increasing hashes; pushing pops
+            // every back entry ≥ the new hash, so among equal hashes
+            // only the LATEST survives — the front is exactly the
+            // rightmost window minimum the winnowing paper selects
+            val dq = new java.util.ArrayDeque[Int]()
+            var i = 0
             var wp = 0
             while (wp < nw) {
-              var bestH = Long.MaxValue
-              var bestP = -1
-              var p = wp
               val end = math.min(wp + w, ng)
-              while (p < end) {
-                // rightmost minimum: a later equal hash wins
-                if (hs(p) < bestH || (hs(p) == bestH && p > bestP)) {
-                  bestH = hs(p); bestP = p
-                }
-                p += 1
+              while (i < end) {
+                while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+                dq.addLast(i)
+                i += 1
               }
-              sel.update(bestP, bestH)
+              while (dq.peekFirst < wp) dq.pollFirst()
+              sel.update(dq.peekFirst, hs(dq.peekFirst))
               wp += 1
             }
             sel.iterator.map { case (p, h) => (id, p + 1, h) }
