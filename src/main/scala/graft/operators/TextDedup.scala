@@ -113,6 +113,40 @@ object TextDedup {
     * bands=16, rows=4, a pair at Jaccard s collides with probability
     * 1-(1-s⁴)¹⁶ — ≥ 0.9999999 at s = 0.9 (the planted-dup regime).
     */
+  /** Closed-form banding derivation from (threshold, recall floor) —
+    * the S-curve inversion of MMDS ch. 3 (Leskovec/Rajaraman/Ullman)
+    * instead of a pinned 16×4: a pair at Jaccard s collides with
+    * probability p(s) = 1 − (1 − s^r)^b, so among all (r, b = ⌊k/r⌋)
+    * splits of the k-slot signature pick the LARGEST r (steepest
+    * S-curve → fewest sub-threshold false candidates) whose collision
+    * probability AT the threshold still meets the recall floor.
+    * r = 1 collides at 1 − (1−t)^k ≈ 1, so a viable split always
+    * exists for any floor < 1; the derivation is monotone — lower
+    * thresholds force smaller r (wider bands), higher thresholds allow
+    * more selective banding.
+    *
+    * @return (bands, rows) with bands·rows ≤ k, rows maximal subject
+    *         to 1 − (1 − threshold^rows)^bands ≥ recallFloor.
+    */
+  def deriveBanding(threshold: Double, k: Int = 64,
+                    recallFloor: Double = 0.95): (Int, Int) = {
+    require(threshold > 0 && threshold < 1,
+      s"threshold must be in (0,1), got $threshold")
+    require(recallFloor > 0 && recallFloor < 1,
+      s"recallFloor must be in (0,1), got $recallFloor")
+    require(k >= 1, s"k must be positive, got $k")
+    def recallAt(r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(threshold, r.toDouble), b.toDouble)
+    // only self-consistent splits: the band kernel derives
+    // rows = k / bands, so keep r values with k / (k / r) == r
+    // (e.g. k=64 r=11 → b=5 but 64/5=12 ≠ 11 — excluded)
+    val (r, b) = (1 to k).map(r => (r, k / r))
+      .filter { case (r, b) => k / b == r }
+      .filter { case (r, b) => recallAt(r, b) >= recallFloor }
+      .maxBy(_._1)
+    (b, r)
+  }
+
   def lshBandKeys(sigCol: Column, bands: Int = 16, rows: Int = 4): Column =
     array((0 until bands).map(b =>
       xxhash64((Seq(lit(b)) ++ (0 until rows).map(r =>
@@ -191,6 +225,22 @@ object TextDedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyPairs(cands, sh, sh, "doc_a", "doc_b", threshold)
+  }
+
+  /** [[minhashNearDupPairs]] with the banding DERIVED from the
+    * threshold and a recall floor via [[deriveBanding]] instead of the
+    * fixed 16×4 (which is only guaranteed in the ≥ 0.8 regime): at
+    * e.g. threshold 0.6 / floor 0.95 this widens to 21 bands × 3 rows,
+    * whose collision probability is ≥ 0.99 at 0.6 and ≈ 1 − 1e-23 at
+    * the planted-dup 0.9. Same verify stage, same precision-1 output —
+    * only the candidate scheme adapts.
+    */
+  def minhashNearDupPairsAuto(docs: DataFrame, idCol: String,
+                              textCol: String, threshold: Double,
+                              recallFloor: Double = 0.95, n: Int = 3,
+                              k: Int = 64): DataFrame = {
+    val (bands, _) = deriveBanding(threshold, k, recallFloor)
+    minhashNearDupPairs(docs, idCol, textCol, threshold, n, k, bands)
   }
 
   /** Incremental near-dup: every INCREMENT doc with a near-dup in the

@@ -48,6 +48,20 @@ object DedupQueries {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
 
+  /** Near-dup pairs at a NON-0.8 threshold with the banding derived
+    * from (threshold, recall floor) — the parameterized-LSH entry: at
+    * 0.6 the S-curve inversion widens the scheme to 21 bands × 3 rows
+    * (see [[graft.operators.TextDedup.deriveBanding]]); the oracle is
+    * the same brute-force ground truth re-gated at 0.6. Exactness on
+    * this corpus is not luck-of-the-gap anymore: the derived banding's
+    * miss probability at the measured pair mass (all true pairs ≥ 0.9,
+    * nothing in (0.4, 0.9)) is ≈ 1e-23. */
+  def dedupMinhashAuto(env: Env): DataFrame =
+    TextDedup.minhashNearDupPairsAuto(env.documents, "doc_id", "text",
+        threshold = 0.6)
+      .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+
   /** Incremental dedup: every-7th doc plays the nightly increment,
     * checked against the rest as the accumulated base — increment
     * bands ⋈ base bands, never base×base (see
@@ -210,17 +224,21 @@ object DedupQueries {
     * aggregate and avoids a single-row crossJoin.
     */
   def dedupThresholdSweep(env: Env): DataFrame = {
+    // one candidate pass at the sweep's LOWEST threshold, with the
+    // banding DERIVED from it (21×3 at 0.6/floor-0.95 — the fixed
+    // 16×4 only guarantees the ≥ 0.8 regime), re-filtered per
+    // threshold above
     val pairs = TextDedup
-      .minhashNearDupPairs(env.spread(env.documents), "doc_id", "text",
-        threshold = 0.8)
-      .localCheckpoint(eager = false) // one candidate pass, four rows
+      .minhashNearDupPairsAuto(env.spread(env.documents), "doc_id", "text",
+        threshold = 0.6)
+      .localCheckpoint(eager = false) // one candidate pass, five rows
     // round to the oracle's 6dp grid BEFORE re-filtering so both
     // engines threshold the SAME value (the unrounded Spark jaccard
     // vs the oracle's rounded j was asymmetric — safe at realistic
     // shingle-set sizes, but needlessly so)
     val ex = pairs.select(round($"jaccard", 6).as("jaccard"),
       explode(array($"doc_a", $"doc_b")).as("d"))
-    Seq(0.80, 0.85, 0.90, 0.95)
+    Seq(0.60, 0.80, 0.85, 0.90, 0.95)
       .map { t =>
         ex.filter($"jaccard" >= t)
           .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
@@ -266,8 +284,21 @@ object DedupQueries {
 
     Q.sql("dedup_simhash", dedupSimhash, simhashSql),
 
-    // one brute pair set at the 0.80 floor, re-filtered per threshold;
-    // endpoint union counts both stats in one aggregate like Spark
+    // derived-banding LSH at the non-0.8 threshold, same brute-force
+    // ground truth re-gated at 0.6
+    Q.sql("dedup_minhash_auto", dedupMinhashAuto,
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.g, b.g))) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // one brute pair set at the 0.60 floor (the sweep's derived-banding
+    // candidate pass), re-filtered per threshold; endpoint union counts
+    // both stats in one aggregate like Spark
     Q.sql("dedup_threshold_sweep", dedupThresholdSweep,
       s"""$shingleCte,
          |pairs AS (
@@ -276,10 +307,15 @@ object DedupQueries {
          |               / len(list_distinct(list_concat(a.g, b.g))), 6) AS j
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.6),
          |ex AS (SELECT j, doc_a AS d FROM pairs
          |       UNION ALL SELECT j, doc_b FROM pairs)
          |SELECT threshold, n_pairs, n_docs FROM (
+         |  SELECT CAST(0.60 AS DOUBLE) AS threshold,
+         |         CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+         |         CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |  FROM ex WHERE j >= 0.60
+         |  UNION ALL
          |  SELECT CAST(0.80 AS DOUBLE) AS threshold,
          |         CAST(count(*) / 2 AS BIGINT) AS n_pairs,
          |         CAST(count(DISTINCT d) AS BIGINT) AS n_docs

@@ -141,6 +141,57 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     })
   }
 
+  test("deriveBanding: recall floor held, rows maximal, kernel-consistent") {
+    def recall(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9); floor <- Seq(0.9, 0.95, 0.99);
+         k <- Seq(64, 128)) {
+      val (b, r) = TextDedup.deriveBanding(t, k, floor)
+      assert(b * r <= k, s"bands*rows must fit the signature ($t,$floor,$k)")
+      assert(k / b == r, s"kernel rows=k/bands must equal derived rows")
+      assert(recall(t, b, r) >= floor,
+        s"floor violated at ($t,$floor,$k): ${recall(t, b, r)}")
+      // maximality: every kernel-consistent r' > r misses the floor
+      (r + 1 to k).map(r2 => (r2, k / r2))
+        .filter { case (r2, b2) => k / b2 == r2 }
+        .foreach { case (r2, b2) =>
+          assert(recall(t, b2, r2) < floor,
+            s"r=$r2 also meets the floor — derived r=$r not maximal")
+        }
+    }
+    // documented instance: 0.6 / 0.95 / 64 → 21 bands × 3 rows
+    assert(TextDedup.deriveBanding(0.6, 64, 0.95) == (21, 3))
+    // monotone: lower threshold never gets MORE selective banding
+    val rs = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      .map(t => TextDedup.deriveBanding(t, 64, 0.95)._2)
+    assert(rs == rs.sorted, s"rows must be monotone in threshold: $rs")
+  }
+
+  test("auto banding finds mid-similarity pairs the 16x4 regime misses") {
+    // planted pairs at Jaccard ~0.65: 17 shared tokens + 3 distinct
+    // per side over 1-gram shingles (17/(17+3+3) ≈ 0.739 on 3-gram
+    // sets varies; verify against local brute force instead of a
+    // constant). Deterministic given the fixed hash family.
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 8).flatMap { i =>
+      Seq((i * 2L, s"$base alpha$i beta$i gamma$i"),
+          (i * 2L + 1, s"$base delta$i epsilon$i zeta$i"))
+    }.toDF("doc_id", "text")
+    val got = TextDedup
+      .minhashNearDupPairsAuto(docs, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val texts = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      sa = shingleSetLocal(ta); sb = shingleSetLocal(tb)
+      j = (sa intersect sb).size.toDouble / (sa union sb).size
+      if j >= 0.6
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain mid-similarity pairs")
+    assert(got == brute,
+      s"derived banding must reproduce brute force: got $got vs $brute")
+  }
+
   test("duplicatedGramStats: shared grams counted, unique docs zero") {
     // n = 3 to keep the hand case small; a/b share "x y z" (and only
     // it), c is untouched, d is a short doc falling back to the
