@@ -91,6 +91,28 @@ object Bench {
       if (sinceGc >= 10) { sinceGc = 0; System.gc() }
     }
 
+    // SENTINEL SERIES: a fixed, sf-independent CPU probe (20M-row
+    // range sum through the same noop action) interleaved through the
+    // registry every 20 queries plus both endpoints of each pass. Its
+    // cost is a constant of the host, not of any query — so a degraded
+    // bench window (CPU contention, paging, a noisy neighbor) shows up
+    // as elevated sentinel timings at the SAME positions where query
+    // timings inflated, letting the artifact self-diagnose phantom
+    // regressions (the round-11 43 s winnow / 27 s video / 11.8 s
+    // trivial filter all reproduced at ~1 s off-window). Sentinels are
+    // recorded per pass in BENCH_FULL.json; the compact tail line
+    // carries the median/max so the driver's 2000-char capture sees
+    // the health signal without the per-position detail.
+    val sentinelEvery = 20
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      val t0 = System.nanoTime()
+      try spark.range(0, 20000000L, 1, 8).agg(sum(col("id")))
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // WARM-UP CONTRACT (documented in SCALING.md "Cold-start split"):
     // pass 1 runs every query once and is RECORDED as cold_queries /
     // cold_total — it pays per-query janino codegen, JIT first-touch,
@@ -101,9 +123,25 @@ object Bench {
     // the cold number stays visible in every artifact rather than
     // being gamed away.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val cold = sorted.map { case (name, fn) =>
-      val (sec, err) = runOnce(name, fn); pacedGc(); (name, sec, err)
+    def runPass(): (Seq[(String, Double, Option[String])], Seq[(Int, Double)]) = {
+      val sents = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      sents += ((0, sentinel()))
+      val res = sorted.zipWithIndex.map { case ((name, fn), i) =>
+        val (sec, err) = runOnce(name, fn); pacedGc()
+        if ((i + 1) % sentinelEvery == 0 && i + 1 < sorted.size)
+          sents += ((i + 1, sentinel()))
+        (name, sec, err)
+      }
+      sents += ((sorted.size, sentinel()))
+      (res, sents.toSeq)
     }
+    def sentJson(s: Seq[(Int, Double)]): String =
+      s.map { case (i, v) => s"[$i,$v]" }.mkString("[", ",", "]")
+    def sentStats(s: Seq[(Int, Double)]): (Double, Double) = {
+      val v = s.map(_._2).sorted
+      (v(v.size / 2), v.last)
+    }
+    val (cold, coldSents) = runPass()
     // Emit a complete, parseable artifact after pass 1: if the driver
     // kills the process during the warm pass, the stdout tail and the
     // tracked file still carry the full cold capture instead of
@@ -116,15 +154,14 @@ object Bench {
         case (k, _, Some(e)) => s""""${esc(k)}":"${esc(e)}""""
       }.mkString("{", ",", "}")
       val nErr0 = cold.count(_._3.isDefined)
-      val coldJson = s"""{"metric":"total","value":$coldTotal0,"unit":"sec","cold_total":$coldTotal0,"pass":"cold-only","queries":$coldQs0,"errors":$coldErrs0,"sf":"${esc(sfDir)}"}"""
-      println(s"""{"metric":"total","value":$coldTotal0,"unit":"sec","cold_total":$coldTotal0,"pass":"cold-only","queries":{},"errors":{},"n_queries":${cold.size},"n_errors":$nErr0,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
+      val (sMed0, sMax0) = sentStats(coldSents)
+      val coldJson = s"""{"metric":"total","value":$coldTotal0,"unit":"sec","cold_total":$coldTotal0,"pass":"cold-only","queries":$coldQs0,"errors":$coldErrs0,"sentinels":{"cold":${sentJson(coldSents)}},"sf":"${esc(sfDir)}"}"""
+      println(s"""{"metric":"total","value":$coldTotal0,"unit":"sec","cold_total":$coldTotal0,"pass":"cold-only","queries":{},"errors":{},"n_queries":${cold.size},"n_errors":$nErr0,"sentinel_med":$sMed0,"sentinel_max":$sMax0,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_FULL.json"), coldJson + "\n")
       catch { case _: Throwable => () }
     }
-    val results = sorted.map { case (name, fn) =>
-      val (sec, err) = runOnce(name, fn); pacedGc(); (name, sec, err)
-    }
+    val (results, warmSents) = runPass()
     val qs = results.map { case (k, v, _) => s""""${esc(k)}":$v""" }
       .mkString("{", ",", "}")
     val coldQs = cold.map { case (k, v, _) => s""""${esc(k)}":$v""" }
@@ -137,7 +174,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val coldTotal = cold.collect { case (_, v, _) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold_queries":$coldQs,"errors":$errs,"sf":"${esc(sfDir)}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold_queries":$coldQs,"errors":$errs,"sentinels":{"cold":${sentJson(coldSents)},"warm":${sentJson(warmSents)}},"sf":"${esc(sfDir)}"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout — a
     // 160+-query line can NEVER fit that window whole, which left
@@ -146,7 +183,8 @@ object Bench {
     // always contains one parseable JSON object (headline total +
     // error count + pointer to the tracked full capture).
     val nErr = (cold ++ results).collect { case (k, _, Some(_)) => k }.distinct.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
+    val (sMedW, sMaxW) = sentStats(warmSents)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"sentinel_med":$sMedW,"sentinel_max":$sMaxW,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
     // The driver tail-captures stdout and can clip the single long line
     // past the first ~40 queries — persist the full JSON to files too
     // so every timing survives into the round record (BENCH_FULL.json
