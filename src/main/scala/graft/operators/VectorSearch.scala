@@ -1155,7 +1155,15 @@ object VectorSearch {
     * accumulator via the same Float→Double promotion this map applies
     * once up front, so the two paths produce identical codebooks (and
     * the 'served bit-exact vs inline' shared-oracle contract cannot
-    * drift between copies — there is only one copy now). */
+    * drift between copies — there is only one copy now).
+    *
+    * Known trade: widening BEFORE [[pqTrainCodebookD]]'s lazy
+    * checkpoint doubles the checkpointed training block size vs
+    * checkpointing floats and widening per-partition inside the
+    * train/assign closures. Measured flat on the pq bench family at
+    * sf0.1 (training sets are sampled and bounded), so the single
+    * generic implementation wins; revisit only if a bench regression
+    * points here. */
   private def pqTrainCodebook(
       vs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       m: Int, nCells: Int, sub: Int): Array[Array[Array[Double]]] = {
@@ -1414,34 +1422,6 @@ object VectorSearch {
       bestCell
     }
 
-  /** IVFPQ top-k — the composed billion-scale serving structure
-    * (Jégou, Douze, Schmid 2011, "Product quantization for nearest
-    * neighbor search"): a coarse IVF quantizer bounds each query's
-    * scan to its nProbe most-similar cells, and WITHIN a cell the
-    * approximate score reads a PQ code of the RESIDUAL
-    * (vector − cell centroid) — residual magnitudes are much smaller
-    * than vector magnitudes, so the same m-byte code carries more
-    * precision than raw-vector PQ. Candidates are then re-ranked on
-    * exact cosine, exactly like [[pqTopK]].
-    *
-    * Scale shape: coarse centroids + both codebooks are tiny broadcast
-    * artifacts; the probe selection runs in a compiled map over the
-    * DISTRIBUTED query side ([[ivfProbes]] — no query collect at any
-    * |Q|); candidates come from the cell equi-join, so scan volume per
-    * query is (nProbe/nCells)·|V| of m-byte codes, never the raw
-    * embedding table; the only corpus-sized shuffles are the cell join
-    * and the two top-k windows. At 100 TB this is the structure that
-    * serves: codes are 32× smaller than float32 vectors and cells are
-    * read selectively (the persisted-index variants [[ivfWriteIndex]]/
-    * [[pqWriteIndex]] show the artifact layout).
-    *
-    * Determinism: coarse cells are the given `cellCol` (refine = 0 —
-    * the [[ivfTopK]] convention), centroids on the 4dp grid, residuals
-    * are exact double subtractions, PQ trains with the deterministic
-    * one-sweep Lloyd of [[pqTrainCodebookD]], and every score rounds
-    * to 6dp with vec_id tie-breaks — the DuckDB oracle replays all of
-    * it bit-for-bit.
-    */
   /** The shared IVFPQ residual-index builder — ONE body for the
     * inline path ([[ivfPqTopK]]) and the persisted one
     * ([[ivfPqWriteIndex]]), so the residual + codebook recipe cannot
@@ -1494,6 +1474,34 @@ object VectorSearch {
     fv
   }
 
+  /** IVFPQ top-k — the composed billion-scale serving structure
+    * (Jégou, Douze, Schmid 2011, "Product quantization for nearest
+    * neighbor search"): a coarse IVF quantizer bounds each query's
+    * scan to its nProbe most-similar cells, and WITHIN a cell the
+    * approximate score reads a PQ code of the RESIDUAL
+    * (vector − cell centroid) — residual magnitudes are much smaller
+    * than vector magnitudes, so the same m-byte code carries more
+    * precision than raw-vector PQ. Candidates are then re-ranked on
+    * exact cosine, exactly like [[pqTopK]].
+    *
+    * Scale shape: coarse centroids + both codebooks are tiny broadcast
+    * artifacts; the probe selection runs in a compiled map over the
+    * DISTRIBUTED query side ([[ivfProbes]] — no query collect at any
+    * |Q|); candidates come from the cell equi-join, so scan volume per
+    * query is (nProbe/nCells)·|V| of m-byte codes, never the raw
+    * embedding table; the only corpus-sized shuffles are the cell join
+    * and the two top-k windows. At 100 TB this is the structure that
+    * serves: codes are 32× smaller than float32 vectors and cells are
+    * read selectively (the persisted-index variants [[ivfWriteIndex]]/
+    * [[pqWriteIndex]] show the artifact layout).
+    *
+    * Determinism: coarse cells are the given `cellCol` (refine = 0 —
+    * the [[ivfTopK]] convention), centroids on the 4dp grid, residuals
+    * are exact double subtractions, PQ trains with the deterministic
+    * one-sweep Lloyd of [[pqTrainCodebookD]], and every score rounds
+    * to 6dp with vec_id tie-breaks — the DuckDB oracle replays all of
+    * it bit-for-bit.
+    */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                 cellCol: String = "label", nProbe: Int = 3, m: Int = 8,
                 nCells: Int = 16, dim: Int = 64,

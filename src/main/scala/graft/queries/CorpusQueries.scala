@@ -484,6 +484,9 @@ object CorpusQueries {
       .orderBy($"day", $"rank")
   }
 
+  /** Per-user basket cap for [[eventsItemPmi]]'s pair leg. */
+  val PmiBasketCap = 48
+
   /** Item co-occurrence lift over user baskets: for every item pair
     * seen together in ≥ 5 distinct users' histories,
     * lift = n_ab·N / (n_a·n_b) (> 1 ⟺ positive association — the
@@ -505,8 +508,6 @@ object CorpusQueries {
     * window runs ONCE for both self-join sides, counts are map-side
     * combinable, and the total-user scalar attaches through the
     * codegen-safe [[graft.operators.PlanHints.withScalars]]. */
-  val PmiBasketCap = 48
-
   def eventsItemPmi(env: Env): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{count, countDistinct, get_json_object, lit, row_number}
