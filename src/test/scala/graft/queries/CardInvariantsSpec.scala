@@ -12,18 +12,25 @@ class CardInvariantsSpec extends SparkSpec {
     val env = Env(spark, "/root/testdata/sf0.001")
     val rows = DedupQueries.dedupThresholdSweep(env).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
-    assert(rows.map(_._1).toSeq == Seq(0.80, 0.85, 0.90, 0.95))
+    assert(rows.map(_._1).toSeq == Seq(0.60, 0.80, 0.85, 0.90, 0.95))
     // raising the threshold can only remove pairs and affected docs
     rows.sliding(2).foreach {
       case Array((_, p1, d1), (_, p2, d2)) =>
         assert(p2 <= p1 && d2 <= d1, rows.mkString(","))
       case _ => ()
     }
-    // the 0.80 floor row must equal the verified pair table's count
-    val nPairs = graft.operators.TextDedup
+    // the 0.60 floor row must equal the derived-banding pair table's
+    // count, and the 0.80 row the fixed-banding table's (the sweep's
+    // single candidate pass re-filters without recall loss above it)
+    val nPairs60 = graft.operators.TextDedup
+      .minhashNearDupPairsAuto(env.documents, "doc_id", "text",
+        threshold = 0.6)
+      .count()
+    assert(rows.head._2 == nPairs60)
+    val nPairs80 = graft.operators.TextDedup
       .minhashNearDupPairs(env.documents, "doc_id", "text", threshold = 0.8)
       .count()
-    assert(rows.head._2 == nPairs)
+    assert(rows(1)._2 == nPairs80)
     assert(rows.head._2 > 0, "corpus must exercise the sweep")
   }
 
