@@ -322,6 +322,33 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Generalization card for the trained quality classifier — the ML
+    * hygiene a corpus build checks before swapping the cheap filter in:
+    * train the centroid model on HALF the labeled set (even doc_ids),
+    * serve every document through the unchanged inference path, and
+    * report accuracy per split. A healthy model's holdout row sits
+    * near its train row; memorization or leakage shows up as a gap.
+    * One extra aggregate over the served frame — the trainer and
+    * inference are the already-verified operators, restricted by a
+    * filter. */
+  def textQualityHoldout(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, round, sum, when}
+    val docs = qualityLabeled(env)
+    val w = TextAnalysis.qualityTrainCentroid(
+        docs.filter($"doc_id" % 2 === 0), "doc_id", "text",
+        labelCol = "gate_keep")
+      .select($"f", $"w".as("w_mu"))
+    TextAnalysis.qualityClassifierWith(docs, "doc_id", "text", w)
+      .join(docs.select($"doc_id", $"gate_keep".as("label")), "doc_id")
+      .groupBy(when($"doc_id" % 2 === 0, "train").otherwise("holdout")
+        .as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"keep" === $"label", 1L).otherwise(0L)).as("n_correct"))
+      .select($"split", $"n_docs", $"n_correct",
+        round($"n_correct".cast("double") / $"n_docs", 6).as("accuracy"))
+      .orderBy($"split")
+  }
+
   /** Filter-cascade accounting — every document with its per-gate
     * verdicts (length, LID-agrees-with-label, quality score,
     * repetition) and the combined keep decision. The ablation view a
@@ -797,11 +824,13 @@ object TextQueries {
   /** The centroid trainer replayed in SQL — hashed design matrix, the
     * gate-verdict labels, the integer Rocchio direction, the projected
     * scores, and the accuracy-optimal cut (prefix sums over distinct
-    * scores + the keep-nothing sentinel). Shared by the train dump and
-    * the trained-serve oracle so the replayed model can never drift
-    * between them. */
-  private val centroidCte: String =
-    """t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    * scores + the keep-nothing sentinel). Shared by the train dump,
+    * the trained-serve oracle, and (with a restricted `trainPred`)
+    * the holdout card, so the replayed model can never drift between
+    * them. `yt`/`xt` are the TRAINING slices; `y`/`x`/`ft` stay
+    * all-docs for serving. */
+  private def centroidCte(trainPred: String = "TRUE"): String =
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |      FROM documents),
       |ft AS (SELECT doc_id,
       |         CAST(CAST('0x' || substring(md5('graft-qc' || '|' || tok), 1, 13)
@@ -825,24 +854,26 @@ object TextQueries {
       |                         BETWEEN 3.0 AND 10.0
       |                    THEN 1.0 ELSE 0.5 END), 6) >= 0.65 AS pos
       |      FROM qm),
+      |yt AS (SELECT * FROM y WHERE $trainPred),
+      |xt AS (SELECT x.* FROM x JOIN yt USING (doc_id)),
       |counts AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
       |                  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
-      |           FROM y),
+      |           FROM yt),
       |perf AS (SELECT x.f,
       |           CAST(sum(CASE WHEN y.pos THEN x.cnt ELSE 0 END) AS BIGINT) AS sp,
       |           CAST(sum(CASE WHEN y.pos THEN 0 ELSE x.cnt END) AS BIGINT) AS sn
-      |         FROM x JOIN y USING (doc_id) GROUP BY x.f),
+      |         FROM xt x JOIN yt y USING (doc_id) GROUP BY x.f),
       |wd AS (SELECT r.f,
       |         CAST(coalesce(p.sp, 0) * c.nn - coalesce(p.sn, 0) * c.np
       |              AS BIGINT) AS w
       |       FROM (SELECT CAST(f AS INT) AS f FROM range(256) t(f)) r
       |       LEFT JOIN perf p USING (f) CROSS JOIN counts c),
       |sc AS (SELECT x.doc_id, CAST(sum(x.cnt * wd.w) AS BIGINT) AS s
-      |       FROM x JOIN wd USING (f) GROUP BY x.doc_id),
+      |       FROM xt x JOIN wd USING (f) GROUP BY x.doc_id),
       |bys AS (SELECT sc.s,
       |          CAST(sum(CASE WHEN y.pos THEN 1 ELSE 0 END) AS BIGINT) AS np_s,
       |          CAST(sum(CASE WHEN y.pos THEN 0 ELSE 1 END) AS BIGINT) AS nn_s
-      |        FROM sc JOIN y USING (doc_id) GROUP BY sc.s),
+      |        FROM sc JOIN yt y USING (doc_id) GROUP BY sc.s),
       |cum AS (SELECT s,
       |          coalesce(CAST(sum(np_s) OVER wl AS BIGINT), 0) AS cum_np,
       |          coalesce(CAST(sum(nn_s) OVER wl AS BIGINT), 0) AS cum_nn
@@ -1227,14 +1258,14 @@ object TextQueries {
     // threshold, replayed step-by-step in SQL — exact longs end to
     // end, so the learned table hash-matches bit-for-bit
     Q.sql("text_quality_train", textQualityTrain,
-      s"""WITH $centroidCte
+      s"""WITH ${centroidCte()}
          |SELECT f, w FROM model ORDER BY f""".stripMargin),
 
     // the trained model served through the SAME inference path as
     // text_quality_classifier (per-token bucket join + integer sum +
     // bias); label/correct expose the training-set accuracy surface
     Q.sql("text_quality_trained", textQualityTrained,
-      s"""WITH $centroidCte,
+      s"""WITH ${centroidCte()},
          |a AS (SELECT ft.doc_id, CAST(count(*) AS INT) AS n_toks,
          |        CAST(sum(m.w) AS BIGINT) AS s_mu
          |      FROM ft JOIN model m USING (f) GROUP BY ft.doc_id),
@@ -1245,6 +1276,24 @@ object TextQueries {
          |  (a.s_mu + b.bias > 0) = y.pos AS correct
          |FROM a CROSS JOIN b JOIN y USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin),
+
+    // generalization hygiene: train on the even-doc_id half, serve all,
+    // accuracy per split — the model CTEs are the train-dump oracle's
+    // with the training slice restricted, so the replay cannot drift
+    Q.sql("text_quality_holdout", textQualityHoldout,
+      s"""WITH ${centroidCte("doc_id % 2 = 0")},
+         |a AS (SELECT ft.doc_id, CAST(sum(m.w) AS BIGINT) AS s_mu
+         |      FROM ft JOIN model m USING (f) GROUP BY ft.doc_id),
+         |b AS (SELECT w AS bias FROM model WHERE f = -1),
+         |r AS (SELECT CASE WHEN a.doc_id % 2 = 0 THEN 'train'
+         |             ELSE 'holdout' END AS split,
+         |        CASE WHEN (a.s_mu + b.bias > 0) = y.pos
+         |             THEN 1 ELSE 0 END AS ok
+         |      FROM a CROSS JOIN b JOIN y USING (doc_id))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ok) AS BIGINT) AS n_correct,
+         |       round(CAST(sum(ok) AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM r GROUP BY split ORDER BY split""".stripMargin),
 
     // composes the text_stats quality expression, the langid fold, and
     // the text_repetition aggregation, then the boolean gates
