@@ -403,6 +403,48 @@ object StreamQueries {
     spark.read.parquet(out).orderBy($"doc_id")
   }
 
+  /** T13 — the TRAINED quality filter serving a document stream: the
+    * centroid model trains once in batch over the labeled corpus (the
+    * build-once artifact — in production the nightly training job),
+    * then every micro-batch is scored through the unchanged
+    * [[graft.operators.TextAnalysis.qualityClassifierWith]] inference
+    * path (broadcast weight table + bias, integer sums). Per-doc
+    * results are batch-independent, so the streamed union replays
+    * text_quality_trained's oracle verbatim — the t10 NB pattern on
+    * the trained filter, completing the corpus-filter lifecycle:
+    * label → train → verify → serve the stream.
+    */
+  def t13QualityStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val w = graft.operators.TextAnalysis
+      .qualityTrainCentroid(TextQueries.qualityLabeled(env), "doc_id",
+        "text", labelCol = "gate_keep")
+      .select($"f", $"w".as("w_mu"))
+      .localCheckpoint(eager = false) // train once, serve every batch
+    val stream = streamRead(env, "documents")
+    val out = s"$scratchBase/t13_quality_${System.nanoTime()}"
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val docs = batch.withColumn("gate_keep",
+            graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.65)
+          graft.operators.TextAnalysis
+            .qualityClassifierWith(docs, "doc_id", "text", w)
+            .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+              col("gate_keep").as("label")), "doc_id")
+            .select(col("doc_id"), col("n_toks"), col("score"), col("keep"),
+              col("label"), (col("keep") === col("label")).as("correct"))
+            .write.mode("append").parquet(out)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.read.parquet(out).orderBy($"doc_id")
+  }
+
   /** T11 — [[Streams.trendingCounts]] as a VERIFIED query: the
     * streaming leg of events_trending_topk. The watermarked
     * day-window × item count streams from the events parquet
@@ -513,6 +555,11 @@ object StreamQueries {
 
     // streamed model serving ≡ batch classify (batch-independent rows)
     Q.sql("t10_nb_stream", t10NbStream, NbQueries.nbClassifySql),
+
+    // trained quality filter served per micro-batch — shares
+    // text_quality_trained's oracle (batch-independent per-doc rows)
+    Q.sql("t13_quality_stream", t13QualityStream,
+      TextQueries.qualityTrainedSql),
 
     // IVFPQ served per micro-batch from the persisted index — shares
     // ann_ivfpq_topk's oracle (batch-independent per-query results)

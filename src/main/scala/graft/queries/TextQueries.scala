@@ -289,7 +289,7 @@ object TextQueries {
     * recipe for corpus filters (expensive heuristic/model labels a
     * bounded set; a linear model over hashed features serves at corpus
     * scale). */
-  private def qualityLabeled(env: Env): DataFrame =
+  private[queries] def qualityLabeled(env: Env): DataFrame =
     env.spread(env.documents)
       .withColumn("gate_keep", TextAnalysis.qualityScore($"text") >= 0.65)
 
@@ -890,6 +890,23 @@ object TextQueries {
       |          UNION ALL
       |          SELECT -1 AS f, CAST(1 - cut AS BIGINT) AS w FROM best)""".stripMargin
 
+  /** Shared by the batch trained-serve entry and the t13 streaming-
+    * serving entry (per-doc results are batch-independent, so the
+    * streamed union replays exactly this SQL — the nbClassifySql
+    * pattern). */
+  private[queries] val qualityTrainedSql: String =
+    s"""WITH ${centroidCte()},
+       |a AS (SELECT ft.doc_id, CAST(count(*) AS INT) AS n_toks,
+       |        CAST(sum(m.w) AS BIGINT) AS s_mu
+       |      FROM ft JOIN model m USING (f) GROUP BY ft.doc_id),
+       |b AS (SELECT w AS bias FROM model WHERE f = -1)
+       |SELECT a.doc_id, a.n_toks,
+       |  CAST(a.s_mu + b.bias AS DOUBLE) / 1000000.0 / a.n_toks AS score,
+       |  a.s_mu + b.bias > 0 AS keep, y.pos AS label,
+       |  (a.s_mu + b.bias > 0) = y.pos AS correct
+       |FROM a CROSS JOIN b JOIN y USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q.sql("text_badwords_filter", textBadwordsFilter,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
@@ -1264,18 +1281,7 @@ object TextQueries {
     // the trained model served through the SAME inference path as
     // text_quality_classifier (per-token bucket join + integer sum +
     // bias); label/correct expose the training-set accuracy surface
-    Q.sql("text_quality_trained", textQualityTrained,
-      s"""WITH ${centroidCte()},
-         |a AS (SELECT ft.doc_id, CAST(count(*) AS INT) AS n_toks,
-         |        CAST(sum(m.w) AS BIGINT) AS s_mu
-         |      FROM ft JOIN model m USING (f) GROUP BY ft.doc_id),
-         |b AS (SELECT w AS bias FROM model WHERE f = -1)
-         |SELECT a.doc_id, a.n_toks,
-         |  CAST(a.s_mu + b.bias AS DOUBLE) / 1000000.0 / a.n_toks AS score,
-         |  a.s_mu + b.bias > 0 AS keep, y.pos AS label,
-         |  (a.s_mu + b.bias > 0) = y.pos AS correct
-         |FROM a CROSS JOIN b JOIN y USING (doc_id)
-         |ORDER BY a.doc_id""".stripMargin),
+    Q.sql("text_quality_trained", textQualityTrained, qualityTrainedSql),
 
     // generalization hygiene: train on the even-doc_id half, serve all,
     // accuracy per split — the model CTEs are the train-dump oracle's
