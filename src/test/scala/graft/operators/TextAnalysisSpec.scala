@@ -164,6 +164,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(served.forall(r => r.getAs[Boolean]("keep") == r.getAs[Boolean]("y")))
   }
 
+  test("centroid trainer: cut is brute-force optimal on random corpora") {
+    // The distributed prefix scan must pick EXACTLY the cut a local
+    // brute-force sweep picks (max training accuracy; ties → smallest
+    // cut). Replays the trainer locally per random corpus: md5-hashed
+    // features, the integer Rocchio direction, every candidate cut
+    // (incl. the keep-nothing sentinel), and compares the served keep
+    // decisions bit-for-bit.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(tok: String): Int = {
+      md.reset()
+      val hex = md.digest(s"graft-qc|$tok".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val rnd = new scala.util.Random(20260814)
+    for (_ <- 1 to 5) {
+      val n = 20 + rnd.nextInt(20)
+      val docs = (1L to n).map { i =>
+        val len = 1 + rnd.nextInt(8)
+        val body = Seq.fill(len)(s"w${rnd.nextInt(12)}").mkString(" ")
+        (i, body, rnd.nextInt(3) != 0)
+      }
+      val df = docs.toDF("doc_id", "text", "y")
+      // local replay
+      val feats = docs.map { case (id, t, y) =>
+        val v = new Array[Long](256)
+        t.split(" ", -1).foreach(tok => v(bucket(tok)) += 1)
+        (id, v, y)
+      }
+      val np = feats.count(_._3).toLong
+      val nn = feats.size - np
+      val w = new Array[Long](256)
+      feats.foreach { case (_, v, y) =>
+        var f = 0
+        while (f < 256) {
+          w(f) += (if (y) v(f) * nn else -v(f) * np); f += 1
+        }
+      }
+      val scored = feats.map { case (id, v, y) =>
+        (id, (0 until 256).map(f => v(f) * w(f)).sum, y)
+      }
+      val cuts = scored.map(_._2).distinct.sorted :+ (scored.map(_._2).max + 1)
+      val best = cuts.map { c =>
+        (scored.count { case (_, s, y) => (s >= c) == y }, c)
+      }.maxBy { case (acc, c) => (acc, -c) }._2
+      val expect = scored.map { case (id, s, _) => id -> (s >= best) }.toMap
+      // engine
+      val got = TextAnalysis.qualityClassifierWith(df, "doc_id", "text",
+          TextAnalysis.qualityTrainCentroid(df, "doc_id", "text", "y")
+            .select($"f", $"w".as("w_mu")))
+        .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+      assert(got == expect, s"cut mismatch on n=$n corpus (best=$best)")
+    }
+  }
+
   test("centroid trainer: model is partitioning-invariant") {
     val docs = (1L to 30L).map { i =>
       (i, if (i % 2 == 0) s"alpha beta g$i" else s"gamma delta g$i", i % 5 != 0)
