@@ -517,6 +517,18 @@ object TextAnalysis {
     *   Whatever the training provenance, the per-doc sum stays exact
     *   long arithmetic and `score` is the micro-unit mean.
     */
+  /** `md5_bucket(salt|, tok) % buckets` as the native codegen'd
+    * [[graft.plans.Md5Bucket]] expression — bit-equal to the builtin
+    * `pmod(conv(substring(md5(concat(..)), 1, 13), 16, 10), buckets)`
+    * chain the oracles replay, without materializing a 32-char hex
+    * string per token (this runs once per token of the corpus). */
+  private def md5BucketCol(salt: String, tok: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.Md5Bucket(
+      ColumnBridge.expression(lit(s"$salt|")),
+      ColumnBridge.expression(tok), buckets))
+  }
+
   def qualityClassifierWith(docs: DataFrame, idCol: String, textCol: String,
                             weights: DataFrame, buckets: Int = 256,
                             salt: String = "graft-qc"): DataFrame = {
@@ -529,10 +541,7 @@ object TextAnalysis {
       .agg(coalesce(sum(col("w_mu")), lit(0L)).as("bias"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("f", pmod(
-        conv(substring(md5(concat(lit(s"$salt|"), col("tok"))), 1, 13),
-             16, 10).cast("long"),
-        lit(buckets.toLong)).cast("int"))
+      .withColumn("f", md5BucketCol(salt, col("tok"), buckets))
     val sums = toks.join(broadcast(w.filter(col("f") >= 0)), "f")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("w_mu")).as("s_mu"))
@@ -552,10 +561,7 @@ object TextAnalysis {
                              buckets: Int, salt: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("f", pmod(
-        conv(substring(md5(concat(lit(s"$salt|"), col("tok"))), 1, 13),
-             16, 10).cast("long"),
-        lit(buckets.toLong)).cast("int"))
+      .withColumn("f", md5BucketCol(salt, col("tok"), buckets))
       .groupBy(col("doc_id"), col("f"))
       .agg(count(lit(1)).as("cnt"))
 

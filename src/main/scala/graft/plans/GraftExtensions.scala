@@ -21,5 +21,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "token_sort_ratio expects exactly 2 arguments")
         TokenSortRatio(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_bucket"),
+      new ExpressionInfo(classOf[Md5Bucket].getName, "md5_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "md5_bucket expects (salt, token, buckets)")
+        val buckets = children(2) match {
+          case e if e.foldable &&
+              e.dataType == org.apache.spark.sql.types.IntegerType =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"md5_bucket buckets must be an int literal, got $other")
+        }
+        Md5Bucket(children.head, children(1), buckets)
+      }))
   }
 }
