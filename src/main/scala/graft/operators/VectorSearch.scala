@@ -428,7 +428,14 @@ object VectorSearch {
                     dim: Int = 64): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // hash-cluster rows by bucket before the partitioned write: each
+    // bucket's rows land in exactly one task, so the write creates one
+    // file per bucket IN PARALLEL across tasks — without this the
+    // single upstream scan task wrote all 2^bits bucket files
+    // serially (measured: the file-create sequence, not the hashing,
+    // dominated the roundtrip at sf0.1)
     lshVectorBuckets(vectors, bits, dim)
+      .repartition(16, col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/buckets")
     Seq((bits, dim)).toDF("bits", "dim")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
@@ -664,7 +671,9 @@ object VectorSearch {
     val spark = vectors.sparkSession
     import spark.implicits._
     val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine)
+    // one file per cell, written in parallel (see lshWriteIndex)
     assigned.toDF("cell", "vec_id", "embedding")
+      .repartition(16, col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
     spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
