@@ -668,7 +668,71 @@ object CorpusQueries {
       .orderBy($"source")
   }
 
+  /** Corpus drift card — which terms moved between two snapshots: the
+    * per-term contributions to KL(A‖B) over smoothed unigram
+    * distributions (the crawl-over-crawl drift monitor a training-data
+    * pipeline runs before admitting a new snapshot; CCNet/Gopher-style
+    * corpus QA). Snapshot split stands in as even/odd doc_ids.
+    *
+    * Exactness: with add-one smoothing over the JOINT vocabulary,
+    * contribution p_a·(ln p_a − ln p_b) is RANKED by the integer
+    * surrogate (n_a+1)·(qlp_a − qlp_b) — p_a scaled by the constant
+    * (N_a+V), order-preserving — where qlp is the NB family's
+    * round(ln·10⁶) quantization. Every output column is an exact
+    * long, so the card hash-matches; the only float step is the two
+    * qlp logs, the pattern every trained-model oracle already relies
+    * on. Scale shape: one exploded-word aggregate (map-side
+    * combinable), a vocabulary-sized counts table, scalar totals via
+    * the constant-key broadcast, and a TakeOrdered top-20 — no
+    * windows, no corpus-sized collect. */
+  def corpusDriftTerms(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, log, round, sum, when}
+    val words = graft.operators.TextAnalysis
+      .explodedWords(env.spread(env.documents), "text", "doc_id")
+      .withColumn("side_a", $"doc_id" % 2 === 0)
+    val counts = words.groupBy($"word")
+      .agg(sum(when($"side_a", 1L).otherwise(0L)).as("n_a"),
+           sum(when($"side_a", 0L).otherwise(1L)).as("n_b"))
+      .localCheckpoint(eager = false) // feeds totals + the select
+    val tot = counts.agg(sum($"n_a").as("ta"), sum($"n_b").as("tb"),
+      count(lit(1)).as("v"))
+    def qlp(num: org.apache.spark.sql.Column,
+            den: org.apache.spark.sql.Column) =
+      round(log(num.cast("double") / den.cast("double")) * 1e6, 0)
+        .cast("long")
+    graft.operators.PlanHints.withScalars(counts, tot)
+      .select($"word", $"n_a", $"n_b",
+        (($"n_a" + 1L) * (qlp($"n_a" + 1L, $"ta" + $"v")
+          - qlp($"n_b" + 1L, $"tb" + $"v"))).as("contrib_mu"))
+      .orderBy($"contrib_mu".desc, $"word")
+      .limit(20)
+  }
+
   val entries: Seq[Q] = Seq(
+    Q.sql("corpus_drift_terms", corpusDriftTerms,
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |c AS (SELECT word,
+        |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END)
+        |             AS BIGINT) AS n_b
+        |      FROM wf GROUP BY word),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |               CAST(sum(n_b) AS BIGINT) AS tb,
+        |               CAST(count(*) AS BIGINT) AS v
+        |        FROM c)
+        |SELECT word, n_a, n_b,
+        |  (n_a + 1) * (CAST(round(ln(CAST(n_a + 1 AS DOUBLE)
+        |                              / CAST(ta + v AS DOUBLE)) * 1000000)
+        |                    AS BIGINT)
+        |             - CAST(round(ln(CAST(n_b + 1 AS DOUBLE)
+        |                              / CAST(tb + v AS DOUBLE)) * 1000000)
+        |                    AS BIGINT)) AS contrib_mu
+        |FROM c CROSS JOIN tot
+        |ORDER BY contrib_mu DESC, word LIMIT 20""".stripMargin),
+
     Q.sql("events_anomaly_days", eventsAnomalyDays,
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
