@@ -62,6 +62,36 @@ object DedupQueries {
       .select($"doc_a", $"doc_b", round($"jaccard", 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
 
+  /** Split-LEAKAGE audit: near-duplicate pairs that straddle the
+    * assigned train/val/test boundary — the contamination a random
+    * per-document split silently admits (a near-copy of a training
+    * document sitting in val/test inflates eval), and the reason
+    * production pipelines dedup BEFORE splitting or split by cluster.
+    * Pure composition of two verified operators: the deterministic
+    * hash split ([[graft.operators.Sampling.splitAssign]], the
+    * corpus_split_assign rule) joined onto the banded near-dup pairs
+    * (dedup_minhash's candidate scheme), keeping only cross-split
+    * pairs. Split table is checkpointed once and joined to both pair
+    * sides; everything else inherits the pair operator's scale shape.
+    */
+  def dedupSplitLeakage(env: Env): DataFrame = {
+    val splits = graft.operators.Sampling
+      .splitAssign(env.documents.select($"doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split")
+      .localCheckpoint(eager = false) // joined onto both pair sides
+    TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text",
+        threshold = 0.8)
+      .join(splits.select($"doc_id".as("doc_a"), $"split".as("split_a")),
+        "doc_a")
+      .join(splits.select($"doc_id".as("doc_b"), $"split".as("split_b")),
+        "doc_b")
+      .filter($"split_a" =!= $"split_b")
+      .select($"doc_a", $"split_a", $"doc_b", $"split_b",
+        round($"jaccard", 6).as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** Incremental dedup: every-7th doc plays the nightly increment,
     * checked against the rest as the accumulated base — increment
     * bands ⋈ base bands, never base×base (see
@@ -283,6 +313,31 @@ object DedupQueries {
          |ORDER BY doc_a, doc_b""".stripMargin),
 
     Q.sql("dedup_simhash", dedupSimhash, simhashSql),
+
+    // cross-split near-dup pairs: brute pair ground truth + the
+    // corpus_split_assign hash rule, filtered to straddling pairs
+    Q.sql("dedup_split_leakage", dedupSplitLeakage,
+      s"""$shingleCte,
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substring(md5('graft-split' || '|' || doc_id), 1, 15)
+         |            < '${graft.operators.Sampling.hexBound(0.8)}' THEN 'train'
+         |       WHEN substring(md5('graft-split' || '|' || doc_id), 1, 15)
+         |            < '${graft.operators.Sampling.hexBound(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |               / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8)
+         |SELECT pr.doc_a, sa.split AS split_a, pr.doc_b, sb.split AS split_b,
+         |       pr.jaccard
+         |FROM pr JOIN sp sa ON sa.doc_id = pr.doc_a
+         |        JOIN sp sb ON sb.doc_id = pr.doc_b
+         |WHERE sa.split <> sb.split
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin),
 
     // derived-banding LSH at the non-0.8 threshold, same brute-force
     // ground truth re-gated at 0.6
