@@ -92,6 +92,31 @@ object DedupQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** The FIX for what [[dedupSplitLeakage]] finds — LEAKAGE-FREE
+    * splitting: hash-assign splits on the near-dup CLUSTER key
+    * (component canonical id; unclustered docs key on themselves), so
+    * every member of a near-dup cluster lands in the same split and a
+    * cross-split near-dup pair is impossible by construction (pinned
+    * in TextDedupSpec). This is the cluster-then-split discipline
+    * production corpus builds use instead of splitting before dedup.
+    * Composes the verified component operator with the verified hash
+    * split; determinism is the split rule's (md5 hexBound on the
+    * stringified key).
+    */
+  def dedupSplitByCluster(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    val comps = TextDedup.nearDupComponents(
+        TextDedup.minhashNearDupPairs(env.documents, "doc_id", "text",
+          threshold = 0.8))
+    val keyed = env.documents.select($"doc_id")
+      .join(comps, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"canonical_id", $"doc_id").as("split_key"))
+    graft.operators.Sampling.splitAssign(keyed, "split_key",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"split_key", $"split")
+      .orderBy($"doc_id")
+  }
+
   /** Incremental dedup: every-7th doc plays the nightly increment,
     * checked against the rest as the accumulated base — increment
     * bands ⋈ base bands, never base×base (see
@@ -338,6 +363,36 @@ object DedupQueries {
          |        JOIN sp sb ON sb.doc_id = pr.doc_b
          |WHERE sa.split <> sb.split
          |ORDER BY pr.doc_a, pr.doc_b""".stripMargin),
+
+    // cluster-keyed split: recursive-CTE components feed the same
+    // hexBound CASE as corpus_split_assign, on the coalesced key
+    Q.sql("dedup_split_by_cluster", dedupSplitByCluster,
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.g, b.g))) >= 0.8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+         |reach(doc_id, root) AS (
+         |  SELECT doc_id, doc_id FROM nodes
+         |  UNION
+         |  SELECT e.dst, r.root
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |comp AS (SELECT doc_id, min(root) AS canonical_id
+         |         FROM reach GROUP BY doc_id),
+         |k AS (SELECT d.doc_id,
+         |        coalesce(c.canonical_id, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, split_key,
+         |  CASE WHEN substring(md5('graft-split' || '|' || split_key), 1, 15)
+         |            < '${graft.operators.Sampling.hexBound(0.8)}' THEN 'train'
+         |       WHEN substring(md5('graft-split' || '|' || split_key), 1, 15)
+         |            < '${graft.operators.Sampling.hexBound(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin),
 
     // derived-banding LSH at the non-0.8 threshold, same brute-force
     // ground truth re-gated at 0.6

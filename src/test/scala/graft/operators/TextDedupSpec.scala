@@ -192,6 +192,27 @@ class TextDedupSpec extends SparkSpec with PropSupport {
       s"derived banding must reproduce brute force: got $got vs $brute")
   }
 
+  test("cluster-keyed split admits zero cross-split near-dup pairs") {
+    val env = graft.Env(spark, "/root/testdata/sf0.001")
+    val assign = graft.queries.DedupQueries.dedupSplitByCluster(env)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = TextDedup
+      .minhashNearDupPairs(env.documents, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must exercise the property")
+    val straddling = pairs.filter { case (a, b) => assign(a) != assign(b) }
+    assert(straddling.isEmpty,
+      s"cluster-keyed split must be leakage-free: $straddling")
+    // and the doc-keyed split DOES leak on this corpus — the audit's
+    // reason to exist
+    val docSplit = graft.operators.Sampling
+      .splitAssign(env.documents.select($"doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => docSplit(a) != docSplit(b) },
+      "fixture should show the doc-keyed split leaking")
+  }
+
   test("duplicatedGramStats: shared grams counted, unique docs zero") {
     // n = 3 to keep the hand case small; a/b share "x y z" (and only
     // it), c is untouched, d is a short doc falling back to the
