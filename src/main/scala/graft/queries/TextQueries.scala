@@ -1466,10 +1466,10 @@ object TextQueries {
         |SELECT t.doc_id,
         |       CAST(len(s) AS INT) AS n_tokens,
         |       CAST(coalesce(len(cov), 0) AS INT) AS n_removed,
-        |       array_to_string(list_transform(
+        |       coalesce(array_to_string(list_transform(
         |         list_filter(range(1, len(s) + 1),
         |           i -> cov IS NULL OR NOT list_contains(cov, i)),
-        |         i -> s[i]), ' ') AS scrubbed_text
+        |         i -> s[i]), ' '), '') AS scrubbed_text
         |FROM t LEFT JOIN ca USING (doc_id)
         |ORDER BY doc_id""".stripMargin),
 
