@@ -115,6 +115,19 @@ class BoilerplateSpec extends SparkSpec {
       (4L, 1, 0, "z")))
   }
 
+  test("scrub of a fully-covered doc yields '' (never NULL)") {
+    // both docs are the same single bigram → df 2 ≥ ceil(0.06·2) = 1:
+    // every position covered, scrubbed text must be the EMPTY STRING
+    // (the defined semantic; DuckDB's array_to_string([]) is NULL, so
+    // the oracle coalesces — this pins the engine side)
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Boilerplate.scrub(docs, "doc_id", "text", n = 2,
+        minDfFrac = 0.06)
+      .orderBy("doc_id").collect()
+    assert(out.forall(r => r.getInt(2) == 2 && r.getString(3) == ""),
+      out.mkString(","))
+  }
+
   test("lineDedup plans the skew-immune shape: agg keeper, no line window") {
     val docs = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
     val out = Boilerplate.lineDedup(docs, "doc_id", "text", span = 2)
