@@ -679,6 +679,54 @@ object VectorSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** APPEND an increment to a persisted IVF index without rebuilding —
+    * the nightly-ingest shape at corpus scale (the [[ivfWriteIndex]]
+    * build is the expensive once-a-cycle job; day-over-day vectors
+    * join the index by assignment only, the index-side analog of
+    * [[TextDedup.minhashNearDupAgainst]]'s increment×base discipline):
+    * each increment vector is assigned to its nearest FROZEN base
+    * centroid (the refine sweep's exact rule — 6dp-rounded cosine,
+    * lowest cell on ties; zero-norm vectors are skipped, cosine
+    * undefined) and appended to that cell's partition. Centroids are
+    * NOT retrained — the coarse quantizer is the frozen artifact, so
+    * serving stays bit-deterministic against the replayed SQL oracle
+    * whatever the increment cadence. Scale shape: the centroid
+    * artifact is the only collect (cell-count-bounded); assignment is
+    * one compiled map over the increment; the append writes only the
+    * increment's rows, clustered one file per cell.
+    */
+  def ivfAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     increment: DataFrame, dim: Int = 64): Unit = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    increment.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcC.value
+          .map { case (cell, c) => (cell, c, normKD(c, dim)) }
+          .filter(_._3 > 0)
+        it.flatMap { case (vid, e) =>
+          val ne = normK(e, dim)
+          if (ne == 0.0) Iterator.empty // cosine undefined: unservable
+          else {
+            var bestSim = Double.NegativeInfinity
+            var bestCell = Int.MaxValue
+            cents.foreach { case (cell, c, nc) =>
+              val sim = round6(dotKD(e, c, dim) / (ne * nc))
+              if (sim > bestSim) { bestSim = sim; bestCell = cell }
+            }
+            Iterator.single((bestCell, vid, e))
+          }
+        }
+      }
+      .toDF("cell", "vec_id", "embedding")
+      .repartition(16, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Serve top-k from a persisted index directory (see
     * [[ivfWriteIndex]]). The centroid artifact is collected — it is
     * cell-count-sized by construction, never corpus-sized — and the

@@ -87,6 +87,24 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INCREMENTAL index lifecycle: build the IVF index on the base
+    * corpus (every vec_id % 7 ≠ 0), APPEND the increment against the
+    * frozen centroids ([[graft.operators.VectorSearch.ivfAppendIndex]]
+    * — the nightly-ingest shape, no rebuild), and serve the standard
+    * query set from the merged cells. The oracle replays base-only
+    * centroid training, the increment's frozen-centroid assignment
+    * (6dp cosine, lowest cell ties), and the standard probe/top-k
+    * chain. */
+  def annIvfAppend(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_append_index"
+    VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.ivfAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH index persistence round trip — the [[annIndexRoundtrip]]
     * shape for the hyperplane family: bucket-partitioned vector
     * parquet + the one-row geometry, served back bit-exactly (shares
@@ -404,6 +422,81 @@ object AnnQueries {
 
   private[queries] val ivfTopkSql: String =
     ivfTopkSqlFor("WHERE vec_id % 50 = 0", k = 5)
+
+  /** The incremental-index replay: centroids trained on the BASE only,
+    * increment vectors assigned to the frozen centroids with the
+    * refine sweep's exact rule, merged cells served through the
+    * standard probe/top-k chain. */
+  private val ivfAppendSql: String =
+    s"""WITH cent AS (
+       |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+       |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+       |    FROM embeddings, range(1, 65) t(d)
+       |    WHERE vec_id % 7 <> 0
+       |    GROUP BY cell, t.d)
+       |  GROUP BY cell),
+       |inc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+       |isim AS (
+       |  SELECT i.vec_id, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        x -> CAST(i.embedding[x] AS DOUBLE) * c.centroid[x]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           x -> CAST(i.embedding[x] AS DOUBLE)
+       |                * CAST(i.embedding[x] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             x -> c.centroid[x] * c.centroid[x])))), 6) AS sim
+       |  FROM inc i, cent c
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |          x -> CAST(i.embedding[x] AS DOUBLE)
+       |               * CAST(i.embedding[x] AS DOUBLE))) > 0),
+       |iassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |           row_number() OVER (PARTITION BY vec_id
+       |                              ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM isim) WHERE rn = 1),
+       |cells AS (
+       |  SELECT CAST(label AS INT) AS cell, vec_id, embedding
+       |  FROM embeddings WHERE vec_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT a.cell, i.vec_id, i.embedding
+       |  FROM inc i JOIN iassign a USING (vec_id)),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |psim AS (
+       |  SELECT q.qid, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+       |  FROM q, cent c),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM psim) WHERE rn <= 3),
+       |cand AS (
+       |  SELECT p.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM probes p
+       |  JOIN cells e ON e.cell = p.cell
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE e.vec_id <> p.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM cand)
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
 
   // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
   // the md5 hex digit of the seed string — identical to
@@ -891,6 +984,10 @@ object AnnQueries {
     // build→persist(parquet, cell-partitioned)→load→serve: bit-exact
     // vs the inline index, so it shares ann_ivf_topk's oracle
     Q.sql("ann_index_roundtrip", annIndexRoundtrip, ivfTopkSql),
+
+    // incremental lifecycle: base-trained centroids + frozen-centroid
+    // increment assignment, served from the merged cells
+    Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
 
     // the ann_ivf_topk replay with q = EVERY vector and k = 3
     Q.sql("ann_knn_join", annKnnJoin, ivfTopkSqlFor("", k = 3)),
