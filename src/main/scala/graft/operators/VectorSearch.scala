@@ -456,6 +456,26 @@ object VectorSearch {
     lshScore(vbkt, lshQueryProbes(queries, bits, dim, probeHamming), dim, k)
   }
 
+  /** APPEND an increment to a persisted LSH index —
+    * [[ivfAppendIndex]]'s nightly-ingest shape for the hyperplane
+    * family, but STRONGER: the LSH quantizer is stateless (planes are
+    * seed-derived from the persisted (bits, dim) geometry, nothing is
+    * trained), so an index built incrementally is BIT-IDENTICAL to a
+    * full rebuild — append-then-serve shares [[lshTopK]]'s oracle
+    * outright, with no frozen-vs-retrained drift to reason about.
+    * Scale shape: the only driver read is the one-row geometry;
+    * assignment is one compiled map over the increment; the append
+    * writes only the increment's rows, hash-clustered so each bucket's
+    * new file is written in parallel. */
+  def lshAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     increment: DataFrame): Unit = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (bits, dim) = (meta.getInt(0), meta.getInt(1))
+    lshVectorBuckets(increment, bits, dim)
+      .repartition(16, col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/buckets")
+  }
+
   /** The IVF index: cell-assigned vectors plus their trained centroids
     * — shared by [[ivfTopK]] and [[ivfKnnJoin]] so the two operators
     * stay rounding/tie-break IDENTICAL (their oracle equivalence and

@@ -116,6 +116,24 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INCREMENTAL LSH index lifecycle: build the bucket table on the
+    * base corpus (every vec_id % 7 ≠ 0), APPEND the increment
+    * ([[graft.operators.VectorSearch.lshAppendIndex]] — bucket-assign
+    * against the persisted seed geometry, no rebuild), and serve the
+    * standard query set. The quantizer is stateless, so the
+    * incremental index is bit-identical to a full build — the entry
+    * shares ann_lsh_topk's oracle, and the split itself is the
+    * assertion. */
+  def annLshAppend(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/lsh_append_index"
+    VectorSearch.lshWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.lshAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.lshServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** PQ index persistence round trip: train once, persist the m-byte
     * codes + codebooks, and serve the standard query set from the
     * codes table (the approx scan never touches an embedding; only
@@ -975,6 +993,8 @@ object AnnQueries {
     // load→serve: bit-exact vs the inline path, so it shares
     // ann_lsh_topk's oracle
     Q.sql("ann_lsh_index_roundtrip", annLshIndexRoundtrip, lshTopkSql),
+    // stateless quantizer: incremental build ≡ full build, same oracle
+    Q.sql("ann_lsh_append", annLshAppend, lshTopkSql),
 
     // Centroids: per-cell per-dimension mean rounded to 4dp (the kernel
     // rounds identically, making training order-independent); probes:

@@ -414,6 +414,35 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("LSH index built base+append is bit-identical to a full build") {
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_app").toString
+    try {
+      VectorSearch.lshWriteIndex(emb.filter($"vec_id" % 7 =!= 0), dir,
+        bits = 4, dim = 16)
+      VectorSearch.lshAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 7 === 0))
+      val served = VectorSearch.lshServe(spark, dir, queries, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val inline = VectorSearch.lshTopK(emb, queries, k = 4, bits = 4,
+          dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == inline)
+      assert(served.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("persisted PQ index serves bit-identical results to the inline path") {
     val rnd = new scala.util.Random(13)
     val emb = (0 until 150).map { i =>
