@@ -1328,22 +1328,60 @@ object VectorSearch {
   def pqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
               vectors: DataFrame, queries: DataFrame, k: Int,
               candMult: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val cb = readPqCodebooks(spark, dir, m, nCells)
+    val bc = spark.sparkContext.broadcast(cb)
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val codes = spark.read.parquet(s"$dir/codes")
+    val approx = scanPqCodes(codes, queries, bc, m, dim / m, dim, candCut)
+    pqFinish(approx, vectors, queries, dim, k, candCut)
+  }
+
+  /** The persisted m·nCells codebook as the in-memory array the
+    * kernels index — cells never trained stay null (skipped by
+    * [[pqAssignKD]]). Shared by [[pqServe]] and [[pqAppendIndex]];
+    * bounded by construction (m·nCells rows). */
+  private def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, m: Int, nCells: Int)
+      : Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val out = Array.fill[Array[Double]](m, nCells)(null)
+    spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Array[Double])].collect()
+      .foreach { case (j, c, cent) => out(j)(c) = cent }
+    out
+  }
+
+  /** APPEND an increment to a persisted PQ index without retraining —
+    * the [[ivfAppendIndex]] discipline for the code table: codebooks
+    * are the FROZEN artifact, increment vectors are encoded with the
+    * stored m·nCells codebook by the write path's exact rule
+    * ([[pqAssignK]]: 6dp squared L2, lowest cell on ties; zero-norm
+    * vectors excluded like the inline scan's null-image rule) and
+    * their m-int code rows appended. Serving stays bit-deterministic
+    * against the oracle's frozen-codebook replay whatever the
+    * increment cadence. Scale shape: driver reads are the one-row
+    * meta and the m·nCells codebook; encoding is one compiled map
+    * over the increment; the append writes only the increment's code
+    * rows. */
+  def pqAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    increment: DataFrame): Unit = {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val sub = dim / m
-    val cb: Array[Array[Array[Double]]] = {
-      val out = Array.fill[Array[Double]](m, nCells)(null)
-      spark.read.parquet(s"$dir/codebooks")
-        .as[(Int, Int, Array[Double])].collect()
-        .foreach { case (j, c, cent) => out(j)(c) = cent }
-      out
-    }
-    val bc = spark.sparkContext.broadcast(cb)
-    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val codes = spark.read.parquet(s"$dir/codes")
-    val approx = scanPqCodes(codes, queries, bc, m, sub, dim, candCut)
-    pqFinish(approx, vectors, queries, dim, k, candCut)
+    val bc = spark.sparkContext.broadcast(
+      readPqCodebooks(spark, dir, m, nCells))
+    increment.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.flatMap { case (vid, e) =>
+        if (normK(e, dim) == 0) None // cosine undefined: not served
+        else Some((vid, pqAssignK(bc.value, e, m, nCells, sub)))
+      })
+      .toDF("vec_id", "codes")
+      .write.mode("append").parquet(s"$dir/codes")
   }
 
   /** Chunk-blocked scan over PQ CODES — [[scanChunks]] with the m-byte

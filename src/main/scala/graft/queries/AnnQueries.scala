@@ -147,6 +147,26 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INCREMENTAL PQ index lifecycle: train codebooks on the base
+    * corpus (every vec_id % 7 ≠ 0), APPEND the increment's code rows
+    * against the FROZEN codebooks
+    * ([[graft.operators.VectorSearch.pqAppendIndex]] — no retrain),
+    * and serve the standard query set from the merged codes table.
+    * The oracle replays base-only training with full-corpus encoding
+    * (pqRerankSqlFor's trainPred). Completes the nightly-ingest
+    * story across all three index families (IVF cells, LSH buckets,
+    * PQ codes). */
+  def annPqAppend(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/pq_append_index"
+    VectorSearch.pqWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.pqAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.pqServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** IVF with ONE Lloyd refinement sweep — the label cells seed
     * k-means, every vector reassigns to its nearest centroid, the
     * centroids retrain, and probing runs against the TRAINED index.
@@ -563,8 +583,11 @@ object AnnQueries {
   // reconstruction as the j-major 64-list, then the sq8-style
   // candidate window + exact re-rank. ONE body shared by
   // ann_pq_rerank and the persisted-index roundtrip (bit-exact
-  // serve over the codes table).
-  private[queries] val pqRerankSql: String =
+  // serve over the codes table); `trainPred` restricts the TRAINING
+  // rows only (init means + Lloyd sweep) — encoding/scan stay
+  // full-corpus, which is exactly the frozen-codebook append replay
+  // ann_pq_append needs.
+  private def pqRerankSqlFor(trainPred: String => String): String =
     s"""WITH sv AS (
        |  SELECT vec_id, j.j AS j, d.d AS d,
        |         CAST(embedding[j.j * 8 + d.d] AS DOUBLE) AS x
@@ -572,7 +595,8 @@ object AnnQueries {
        |cb0 AS (
        |  SELECT sv.j, sv.vec_id % 16 AS cell, sv.d,
        |         round(sum(sv.x) / count(*), 4) AS c
-       |  FROM sv GROUP BY sv.j, sv.vec_id % 16, sv.d),
+       |  FROM sv WHERE ${trainPred("sv")}
+       |  GROUP BY sv.j, sv.vec_id % 16, sv.d),
        |cb0l AS (SELECT j, cell, list(c ORDER BY d) AS cl
        |         FROM cb0 GROUP BY j, cell),
        |svl AS (SELECT vec_id, j, list(x ORDER BY d) AS xl
@@ -581,7 +605,8 @@ object AnnQueries {
        |  SELECT s.vec_id, s.j, b.cell,
        |         round(list_sum(list_transform(range(1, 9),
        |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
-       |  FROM svl s JOIN cb0l b ON b.j = s.j),
+       |  FROM svl s JOIN cb0l b ON b.j = s.j
+       |  WHERE ${trainPred("s")}),
        |a1 AS (
        |  SELECT vec_id, j, cell FROM (
        |    SELECT vec_id, j, cell,
@@ -648,6 +673,14 @@ object AnnQueries {
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
        |FROM ranked WHERE rn <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  private[queries] val pqRerankSql: String = pqRerankSqlFor(_ => "TRUE")
+
+  /** The frozen-codebook append replay: codebooks trained on the BASE
+    * split only, every vector (base + increment) encoded against
+    * them, scan/re-rank unchanged. */
+  private val pqAppendSql: String =
+    pqRerankSqlFor(t => s"$t.vec_id % 7 <> 0")
 
   // IVFPQ replay: the ivf oracle's centroid/probe fragments composed
   // with the pq oracle's training replay, run on RESIDUALS (exact
@@ -1233,6 +1266,8 @@ object AnnQueries {
     // bit-exact vs the inline path, so it shares ann_pq_rerank's
     // oracle
     Q.sql("ann_pq_index_roundtrip", annPqIndexRoundtrip, pqRerankSql),
+    // frozen-codebook increment encoding; base-only-training replay
+    Q.sql("ann_pq_append", annPqAppend, pqAppendSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,
     // /sqrt(16) = /4 exact, 6dp edge rounding

@@ -443,6 +443,45 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("PQ index appends compose: two nightly increments equal one") {
+    val rnd = new scala.util.Random(19)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val base = emb.filter($"vec_id" % 7 =!= 0)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_pq_appA").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_pq_appB").toString
+    try {
+      // A: the whole increment in one append
+      VectorSearch.pqWriteIndex(base, dirA, m = 4, nCells = 8, dim = 16)
+      VectorSearch.pqAppendIndex(spark, dirA,
+        emb.filter($"vec_id" % 7 === 0))
+      // B: the same increment split across two nights
+      VectorSearch.pqWriteIndex(base, dirB, m = 4, nCells = 8, dim = 16)
+      VectorSearch.pqAppendIndex(spark, dirB,
+        emb.filter($"vec_id" % 14 === 0))
+      VectorSearch.pqAppendIndex(spark, dirB,
+        emb.filter($"vec_id" % 7 === 0 && $"vec_id" % 14 =!= 0))
+      val servedA = VectorSearch.pqServe(spark, dirA, emb, queries, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val servedB = VectorSearch.pqServe(spark, dirB, emb, queries, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(servedA == servedB)
+      assert(servedA.nonEmpty)
+      // every eligible vector is served from the merged codes table
+      assert(spark.read.parquet(s"$dirA/codes").count() == 150)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
+
   test("persisted PQ index serves bit-identical results to the inline path") {
     val rnd = new scala.util.Random(13)
     val emb = (0 until 150).map { i =>
