@@ -747,6 +747,34 @@ object VectorSearch {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** COMPACT a partitioned index table in place — the maintenance job
+    * every append-based ingest eventually needs: each nightly
+    * [[ivfAppendIndex]]/[[lshAppendIndex]] adds one file per touched
+    * partition, and after N nights a probe's partition scan opens N
+    * small files (at corpus scale, the small-files problem dominates
+    * serve latency long before data volume does). Rewrites the table
+    * hash-clustered on the partition column — one file per partition
+    * again — via a write-to-temp-then-swap (the read is finished
+    * before the live directory is touched, and the swap is two
+    * filesystem metadata ops, the pointer-flip a production pipeline
+    * would do with a manifest). Pure reorganization: rows are
+    * byte-identical, so serving shares the uncompacted oracle. */
+  def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, table: String,
+                        partCol: String): Unit = {
+    val live = s"$dir/$table"
+    val tmp = s"$dir/.${table}_compact_tmp"
+    spark.read.parquet(live)
+      .repartition(16, col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(conf)
+    fs.delete(livePath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath),
+      s"compactIndexTable: rename $tmp -> $live failed")
+  }
+
   /** Serve top-k from a persisted index directory (see
     * [[ivfWriteIndex]]). The centroid artifact is collected — it is
     * cell-count-sized by construction, never corpus-sized — and the

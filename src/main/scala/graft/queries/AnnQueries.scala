@@ -105,6 +105,24 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Index COMPACTION lifecycle: build the IVF index on the base
+    * corpus, append the increment (one new file per touched cell),
+    * then compact the cell table
+    * ([[graft.operators.VectorSearch.compactIndexTable]] — rewrite
+    * one file per cell, write-to-temp-then-swap) and serve. Pure
+    * reorganization: rows are byte-identical, so the entry shares
+    * ann_ivf_append's oracle — the compaction IS the assertion. */
+  def annIvfCompact(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_compact_index"
+    VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.ivfAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.compactIndexTable(env.spark, dir, "cells", "cell")
+    VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH index persistence round trip — the [[annIndexRoundtrip]]
     * shape for the hyperplane family: bucket-partitioned vector
     * parquet + the one-row geometry, served back bit-exactly (shares
@@ -1041,6 +1059,8 @@ object AnnQueries {
     // incremental lifecycle: base-trained centroids + frozen-centroid
     // increment assignment, served from the merged cells
     Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
+    // compaction is pure reorganization: same rows, same oracle
+    Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),
 
     // the ann_ivf_topk replay with q = EVERY vector and k = 3
     Q.sql("ann_knn_join", annKnnJoin, ivfTopkSqlFor("", k = 3)),

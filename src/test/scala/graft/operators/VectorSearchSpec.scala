@@ -443,6 +443,47 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("index compaction merges per-cell files and preserves results") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+      .withColumn("label", ($"vec_id" % 4).cast("int"))
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_cmp").toString
+    def filesPerCell: Map[String, Int] =
+      new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("cell=")).map { d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+        }.toMap
+    try {
+      VectorSearch.ivfWriteIndex(emb.filter($"vec_id" % 7 =!= 0), dir,
+        dim = 16)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 7 === 0), dim = 16)
+      val before = VectorSearch.ivfServe(spark, dir, queries, k = 4,
+          dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(filesPerCell.values.exists(_ > 1),
+        "append should have left a cell with multiple files")
+      VectorSearch.compactIndexTable(spark, dir, "cells", "cell")
+      assert(filesPerCell.values.forall(_ == 1),
+        s"expected one file per cell after compaction, got $filesPerCell")
+      val after = VectorSearch.ivfServe(spark, dir, queries, k = 4,
+          dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(after == before)
+      assert(after.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("PQ index appends compose: two nightly increments equal one") {
     val rnd = new scala.util.Random(19)
     val emb = (0 until 150).map { i =>
