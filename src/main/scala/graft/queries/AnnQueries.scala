@@ -427,6 +427,46 @@ object AnnQueries {
       .orderBy(col("label"))
   }
 
+  /** Index BALANCE card: per-cell occupancy of the coarse quantizer
+    * (the label cells ivf_topk probes), each cell's corpus share, and
+    * the global skew ratio (max/mean occupancy) stamped on every row
+    * — the ops signal a serving tier watches to decide when append
+    * drift warrants a centroid retrain (candidate volume per probe is
+    * share·|V|, so a skew ratio creeping above ~2 means the hot cell
+    * dominates serve latency; SCALING.md's recall-decay note is the
+    * same phenomenon from the recall side). Zero-shuffle beyond one
+    * cell-count aggregate; the global row is a codegen-safe scalar
+    * broadcast ([[graft.operators.PlanHints.withScalars]]). */
+  def annCellStats(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = env.embeddings
+      .filter($"embedding".isNotNull)
+      .groupBy($"label".cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum($"n").as("total"), max($"n").as("max_n"),
+      count(lit(1)).as("n_cells"))
+    graft.operators.PlanHints.withScalars(cells, tot)
+      .select($"cell", $"n",
+        round($"n".cast("double") / $"total", 6).as("share"),
+        round(($"max_n".cast("double") * $"n_cells") / $"total", 6)
+          .as("skew"))
+      .orderBy($"cell")
+  }
+
+  private val cellStatsSql: String =
+    """WITH cells AS (
+      |  SELECT CAST(label AS INT) AS cell, CAST(count(*) AS BIGINT) AS n
+      |  FROM embeddings WHERE embedding IS NOT NULL
+      |  GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n,
+      |         CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+      |SELECT cell, n,
+      |       round(CAST(n AS DOUBLE) / total, 6) AS share,
+      |       round(CAST(max_n AS DOUBLE) * n_cells / total, 6) AS skew
+      |FROM cells, tot
+      |ORDER BY cell""".stripMargin
+
   /** The IVF-top-k oracle, parameterized by the query-set predicate
     * and k — ONE body shared by ann_ivf_topk, ann_knn_join (every
     * vector, k = 3) and the streaming ANN entry t9 (whose per-query
@@ -957,6 +997,7 @@ object AnnQueries {
          |GROUP BY b.qid
          |ORDER BY b.qid""".stripMargin),
 
+    Q.sql("ann_cell_stats", annCellStats, cellStatsSql),
     Q.sql("ann_label_centroids", annLabelCentroids,
       """WITH q AS (SELECT label, u.i AS d,
         |             CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
