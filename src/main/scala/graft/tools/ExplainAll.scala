@@ -30,6 +30,7 @@ object ExplainAll {
       "ann_sq8_rerank" -> 1,
       "ann_pq_rerank" -> 1,
       "ann_pq_index_roundtrip" -> 1, // codes-table chunk scan (scanPqCodes)
+      "ann_pq_append" -> 1, // same codes-table chunk scan, merged codes
       "ann_recall_report" -> 1,    // brute ground-truth side
       "ann_ivf_recall_report" -> 1,
       "ann_ivfpq_recall_report" -> 1, // brute ground-truth side
