@@ -1291,25 +1291,56 @@ object VectorSearch {
     out
   }
 
-  /** The shared tail of the PQ scan: per-query top-candCut on the
-    * asymmetric score, full-precision re-rank, final top-k. The
-    * candidate SET after the window is chunk-split invariant, so the
-    * inline and served paths converge here bit-for-bit. */
+  /** The shared tail of a coarse-then-exact scan: per-query
+    * top-candCut on the approximate score (renamed to `approxCol`),
+    * full-precision re-rank, final top-k. The candidate SET after the
+    * window is chunk-split invariant, so the inline and served paths
+    * converge here bit-for-bit. Shared by the PQ family and the
+    * Matryoshka prefix-dim scan ([[mrlTopK]]). */
   private def pqFinish(approx: DataFrame, vectors: DataFrame,
                        queries: DataFrame, dim: Int, k: Int,
-                       candCut: Int): DataFrame = {
-    val scored = approx.withColumnRenamed("cos", "cos_pq")
+                       candCut: Int,
+                       approxCol: String = "cos_pq"): DataFrame = {
+    val scored = approx.withColumnRenamed("cos", approxCol)
     val wCand = Window.partitionBy(col("qid"))
-      .orderBy(col("cos_pq").desc, col("vec_id").asc)
+      .orderBy(col(approxCol).desc, col("vec_id").asc)
     val cand = scored.withColumn("crn", row_number().over(wCand))
       .filter(col("crn") <= candCut)
       .drop("crn")
-    val reranked = rerankExact(cand, vectors, queries, dim, "cos_pq")
+    val reranked = rerankExact(cand, vectors, queries, dim, approxCol)
     val wFinal = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     reranked.withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id"), col("cos"), col("cos_pq"))
+      .select(col("qid"), col("rank"), col("vec_id"), col("cos"),
+        col(approxCol))
+  }
+
+  /** MATRYOSHKA prefix-dimension search: coarse top-candidates on the
+    * FIRST `prefixDim` components only (the MRL serving trick —
+    * nested-representation embeddings carry coarse semantics in their
+    * prefix, so the scan phase reads prefixDim/dim of the bytes; at
+    * 16-of-64 that is a 4× cut in scanned floats, the same lever PQ
+    * pulls with codes), then exact full-dim re-rank of the bounded
+    * candidate set. Composition of verified pieces: [[scanChunks]]
+    * packs only the first prefixDim floats per vector (the arraycopy
+    * honors `dim`), the tail is the PQ family's shared
+    * window/re-rank. Vectors or queries whose PREFIX norm is zero are
+    * excluded by the scan (prefix cosine undefined) — the oracle
+    * replays the same rule. */
+  def mrlTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              prefixDim: Int = 16, dim: Int = 64,
+              candMult: Int = 4): DataFrame = {
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val coarse = scanChunks(vectors, queries, prefixDim, cutK = candCut) {
+      e =>
+        val out = new Array[Double](prefixDim)
+        var i = 0
+        while (i < prefixDim) { out(i) = e(i).toDouble; i += 1 }
+        out
+    }
+    pqFinish(coarse, vectors, queries, dim, k, candCut,
+      approxCol = "cos_mrl")
   }
 
   /** Persist the trained PQ index as TABLES: `codes/` holds one m-byte

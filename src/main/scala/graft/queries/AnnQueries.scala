@@ -427,6 +427,107 @@ object AnnQueries {
       .orderBy(col("label"))
   }
 
+  /** MATRYOSHKA prefix-dimension search: coarse top-20 on the FIRST
+    * 16 of 64 components (the nested-representation serving trick — a
+    * 4× cut in scanned floats, the byte lever PQ pulls with codes but
+    * with zero training state), exact full-dim re-rank to top-5.
+    * [[graft.operators.VectorSearch.mrlTopK]]. */
+  def annMrlRerank(env: Env): DataFrame =
+    VectorSearch.mrlTopK(env.embeddings, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
+  /** Recall\@5 of the prefix-16 two-stage search against brute force
+    * — the [[annRecallReport]] pattern for the Matryoshka family, so
+    * the trained-state-free byte cut is readable next to LSH/IVF/PQ
+    * quality. */
+  def annMrlRecallReport(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, round}
+    val brute = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
+        k = 5)
+      .select($"qid", $"vec_id")
+    val approx = VectorSearch.mrlTopK(env.embeddings, queriesDf(env), k = 5)
+      .select($"qid", $"vec_id", lit(1).as("hit"))
+    brute.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(count($"hit").as("nh"))
+      .select($"qid", $"nh".cast("int").as("n_hits"),
+        round($"nh".cast("double") / 5.0, 4).as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
+  /** Sequential prefix-d dot product — the [[cosSql]] fold over only
+    * the first `d` components. */
+  private def dotPfx(a: String, b: String, d: Int): String =
+    s"""list_sum(list_transform(range(1, ${d + 1}),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
+
+  /** CTE chain shared by ann_mrl_rerank and its recall report:
+    * prefix-16 coarse cosine (rows with zero PREFIX norm excluded on
+    * either side — prefix cosine undefined), per-query top-20
+    * candidates, exact full-dim re-rank ranked as `mranked`. */
+  private def mrlChain: String = {
+    val p = 16
+    s"""q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |mapprox AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${dotPfx("q.qe", "e.embedding", p)}
+       |               / (sqrt(${dotPfx("q.qe", "q.qe", p)})
+       |                  * sqrt(${dotPfx("e.embedding", "e.embedding", p)})),
+       |               6) AS cos_mrl
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+       |  WHERE ${dotPfx("e.embedding", "e.embedding", p)} > 0
+       |    AND ${dotPfx("q.qe", "q.qe", p)} > 0),
+       |mcand AS (
+       |  SELECT qid, vec_id, cos_mrl FROM (
+       |    SELECT qid, vec_id, cos_mrl,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos_mrl DESC, vec_id ASC) AS rn
+       |    FROM mapprox) WHERE rn <= 20),
+       |mrr AS (
+       |  SELECT c.qid, c.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c.cos_mrl
+       |  FROM mcand c
+       |  JOIN embeddings e ON e.vec_id = c.vec_id
+       |  JOIN q ON q.qid = c.qid),
+       |mranked AS (
+       |  SELECT qid, vec_id, cos, cos_mrl,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM mrr)""".stripMargin
+  }
+
+  private val mrlRerankSql: String =
+    s"""WITH $mrlChain
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_mrl
+       |FROM mranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val mrlRecallSql: String =
+    s"""WITH $mrlChain,
+       |bscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       |branked AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos DESC, vec_id ASC) AS rn
+       |  FROM bscored),
+       |btop AS (SELECT qid, vec_id FROM branked WHERE rn <= 5),
+       |mtop AS (SELECT qid, vec_id FROM mranked WHERE rn <= 5),
+       |hits AS (
+       |  SELECT b.qid,
+       |         CAST(count(m.vec_id) AS INT) AS n_hits
+       |  FROM btop b LEFT JOIN mtop m
+       |    ON m.qid = b.qid AND m.vec_id = b.vec_id
+       |  GROUP BY b.qid)
+       |SELECT qid, n_hits,
+       |       round(CAST(n_hits AS DOUBLE) / 5.0, 4) AS recall_at_5
+       |FROM hits
+       |ORDER BY qid""".stripMargin
+
   /** Index BALANCE card: per-cell occupancy of the coarse quantizer
     * (the label cells ivf_topk probes), each cell's corpus share, and
     * the global skew ratio (max/mean occupancy) stamped on every row
@@ -1329,6 +1430,8 @@ object AnnQueries {
     Q.sql("ann_pq_index_roundtrip", annPqIndexRoundtrip, pqRerankSql),
     // frozen-codebook increment encoding; base-only-training replay
     Q.sql("ann_pq_append", annPqAppend, pqAppendSql),
+    Q.sql("ann_mrl_rerank", annMrlRerank, mrlRerankSql),
+    Q.sql("ann_mrl_recall_report", annMrlRecallReport, mrlRecallSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,
     // /sqrt(16) = /4 exact, 6dp edge rounding

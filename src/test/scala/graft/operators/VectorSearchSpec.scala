@@ -443,6 +443,30 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("mrlTopK with prefixDim == dim degenerates to exact brute force") {
+    val rnd = new scala.util.Random(29)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    // full-width prefix: the coarse score IS the exact cosine, so the
+    // re-ranked top-k must equal brute force row for row
+    val mrl = VectorSearch.mrlTopK(emb, queries, k = 4, prefixDim = 16,
+        dim = 16)
+      .select($"qid", $"rank", $"vec_id", $"cos")
+      .orderBy("qid", "rank").collect().toSeq
+    val brute = VectorSearch.bruteForceTopK(emb, queries, k = 4, dim = 16)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(mrl == brute)
+    assert(mrl.nonEmpty)
+    // narrow prefix still returns a full result set per query
+    val narrow = VectorSearch.mrlTopK(emb, queries, k = 4, prefixDim = 4,
+      dim = 16)
+    assert(narrow.groupBy("qid").count().collect()
+      .forall(_.getLong(1) == 4L))
+  }
+
   test("index compaction merges per-cell files and preserves results") {
     val rnd = new scala.util.Random(23)
     val emb = (0 until 150).map { i =>
