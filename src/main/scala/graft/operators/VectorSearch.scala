@@ -1782,15 +1782,9 @@ object VectorSearch {
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
     val centroids = spark.read.parquet(s"$dir/centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
-    val cb: Array[Array[Array[Double]]] = {
-      val out = Array.fill[Array[Double]](m, nCells)(null)
-      spark.read.parquet(s"$dir/codebooks")
-        .as[(Int, Int, Array[Double])].collect()
-        .foreach { case (j, c, cent) => out(j)(c) = cent }
-      out
-    }
     val bcCent = spark.sparkContext.broadcast(centroids.toMap)
-    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCb = spark.sparkContext.broadcast(
+      readPqCodebooks(spark, dir, m, nCells))
     val recon = spark.read.parquet(s"$dir/codes")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("codes"))
@@ -1805,6 +1799,52 @@ object VectorSearch {
       }
       .toDF("cell", "vec_id", "fv")
     ivfPqScore(recon, centroids, vectors, queries, k, nProbe, dim, candCut)
+  }
+
+  /** APPEND an increment to a persisted IVFPQ index — the
+    * frozen-artifact discipline across BOTH quantizer stages: the
+    * coarse cell is the increment row's own `cellCol` value (the
+    * label-cell convention of [[ivfPqWriteIndex]]), the residual is
+    * taken against the FROZEN base centroid of that cell, and the
+    * residual code against the FROZEN codebooks ([[pqAssignKD]], the
+    * write path's exact rule). Zero-norm originals are excluded like
+    * the write's served-set rule; rows whose cell has no persisted
+    * centroid are skipped (a probe can only reach persisted cells, so
+    * they are unservable until the next rebuild). Completes the
+    * nightly-ingest lifecycle across all four index families. */
+  def ivfPqAppendIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, increment: DataFrame,
+                       cellCol: String = "label"): Unit = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val sub = dim / m
+    val bcCent = spark.sparkContext.broadcast(
+      spark.read.parquet(s"$dir/centroids")
+        .as[(Int, Array[Double])].collect().toMap)
+    val bcCb = spark.sparkContext.broadcast(
+      readPqCodebooks(spark, dir, m, nCells))
+    increment
+      .select(col(cellCol).cast("int").as("cell"), col("vec_id"),
+        col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCent.value
+        val cbv = bcCb.value
+        it.flatMap { case (cell, vid, e) =>
+          if (normK(e, dim) == 0) None // excluded from the served set
+          else cents.get(cell).map { c =>
+            val r = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { r(i) = e(i).toDouble - c(i); i += 1 }
+            (cell, vid, pqAssignKD(cbv, r, m, nCells, sub))
+          }
+        }
+      }
+      .toDF("cell", "vec_id", "codes")
+      .repartition(16, col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.

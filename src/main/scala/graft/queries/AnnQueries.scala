@@ -273,6 +273,26 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INCREMENTAL IVFPQ lifecycle: train coarse centroids + residual
+    * codebooks on the base corpus (every vec_id % 7 ≠ 0), APPEND the
+    * increment's residual code rows against BOTH frozen artifacts
+    * ([[graft.operators.VectorSearch.ivfPqAppendIndex]]), serve the
+    * standard query set from the merged codes. The oracle replays
+    * base-only training with full-corpus residual encoding
+    * (ivfPqChainFor's trainPred). With this all four index families
+    * (IVF cells, LSH buckets, PQ codes, IVFPQ residual codes) carry
+    * the same nightly-ingest discipline. */
+  def annIvfPqAppend(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivfpq_append_index"
+    VectorSearch.ivfPqWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    VectorSearch.ivfPqAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.ivfPqServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Corpus-scale k-NN JOIN: EVERY vector is a query (|Q| = |V| — the
     * all-pairs-top-k shape of corpus-wide SemDeDup / hard-negative
     * mining at 100 TB), answered through the IVF index. This is the
@@ -846,12 +866,17 @@ object AnnQueries {
   // double subtraction against the 4dp centroid grid). recon = coarse
   // centroid + residual codeword; approx restricted to probed cells;
   // exact re-rank tail identical to pqRerankSql.
-  private[queries] val ivfPqChain: String =
+  /** The IVFPQ replay chain; `trainPred` restricts the TRAINING rows
+    * (coarse centroid means + residual codebook init/sweep) — residual
+    * computation and encoding stay full-corpus, which is the
+    * frozen-artifact append replay ann_ivfpq_append needs. */
+  private def ivfPqChainFor(trainPred: String => String): String =
     s"""cent AS (
        |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
        |    SELECT CAST(label AS INT) AS cell, t.d AS d,
        |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
        |    FROM embeddings, range(1, 65) t(d)
+       |    WHERE ${trainPred("embeddings")}
        |    GROUP BY cell, t.d)
        |  GROUP BY cell),
        |ev AS (
@@ -866,7 +891,8 @@ object AnnQueries {
        |cb0 AS (
        |  SELECT rsv.j, rsv.vec_id % 16 AS cell, rsv.d,
        |         round(sum(rsv.x) / count(*), 4) AS c
-       |  FROM rsv GROUP BY rsv.j, rsv.vec_id % 16, rsv.d),
+       |  FROM rsv WHERE ${trainPred("rsv")}
+       |  GROUP BY rsv.j, rsv.vec_id % 16, rsv.d),
        |cb0l AS (SELECT j, cell, list(c ORDER BY d) AS cl
        |         FROM cb0 GROUP BY j, cell),
        |rvl AS (SELECT vec_id, j, list(x ORDER BY d) AS xl
@@ -875,7 +901,8 @@ object AnnQueries {
        |  SELECT s.vec_id, s.j, b.cell,
        |         round(list_sum(list_transform(range(1, 9),
        |           i -> (s.xl[i] - b.cl[i]) * (s.xl[i] - b.cl[i]))), 6) AS dist
-       |  FROM rvl s JOIN cb0l b ON b.j = s.j),
+       |  FROM rvl s JOIN cb0l b ON b.j = s.j
+       |  WHERE ${trainPred("s")}),
        |a1 AS (
        |  SELECT vec_id, j, cell FROM (
        |    SELECT vec_id, j, cell,
@@ -964,8 +991,19 @@ object AnnQueries {
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM rr)""".stripMargin
 
+  private[queries] val ivfPqChain: String = ivfPqChainFor(_ => "TRUE")
+
   private[queries] val ivfPqSql: String =
     s"""WITH $ivfPqChain
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** The frozen-artifact append replay: coarse centroids AND residual
+    * codebooks trained on the BASE split only, every vector encoded
+    * against them, probe/scan/re-rank unchanged. */
+  private val ivfPqAppendSql: String =
+    s"""WITH ${ivfPqChainFor(t => s"$t.vec_id % 7 <> 0")}
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
        |FROM ranked WHERE rn <= 5
        |ORDER BY qid, rank""".stripMargin
@@ -1420,6 +1458,8 @@ object AnnQueries {
 
     // persisted-index serve is bit-exact vs the inline index
     Q.sql("ann_ivfpq_roundtrip", annIvfPqIndexRoundtrip, ivfPqSql),
+    // both quantizer stages frozen; base-only-training replay
+    Q.sql("ann_ivfpq_append", annIvfPqAppend, ivfPqAppendSql),
 
     Q.sql("ann_ivfpq_recall_report", annIvfPqRecallReport, ivfPqRecallSql),
 

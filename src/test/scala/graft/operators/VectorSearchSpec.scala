@@ -467,6 +467,47 @@ class VectorSearchSpec extends SparkSpec {
       .forall(_.getLong(1) == 4L))
   }
 
+  test("IVFPQ index appends compose: two nightly increments equal one") {
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+      .withColumn("label", ($"vec_id" % 4).cast("int"))
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val base = emb.filter($"vec_id" % 7 =!= 0)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_appA").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_appB").toString
+    try {
+      VectorSearch.ivfPqWriteIndex(base, dirA, m = 4, nCells = 8,
+        dim = 16)
+      VectorSearch.ivfPqAppendIndex(spark, dirA,
+        emb.filter($"vec_id" % 7 === 0))
+      VectorSearch.ivfPqWriteIndex(base, dirB, m = 4, nCells = 8,
+        dim = 16)
+      VectorSearch.ivfPqAppendIndex(spark, dirB,
+        emb.filter($"vec_id" % 14 === 0))
+      VectorSearch.ivfPqAppendIndex(spark, dirB,
+        emb.filter($"vec_id" % 7 === 0 && $"vec_id" % 14 =!= 0))
+      val servedA = VectorSearch.ivfPqServe(spark, dirA, emb, queries,
+          k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val servedB = VectorSearch.ivfPqServe(spark, dirB, emb, queries,
+          k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(servedA == servedB)
+      assert(servedA.nonEmpty)
+      assert(spark.read.parquet(s"$dirA/codes").count() == 150)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
+
   test("index compaction merges per-cell files and preserves results") {
     val rnd = new scala.util.Random(23)
     val emb = (0 until 150).map { i =>
