@@ -1332,16 +1332,21 @@ object VectorSearch {
               prefixDim: Int = 16, dim: Int = 64,
               candMult: Int = 4): DataFrame = {
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val coarse = scanChunks(vectors, queries, prefixDim, cutK = candCut) {
-      e =>
-        val out = new Array[Double](prefixDim)
-        var i = 0
-        while (i < prefixDim) { out(i) = e(i).toDouble; i += 1 }
-        out
-    }
+    val coarse = mrlCoarse(vectors, queries, prefixDim, candCut)
     pqFinish(coarse, vectors, queries, dim, k, candCut,
       approxCol = "cos_mrl")
   }
+
+  /** The shared coarse stage of [[mrlTopK]] and [[mrlServe]]: the
+    * chunk-blocked scan over only the first prefixDim floats. */
+  private def mrlCoarse(vectors: DataFrame, queries: DataFrame,
+                        prefixDim: Int, candCut: Int): DataFrame =
+    scanChunks(vectors, queries, prefixDim, cutK = candCut) { e =>
+      val out = new Array[Double](prefixDim)
+      var i = 0
+      while (i < prefixDim) { out(i) = e(i).toDouble; i += 1 }
+      out
+    }
 
   /** Persist the trained PQ index as TABLES: `codes/` holds one m-byte
     * code row per scan-eligible vector (the 16×-compressed artifact a
@@ -1799,6 +1804,49 @@ object VectorSearch {
       }
       .toDF("cell", "vec_id", "fv")
     ivfPqScore(recon, centroids, vectors, queries, k, nProbe, dim, candCut)
+  }
+
+  /** Persist the Matryoshka PREFIX as its own table — in the inline
+    * [[mrlTopK]] the 4× byte cut happens in memory (the pack copies
+    * only prefixDim floats, but the parquet scan still read all dim);
+    * serving from a dedicated (vec_id, prefix) table moves the cut to
+    * DISK — the coarse stage's scan reads prefixDim/dim of the bytes,
+    * which is the lever that matters at 100 TB. No trained state: the
+    * artifact is a projection, `meta/` records (prefixDim, dim).
+    * Floats round-trip parquet bit-exactly, so served results equal
+    * [[mrlTopK]]'s to the last bit (one shared oracle). */
+  def mrlWriteIndex(vectors: DataFrame, dir: String, prefixDim: Int = 16,
+                    dim: Int = 64): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (vid, e) =>
+        (vid, java.util.Arrays.copyOf(e, prefixDim))
+      })
+      .toDF("vec_id", "prefix")
+      .write.mode("overwrite").parquet(s"$dir/prefix")
+    Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Serve Matryoshka two-stage top-k from a persisted prefix table
+    * (see [[mrlWriteIndex]]): coarse scan over the prefix artifact
+    * (prefixDim/dim of the bytes read from disk), exact full-dim
+    * re-rank against the vector table for candidate rows only. The
+    * only driver read is the one-row geometry. */
+  def mrlServe(spark: org.apache.spark.sql.SparkSession, dir: String,
+               vectors: DataFrame, queries: DataFrame, k: Int,
+               candMult: Int = 4): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (prefixDim, dim) = (meta.getInt(0), meta.getInt(1))
+    val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
+    val prefix = spark.read.parquet(s"$dir/prefix")
+      .select(col("vec_id"), col("prefix").as("embedding"))
+    val coarse = mrlCoarse(prefix, queries, prefixDim, candCut)
+    pqFinish(coarse, vectors, queries, dim, k, candCut,
+      approxCol = "cos_mrl")
   }
 
   /** APPEND an increment to a persisted IVFPQ index — the

@@ -456,6 +456,20 @@ object AnnQueries {
     VectorSearch.mrlTopK(env.embeddings, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
 
+  /** MRL index persistence round trip — persist the 16-float prefix
+    * as its own table ([[graft.operators.VectorSearch.mrlWriteIndex]])
+    * and serve the standard query set from it: the coarse scan now
+    * reads ¼ of the bytes from DISK, not just in memory. Bit-exact vs
+    * [[annMrlRerank]] (floats round-trip parquet), so it shares its
+    * oracle. */
+  def annMrlIndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/mrl_index"
+    VectorSearch.mrlWriteIndex(env.embeddings, dir)
+    VectorSearch.mrlServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Recall\@5 of the prefix-16 two-stage search against brute force
     * — the [[annRecallReport]] pattern for the Matryoshka family, so
     * the trained-state-free byte cut is readable next to LSH/IVF/PQ
@@ -1471,6 +1485,8 @@ object AnnQueries {
     // frozen-codebook increment encoding; base-only-training replay
     Q.sql("ann_pq_append", annPqAppend, pqAppendSql),
     Q.sql("ann_mrl_rerank", annMrlRerank, mrlRerankSql),
+    // prefix persisted as its own table: the byte cut reaches disk
+    Q.sql("ann_mrl_index_roundtrip", annMrlIndexRoundtrip, mrlRerankSql),
     Q.sql("ann_mrl_recall_report", annMrlRecallReport, mrlRecallSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,

@@ -35,6 +35,7 @@ object ExplainAll {
       "ann_ivf_recall_report" -> 1,
       "ann_ivfpq_recall_report" -> 1, // brute ground-truth side
       "ann_mrl_rerank" -> 1, // prefix-dim chunk scan
+      "ann_mrl_index_roundtrip" -> 1, // same scan over the prefix table
       "ann_mrl_recall_report" -> 2, // brute ground truth + prefix scan
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
       // the DENSE NB model is classes × vocab BY DEFINITION — the one
