@@ -61,11 +61,7 @@ object Bm25 {
     val spark = docs.sparkSession
     import spark.implicits._
     val terms = queries.flatMap(_._2).distinct
-    val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("qid", "term")
-    val base = docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val base = corpusBase(docs, idCol, textCol)
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl").cast("long")).as("sum_dl"))
     val tf = base.select(col("doc_id"), col("dl"),
@@ -78,6 +74,28 @@ object Bm25 {
       .localCheckpoint(eager = false)
     val dfT = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
+    scoreAndRank(tf, dfT, stats, queries, k, k1, b)
+  }
+
+  private def corpusBase(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+
+  /** The shared scoring tail of the inline ([[topK]]) and served
+    * ([[serve]]) paths — ONE body so the quantized-long arithmetic
+    * cannot drift between them (their shared oracle depends on it).
+    * `tf` rows are (doc_id, dl, term, tf) already restricted to query
+    * terms; `dfT`/`stats` are the tiny broadcast sides. */
+  private def scoreAndRank(tf: DataFrame, dfT: DataFrame,
+                           stats: DataFrame,
+                           queries: Seq[(String, Seq[String])], k: Int,
+                           k1: Double, b: Double): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
     // association mirrors the oracle exactly: ((idf · num) / denom)
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val num = col("tf") * (lit(k1) + lit(1.0))
@@ -95,5 +113,58 @@ object Bm25 {
     summed.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Persist the FULL inverted index as TABLES — the build-once /
+    * serve-many shape text retrieval needs at corpus scale (the
+    * inline [[topK]] re-extracts corpus term frequencies per query
+    * set; a deployment extracts once and serves thousands of query
+    * sets): `postings/` holds every (term, doc_id, dl, tf) row,
+    * hash-clustered AND sorted by term within files so a serve-time
+    * query-term filter prunes parquet row groups by the term min/max
+    * stats (the disk-level analogue of the inline path's
+    * filter-before-aggregate); `df/` the per-term document
+    * frequencies; `stats/` the one-row (n_docs, Σdl). Unlike the
+    * inline path the index covers ALL terms — query-independent by
+    * construction. Integer tf/df/dl round-trip parquet exactly, so a
+    * served query reproduces [[topK]]'s answer bit for bit (one
+    * shared oracle). */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 dir: String): Unit = {
+    val base = corpusBase(docs, idCol, textCol)
+    val tfAll = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds postings AND df
+    tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .repartition(16, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    tfAll.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
+    base.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Serve BM25 top-k from a persisted inverted index (see
+    * [[writeIndex]]): the postings scan carries the query-term filter
+    * (pushed to parquet — only matching row groups are read), df is
+    * filtered the same and broadcast, stats is the one-row scalar
+    * attach. No corpus scan, no driver-side collection beyond the
+    * fixed query list. */
+  def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
+            queries: Seq[(String, Seq[String])], k: Int = 10,
+            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct
+    val tf = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val dfT = spark.read.parquet(s"$dir/df")
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    scoreAndRank(tf, dfT, stats, queries, k, k1, b)
   }
 }

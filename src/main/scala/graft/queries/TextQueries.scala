@@ -452,6 +452,62 @@ object TextQueries {
         Bm25Workload, k = 10)
       .orderBy($"qid", $"rank")
 
+  /** Inverted-index PERSISTENCE round trip — build the full postings
+    * / df / stats tables once
+    * ([[graft.operators.Bm25.writeIndex]] — term-sorted postings so a
+    * query-term filter prunes row groups at the scan) and serve the
+    * standard workload from disk. Bit-exact vs [[textBm25TopK]]
+    * (shared scoring tail over integer artifacts), so it shares its
+    * oracle — the text-retrieval analog of the ANN index round
+    * trips. */
+  def textBm25IndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/bm25_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
+    graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** The text_bm25_topk oracle, shared by the persisted-index round
+    * trip (bit-exact serve). */
+  private val bm25TopkSql: String = {
+    val values = Bm25Workload
+      .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
+      .mkString(", ")
+    val inList = Bm25Workload.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |       FROM base),
+       |q(qid, term) AS (VALUES $values),
+       |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
+       |       FROM base, unnest(s) AS u(term)
+       |       WHERE u.term IN ($inList)
+       |       GROUP BY doc_id, dl, u.term),
+       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT q.qid, tf.doc_id, tf.term,
+       |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
+       |            / (CAST(dft.df AS DOUBLE) + 0.5))
+       |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+       |         / (tf.tf + CAST(1.2 AS DOUBLE)
+       |              * ((CAST(1.0 AS DOUBLE) - 0.75)
+       |                 + CAST(0.75 AS DOUBLE)
+       |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+       |           AS s
+       |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
+       |ag AS (SELECT qid, doc_id,
+       |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
+       |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+       |       FROM sc GROUP BY qid, doc_id),
+       |rk AS (SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY score DESC, doc_id) AS rn
+       |       FROM ag)
+       |SELECT qid, CAST(rn AS INT) AS rank, doc_id, score
+       |FROM rk WHERE rn <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** HYBRID retrieval — the modern RAG default: BM25 keyword top-10
     * and brute-force embedding-cosine top-10 for the same query
     * documents (every 100th doc below id 5000 — a FIXED
@@ -1089,44 +1145,11 @@ object TextQueries {
     // Every numeric leg is explicitly DOUBLE (DuckDB would otherwise
     // promote the 0.5/1.2 literals to DECIMAL and diverge from IEEE);
     // the per-(query,doc) term scores fold in term order on both sides.
-    Q.sql("text_bm25_topk", textBm25TopK, {
-      val values = Bm25Workload
-        .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
-        .mkString(", ")
-      val inList = Bm25Workload.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-         |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-         |       FROM base),
-         |q(qid, term) AS (VALUES $values),
-         |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
-         |       FROM base, unnest(s) AS u(term)
-         |       WHERE u.term IN ($inList)
-         |       GROUP BY doc_id, dl, u.term),
-         |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-         |sc AS (SELECT q.qid, tf.doc_id, tf.term,
-         |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
-         |            / (CAST(dft.df AS DOUBLE) + 0.5))
-         |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
-         |         / (tf.tf + CAST(1.2 AS DOUBLE)
-         |              * ((CAST(1.0 AS DOUBLE) - 0.75)
-         |                 + CAST(0.75 AS DOUBLE)
-         |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
-         |           AS s
-         |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
-         |ag AS (SELECT qid, doc_id,
-         |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
-         |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
-         |       FROM sc GROUP BY qid, doc_id),
-         |rk AS (SELECT qid, doc_id, score,
-         |         row_number() OVER (PARTITION BY qid
-         |                            ORDER BY score DESC, doc_id) AS rn
-         |       FROM ag)
-         |SELECT qid, CAST(rn AS INT) AS rank, doc_id, score
-         |FROM rk WHERE rn <= 10
-         |ORDER BY qid, rank""".stripMargin
-    }),
+    Q.sql("text_bm25_topk", textBm25TopK, bm25TopkSql),
+    // persisted-postings serve is bit-exact vs inline (shared scoring
+    // tail, integer artifacts) — same oracle
+    Q.sql("text_bm25_index_roundtrip", textBm25IndexRoundtrip,
+      bm25TopkSql),
 
     // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
     // oracle verbatim with the VALUES workload swapped for the
