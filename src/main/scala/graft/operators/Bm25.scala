@@ -149,6 +149,67 @@ object Bm25 {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** APPEND an increment to a persisted inverted index — unlike the
+    * ANN appends there is NO frozen-vs-retrained tension: the index is
+    * exact additive aggregates, so maintenance is exact merge and the
+    * incrementally-built index is BIT-IDENTICAL to a full rebuild
+    * (served results share [[topK]]'s oracle outright). Increment doc
+    * ids must be disjoint from the base (the ingest contract), making
+    * per-term df additive: postings rows append; `df/` and `stats/`
+    * are re-merged additively and swapped in via write-to-temp +
+    * rename (the [[VectorSearch.compactIndexTable]] discipline — the
+    * old table is fully read before the live directory is touched).
+    * The merge reads only the vocab-sized df table and the one-row
+    * stats, never the postings. */
+  def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  docs: DataFrame, idCol: String,
+                  textCol: String): Unit = {
+    val base = corpusBase(docs, idCol, textCol)
+    val tfInc = base.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // feeds postings AND df merge
+    tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .repartition(16, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$dir/postings")
+    rewriteTable(spark, s"$dir/df") { tmp =>
+      spark.read.parquet(s"$dir/df")
+        .unionByName(tfInc.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .coalesce(1).write.parquet(tmp)
+    }
+    rewriteTable(spark, s"$dir/stats") { tmp =>
+      spark.read.parquet(s"$dir/stats")
+        .unionByName(base.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl")))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_dl")).as("sum_dl"))
+        .coalesce(1).write.parquet(tmp)
+    }
+  }
+
+  /** Rewrite a small live table atomically-enough for a single
+    * writer: the new contents are fully written to a temp sibling
+    * (reading the live table happens during that write), then the
+    * live directory is replaced by two filesystem metadata ops. */
+  private def rewriteTable(spark: org.apache.spark.sql.SparkSession,
+                           live: String)(writeTmp: String => Unit): Unit = {
+    val tmp = {
+      val i = live.lastIndexOf('/')
+      s"${live.substring(0, i)}/.${live.substring(i + 1)}_rewrite_tmp"
+    }
+    writeTmp(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val livePath = new org.apache.hadoop.fs.Path(live)
+    val fs = livePath.getFileSystem(conf)
+    fs.delete(livePath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath),
+      s"rewriteTable: rename $tmp -> $live failed")
+  }
+
   /** Serve BM25 top-k from a persisted inverted index (see
     * [[writeIndex]]): the postings scan carries the query-term filter
     * (pushed to parquet — only matching row groups are read), df is

@@ -467,6 +467,23 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INCREMENTAL inverted-index lifecycle: build the postings/df/stats
+    * tables on the base corpus (every doc_id % 7 ≠ 0), APPEND the
+    * increment ([[graft.operators.Bm25.appendIndex]] — postings rows
+    * append, df/stats re-merge additively; disjoint doc ids make the
+    * merge EXACT, so the incremental index is bit-identical to a full
+    * rebuild) and serve the standard workload. Shares
+    * text_bm25_topk's oracle — the split itself is the assertion. */
+  def textBm25Append(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/bm25_append_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    graft.operators.Bm25.appendIndex(env.spark, dir,
+      env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text")
+    graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** The text_bm25_topk oracle, shared by the persisted-index round
     * trip (bit-exact serve). */
   private val bm25TopkSql: String = {
@@ -1150,6 +1167,8 @@ object TextQueries {
     // tail, integer artifacts) — same oracle
     Q.sql("text_bm25_index_roundtrip", textBm25IndexRoundtrip,
       bm25TopkSql),
+    // additive merge is exact: incremental build ≡ full build
+    Q.sql("text_bm25_append", textBm25Append, bm25TopkSql),
 
     // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
     // oracle verbatim with the VALUES workload swapped for the
