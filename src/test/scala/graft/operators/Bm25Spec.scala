@@ -58,4 +58,43 @@ class Bm25Spec extends SparkSpec {
       .collect()
     assert(top1.length == 1 && top1.head.getInt(1) == 1)
   }
+
+  test("persisted index: term filter pushed to scan; serve and append bit-equal inline") {
+    val docs = Seq(
+      (1L, "red blue red fast"),
+      (2L, "red blue green fast scan"),
+      (3L, "green green table"),
+      (4L, "red table scan value")).toDF("doc_id", "text")
+    val queries = Seq("q1" -> Seq("red", "table"), "q2" -> Seq("green"))
+    val inline = Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_bm25_app").toString
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", dirA)
+      val served = Bm25.serve(spark, dirA, queries, k = 3)
+      assert(served.orderBy("qid", "rank").collect().toSeq == inline)
+      // the query-term filter reaches the postings parquet scan
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+        plan)
+      // incremental build: postings append + additive df/stats merge
+      // is EXACT, so it reproduces the full build bit for bit
+      Bm25.writeIndex(docs.filter($"doc_id" =!= 4L), "doc_id", "text",
+        dirB)
+      Bm25.appendIndex(spark, dirB, docs.filter($"doc_id" === 4L),
+        "doc_id", "text")
+      val incr = Bm25.serve(spark, dirB, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(incr == inline)
+      assert(inline.nonEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
 }
