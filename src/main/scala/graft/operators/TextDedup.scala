@@ -120,10 +120,14 @@ object TextDedup {
     * splits of the k-slot signature pick the LARGEST r (steepest
     * S-curve → fewest sub-threshold false candidates) whose collision
     * probability AT the threshold still meets the recall floor.
-    * r = 1 collides at 1 − (1−t)^k ≈ 1, so a viable split always
-    * exists for any floor < 1; the derivation is monotone — lower
-    * thresholds force smaller r (wider bands), higher thresholds allow
-    * more selective banding.
+    * The best any split reaches is r = 1's 1 − (1−t)^k, which is ≈ 1
+    * for moderate thresholds but FALLS SHORT of high floors at small t
+    * (e.g. t = 0.03, k = 64 tops out at 0.857) — such (threshold,
+    * floor, k) combinations are rejected with a clear error naming
+    * the achievable maximum rather than failing opaquely. Within the
+    * viable region the derivation is monotone — lower thresholds force
+    * smaller r (wider bands), higher thresholds allow more selective
+    * banding.
     *
     * @return (bands, rows) with bands·rows ≤ k, rows maximal subject
     *         to 1 − (1 − threshold^rows)^bands ≥ recallFloor.
@@ -140,10 +144,15 @@ object TextDedup {
     // only self-consistent splits: the band kernel derives
     // rows = k / bands, so keep r values with k / (k / r) == r
     // (e.g. k=64 r=11 → b=5 but 64/5=12 ≠ 11 — excluded)
-    val (r, b) = (1 to k).map(r => (r, k / r))
+    val viable = (1 to k).map(r => (r, k / r))
       .filter { case (r, b) => k / b == r }
       .filter { case (r, b) => recallAt(r, b) >= recallFloor }
-      .maxBy(_._1)
+    require(viable.nonEmpty,
+      f"no banding of a $k-slot signature reaches recall $recallFloor " +
+        f"at threshold $threshold: the widest split (rows=1, bands=$k) " +
+        f"tops out at 1-(1-t)^k = ${recallAt(1, k)}%.6f — lower the " +
+        "recall floor or use a longer signature")
+    val (r, b) = viable.maxBy(_._1)
     (b, r)
   }
 

@@ -30,7 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val buckets = children(2) match {
           case e if e.foldable &&
               e.dataType == org.apache.spark.sql.types.IntegerType =>
-            e.eval().asInstanceOf[Int]
+            e.eval() match {
+              // a foldable CAST(NULL AS INT) evaluates to null — raise
+              // the same analysis-time error, not an NPE on unboxing
+              case null => throw new IllegalArgumentException(
+                s"md5_bucket buckets must be an int literal, got $e (null)")
+              case v => v.asInstanceOf[Int]
+            }
           case other => throw new IllegalArgumentException(
             s"md5_bucket buckets must be an int literal, got $other")
         }

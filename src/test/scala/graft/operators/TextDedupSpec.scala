@@ -165,6 +165,14 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     val rs = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
       .map(t => TextDedup.deriveBanding(t, 64, 0.95)._2)
     assert(rs == rs.sorted, s"rows must be monotone in threshold: $rs")
+    // unreachable floor: rows=1 tops out at 1-(1-t)^k < floor — a
+    // clear IllegalArgumentException, not an opaque empty-maxBy crash
+    val ex = intercept[IllegalArgumentException] {
+      TextDedup.deriveBanding(0.03, 64, 0.95)
+    }
+    assert(ex.getMessage.contains("tops out"), ex.getMessage)
+    // ... while the same threshold with a reachable floor derives fine
+    assert(TextDedup.deriveBanding(0.03, 64, 0.5)._2 >= 1)
   }
 
   test("auto banding finds mid-similarity pairs the 16x4 regime misses") {

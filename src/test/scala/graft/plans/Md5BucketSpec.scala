@@ -53,6 +53,16 @@ class Md5BucketSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!optimized.toLowerCase.contains("md5_bucket"),
       s"constant args must fold: $optimized")
+    // a foldable-but-null bucket count is an analysis error with the
+    // registration's own message, never an NPE at plan time
+    val nullBuckets = intercept[Throwable] {
+      spark.sql("SELECT md5_bucket('s|', 'tok', CAST(NULL AS INT))").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(nullBuckets).exists(
+        _.getMessage.contains("must be an int literal")),
+      s"expected the int-literal message, got: $nullBuckets")
   }
 
   test("interpreted eval matches codegen kernel") {
