@@ -141,6 +141,42 @@ object Bench {
       val v = s.map(_._2).sorted
       (v(v.size / 2), v.last)
     }
+    // WINDOW ADJUDICATION: a query timing is `window_suspect` when the
+    // sentinel segment it ran in was itself degraded — the host, not
+    // the plan, was slow (round 12: the warm sentinel spiked 0.449 s
+    // vs a 0.048 s median at position 200, exactly where a trivial
+    // projection "took" 19 s; every flagged query re-ran at sane speed
+    // off-window). A sentinel spikes when it exceeds
+    // max(3×median, median+0.2 s) — the absolute guard keeps a
+    // micro-jitter on a fast host from flagging everything. A query is
+    // suspect in a pass iff a NEIGHBORING sentinel (the probes at its
+    // segment's two ends) spiked AND its own timing is anomalous vs
+    // the other pass (warm > 1.5×cold is physically impossible for an
+    // identical plan; cold > 3×warm exceeds any codegen/JIT constant).
+    // Flags EXONERATE, they don't excuse: an off-window regression
+    // (calm sentinels) stays unflagged and must be owned.
+    def spikePositions(sents: Seq[(Int, Double)]): Set[Int] = {
+      val med = sents.map(_._2).sorted.apply(sents.size / 2)
+      val cut = math.max(3 * med, med + 0.2)
+      sents.collect { case (i, v) if v > cut => i }.toSet
+    }
+    def windowSuspects(pass: Seq[(String, Double, Option[String])],
+                       sents: Seq[(Int, Double)],
+                       other: Map[String, Double],
+                       factor: Double): Seq[String] = {
+      val spiked = spikePositions(sents)
+      val bounds = sents.map(_._1).sorted
+      pass.zipWithIndex.collect {
+        case ((name, sec, None), i)
+            if {
+              val lo = bounds.filter(_ <= i).lastOption.getOrElse(0)
+              val hi = bounds.find(_ > i).getOrElse(bounds.last)
+              (spiked(lo) || spiked(hi)) && sec >= 0 &&
+                other.get(name).exists(o =>
+                  o >= 0 && sec > factor * math.max(o, 0.5))
+            } => name
+      }
+    }
     val (cold, coldSents) = runPass()
     // Emit a complete, parseable artifact after pass 1: if the driver
     // kills the process during the warm pass, the stdout tail and the
@@ -174,7 +210,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val coldTotal = cold.collect { case (_, v, _) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold_queries":$coldQs,"errors":$errs,"sentinels":{"cold":${sentJson(coldSents)},"warm":${sentJson(warmSents)}},"sf":"${esc(sfDir)}"}"""
+    val coldMap = cold.map { case (k, v, _) => k -> v }.toMap
+    val warmMap = results.map { case (k, v, _) => k -> v }.toMap
+    // warm vs cold: an identical replayed plan slower than its cold
+    // run is host noise; cold vs warm: > 3× is past any codegen cost
+    val suspWarm = windowSuspects(results, warmSents, coldMap, 1.5)
+    val suspCold = windowSuspects(cold, coldSents, warmMap, 3.0)
+    def strArr(xs: Seq[String]): String =
+      xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
+    val suspJson =
+      s"""{"cold":${strArr(suspCold)},"warm":${strArr(suspWarm)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold_queries":$coldQs,"errors":$errs,"sentinels":{"cold":${sentJson(coldSents)},"warm":${sentJson(warmSents)}},"window_suspects":$suspJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout — a
     // 160+-query line can NEVER fit that window whole, which left
@@ -184,7 +230,8 @@ object Bench {
     // error count + pointer to the tracked full capture).
     val nErr = (cold ++ results).collect { case (k, _, Some(_)) => k }.distinct.size
     val (sMedW, sMaxW) = sentStats(warmSents)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"sentinel_med":$sMedW,"sentinel_max":$sMaxW,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
+    val nSusp = (suspCold ++ suspWarm).distinct.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"sentinel_med":$sMedW,"sentinel_max":$sMaxW,"n_window_suspects":$nSusp,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
     // The driver tail-captures stdout and can clip the single long line
     // past the first ~40 queries — persist the full JSON to files too
     // so every timing survives into the round record (BENCH_FULL.json

@@ -128,25 +128,38 @@ object Bm25 {
     * inline path the index covers ALL terms — query-independent by
     * construction. Integer tf/df/dl round-trip parquet exactly, so a
     * served query reproduces [[topK]]'s answer bit for bit (one
-    * shared oracle). */
+    * shared oracle).
+    *
+    * The three tables land as one [[IndexCommit]] manifest flip —
+    * partial builds are invisible — with the postings writer width
+    * derived from the corpus size ([[IndexCommit.writeWidth]]), not a
+    * fixed file count. */
   def writeIndex(docs: DataFrame, idCol: String, textCol: String,
                  dir: String): Unit = {
+    val spark = docs.sparkSession
     val base = corpusBase(docs, idCol, textCol)
     val tfAll = base.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false) // feeds postings AND df
-    tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
-      .repartition(16, col("term"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$dir/postings")
-    tfAll.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/df")
-    base.agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("sum_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+        .repartition(IndexCommit.writeWidth(docs), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+      tfAll.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "df", gen))
+      base.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+      Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** APPEND an increment to a persisted inverted index — unlike the
@@ -155,10 +168,12 @@ object Bm25 {
     * incrementally-built index is BIT-IDENTICAL to a full rebuild
     * (served results share [[topK]]'s oracle outright). Increment doc
     * ids must be disjoint from the base (the ingest contract), making
-    * per-term df additive: postings rows append; `df/` and `stats/`
-    * are re-merged additively and swapped in via write-to-temp +
-    * rename (the [[VectorSearch.compactIndexTable]] discipline — the
-    * old table is fully read before the live directory is touched).
+    * per-term df additive: the increment's postings become a NEW
+    * segment, `df`/`stats` are re-merged additively into fresh
+    * segments, and all three land in one [[IndexCommit]] manifest flip
+    * — a crash mid-append can no longer strand postings that df/stats
+    * don't count (the round-12 hazard), and a retried append replaces
+    * the failed attempt's orphan segments instead of double-appending.
     * The merge reads only the vocab-sized df table and the one-row
     * stats, never the postings. */
   def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -170,44 +185,31 @@ object Bm25 {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false) // feeds postings AND df merge
-    tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
-      .repartition(16, col("term"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("append").parquet(s"$dir/postings")
-    rewriteTable(spark, s"$dir/df") { tmp =>
-      spark.read.parquet(s"$dir/df")
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"appendIndex: no committed index at $dir — writeIndex first"))
+      tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+        .repartition(IndexCommit.writeWidth(docs), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+      IndexCommit.readTable(spark, dir, "df")
         .unionByName(tfInc.groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .coalesce(1).write.parquet(tmp)
-    }
-    rewriteTable(spark, s"$dir/stats") { tmp =>
-      spark.read.parquet(s"$dir/stats")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "df", gen))
+      IndexCommit.readTable(spark, dir, "stats")
         .unionByName(base.agg(count(lit(1)).as("n_docs"),
           sum(col("dl").cast("long")).as("sum_dl")))
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("sum_dl")).as("sum_dl"))
-        .coalesce(1).write.parquet(tmp)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+      Map("postings" -> (prev.tables("postings") :+ s"postings-g$gen"),
+        "df" -> Seq(s"df-g$gen"), "stats" -> Seq(s"stats-g$gen"))
     }
-  }
-
-  /** Rewrite a small live table atomically-enough for a single
-    * writer: the new contents are fully written to a temp sibling
-    * (reading the live table happens during that write), then the
-    * live directory is replaced by two filesystem metadata ops. */
-  private def rewriteTable(spark: org.apache.spark.sql.SparkSession,
-                           live: String)(writeTmp: String => Unit): Unit = {
-    val tmp = {
-      val i = live.lastIndexOf('/')
-      s"${live.substring(0, i)}/.${live.substring(i + 1)}_rewrite_tmp"
-    }
-    writeTmp(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val livePath = new org.apache.hadoop.fs.Path(live)
-    val fs = livePath.getFileSystem(conf)
-    fs.delete(livePath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath),
-      s"rewriteTable: rename $tmp -> $live failed")
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Serve BM25 top-k from a persisted inverted index (see
@@ -220,12 +222,12 @@ object Bm25 {
             queries: Seq[(String, Seq[String])], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queries.flatMap(_._2).distinct
-    val tf = spark.read.parquet(s"$dir/postings")
+    val tf = IndexCommit.readTable(spark, dir, "postings")
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val dfT = spark.read.parquet(s"$dir/df")
+    val dfT = IndexCommit.readTable(spark, dir, "df")
       .filter(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = IndexCommit.readTable(spark, dir, "stats")
     scoreAndRank(tf, dfT, stats, queries, k, k1, b)
   }
 }

@@ -428,17 +428,24 @@ object VectorSearch {
                     dim: Int = 64): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // hash-cluster rows by bucket before the partitioned write: each
-    // bucket's rows land in exactly one task, so the write creates one
-    // file per bucket IN PARALLEL across tasks — without this the
-    // single upstream scan task wrote all 2^bits bucket files
-    // serially (measured: the file-create sequence, not the hashing,
-    // dominated the roundtrip at sf0.1)
-    lshVectorBuckets(vectors, bits, dim)
-      .repartition(16, col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/buckets")
-    Seq((bits, dim)).toDF("bits", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      // hash-cluster rows by bucket before the partitioned write: each
+      // bucket's rows land in exactly one task, so the write creates
+      // one file per bucket IN PARALLEL across tasks — without this
+      // the single upstream scan task wrote all 2^bits bucket files
+      // serially (measured: the file-create sequence, not the hashing,
+      // dominated the roundtrip at sf0.1); the width is size-derived
+      // ([[IndexCommit.writeWidth]]), no fixed 16-writer ceiling
+      lshVectorBuckets(vectors, bits, dim)
+        .repartition(IndexCommit.writeWidth(vectors), col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(IndexCommit.segmentPath(dir, "buckets", gen))
+      Seq((bits, dim)).toDF("bits", "dim")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+      Map("buckets" -> Seq(s"buckets-g$gen"), "meta" -> Seq(s"meta-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Serve top-k from a persisted LSH index (see [[lshWriteIndex]]).
@@ -448,9 +455,9 @@ object VectorSearch {
   def lshServe(spark: org.apache.spark.sql.SparkSession, dir: String,
                queries: DataFrame, k: Int,
                probeHamming: Int = 2): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (bits, dim) = (meta.getInt(0), meta.getInt(1))
-    val vbkt = spark.read.parquet(s"$dir/buckets")
+    val vbkt = IndexCommit.readTable(spark, dir, "buckets")
       .select(col("bkt").cast("int").as("bkt"), col("vec_id"),
         col("embedding"), col("nv"))
     lshScore(vbkt, lshQueryProbes(queries, bits, dim, probeHamming), dim, k)
@@ -464,16 +471,26 @@ object VectorSearch {
     * full rebuild — append-then-serve shares [[lshTopK]]'s oracle
     * outright, with no frozen-vs-retrained drift to reason about.
     * Scale shape: the only driver read is the one-row geometry;
-    * assignment is one compiled map over the increment; the append
-    * writes only the increment's rows, hash-clustered so each bucket's
+    * assignment is one compiled map over the increment; the new
+    * SEGMENT holds only the increment's rows (committed by one
+    * manifest flip — a crashed append is invisible, a retry replaces
+    * its orphan), hash-clustered so each bucket's
     * new file is written in parallel. */
   def lshAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      increment: DataFrame): Unit = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (bits, dim) = (meta.getInt(0), meta.getInt(1))
-    lshVectorBuckets(increment, bits, dim)
-      .repartition(16, col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/buckets")
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"lshAppendIndex: no committed index at $dir — lshWriteIndex first"))
+      lshVectorBuckets(increment, bits, dim)
+        .repartition(IndexCommit.writeWidth(increment), col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt")
+        .parquet(IndexCommit.segmentPath(dir, "buckets", gen))
+      prev.tables.updated("buckets",
+        prev.tables("buckets") :+ s"buckets-g$gen")
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** The IVF index: cell-assigned vectors plus their trained centroids
@@ -672,6 +689,198 @@ object VectorSearch {
       dim = dim)
   }
 
+  /** Probe rank of EVERY (query, cell) pair — [[ivfProbes]] without
+    * the top-nProbe cut, emitting the 1-based rank of each cell in the
+    * query's (centroid similarity desc, cell asc) order. The full
+    * per-query ranking is cell-count-sized, so the output is
+    * |Q|·nCells rows — bounded by geometry, not corpus. */
+  private def ivfProbeRanks(queries: DataFrame,
+                            centroids: Array[(Int, Array[Double])],
+                            dim: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    queries.select(col("qid"), col("qe"))
+      .filter(col("qe").isNotNull)
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcC.value
+          .map { case (cell, c) => (cell, c, normKD(c, dim)) }
+          .filter(_._3 > 0)
+        it.flatMap { case (id, e) =>
+          val nq = normK(e, dim)
+          if (nq == 0) Iterator.empty // zero-norm query: unservable
+          else cents
+            .map { case (cell, c, nc) =>
+              (cell, round6(dotKD(e, c, dim) / (nq * nc)))
+            }
+            .sortBy { case (cell, sim) => (-sim, cell) }
+            .zipWithIndex.iterator
+            .map { case ((cell, _), i) => (id, cell, i + 1) }
+        }
+      }
+      .toDF("qid", "cell", "probe_rank")
+  }
+
+  /** The exact recall-vs-probe-budget curve in ONE pass — the probe
+    * analogue of [[TextDedup.deriveBanding]]'s S-curve inversion: a
+    * budget is DERIVED from a stated recall floor, not hand-tuned.
+    * The closed form rests on the serve path's own exactness: the
+    * final rank is the exact 6-dp cosine with the brute tie-break, so
+    * a ground-truth top-k vector that enters the candidate set can
+    * never be displaced from the final top-k (at most k−1 vectors
+    * score above it anywhere). Recall\@k at budget p is therefore just
+    * P(probe-rank of the truth vector's cell ≤ p) — one join of the
+    * truth pairs to their cells' per-query probe ranks yields
+    * `min_probe` per pair, and the whole curve is one
+    * explode-and-count, with NO re-serving per ladder point.
+    *
+    * Output, one row per budget 1..nCells: (nprobe, n_hits, n_truth,
+    * recall, chosen) — `chosen` marks the smallest budget whose
+    * calibration recall meets `recallFloor` (falling back to nCells
+    * when even a full scan misses it, e.g. truth vectors in
+    * zero-centroid cells). Scale shape: brute truth on a CALIBRATION
+    * sample (the documented contract — at corpus scale you calibrate
+    * on a sample, never the workload), probe ranks via the broadcast
+    * centroid artifact, equi-joins only; every frame past the truth
+    * join is geometry-bounded. */
+  def ivfProbeSweep(vectors: DataFrame, queries: DataFrame, k: Int,
+                    cellCol: String = "label", dim: Int = 64,
+                    recallFloor: Double = 0.9): DataFrame = {
+    val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, 0)
+    ivfProbeSweepFrom(assigned.toDF("cell", "vec_id", "embedding"),
+      centroids, vectors, queries, k, dim, recallFloor)
+  }
+
+  private def ivfProbeSweepFrom(assigned: DataFrame,
+                                centroids: Array[(Int, Array[Double])],
+                                vectors: DataFrame, queries: DataFrame,
+                                k: Int, dim: Int,
+                                recallFloor: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    val nCells = centroids.length
+    val truth = bruteForceTopK(vectors, queries, k, dim)
+      .select(col("qid"), col("vec_id"))
+    val minProbe = truth
+      .join(assigned.select(col("cell"), col("vec_id")), Seq("vec_id"),
+        "left")
+      .join(ivfProbeRanks(queries, centroids, dim), Seq("qid", "cell"),
+        "left")
+    val hitsAt = minProbe
+      .filter(col("probe_rank").isNotNull)
+      .select(explode(sequence(col("probe_rank").cast("int"),
+        lit(nCells))).as("nprobe"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+    val ladder = spark.range(1, nCells + 1)
+      .select(col("id").cast("int").as("nprobe"))
+    val curve = PlanHints.withScalars(
+        ladder.join(hitsAt, Seq("nprobe"), "left")
+          .na.fill(0L, Seq("n_hits")),
+        minProbe.agg(count(lit(1)).as("n_truth")))
+      .select(col("nprobe"), col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"))
+    PlanHints.withScalars(curve,
+        curve.agg(coalesce(
+          min(when(col("recall") >= recallFloor, col("nprobe"))),
+          lit(nCells)).as("chosen_nprobe")))
+      .select(col("nprobe"), col("n_hits"), col("n_truth"), col("recall"),
+        (col("nprobe") === col("chosen_nprobe")).as("chosen"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** IVF top-k at a probe budget DERIVED from a recall floor: run the
+    * [[ivfProbeSweep]] curve on a held-out calibration sample, take
+    * the smallest budget meeting `recallFloor` there, serve `queries`
+    * at that budget (the trained artifacts are shared — one
+    * [[ivfIndex]] call feeds both the sweep and the serve). The one
+    * driver-side value is the chosen budget read from the
+    * nCells-row sweep frame — geometry-bounded, never corpus rows.
+    * Output stamps the budget on every row (`nprobe`) so the serving
+    * configuration is part of the verified result. */
+  def ivfAdaptiveTopK(vectors: DataFrame, calibration: DataFrame,
+                      queries: DataFrame, k: Int,
+                      cellCol: String = "label", dim: Int = 64,
+                      recallFloor: Double = 0.9): DataFrame = {
+    val (assignedDs, centroids) = ivfIndex(vectors, cellCol, dim, 0)
+    val assigned = assignedDs.toDF("cell", "vec_id", "embedding")
+    val chosen = ivfProbeSweepFrom(assigned, centroids, vectors,
+        calibration, k, dim, recallFloor)
+      .filter(col("chosen")).head().getInt(0)
+    ivfScore(assigned, centroids, queries, k, chosen, dim)
+      .withColumn("nprobe", lit(chosen))
+  }
+
+  /** The exact recall-vs-candidate-budget curve for the Matryoshka
+    * two-stage search, in ONE pass — [[ivfProbeSweep]]'s discipline on
+    * the OTHER serving dial: candMult (how many coarse candidates the
+    * exact re-rank sees, candCut = k·candMult). Same closed form: the
+    * re-rank is exact, so a ground-truth vector is recalled at
+    * candMult c iff its GLOBAL coarse rank (prefix-dim cosine desc,
+    * vec_id asc) is ≤ k·c — min_candmult = ⌈coarse_rank / k⌉, and the
+    * whole curve is one explode-and-count over the truth pairs. The
+    * coarse scan keeps per-chunk top-(k·maxCandMult): any row whose
+    * surviving window rank is ≤ that cut has its EXACT global rank
+    * (the [[pqFinish]] containment argument), and rows cut away can
+    * only have ranks beyond the swept ladder — they count as
+    * never-recalled, which is exact too. */
+  def mrlCandSweep(vectors: DataFrame, queries: DataFrame, k: Int,
+                   prefixDim: Int = 16, dim: Int = 64,
+                   maxCandMult: Int = 16,
+                   recallFloor: Double = 0.9): DataFrame = {
+    val spark = vectors.sparkSession
+    val cutK = math.min(k.toLong * maxCandMult, Int.MaxValue).toInt
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = mrlCoarse(vectors, queries, prefixDim, cutK)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= cutK)
+      .select(col("qid"), col("vec_id"), col("crank"))
+    val truth = bruteForceTopK(vectors, queries, k, dim)
+      .select(col("qid"), col("vec_id"))
+    val minCm = truth.join(ranked, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("vec_id"),
+        ((col("crank") + lit(k - 1)) divide lit(k)).cast("int")
+          .as("min_cm"))
+    val hitsAt = minCm
+      .filter(col("min_cm").isNotNull)
+      .select(explode(sequence(col("min_cm"), lit(maxCandMult)))
+        .as("cand_mult"))
+      .groupBy(col("cand_mult")).agg(count(lit(1)).as("n_hits"))
+    val ladder = spark.range(1, maxCandMult + 1)
+      .select(col("id").cast("int").as("cand_mult"))
+    val curve = PlanHints.withScalars(
+        ladder.join(hitsAt, Seq("cand_mult"), "left")
+          .na.fill(0L, Seq("n_hits")),
+        minCm.agg(count(lit(1)).as("n_truth")))
+      .select(col("cand_mult"), col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"))
+    PlanHints.withScalars(curve,
+        curve.agg(coalesce(
+          min(when(col("recall") >= recallFloor, col("cand_mult"))),
+          lit(maxCandMult)).as("chosen_cm")))
+      .select(col("cand_mult"), col("n_hits"), col("n_truth"),
+        col("recall"),
+        (col("cand_mult") === col("chosen_cm")).as("chosen"))
+      .orderBy(col("cand_mult"))
+  }
+
+  /** Matryoshka top-k at a candidate budget DERIVED from a recall
+    * floor — [[ivfAdaptiveTopK]]'s shape for the prefix-dim family:
+    * sweep on the calibration sample, serve `queries` at the smallest
+    * candMult meeting the floor, stamp the budget on every row. */
+  def mrlAdaptiveTopK(vectors: DataFrame, calibration: DataFrame,
+                      queries: DataFrame, k: Int, prefixDim: Int = 16,
+                      dim: Int = 64, maxCandMult: Int = 16,
+                      recallFloor: Double = 0.9): DataFrame = {
+    val chosen = mrlCandSweep(vectors, calibration, k, prefixDim, dim,
+        maxCandMult, recallFloor)
+      .filter(col("chosen")).head().getInt(0)
+    mrlTopK(vectors, queries, k, prefixDim, dim, candMult = chosen)
+      .withColumn("cand_mult", lit(chosen))
+  }
+
   /** Persist the trained IVF index as TABLES — the build-once /
     * serve-many shape a 100 TB deployment needs (every other ann_*
     * entry retrains inline per query set). Two artifacts under `dir`:
@@ -691,12 +900,20 @@ object VectorSearch {
     val spark = vectors.sparkSession
     import spark.implicits._
     val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine)
-    // one file per cell, written in parallel (see lshWriteIndex)
-    assigned.toDF("cell", "vec_id", "embedding")
-      .repartition(16, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      // parallel per-cell file creation (see lshWriteIndex), width
+      // size-derived from the source table
+      assigned.toDF("cell", "vec_id", "embedding")
+        .repartition(IndexCommit.writeWidth(vectors), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(IndexCommit.segmentPath(dir, "cells", gen))
+      spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "centroids", gen))
+      Map("cells" -> Seq(s"cells-g$gen"),
+        "centroids" -> Seq(s"centroids-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** APPEND an increment to a persisted IVF index without rebuilding —
@@ -718,10 +935,10 @@ object VectorSearch {
   def ivfAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      increment: DataFrame, dim: Int = 64): Unit = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = IndexCommit.readTable(spark, dir, "centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
     val bcC = spark.sparkContext.broadcast(centroids)
-    increment.select(col("vec_id"), col("embedding"))
+    val assignedInc = increment.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -743,36 +960,44 @@ object VectorSearch {
         }
       }
       .toDF("cell", "vec_id", "embedding")
-      .repartition(16, col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"ivfAppendIndex: no committed index at $dir — ivfWriteIndex first"))
+      assignedInc
+        .repartition(IndexCommit.writeWidth(increment), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(IndexCommit.segmentPath(dir, "cells", gen))
+      prev.tables.updated("cells", prev.tables("cells") :+ s"cells-g$gen")
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** COMPACT a partitioned index table in place — the maintenance job
     * every append-based ingest eventually needs: each nightly
-    * [[ivfAppendIndex]]/[[lshAppendIndex]] adds one file per touched
-    * partition, and after N nights a probe's partition scan opens N
-    * small files (at corpus scale, the small-files problem dominates
-    * serve latency long before data volume does). Rewrites the table
-    * hash-clustered on the partition column — one file per partition
-    * again — via a write-to-temp-then-swap (the read is finished
-    * before the live directory is touched, and the swap is two
-    * filesystem metadata ops, the pointer-flip a production pipeline
-    * would do with a manifest). Pure reorganization: rows are
-    * byte-identical, so serving shares the uncompacted oracle. */
+    * [[ivfAppendIndex]]/[[lshAppendIndex]] adds one SEGMENT (one file
+    * per touched partition), and after N nights a probe's partition
+    * scan opens N small files (at corpus scale, the small-files
+    * problem dominates serve latency long before data volume does).
+    * Rewrites the table's segments into ONE segment hash-clustered on
+    * the partition column — one file per partition again at the
+    * size-derived width — committed by a single [[IndexCommit]]
+    * manifest flip (live segments are only read, never touched; the
+    * dereferenced inputs are GC'd after the flip). Pure
+    * reorganization: rows are byte-identical, so serving shares the
+    * uncompacted oracle. */
   def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
                         dir: String, table: String,
                         partCol: String): Unit = {
-    val live = s"$dir/$table"
-    val tmp = s"$dir/.${table}_compact_tmp"
-    spark.read.parquet(live)
-      .repartition(16, col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val livePath = new org.apache.hadoop.fs.Path(live)
-    val fs = livePath.getFileSystem(conf)
-    fs.delete(livePath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), livePath),
-      s"compactIndexTable: rename $tmp -> $live failed")
+    val live = IndexCommit.readTable(spark, dir, table)
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"compactIndexTable: no committed index at $dir"))
+      live.repartition(IndexCommit.writeWidth(live), col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(IndexCommit.segmentPath(dir, table, gen))
+      prev.tables.updated(table, Seq(s"$table-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Serve top-k from a persisted index directory (see
@@ -785,9 +1010,9 @@ object VectorSearch {
                queries: DataFrame, k: Int, nProbe: Int = 3,
                dim: Int = 64): DataFrame = {
     import spark.implicits._
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = IndexCommit.readTable(spark, dir, "centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
-    val assigned = spark.read.parquet(s"$dir/cells")
+    val assigned = IndexCommit.readTable(spark, dir, "cells")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("embedding"))
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
@@ -1368,19 +1593,26 @@ object VectorSearch {
       .as[(Long, Array[Float])]
     val cb = pqTrainCodebook(vs, m, nCells, sub)
     val bc = spark.sparkContext.broadcast(cb)
-    vs.mapPartitions(_.flatMap { case (vid, e) =>
-        if (normK(e, dim) == 0) None // cosine undefined: not served
-        else Some((vid, pqAssignK(bc.value, e, m, nCells, sub)))
-      })
-      .toDF("vec_id", "codes")
-      .write.mode("overwrite").parquet(s"$dir/codes")
-    val rows = for {
-      j <- 0 until m; c <- 0 until nCells; if cb(j)(c) != null
-    } yield (j, c, cb(j)(c).toSeq)
-    spark.createDataset(rows).toDF("subspace", "cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((m, nCells, dim)).toDF("m", "ncells", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      vs.mapPartitions(_.flatMap { case (vid, e) =>
+          if (normK(e, dim) == 0) None // cosine undefined: not served
+          else Some((vid, pqAssignK(bc.value, e, m, nCells, sub)))
+        })
+        .toDF("vec_id", "codes")
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "codes", gen))
+      val rows = for {
+        j <- 0 until m; c <- 0 until nCells; if cb(j)(c) != null
+      } yield (j, c, cb(j)(c).toSeq)
+      spark.createDataset(rows).toDF("subspace", "cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "codebooks", gen))
+      Seq((m, nCells, dim)).toDF("m", "ncells", "dim")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+      Seq("codes", "codebooks", "meta").map(t => t -> Seq(s"$t-g$gen")).toMap
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Serve top-k from a persisted PQ index (see [[pqWriteIndex]]): the
@@ -1392,12 +1624,12 @@ object VectorSearch {
   def pqServe(spark: org.apache.spark.sql.SparkSession, dir: String,
               vectors: DataFrame, queries: DataFrame, k: Int,
               candMult: Int = 4): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val cb = readPqCodebooks(spark, dir, m, nCells)
     val bc = spark.sparkContext.broadcast(cb)
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val codes = spark.read.parquet(s"$dir/codes")
+    val codes = IndexCommit.readTable(spark, dir, "codes")
     val approx = scanPqCodes(codes, queries, bc, m, dim / m, dim, candCut)
     pqFinish(approx, vectors, queries, dim, k, candCut)
   }
@@ -1411,7 +1643,7 @@ object VectorSearch {
       : Array[Array[Array[Double]]] = {
     import spark.implicits._
     val out = Array.fill[Array[Double]](m, nCells)(null)
-    spark.read.parquet(s"$dir/codebooks")
+    IndexCommit.readTable(spark, dir, "codebooks")
       .as[(Int, Int, Array[Double])].collect()
       .foreach { case (j, c, cent) => out(j)(c) = cent }
     out
@@ -1432,20 +1664,27 @@ object VectorSearch {
   def pqAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     increment: DataFrame): Unit = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val sub = dim / m
     val bc = spark.sparkContext.broadcast(
       readPqCodebooks(spark, dir, m, nCells))
-    increment.select(col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull)
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.flatMap { case (vid, e) =>
-        if (normK(e, dim) == 0) None // cosine undefined: not served
-        else Some((vid, pqAssignK(bc.value, e, m, nCells, sub)))
-      })
-      .toDF("vec_id", "codes")
-      .write.mode("append").parquet(s"$dir/codes")
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"pqAppendIndex: no committed index at $dir — pqWriteIndex first"))
+      increment.select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull)
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.flatMap { case (vid, e) =>
+          if (normK(e, dim) == 0) None // cosine undefined: not served
+          else Some((vid, pqAssignK(bc.value, e, m, nCells, sub)))
+        })
+        .toDF("vec_id", "codes")
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "codes", gen))
+      prev.tables.updated("codes", prev.tables("codes") :+ s"codes-g$gen")
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Chunk-blocked scan over PQ CODES — [[scanChunks]] with the m-byte
@@ -1751,23 +1990,33 @@ object VectorSearch {
     val (resid, centroids, _, bcCb) =
       ivfPqBuild(vectors, cellCol, m, nCells, dim, sub)
     val cb = bcCb.value
-    resid.filter(_._4).mapPartitions { it =>
-        val cbv = bcCb.value
-        it.map { case (vid, cell, r, _) =>
-          (cell, vid, pqAssignKD(cbv, r, m, nCells, sub))
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      resid.filter(_._4).mapPartitions { it =>
+          val cbv = bcCb.value
+          it.map { case (vid, cell, r, _) =>
+            (cell, vid, pqAssignKD(cbv, r, m, nCells, sub))
+          }
         }
-      }
-      .toDF("cell", "vec_id", "codes")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
-    val rows = for {
-      j <- 0 until m; c <- 0 until nCells; if cb(j)(c) != null
-    } yield (j, c, cb(j)(c).toSeq)
-    spark.createDataset(rows).toDF("subspace", "cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((m, nCells, dim)).toDF("m", "ncells", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+        .toDF("cell", "vec_id", "codes")
+        .repartition(IndexCommit.writeWidth(vectors), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(IndexCommit.segmentPath(dir, "codes", gen))
+      spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "centroids", gen))
+      val rows = for {
+        j <- 0 until m; c <- 0 until nCells; if cb(j)(c) != null
+      } yield (j, c, cb(j)(c).toSeq)
+      spark.createDataset(rows).toDF("subspace", "cell", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "codebooks", gen))
+      Seq((m, nCells, dim)).toDF("m", "ncells", "dim")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+      Seq("codes", "centroids", "codebooks", "meta")
+        .map(t => t -> Seq(s"$t-g$gen")).toMap
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Serve IVFPQ top-k from a persisted index directory (see
@@ -1781,16 +2030,16 @@ object VectorSearch {
                  vectors: DataFrame, queries: DataFrame, k: Int,
                  nProbe: Int = 3, candMult: Int = 4): DataFrame = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val sub = dim / m
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = IndexCommit.readTable(spark, dir, "centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
     val bcCent = spark.sparkContext.broadcast(centroids.toMap)
     val bcCb = spark.sparkContext.broadcast(
       readPqCodebooks(spark, dir, m, nCells))
-    val recon = spark.read.parquet(s"$dir/codes")
+    val recon = IndexCommit.readTable(spark, dir, "codes")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("codes"))
       .as[(Int, Long, Array[Int])]
@@ -1819,16 +2068,22 @@ object VectorSearch {
                     dim: Int = 64): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    vectors.select(col("vec_id"), col("embedding"))
-      .filter(col("embedding").isNotNull)
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (vid, e) =>
-        (vid, java.util.Arrays.copyOf(e, prefixDim))
-      })
-      .toDF("vec_id", "prefix")
-      .write.mode("overwrite").parquet(s"$dir/prefix")
-    Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      vectors.select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull)
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (vid, e) =>
+          (vid, java.util.Arrays.copyOf(e, prefixDim))
+        })
+        .toDF("vec_id", "prefix")
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "prefix", gen))
+      Seq((prefixDim, dim)).toDF("prefix_dim", "dim")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+      Map("prefix" -> Seq(s"prefix-g$gen"), "meta" -> Seq(s"meta-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** Serve Matryoshka two-stage top-k from a persisted prefix table
@@ -1839,10 +2094,10 @@ object VectorSearch {
   def mrlServe(spark: org.apache.spark.sql.SparkSession, dir: String,
                vectors: DataFrame, queries: DataFrame, k: Int,
                candMult: Int = 4): DataFrame = {
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (prefixDim, dim) = (meta.getInt(0), meta.getInt(1))
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val prefix = spark.read.parquet(s"$dir/prefix")
+    val prefix = IndexCommit.readTable(spark, dir, "prefix")
       .select(col("vec_id"), col("prefix").as("embedding"))
     val coarse = mrlCoarse(prefix, queries, prefixDim, candCut)
     pqFinish(coarse, vectors, queries, dim, k, candCut,
@@ -1864,15 +2119,15 @@ object VectorSearch {
                        dir: String, increment: DataFrame,
                        cellCol: String = "label"): Unit = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val sub = dim / m
     val bcCent = spark.sparkContext.broadcast(
-      spark.read.parquet(s"$dir/centroids")
+      IndexCommit.readTable(spark, dir, "centroids")
         .as[(Int, Array[Double])].collect().toMap)
     val bcCb = spark.sparkContext.broadcast(
       readPqCodebooks(spark, dir, m, nCells))
-    increment
+    val codesInc = increment
       .select(col(cellCol).cast("int").as("cell"), col("vec_id"),
         col("embedding"))
       .filter(col("embedding").isNotNull)
@@ -1891,8 +2146,17 @@ object VectorSearch {
         }
       }
       .toDF("cell", "vec_id", "codes")
-      .repartition(16, col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"ivfPqAppendIndex: no committed index at $dir — " +
+          "ivfPqWriteIndex first"))
+      codesInc
+        .repartition(IndexCommit.writeWidth(increment), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(IndexCommit.segmentPath(dir, "codes", gen))
+      prev.tables.updated("codes", prev.tables("codes") :+ s"codes-g$gen")
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
   }
 
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Crash-consistency of the manifest commit protocol: every index
+  * mutation stages segments first and flips one marker last, so a
+  * process killed ANYWHERE before the flip leaves the prior index
+  * serving bit-identical results, and a retry converges to the same
+  * state as a never-crashed run. These tests inject the crash at both
+  * interesting points — mid-first-stage (a poisoned increment fails
+  * the staging job itself) and BETWEEN stages (postings staged, df/
+  * stats not — the exact multi-table inconsistency the round-12
+  * delete-then-rename protocol could strand). */
+class IndexCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rmRf(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
+  private val docs = Seq(
+    (1L, "red blue red fast"),
+    (2L, "red blue green fast scan"),
+    (3L, "green green table"),
+    (4L, "red table scan value")).toDF("doc_id", "text")
+  private val queries = Seq("q1" -> Seq("red", "table"), "q2" -> Seq("green"))
+
+  test("manifest lifecycle: gens advance, fallback reads bare layout") {
+    val dir = tmpDir("graft_mf")
+    try {
+      // pre-manifest directory: tablePaths falls back to dir/table
+      assert(IndexCommit.currentManifest(spark, dir).isEmpty)
+      assert(IndexCommit.tablePaths(spark, dir, "t") == Seq(s"$dir/t"))
+      IndexCommit.commit(spark, dir) { (gen, cur) =>
+        assert(gen == 1L && cur.isEmpty)
+        Seq((1, "a")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> Seq(s"t-g$gen"))
+      }
+      val m1 = IndexCommit.currentManifest(spark, dir).get
+      assert(m1.gen == 1L && m1.tables == Map("t" -> Seq("t-g1")))
+      IndexCommit.commit(spark, dir) { (gen, cur) =>
+        assert(gen == 2L && cur.get.gen == 1L)
+        Seq((2, "b")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> (cur.get.tables("t") :+ s"t-g$gen"))
+      }
+      assert(IndexCommit.readTable(spark, dir, "t").count() == 2)
+      // unknown table: loud error naming what the manifest carries
+      val ex = intercept[RuntimeException](
+        IndexCommit.tablePaths(spark, dir, "nope"))
+      assert(ex.getMessage.contains("has no table"), ex.getMessage)
+    } finally rmRf(dir)
+  }
+
+  test("writeWidth: parallel floor at small inputs, scales with bytes") {
+    val floor = math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, 16))
+    val small = spark.range(100).toDF("id")
+    assert(IndexCommit.writeWidth(small) == floor)
+    // ~80 GB estimated → well past the 16-writer ceiling the fixed
+    // repartition imposed (stats-only: no job runs on this range)
+    val big = spark.range(10L * 1000 * 1000 * 1000).toDF("id")
+    val w = IndexCommit.writeWidth(big)
+    assert(w > 16, s"width $w should exceed the old fixed 16")
+    assert(w <= IndexCommit.MaxWidth)
+    // monotone in the target: halving bytes-per-file doubles files
+    assert(IndexCommit.writeWidth(big, 64L << 20) >= w)
+    // the unknown-stats sentinel is rejected loudly, never a silent
+    // MaxWidth explosion
+    val huge = spark.range(Long.MaxValue / 16).toDF("id")
+    val ex = intercept[IllegalArgumentException](
+      IndexCommit.writeWidth(huge))
+    assert(ex.getMessage.contains("sentinel"), ex.getMessage)
+  }
+
+  test("crash BETWEEN append stages: old index serves; retry converges") {
+    val dir = tmpDir("graft_crash_between")
+    try {
+      val base = docs.filter($"doc_id" =!= 4L)
+      Bm25.writeIndex(base, "doc_id", "text", dir)
+      val before = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      val genBefore = IndexCommit.currentManifest(spark, dir).get.gen
+      // injected crash: stage the postings increment for real, then
+      // die before df/stats — the marker never flips
+      val boom = intercept[RuntimeException] {
+        IndexCommit.commit(spark, dir) { (gen, _) =>
+          Seq(("value", 4L, 4L, 1L)).toDF("term", "doc_id", "dl", "tf")
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+          throw new RuntimeException("injected crash between stages")
+        }
+      }
+      assert(boom.getMessage.contains("injected"))
+      // the old manifest is live and the old index serves bit-equal
+      assert(IndexCommit.currentManifest(spark, dir).get.gen == genBefore)
+      val after = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(after == before)
+      // retry the REAL append: converges to the full-build answer (the
+      // orphan segment from the crashed attempt is overwritten, then
+      // GC'd by the successful commit — no double-append possible)
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 4L),
+        "doc_id", "text")
+      val served = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      val full = Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == full)
+      assert(served.nonEmpty)
+      // post-commit GC removed the crashed attempt's orphan and the
+      // superseded df/stats segments: every remaining segment dir is
+      // referenced by the current manifest
+      val m = IndexCommit.currentManifest(spark, dir).get
+      val live = m.tables.values.flatten.toSet
+      val segDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches(".+-g\\d+"))
+        .map(_.getName).toSet
+      assert(segDirs == live, s"orphans survived GC: ${segDirs -- live}")
+    } finally rmRf(dir)
+  }
+
+  test("crash MID-STAGE: a failing increment job commits nothing") {
+    val dir = tmpDir("graft_crash_mid")
+    try {
+      Bm25.writeIndex(docs.filter($"doc_id" =!= 4L), "doc_id", "text", dir)
+      val before = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      val genBefore = IndexCommit.currentManifest(spark, dir).get.gen
+      // the poisoned increment fails the postings staging JOB itself
+      // (executor-side), the first write of the append
+      val poisoned = docs.filter($"doc_id" === 4L)
+        .as[(Long, String)]
+        .map { _: (Long, String) =>
+          throw new IllegalStateException("injected executor crash")
+          (0L, ""): (Long, String)
+        }
+        .toDF("doc_id", "text")
+      intercept[Throwable] {
+        Bm25.appendIndex(spark, dir, poisoned, "doc_id", "text")
+      }
+      assert(IndexCommit.currentManifest(spark, dir).get.gen == genBefore)
+      val after = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(after == before)
+      assert(after.nonEmpty)
+    } finally rmRf(dir)
+  }
+
+  test("IVF append crash leaves the cells/centroids pair consistent") {
+    val rnd = new scala.util.Random(41)
+    val emb = (0 until 120).map { i =>
+      (i.toLong, i % 8, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val qs = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = tmpDir("graft_crash_ivf")
+    try {
+      VectorSearch.ivfWriteIndex(emb.filter($"vec_id" % 7 =!= 0), dir,
+        dim = 16)
+      val before = VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      val poisoned = emb.filter($"vec_id" % 7 === 0)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .map { _: (Long, Array[Float]) =>
+          throw new IllegalStateException("injected executor crash")
+          (0L, Array.empty[Float]): (Long, Array[Float])
+        }
+        .toDF("vec_id", "embedding")
+      intercept[Throwable] {
+        VectorSearch.ivfAppendIndex(spark, dir, poisoned, dim = 16)
+      }
+      val after = VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(after == before)
+      assert(after.nonEmpty)
+    } finally rmRf(dir)
+  }
+}

@@ -338,9 +338,10 @@ class VectorSearchSpec extends SparkSpec {
       .createTempDirectory("graft_ivf_idx").toString
     try {
       VectorSearch.ivfWriteIndex(emb, dir, dim = 16, refine = 1)
-      // on-disk layout: the cell table is PARTITIONED by cell (a probe
-      // reads only its cells' directories)
-      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      // on-disk layout: the cell table's manifest segment is
+      // PARTITIONED by cell (a probe reads only its cells' dirs)
+      val cellSeg = IndexCommit.tablePaths(spark, dir, "cells").head
+      val cellDirs = new java.io.File(cellSeg).listFiles()
         .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
       assert(cellDirs.length >= 2, s"expected cell=* partitions, got ${cellDirs.mkString(",")}")
       val served = VectorSearch.ivfServe(spark, dir, queries, k = 4, dim = 16)
@@ -396,7 +397,8 @@ class VectorSearchSpec extends SparkSpec {
     try {
       VectorSearch.lshWriteIndex(emb, dir, bits = 4, dim = 16)
       // bucket-partitioned layout: a probe reads only its buckets
-      val bktDirs = new java.io.File(s"$dir/buckets").listFiles()
+      val bktSeg = IndexCommit.tablePaths(spark, dir, "buckets").head
+      val bktDirs = new java.io.File(bktSeg).listFiles()
         .filter(_.getName.startsWith("bkt=")).map(_.getName)
       assert(bktDirs.length >= 2, s"expected bkt=* partitions, got ${bktDirs.mkString(",")}")
       val served = VectorSearch.lshServe(spark, dir, queries, k = 4)
@@ -499,7 +501,7 @@ class VectorSearchSpec extends SparkSpec {
         .orderBy("qid", "rank").collect().toSeq
       assert(servedA == servedB)
       assert(servedA.nonEmpty)
-      assert(spark.read.parquet(s"$dirA/codes").count() == 150)
+      assert(IndexCommit.readTable(spark, dirA, "codes").count() == 150)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -518,11 +520,14 @@ class VectorSearchSpec extends SparkSpec {
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_cmp").toString
+    // per-cell parquet file count ACROSS the table's live manifest
+    // segments — the small-files figure a serve-time probe pays
     def filesPerCell: Map[String, Int] =
-      new java.io.File(s"$dir/cells").listFiles()
-        .filter(_.getName.startsWith("cell=")).map { d =>
-          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
-        }.toMap
+      IndexCommit.tablePaths(spark, dir, "cells")
+        .flatMap(seg => Option(new java.io.File(seg).listFiles()).toSeq
+          .flatten.filter(_.getName.startsWith("cell=")))
+        .groupMapReduce(_.getName)(
+          _.listFiles().count(_.getName.endsWith(".parquet")))(_ + _)
     try {
       VectorSearch.ivfWriteIndex(emb.filter($"vec_id" % 7 =!= 0), dir,
         dim = 16)
@@ -579,7 +584,7 @@ class VectorSearchSpec extends SparkSpec {
       assert(servedA == servedB)
       assert(servedA.nonEmpty)
       // every eligible vector is served from the merged codes table
-      assert(spark.read.parquet(s"$dirA/codes").count() == 150)
+      assert(IndexCommit.readTable(spark, dirA, "codes").count() == 150)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -600,7 +605,7 @@ class VectorSearchSpec extends SparkSpec {
     try {
       VectorSearch.pqWriteIndex(emb, dir, m = 4, nCells = 8, dim = 16)
       // the codes artifact is the compressed form: m ints per vector
-      val codes = spark.read.parquet(s"$dir/codes")
+      val codes = IndexCommit.readTable(spark, dir, "codes")
       assert(codes.count() == 150)
       assert(codes.head().getSeq[Int](1).length == 4)
       val served = VectorSearch.pqServe(spark, dir, emb, queries, k = 4)
