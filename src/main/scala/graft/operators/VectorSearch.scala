@@ -766,6 +766,9 @@ object VectorSearch {
         "left")
       .join(ivfProbeRanks(queries, centroids, dim), Seq("qid", "cell"),
         "left")
+      // k·|Q| rows referenced twice (hit counts + n_truth): checkpoint
+      // so the brute truth scan above runs ONCE, not once per branch
+      .localCheckpoint(eager = false)
     val hitsAt = minProbe
       .filter(col("probe_rank").isNotNull)
       .select(explode(sequence(col("probe_rank").cast("int"),
@@ -780,6 +783,8 @@ object VectorSearch {
       .select(col("nprobe"), col("n_hits"), col("n_truth"),
         round(col("n_hits").cast("double") / col("n_truth"), 4)
           .as("recall"))
+      // nCells rows read twice (output + the chosen-budget agg)
+      .localCheckpoint(eager = false)
     PlanHints.withScalars(curve,
         curve.agg(coalesce(
           min(when(col("recall") >= recallFloor, col("nprobe"))),
@@ -842,8 +847,12 @@ object VectorSearch {
       .select(col("qid"), col("vec_id"),
         ((col("crank") + lit(k - 1)) divide lit(k)).cast("int")
           .as("min_cm"))
+      // k·|Q| rows referenced twice: run brute + coarse scans ONCE
+      .localCheckpoint(eager = false)
     val hitsAt = minCm
-      .filter(col("min_cm").isNotNull)
+      // min_cm beyond the ladder counts as never-recalled; it must not
+      // reach sequence(), which DESCENDS when start > stop
+      .filter(col("min_cm").isNotNull && col("min_cm") <= maxCandMult)
       .select(explode(sequence(col("min_cm"), lit(maxCandMult)))
         .as("cand_mult"))
       .groupBy(col("cand_mult")).agg(count(lit(1)).as("n_hits"))
@@ -856,6 +865,8 @@ object VectorSearch {
       .select(col("cand_mult"), col("n_hits"), col("n_truth"),
         round(col("n_hits").cast("double") / col("n_truth"), 4)
           .as("recall"))
+      // ladder-sized, read twice (output + the chosen-budget agg)
+      .localCheckpoint(eager = false)
     PlanHints.withScalars(curve,
         curve.agg(coalesce(
           min(when(col("recall") >= recallFloor, col("cand_mult"))),

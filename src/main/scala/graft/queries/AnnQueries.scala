@@ -495,15 +495,18 @@ object AnnQueries {
     s"""list_sum(list_transform(range(1, ${d + 1}),
        |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))""".stripMargin
 
-  /** CTE chain shared by ann_mrl_rerank and its recall report:
-    * prefix-16 coarse cosine (rows with zero PREFIX norm excluded on
-    * either side — prefix cosine undefined), per-query top-20
-    * candidates, exact full-dim re-rank ranked as `mranked`. */
-  private def mrlChain: String = {
+  /** CTE chain shared by ann_mrl_rerank, its recall report, and the
+    * adaptive-budget entries: prefix-16 coarse cosine (rows with zero
+    * PREFIX norm excluded on either side — prefix cosine undefined),
+    * per-query top-`candCutExpr` candidates, exact full-dim re-rank
+    * ranked as `mranked`. The candidate cut is an EXPRESSION so the
+    * adaptive oracle can bind it to the calibration sweep's chosen
+    * budget. */
+  private def mrlChainFor(qWhere: String, candCutExpr: String): String = {
     val p = 16
     s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  $qWhere),
        |mapprox AS (
        |  SELECT q.qid, e.vec_id,
        |         round(${dotPfx("q.qe", "e.embedding", p)}
@@ -518,7 +521,7 @@ object AnnQueries {
        |    SELECT qid, vec_id, cos_mrl,
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY cos_mrl DESC, vec_id ASC) AS rn
-       |    FROM mapprox) WHERE rn <= 20),
+       |    FROM mapprox) WHERE rn <= $candCutExpr),
        |mrr AS (
        |  SELECT c.qid, c.vec_id,
        |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c.cos_mrl
@@ -531,6 +534,8 @@ object AnnQueries {
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM mrr)""".stripMargin
   }
+
+  private def mrlChain: String = mrlChainFor("WHERE vec_id % 50 = 0", "20")
 
   private val mrlRerankSql: String =
     s"""WITH $mrlChain
@@ -561,6 +566,277 @@ object AnnQueries {
        |       round(CAST(n_hits AS DOUBLE) / 5.0, 4) AS recall_at_5
        |FROM hits
        |ORDER BY qid""".stripMargin
+
+  /** Held-out CALIBRATION sample for the adaptive-budget entries:
+    * every 100th vector — half of the standard serve workload, so the
+    * other half (odd multiples of 50) tests whether a budget chosen on
+    * the sample generalizes. */
+  private def calibQueriesDf(env: Env) =
+    env.embeddings.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+
+  /** The exact recall-vs-probe-budget CURVE for the IVF family, one
+    * row per budget 1..nCells, with the smallest budget meeting the
+    * 0.9 recall floor flagged `chosen` —
+    * [[graft.operators.VectorSearch.ivfProbeSweep]]: budgets are
+    * DERIVED from a stated floor (the dedup_minhash_auto discipline on
+    * the probe dial), not hand-tuned, and the whole curve costs ONE
+    * pass (no re-serving per ladder point — recall\@k at budget p is
+    * exactly P(truth vector's cell ranks ≤ p), because the exact
+    * re-rank can never evict a global-top-k vector). */
+  def annIvfProbeSweep(env: Env): DataFrame =
+    VectorSearch.ivfProbeSweep(env.embeddings, calibQueriesDf(env), k = 5)
+
+  /** IVF top-5 served at the probe budget the calibration sweep chose
+    * for the 0.9 floor, budget stamped on every row
+    * ([[graft.operators.VectorSearch.ivfAdaptiveTopK]]) — build-once
+    * artifacts shared between the sweep and the serve. */
+  def annIvfAdaptive(env: Env): DataFrame =
+    VectorSearch.ivfAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
+  /** One-row recall CARD for the adaptive IVF serve: recall\@5 of the
+    * FULL workload (including the held-out half the calibration never
+    * saw) at the chosen budget, with the floor verdict — the
+    * "stated floor at a stated budget" contract as a verified result. */
+  def annIvfAdaptiveRecall(env: Env): DataFrame =
+    adaptiveRecallCard(env,
+      VectorSearch.ivfAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5), "nprobe")
+
+  /** The recall-vs-candidate-budget curve for the Matryoshka family
+    * (budget dial: candMult, the coarse-candidate multiplier the exact
+    * re-rank sees) — same one-pass closed form via the truth vectors'
+    * global coarse ranks; ladder 1..64.
+    * [[graft.operators.VectorSearch.mrlCandSweep]]. */
+  def annMrlCandSweep(env: Env): DataFrame =
+    VectorSearch.mrlCandSweep(env.embeddings, calibQueriesDf(env), k = 5,
+      maxCandMult = 64)
+
+  /** MRL top-5 served at the candidate budget the calibration sweep
+    * chose for the 0.9 floor (the pinned ann_mrl_rerank entry's
+    * candMult 4 measures recall ~0.5 — the sweep finds the budget that
+    * actually meets the floor), budget stamped on every row. */
+  def annMrlAdaptive(env: Env): DataFrame =
+    VectorSearch.mrlAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5, maxCandMult = 64)
+      .orderBy($"qid", $"rank")
+
+  /** One-row recall card for the adaptive MRL serve — the
+    * [[annIvfAdaptiveRecall]] contract on the candMult dial. */
+  def annMrlAdaptiveRecall(env: Env): DataFrame =
+    adaptiveRecallCard(env,
+      VectorSearch.mrlAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5, maxCandMult = 64), "cand_mult")
+
+  /** Recall\@5 of an adaptively-budgeted serve over the FULL workload,
+    * as one row: (budget, n_truth, n_hits, recall, floor_met). The
+    * brute side is the standard ground-truth scan; the single recall
+    * division is correctly rounded, so the card is oracle-exact. */
+  private def adaptiveRecallCard(env: Env, served: DataFrame,
+                                 budgetCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, round}
+    val brute = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
+        k = 5)
+      .select($"qid", $"vec_id")
+    val card = brute.join(
+        served.select($"qid", $"vec_id", lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_truth"), count($"hit").as("n_hits"))
+      .select($"n_truth", $"n_hits",
+        round($"n_hits".cast("double") / $"n_truth", 4).as("recall"))
+    graft.operators.PlanHints.withScalars(card,
+        served.agg(max(col(budgetCol)).as(budgetCol)))
+      .select(col(budgetCol), $"n_truth", $"n_hits", $"recall",
+        ($"recall" >= 0.9).as("floor_met"))
+  }
+
+  /** Calibration CTE chain for the IVF adaptive oracles: probe ranks
+    * of every (calibration query, cell), brute truth on the sample,
+    * min_probe per truth pair, the one-pass sweep, and the chosen
+    * budget (smallest with recall ≥ 0.9, nCells fallback). */
+  private val ivfCalibCtes: String =
+    s"""nc AS (SELECT CAST(count(*) AS INT) AS n_cells FROM cent),
+       |cq AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |csim AS (
+       |  SELECT q.qid, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+       |  FROM cq q, cent c),
+       |cranks AS (
+       |  SELECT qid, cell,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY sim DESC, cell ASC) AS probe_rank
+       |  FROM csim),
+       |cbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM cq q JOIN embeddings e ON e.vec_id <> q.qid),
+       |cbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM cbscored) WHERE rn <= 5),
+       |minp AS (
+       |  SELECT b.qid, b.vec_id, r.probe_rank
+       |  FROM cbtop b JOIN embeddings e ON e.vec_id = b.vec_id
+       |  LEFT JOIN cranks r ON r.qid = b.qid AND r.cell = CAST(e.label AS INT)),
+       |ladder AS (
+       |  SELECT CAST(t.x AS INT) AS nprobe FROM range(1, 65537) t(x)
+       |  WHERE t.x <= (SELECT n_cells FROM nc)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM minp),
+       |sweep AS (
+       |  SELECT l.nprobe, CAST(count(m.vec_id) AS BIGINT) AS n_hits
+       |  FROM ladder l LEFT JOIN minp m ON m.probe_rank <= l.nprobe
+       |  GROUP BY l.nprobe),
+       |curve AS (
+       |  SELECT s.nprobe, s.n_hits, t.n_truth,
+       |         round(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall
+       |  FROM sweep s, tot t),
+       |chosen AS (
+       |  SELECT coalesce(
+       |           min(CASE WHEN recall >= CAST(0.9 AS DOUBLE)
+       |               THEN nprobe END),
+       |           (SELECT n_cells FROM nc)) AS p FROM curve)""".stripMargin
+
+  private val ivfSweepSql: String =
+    s"""WITH $ivfCentCte,
+       |$ivfCalibCtes
+       |SELECT c.nprobe, c.n_hits, c.n_truth, c.recall,
+       |       (c.nprobe = ch.p) AS chosen
+       |FROM curve c, chosen ch ORDER BY c.nprobe""".stripMargin
+
+  private val ivfAdaptiveSql: String =
+    s"""WITH $ivfCentCte,
+       |$ivfCalibCtes,
+       |${ivfServeCtes("WHERE vec_id % 50 = 0", "(SELECT p FROM chosen)")}
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos,
+       |       (SELECT p FROM chosen) AS nprobe
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val ivfAdaptiveRecallSql: String =
+    s"""WITH $ivfCentCte,
+       |$ivfCalibCtes,
+       |${ivfServeCtes("WHERE vec_id % 50 = 0", "(SELECT p FROM chosen)")},
+       |stop AS (SELECT qid, vec_id FROM ranked WHERE rn <= 5),
+       |sbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       |sbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM sbscored) WHERE rn <= 5)
+       |SELECT (SELECT p FROM chosen) AS nprobe,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(count(s.vec_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4) AS recall,
+       |       (round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4)
+       |        >= CAST(0.9 AS DOUBLE)) AS floor_met
+       |FROM sbtop b LEFT JOIN stop s
+       |  ON s.qid = b.qid AND s.vec_id = b.vec_id""".stripMargin
+
+  /** Calibration CTEs for the MRL adaptive oracles: global coarse
+    * (prefix-16) rank of each truth pair on the sample, min candMult
+    * = ⌈rank / 5⌉, ladder 1..64, chosen = smallest meeting 0.9. */
+  private val mrlCalibCtes: String = {
+    val p = 16
+    s"""cq AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |cmapprox AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${dotPfx("q.qe", "e.embedding", p)}
+       |               / (sqrt(${dotPfx("q.qe", "q.qe", p)})
+       |                  * sqrt(${dotPfx("e.embedding", "e.embedding", p)})),
+       |               6) AS cos_mrl
+       |  FROM cq q JOIN embeddings e ON e.vec_id <> q.qid
+       |  WHERE ${dotPfx("e.embedding", "e.embedding", p)} > 0
+       |    AND ${dotPfx("q.qe", "q.qe", p)} > 0),
+       |cranked AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos_mrl DESC, vec_id ASC) AS crank
+       |  FROM cmapprox),
+       |cbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM cq q JOIN embeddings e ON e.vec_id <> q.qid),
+       |cbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM cbscored) WHERE rn <= 5),
+       |mincm AS (
+       |  SELECT b.qid, b.vec_id, CAST((c.crank + 4) // 5 AS INT) AS min_cm
+       |  FROM cbtop b LEFT JOIN cranked c
+       |    ON c.qid = b.qid AND c.vec_id = b.vec_id),
+       |ladder AS (SELECT CAST(t.x AS INT) AS cand_mult FROM range(1, 65) t(x)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM mincm),
+       |sweep AS (
+       |  SELECT l.cand_mult, CAST(count(m.vec_id) AS BIGINT) AS n_hits
+       |  FROM ladder l LEFT JOIN mincm m ON m.min_cm <= l.cand_mult
+       |  GROUP BY l.cand_mult),
+       |curve AS (
+       |  SELECT s.cand_mult, s.n_hits, t.n_truth,
+       |         round(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall
+       |  FROM sweep s, tot t),
+       |chosen AS (
+       |  SELECT coalesce(
+       |           min(CASE WHEN recall >= CAST(0.9 AS DOUBLE)
+       |               THEN cand_mult END),
+       |           64) AS p FROM curve)""".stripMargin
+  }
+
+  private val mrlSweepSql: String =
+    s"""WITH $mrlCalibCtes
+       |SELECT c.cand_mult, c.n_hits, c.n_truth, c.recall,
+       |       (c.cand_mult = ch.p) AS chosen
+       |FROM curve c, chosen ch ORDER BY c.cand_mult""".stripMargin
+
+  private val mrlAdaptiveSql: String =
+    s"""WITH $mrlCalibCtes,
+       |${mrlChainFor("WHERE vec_id % 50 = 0", "5 * (SELECT p FROM chosen)")}
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_mrl,
+       |       (SELECT p FROM chosen) AS cand_mult
+       |FROM mranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val mrlAdaptiveRecallSql: String =
+    s"""WITH $mrlCalibCtes,
+       |${mrlChainFor("WHERE vec_id % 50 = 0", "5 * (SELECT p FROM chosen)")},
+       |stop AS (SELECT qid, vec_id FROM mranked WHERE rn <= 5),
+       |sbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       |sbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM sbscored) WHERE rn <= 5)
+       |SELECT (SELECT p FROM chosen) AS cand_mult,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(count(s.vec_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4) AS recall,
+       |       (round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4)
+       |        >= CAST(0.9 AS DOUBLE)) AS floor_met
+       |FROM sbtop b LEFT JOIN stop s
+       |  ON s.qid = b.qid AND s.vec_id = b.vec_id""".stripMargin
 
   /** Index BALANCE card: per-cell occupancy of the coarse quantizer
     * (the label cells ivf_topk probes), each cell's corpus share, and
@@ -602,21 +878,24 @@ object AnnQueries {
       |FROM cells, tot
       |ORDER BY cell""".stripMargin
 
-  /** The IVF-top-k oracle, parameterized by the query-set predicate
-    * and k — ONE body shared by ann_ivf_topk, ann_knn_join (every
-    * vector, k = 3) and the streaming ANN entry t9 (whose per-query
-    * results are batch-independent, so the streamed union replays
-    * exactly this SQL); a fix to the centroid grid / probe tie-break
-    * lands in all three or none. */
-  private[queries] def ivfTopkSqlFor(qWhere: String, k: Int): String =
-    s"""WITH cent AS (
-       |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
-       |    SELECT CAST(label AS INT) AS cell, t.d AS d,
-       |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
-       |    FROM embeddings, range(1, 65) t(d)
-       |    GROUP BY cell, t.d)
-       |  GROUP BY cell),
-       |q AS (
+  /** The trained-centroid CTE shared by every IVF-family oracle.
+    * A def, not a val: the adaptive oracles above it in declaration
+    * order read it during object init. */
+  private def ivfCentCte: String =
+    """cent AS (
+      |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+      |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+      |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+      |    FROM embeddings, range(1, 65) t(d)
+      |    GROUP BY cell, t.d)
+      |  GROUP BY cell)""".stripMargin
+
+  /** The IVF serve chain (query set → probe cells → candidates →
+    * exact rank), parameterized by the query predicate and the probe
+    * budget EXPRESSION — a literal for the pinned entries, a scalar
+    * subquery over the calibration sweep for the adaptive one. */
+  private def ivfServeCtes(qWhere: String, probeExpr: String): String =
+    s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  $qWhere),
        |psim AS (
@@ -634,7 +913,7 @@ object AnnQueries {
        |    SELECT qid, cell,
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY sim DESC, cell ASC) AS rn
-       |    FROM psim) WHERE rn <= 3),
+       |    FROM psim) WHERE rn <= $probeExpr),
        |cand AS (
        |  SELECT p.qid, e.vec_id,
        |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
@@ -646,7 +925,17 @@ object AnnQueries {
        |  SELECT qid, vec_id, cos,
        |         row_number() OVER (PARTITION BY qid
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  /** The IVF-top-k oracle, parameterized by the query-set predicate
+    * and k — ONE body shared by ann_ivf_topk, ann_knn_join (every
+    * vector, k = 3) and the streaming ANN entry t9 (whose per-query
+    * results are batch-independent, so the streamed union replays
+    * exactly this SQL); a fix to the centroid grid / probe tie-break
+    * lands in all three or none. */
+  private[queries] def ivfTopkSqlFor(qWhere: String, k: Int): String =
+    s"""WITH $ivfCentCte,
+       |${ivfServeCtes(qWhere, "3")}
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
        |FROM ranked WHERE rn <= $k
        |ORDER BY qid, rank""".stripMargin
@@ -1488,6 +1777,21 @@ object AnnQueries {
     // prefix persisted as its own table: the byte cut reaches disk
     Q.sql("ann_mrl_index_roundtrip", annMrlIndexRoundtrip, mrlRerankSql),
     Q.sql("ann_mrl_recall_report", annMrlRecallReport, mrlRecallSql),
+
+    // ADAPTIVE BUDGETS — (nProbe, candMult) derived from a stated
+    // recall floor via one-pass calibration sweeps (the S-curve-
+    // inversion discipline on the serving dials), never hand-tuned:
+    // the full recall-vs-budget curve, the serve at the chosen
+    // budget (stamped on every row), and the full-workload recall
+    // card with the floor verdict
+    Q.sql("ann_ivf_probe_sweep", annIvfProbeSweep, ivfSweepSql),
+    Q.sql("ann_ivf_adaptive", annIvfAdaptive, ivfAdaptiveSql),
+    Q.sql("ann_ivf_adaptive_recall", annIvfAdaptiveRecall,
+      ivfAdaptiveRecallSql),
+    Q.sql("ann_mrl_cand_sweep", annMrlCandSweep, mrlSweepSql),
+    Q.sql("ann_mrl_adaptive", annMrlAdaptive, mrlAdaptiveSql),
+    Q.sql("ann_mrl_adaptive_recall", annMrlAdaptiveRecall,
+      mrlAdaptiveRecallSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,
     // /sqrt(16) = /4 exact, 6dp edge rounding

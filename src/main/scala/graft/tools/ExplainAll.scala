@@ -37,6 +37,14 @@ object ExplainAll {
       "ann_mrl_rerank" -> 1, // prefix-dim chunk scan
       "ann_mrl_index_roundtrip" -> 1, // same scan over the prefix table
       "ann_mrl_recall_report" -> 2, // brute ground truth + prefix scan
+      // adaptive-budget family: calibration brute truth (+ prefix
+      // coarse scans for MRL; + serve-set brute for the recall cards)
+      "ann_ivf_probe_sweep" -> 1,
+      "ann_ivf_adaptive" -> 1,
+      "ann_ivf_adaptive_recall" -> 2,
+      "ann_mrl_cand_sweep" -> 2,
+      "ann_mrl_adaptive" -> 3,
+      "ann_mrl_adaptive_recall" -> 4,
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
       // the DENSE NB model is classes × vocab BY DEFINITION — the one
       // cross product is between two vocabulary-bounded aggregates
