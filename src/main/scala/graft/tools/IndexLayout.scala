@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.Env
+import graft.operators.{Bm25, IndexCommit, VectorSearch}
+import org.apache.spark.sql.SparkSession
+
+/** Dev measurement: the persisted-index WRITE LAYOUT at a scale point
+  * — for each index family, the input's optimizer size estimate, the
+  * size-derived writer width ([[graft.operators.IndexCommit.writeWidth]]
+  * at the default 128 MiB target and at a 1 MiB target, showing the
+  * same estimator crossing the old fixed-16 ceiling on real data), and
+  * the ACTUAL parquet file count the committed layout produced — the
+  * numbers behind SCALING.md's "no fixed-width writes" row.
+  *
+  * Usage: runMain graft.tools.IndexLayout <sfDir>
+  */
+object IndexLayout {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val env = Env(spark, sfDir)
+
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(dir))
+    }
+    def mb(b: BigInt): String = f"${b.toDouble / 1e6}%.1f"
+
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_layout").toString
+    def report(family: String, input: org.apache.spark.sql.DataFrame,
+               build: String => Unit, table: String): Unit = {
+      val est = input.queryExecution.optimizedPlan.stats.sizeInBytes
+      val w128 = IndexCommit.writeWidth(input)
+      // 64 KiB target: scales the SAME estimator past the parallel
+      // floor on this small test data, proving width ∝ bytes with a
+      // real input (the 128 MiB column moves at deployment sizes)
+      val w1 = IndexCommit.writeWidth(input, 64L << 10)
+      val dir = s"$scratch/$family"
+      val t0 = System.nanoTime()
+      build(dir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val files = IndexCommit.tablePaths(spark, dir, table)
+        .map(parquetFiles).sum
+      println(f"[layout] $family @ $sfDir: est_mb=${mb(est)} " +
+        s"width@128MiB=$w128 width@64KiB=$w1 " +
+        f"${table}_files=$files build_s=$sec%.1f")
+    }
+
+    report("bm25", env.documents,
+      d => Bm25.writeIndex(env.documents, "doc_id", "text", d), "postings")
+    report("lsh", env.embeddings,
+      d => VectorSearch.lshWriteIndex(env.embeddings, d), "buckets")
+    report("ivf", env.embeddings,
+      d => VectorSearch.ivfWriteIndex(env.embeddings, d), "cells")
+    report("ivfpq", env.embeddings,
+      d => VectorSearch.ivfPqWriteIndex(env.embeddings, d), "codes")
+    report("mrl", env.embeddings,
+      d => VectorSearch.mrlWriteIndex(env.embeddings, d), "prefix")
+
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(scratch))
+    spark.stop()
+  }
+}
