@@ -892,6 +892,74 @@ object VectorSearch {
       .withColumn("cand_mult", lit(chosen))
   }
 
+  /** The exact recall-vs-multiprobe-radius curve for the LSH family —
+    * the [[ivfProbeSweep]] closed form on the hamming dial: a
+    * ground-truth vector is recalled at probeHamming r iff its bucket
+    * is within r bit flips of the query's (candidates from those
+    * buckets are ranked by EXACT cosine, so containment in the
+    * candidate set is containment in the top-k), and its minimal
+    * radius is simply popcount(qbucket XOR vbucket) — one narrow join
+    * of truth pairs to the two bucket tables, no re-serving per
+    * ladder point. Ladder 0..bits; fallback `bits` (a full-radius
+    * probe set is the brute scan). */
+  def lshRadiusSweep(vectors: DataFrame, queries: DataFrame, k: Int,
+                     bits: Int = 8, dim: Int = 64,
+                     recallFloor: Double = 0.9): DataFrame = {
+    val spark = vectors.sparkSession
+    val vb = lshVectorBuckets(vectors, bits, dim)
+      .select(col("bkt").as("vbkt"), col("vec_id"))
+    val qb = lshVectorBuckets(
+        queries.select(col("qid").as("vec_id"), col("qe").as("embedding")),
+        bits, dim)
+      .select(col("bkt").as("qbkt"), col("vec_id").as("qid"))
+    val truth = bruteForceTopK(vectors, queries, k, dim)
+      .select(col("qid"), col("vec_id"))
+    val minR = truth
+      .join(vb, Seq("vec_id"), "left")
+      .join(qb, Seq("qid"), "left")
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("vbkt").bitwiseXOR(col("qbkt"))).cast("int")
+          .as("min_radius"))
+      // k·|Q| rows referenced twice: run the brute scan ONCE
+      .localCheckpoint(eager = false)
+    val hitsAt = minR
+      .filter(col("min_radius").isNotNull)
+      .select(explode(sequence(col("min_radius"), lit(bits)))
+        .as("radius"))
+      .groupBy(col("radius")).agg(count(lit(1)).as("n_hits"))
+    val ladder = spark.range(0, bits + 1)
+      .select(col("id").cast("int").as("radius"))
+    val curve = PlanHints.withScalars(
+        ladder.join(hitsAt, Seq("radius"), "left")
+          .na.fill(0L, Seq("n_hits")),
+        minR.agg(count(lit(1)).as("n_truth")))
+      .select(col("radius"), col("n_hits"), col("n_truth"),
+        round(col("n_hits").cast("double") / col("n_truth"), 4)
+          .as("recall"))
+      .localCheckpoint(eager = false) // read twice (output + chosen agg)
+    PlanHints.withScalars(curve,
+        curve.agg(coalesce(
+          min(when(col("recall") >= recallFloor, col("radius"))),
+          lit(bits)).as("chosen_radius")))
+      .select(col("radius"), col("n_hits"), col("n_truth"), col("recall"),
+        (col("radius") === col("chosen_radius")).as("chosen"))
+      .orderBy(col("radius"))
+  }
+
+  /** LSH top-k at the multiprobe radius DERIVED from a recall floor —
+    * [[ivfAdaptiveTopK]]'s shape on the hamming dial, budget stamped
+    * on every row. */
+  def lshAdaptiveTopK(vectors: DataFrame, calibration: DataFrame,
+                      queries: DataFrame, k: Int, bits: Int = 8,
+                      dim: Int = 64,
+                      recallFloor: Double = 0.9): DataFrame = {
+    val chosen = lshRadiusSweep(vectors, calibration, k, bits, dim,
+        recallFloor)
+      .filter(col("chosen")).head().getInt(0)
+    lshTopK(vectors, queries, k, bits, dim, probeHamming = chosen)
+      .withColumn("radius", lit(chosen))
+  }
+
   /** Persist the trained IVF index as TABLES — the build-once /
     * serve-many shape a 100 TB deployment needs (every other ann_*
     * entry retrains inline per query set). Two artifacts under `dir`:

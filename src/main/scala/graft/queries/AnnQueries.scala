@@ -630,6 +630,28 @@ object AnnQueries {
       VectorSearch.mrlAdaptiveTopK(env.embeddings, calibQueriesDf(env),
         queriesDf(env), k = 5, maxCandMult = 64), "cand_mult")
 
+  /** The recall-vs-multiprobe-radius curve for the LSH family (budget
+    * dial: probeHamming) — min recall radius of a truth pair is just
+    * popcount(qbucket XOR vbucket), so the curve is one narrow join,
+    * ladder 0..8. [[graft.operators.VectorSearch.lshRadiusSweep]]. */
+  def annLshRadiusSweep(env: Env): DataFrame =
+    VectorSearch.lshRadiusSweep(env.embeddings, calibQueriesDf(env), k = 5)
+
+  /** LSH top-5 served at the multiprobe radius the calibration sweep
+    * chose for the 0.9 floor (the pinned ann_lsh_topk entry's
+    * radius 2), budget stamped on every row. */
+  def annLshAdaptive(env: Env): DataFrame =
+    VectorSearch.lshAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
+  /** One-row recall card for the adaptive LSH serve — the
+    * [[annIvfAdaptiveRecall]] contract on the hamming dial. */
+  def annLshAdaptiveRecall(env: Env): DataFrame =
+    adaptiveRecallCard(env,
+      VectorSearch.lshAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5), "radius")
+
   /** Recall\@5 of an adaptively-budgeted serve over the FULL workload,
     * as one row: (budget, n_truth, n_hits, recall, floor_met). The
     * brute side is the standard ground-truth scan; the single recall
@@ -1020,26 +1042,30 @@ object AnnQueries {
 
   // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
   // the md5 hex digit of the seed string — identical to
-  // VectorSearch.hyperplanes. bit_count(xor(buckets)) <= 2 is exactly
-  // the kernel's multiprobe mask-set membership. ONE body shared by
-  // ann_lsh_topk and the persisted-index roundtrip (bit-exact serve).
-  private[queries] val lshTopkSql: String =
-    s"""WITH bitsums AS (
-       |  SELECT v.vec_id, t.b AS b,
-       |    list_sum(list_transform(range(1, 65),
-       |      i -> CAST(v.embedding[i] AS DOUBLE) *
-       |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
-       |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
-       |                 THEN 1.0 ELSE -1.0 END))) AS s
-       |  FROM embeddings v, range(0, 8) t(b)),
-       |buckets AS (
-       |  SELECT vec_id,
-       |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
-       |  FROM bitsums
-       |  GROUP BY vec_id),
-       |q AS (
+  // VectorSearch.hyperplanes. The md5 bucket CTE, shared by every
+  // LSH-family oracle.
+  private def lshBucketsCte: String =
+    """bitsums AS (
+      |  SELECT v.vec_id, t.b AS b,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(v.embedding[i] AS DOUBLE) *
+      |           (CASE WHEN substr(md5('graft-hp-' || t.b || '-' || ((i-1) // 32)),
+      |                             CAST((i-1) % 32 + 1 AS INT), 1) >= '8'
+      |                 THEN 1.0 ELSE -1.0 END))) AS s
+      |  FROM embeddings v, range(0, 8) t(b)),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN s > 0 THEN 1 << b ELSE 0 END) AS INT) AS bucket
+      |  FROM bitsums
+      |  GROUP BY vec_id)""".stripMargin
+
+  // bit_count(xor(buckets)) <= radius is exactly the kernel's
+  // multiprobe mask-set membership; the radius is an EXPRESSION so the
+  // adaptive oracle binds it to the calibration sweep's choice.
+  private def lshServeCtes(qWhere: String, radiusExpr: String): String =
+    s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  $qWhere),
        |qb AS (
        |  SELECT q.qid, q.qe, b.bucket AS qbucket
        |  FROM q JOIN buckets b ON b.vec_id = q.qid),
@@ -1049,16 +1075,103 @@ object AnnQueries {
        |  FROM qb
        |  JOIN buckets vb
        |    ON vb.vec_id <> qb.qid
-       |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT)) <= 2
+       |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT))
+       |       <= $radiusExpr
        |  JOIN embeddings e ON e.vec_id = vb.vec_id),
        |ranked AS (
        |  SELECT qid, vec_id, cos,
        |         row_number() OVER (PARTITION BY qid
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+
+  // ONE body shared by ann_lsh_topk, the persisted-index roundtrip,
+  // and the incremental append (all bit-exact serves).
+  private[queries] val lshTopkSql: String =
+    s"""WITH $lshBucketsCte,
+       |${lshServeCtes("WHERE vec_id % 50 = 0", "2")}
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
        |FROM ranked WHERE rn <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  /** Calibration CTEs for the LSH adaptive oracles: min recall radius
+    * of each truth pair = popcount(qbucket XOR vbucket), ladder 0..8,
+    * chosen = smallest radius meeting 0.9 (fallback 8). */
+  private val lshCalibCtes: String =
+    s"""cq AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 100 = 0),
+       |cbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM cq q JOIN embeddings e ON e.vec_id <> q.qid),
+       |cbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM cbscored) WHERE rn <= 5),
+       |minr AS (
+       |  SELECT b.qid, b.vec_id,
+       |         CAST(bit_count(CAST(xor(vb.bucket, qb.bucket) AS BIGINT))
+       |              AS INT) AS min_radius
+       |  FROM cbtop b
+       |  LEFT JOIN buckets vb ON vb.vec_id = b.vec_id
+       |  LEFT JOIN buckets qb ON qb.vec_id = b.qid),
+       |ladder AS (SELECT CAST(t.x AS INT) AS radius FROM range(0, 9) t(x)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM minr),
+       |sweep AS (
+       |  SELECT l.radius, CAST(count(m.vec_id) AS BIGINT) AS n_hits
+       |  FROM ladder l LEFT JOIN minr m ON m.min_radius <= l.radius
+       |  GROUP BY l.radius),
+       |curve AS (
+       |  SELECT s.radius, s.n_hits, t.n_truth,
+       |         round(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall
+       |  FROM sweep s, tot t),
+       |chosen AS (
+       |  SELECT coalesce(
+       |           min(CASE WHEN recall >= CAST(0.9 AS DOUBLE)
+       |               THEN radius END),
+       |           8) AS p FROM curve)""".stripMargin
+
+  private val lshSweepSql: String =
+    s"""WITH $lshBucketsCte,
+       |$lshCalibCtes
+       |SELECT c.radius, c.n_hits, c.n_truth, c.recall,
+       |       (c.radius = ch.p) AS chosen
+       |FROM curve c, chosen ch ORDER BY c.radius""".stripMargin
+
+  private val lshAdaptiveSql: String =
+    s"""WITH $lshBucketsCte,
+       |$lshCalibCtes,
+       |${lshServeCtes("WHERE vec_id % 50 = 0", "(SELECT p FROM chosen)")}
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos,
+       |       (SELECT p FROM chosen) AS radius
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val lshAdaptiveRecallSql: String =
+    s"""WITH $lshBucketsCte,
+       |$lshCalibCtes,
+       |${lshServeCtes("WHERE vec_id % 50 = 0", "(SELECT p FROM chosen)")},
+       |stop AS (SELECT qid, vec_id FROM ranked WHERE rn <= 5),
+       |sbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       |sbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM sbscored) WHERE rn <= 5)
+       |SELECT (SELECT p FROM chosen) AS radius,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(count(s.vec_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4) AS recall,
+       |       (round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4)
+       |        >= CAST(0.9 AS DOUBLE)) AS floor_met
+       |FROM sbtop b LEFT JOIN stop s
+       |  ON s.qid = b.qid AND s.vec_id = b.vec_id""".stripMargin
 
   // PQ 8x16 training replay (init cells vec_id % 16, one Lloyd sweep
   // on the 4dp grid / 6dp squared L2, lowest-cell ties), encoding,
@@ -1792,6 +1905,10 @@ object AnnQueries {
     Q.sql("ann_mrl_adaptive", annMrlAdaptive, mrlAdaptiveSql),
     Q.sql("ann_mrl_adaptive_recall", annMrlAdaptiveRecall,
       mrlAdaptiveRecallSql),
+    Q.sql("ann_lsh_radius_sweep", annLshRadiusSweep, lshSweepSql),
+    Q.sql("ann_lsh_adaptive", annLshAdaptive, lshAdaptiveSql),
+    Q.sql("ann_lsh_adaptive_recall", annLshAdaptiveRecall,
+      lshAdaptiveRecallSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,
     // /sqrt(16) = /4 exact, 6dp edge rounding

@@ -45,6 +45,9 @@ object ExplainAll {
       "ann_mrl_cand_sweep" -> 2,
       "ann_mrl_adaptive" -> 3,
       "ann_mrl_adaptive_recall" -> 4,
+      "ann_lsh_radius_sweep" -> 1,
+      "ann_lsh_adaptive" -> 1,
+      "ann_lsh_adaptive_recall" -> 2,
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
       // the DENSE NB model is classes × vocab BY DEFINITION — the one
       // cross product is between two vocabulary-bounded aggregates

@@ -89,6 +89,41 @@ class AdaptiveBudgetSpec extends SparkSpec {
     assert(recs.zip(recs.tail).forall { case (a, b) => a <= b })
   }
 
+  test("lshRadiusSweep matches directly-measured recall at every radius") {
+    val sweep = VectorSearch.lshRadiusSweep(emb, queries, k = 5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(sweep.size == 9) // ladder 0..8
+    for (r <- Seq(0, 2, 5)) {
+      val direct = directRecall(
+        VectorSearch.lshTopK(emb, queries, k = 5, probeHamming = r))
+      val (h, t, _) = sweep(r)
+      assert(h == math.round(direct * t),
+        s"radius=$r sweep=(h=$h,t=$t) direct=$direct")
+    }
+    val recs = (0 to 8).map(r => sweep(r)._3)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b })
+    assert(recs.last == 1.0) // radius 8 probes every bucket
+  }
+
+  test("lsh adaptive serve equals pinned radius serve, budget stamped") {
+    val floor = 0.7
+    val sweep = VectorSearch.lshRadiusSweep(emb, queries, k = 5,
+        recallFloor = floor)
+      .collect().map(r => (r.getInt(0), r.getDouble(3), r.getBoolean(4)))
+    val expected = sweep.find(_._2 >= floor).map(_._1).getOrElse(8)
+    val adaptive = VectorSearch.lshAdaptiveTopK(emb, queries, queries,
+        k = 5, recallFloor = floor)
+    assert(adaptive.select($"radius").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(expected))
+    val pinned = VectorSearch.lshTopK(emb, queries, k = 5,
+        probeHamming = expected)
+      .orderBy($"qid", $"rank").collect().toSeq
+    assert(adaptive.drop("radius").orderBy($"qid", $"rank")
+      .collect().toSeq == pinned)
+    assert(pinned.nonEmpty)
+  }
+
   test("mrl adaptive serve equals pinned candMult serve, budget stamped") {
     val floor = 0.6
     val sweep = VectorSearch.mrlCandSweep(emb, queries, k = 5,
