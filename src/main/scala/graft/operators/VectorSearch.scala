@@ -757,7 +757,6 @@ object VectorSearch {
                                 vectors: DataFrame, queries: DataFrame,
                                 k: Int, dim: Int,
                                 recallFloor: Double): DataFrame = {
-    val spark = vectors.sparkSession
     val nCells = centroids.length
     val truth = bruteForceTopK(vectors, queries, k, dim)
       .select(col("qid"), col("vec_id"))
@@ -766,32 +765,48 @@ object VectorSearch {
         "left")
       .join(ivfProbeRanks(queries, centroids, dim), Seq("qid", "cell"),
         "left")
-      // k·|Q| rows referenced twice (hit counts + n_truth): checkpoint
-      // so the brute truth scan above runs ONCE, not once per branch
-      .localCheckpoint(eager = false)
-    val hitsAt = minProbe
-      .filter(col("probe_rank").isNotNull)
-      .select(explode(sequence(col("probe_rank").cast("int"),
-        lit(nCells))).as("nprobe"))
-      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
-    val ladder = spark.range(1, nCells + 1)
-      .select(col("id").cast("int").as("nprobe"))
+      .select(col("probe_rank").cast("int").as("min_b"))
+    recallCurve(minProbe, "nprobe", 1, nCells, recallFloor)
+  }
+
+  /** The shared tail of every budget sweep (probe / candMult /
+    * radius): given one row per ground-truth pair with its MINIMAL
+    * recalling budget (`min_b`, null = never recalled within the
+    * ladder), emit one row per ladder budget with hit counts, recall,
+    * and the `chosen` flag — smallest budget meeting `recallFloor`,
+    * falling back to the ladder max when even it misses the floor.
+    * The input is lazily checkpointed so the (expensive) truth scan
+    * feeding it runs ONCE, not once per plan branch; everything after
+    * is ladder-sized. */
+  private def recallCurve(minB: DataFrame, budgetCol: String,
+                          ladderMin: Int, ladderMax: Int,
+                          recallFloor: Double): DataFrame = {
+    val spark = minB.sparkSession
+    val mb = minB.localCheckpoint(eager = false)
+    val hitsAt = mb
+      // a min_b beyond the ladder counts as never-recalled; it must
+      // not reach sequence(), which DESCENDS when start > stop
+      .filter(col("min_b").isNotNull && col("min_b") <= ladderMax)
+      .select(explode(sequence(col("min_b"), lit(ladderMax)))
+        .as(budgetCol))
+      .groupBy(col(budgetCol)).agg(count(lit(1)).as("n_hits"))
+    val ladder = spark.range(ladderMin, ladderMax + 1)
+      .select(col("id").cast("int").as(budgetCol))
     val curve = PlanHints.withScalars(
-        ladder.join(hitsAt, Seq("nprobe"), "left")
+        ladder.join(hitsAt, Seq(budgetCol), "left")
           .na.fill(0L, Seq("n_hits")),
-        minProbe.agg(count(lit(1)).as("n_truth")))
-      .select(col("nprobe"), col("n_hits"), col("n_truth"),
+        mb.agg(count(lit(1)).as("n_truth")))
+      .select(col(budgetCol), col("n_hits"), col("n_truth"),
         round(col("n_hits").cast("double") / col("n_truth"), 4)
           .as("recall"))
-      // nCells rows read twice (output + the chosen-budget agg)
-      .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false) // read twice: output + chosen agg
     PlanHints.withScalars(curve,
         curve.agg(coalesce(
-          min(when(col("recall") >= recallFloor, col("nprobe"))),
-          lit(nCells)).as("chosen_nprobe")))
-      .select(col("nprobe"), col("n_hits"), col("n_truth"), col("recall"),
-        (col("nprobe") === col("chosen_nprobe")).as("chosen"))
-      .orderBy(col("nprobe"))
+          min(when(col("recall") >= recallFloor, col(budgetCol))),
+          lit(ladderMax)).as("_chosen_b")))
+      .select(col(budgetCol), col("n_hits"), col("n_truth"), col("recall"),
+        (col(budgetCol) === col("_chosen_b")).as("chosen"))
+      .orderBy(col(budgetCol))
   }
 
   /** IVF top-k at a probe budget DERIVED from a recall floor: run the
@@ -844,37 +859,9 @@ object VectorSearch {
     val truth = bruteForceTopK(vectors, queries, k, dim)
       .select(col("qid"), col("vec_id"))
     val minCm = truth.join(ranked, Seq("qid", "vec_id"), "left")
-      .select(col("qid"), col("vec_id"),
-        ((col("crank") + lit(k - 1)) divide lit(k)).cast("int")
-          .as("min_cm"))
-      // k·|Q| rows referenced twice: run brute + coarse scans ONCE
-      .localCheckpoint(eager = false)
-    val hitsAt = minCm
-      // min_cm beyond the ladder counts as never-recalled; it must not
-      // reach sequence(), which DESCENDS when start > stop
-      .filter(col("min_cm").isNotNull && col("min_cm") <= maxCandMult)
-      .select(explode(sequence(col("min_cm"), lit(maxCandMult)))
-        .as("cand_mult"))
-      .groupBy(col("cand_mult")).agg(count(lit(1)).as("n_hits"))
-    val ladder = spark.range(1, maxCandMult + 1)
-      .select(col("id").cast("int").as("cand_mult"))
-    val curve = PlanHints.withScalars(
-        ladder.join(hitsAt, Seq("cand_mult"), "left")
-          .na.fill(0L, Seq("n_hits")),
-        minCm.agg(count(lit(1)).as("n_truth")))
-      .select(col("cand_mult"), col("n_hits"), col("n_truth"),
-        round(col("n_hits").cast("double") / col("n_truth"), 4)
-          .as("recall"))
-      // ladder-sized, read twice (output + the chosen-budget agg)
-      .localCheckpoint(eager = false)
-    PlanHints.withScalars(curve,
-        curve.agg(coalesce(
-          min(when(col("recall") >= recallFloor, col("cand_mult"))),
-          lit(maxCandMult)).as("chosen_cm")))
-      .select(col("cand_mult"), col("n_hits"), col("n_truth"),
-        col("recall"),
-        (col("cand_mult") === col("chosen_cm")).as("chosen"))
-      .orderBy(col("cand_mult"))
+      .select(((col("crank") + lit(k - 1)) divide lit(k)).cast("int")
+        .as("min_b"))
+    recallCurve(minCm, "cand_mult", 1, maxCandMult, recallFloor)
   }
 
   /** Matryoshka top-k at a candidate budget DERIVED from a recall
@@ -917,33 +904,9 @@ object VectorSearch {
     val minR = truth
       .join(vb, Seq("vec_id"), "left")
       .join(qb, Seq("qid"), "left")
-      .select(col("qid"), col("vec_id"),
-        bit_count(col("vbkt").bitwiseXOR(col("qbkt"))).cast("int")
-          .as("min_radius"))
-      // k·|Q| rows referenced twice: run the brute scan ONCE
-      .localCheckpoint(eager = false)
-    val hitsAt = minR
-      .filter(col("min_radius").isNotNull)
-      .select(explode(sequence(col("min_radius"), lit(bits)))
-        .as("radius"))
-      .groupBy(col("radius")).agg(count(lit(1)).as("n_hits"))
-    val ladder = spark.range(0, bits + 1)
-      .select(col("id").cast("int").as("radius"))
-    val curve = PlanHints.withScalars(
-        ladder.join(hitsAt, Seq("radius"), "left")
-          .na.fill(0L, Seq("n_hits")),
-        minR.agg(count(lit(1)).as("n_truth")))
-      .select(col("radius"), col("n_hits"), col("n_truth"),
-        round(col("n_hits").cast("double") / col("n_truth"), 4)
-          .as("recall"))
-      .localCheckpoint(eager = false) // read twice (output + chosen agg)
-    PlanHints.withScalars(curve,
-        curve.agg(coalesce(
-          min(when(col("recall") >= recallFloor, col("radius"))),
-          lit(bits)).as("chosen_radius")))
-      .select(col("radius"), col("n_hits"), col("n_truth"), col("recall"),
-        (col("radius") === col("chosen_radius")).as("chosen"))
-      .orderBy(col("radius"))
+      .select(bit_count(col("vbkt").bitwiseXOR(col("qbkt"))).cast("int")
+        .as("min_b"))
+    recallCurve(minR, "radius", 0, bits, recallFloor)
   }
 
   /** LSH top-k at the multiprobe radius DERIVED from a recall floor —
@@ -958,6 +921,100 @@ object VectorSearch {
       .filter(col("chosen")).head().getInt(0)
     lshTopK(vectors, queries, k, bits, dim, probeHamming = chosen)
       .withColumn("radius", lit(chosen))
+  }
+
+  /** The TWO-DIAL adaptive build for IVFPQ: one training pass feeds
+    * (a) the coarse-cell probe sweep — IVFPQ's first dial is the SAME
+    * coarse quantizer as IVF, so [[ivfProbeSweepFrom]] applies
+    * verbatim — and (b), AT the chosen probe budget, the candMult
+    * curve from each truth pair's ADC rank among the candidates its
+    * query's probed cells expose (the asymmetric-distance analogue of
+    * [[mrlCandSweep]]'s coarse rank: the exact re-rank keeps any
+    * truth pair whose ADC rank clears the cut). Returns the shared
+    * reconstruction table, the centroids, the chosen probe budget,
+    * and the candMult curve. */
+  private def ivfPqAdaptiveParts(vectors: DataFrame, calibration: DataFrame,
+                                 k: Int, cellCol: String, m: Int,
+                                 nCells: Int, dim: Int, maxCandMult: Int,
+                                 recallFloor: Double)
+      : (DataFrame, Array[(Int, Array[Double])], Int, DataFrame) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sub = dim / m
+    require(m * sub == dim, s"ivfPqAdaptive: m=$m must divide dim=$dim")
+    val (resid, centroids, bcCent, bcCb) =
+      ivfPqBuild(vectors, cellCol, m, nCells, dim, sub)
+    val recon = resid.filter(_._4).mapPartitions { it =>
+        val cbv = bcCb.value
+        val cents = bcCent.value
+        it.flatMap { case (vid, cell, r, _) =>
+          val codes = pqAssignKD(cbv, r, m, nCells, sub)
+          val fv = pqReconstruct(cbv, cents(cell), codes, dim, m, sub)
+          if (fv != null) Some((cell, vid, fv)) else None
+        }
+      }.toDF("cell", "vec_id", "fv")
+      .localCheckpoint(eager = false) // feeds the cand sweep AND serve
+    val assigned = resid.map { case (vid, cell, _, _) => (cell, vid) }
+      .toDF("cell", "vec_id")
+    val p = ivfProbeSweepFrom(assigned, centroids, vectors, calibration,
+        k, dim, recallFloor)
+      .filter(col("chosen")).head().getInt(0)
+    val adc = recon.join(ivfProbes(calibration, centroids, p, dim),
+        Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("qe"), col("nq"), col("vec_id"), col("fv"))
+      .as[(Long, Array[Float], Double, Long, Array[Double])]
+      .mapPartitions(_.flatMap { case (qid, qe, nq, vid, fv) =>
+        val nf = normKD(fv, dim)
+        if (nf == 0) None // reconstruction degenerate: never served
+        else Some((qid, vid, round6(dotKD(qe, fv, dim) / (nq * nf))))
+      })
+      .toDF("qid", "vec_id", "cos")
+    val cutK = math.min(k.toLong * maxCandMult, Int.MaxValue).toInt
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val ranked = adc.withColumn("arank", row_number().over(w))
+      .filter(col("arank") <= cutK)
+      .select(col("qid"), col("vec_id"), col("arank"))
+    val truth = bruteForceTopK(vectors, calibration, k, dim)
+      .select(col("qid"), col("vec_id"))
+    val minCm = truth.join(ranked, Seq("qid", "vec_id"), "left")
+      .select(((col("arank") + lit(k - 1)) divide lit(k)).cast("int")
+        .as("min_b"))
+    (recon, centroids, p,
+      recallCurve(minCm, "cand_mult", 1, maxCandMult, recallFloor))
+  }
+
+  /** The candMult curve for IVFPQ at its sweep-chosen probe budget —
+    * the second dial's sweep table, probe budget stamped on every
+    * row. */
+  def ivfPqCandSweep(vectors: DataFrame, queries: DataFrame, k: Int,
+                     cellCol: String = "label", m: Int = 8,
+                     nCells: Int = 16, dim: Int = 64,
+                     maxCandMult: Int = 64,
+                     recallFloor: Double = 0.9): DataFrame = {
+    val (_, _, p, curve) = ivfPqAdaptiveParts(vectors, queries, k,
+      cellCol, m, nCells, dim, maxCandMult, recallFloor)
+    curve.withColumn("nprobe", lit(p))
+  }
+
+  /** IVFPQ top-k with BOTH dials derived from the recall floor:
+    * nProbe from the coarse-cell sweep, candMult from the ADC-rank
+    * sweep at that probe budget, both stamped on every row — one
+    * training pass feeds the sweeps and the serve. */
+  def ivfPqAdaptiveTopK(vectors: DataFrame, calibration: DataFrame,
+                        queries: DataFrame, k: Int,
+                        cellCol: String = "label", m: Int = 8,
+                        nCells: Int = 16, dim: Int = 64,
+                        maxCandMult: Int = 64,
+                        recallFloor: Double = 0.9): DataFrame = {
+    val (recon, centroids, p, curve) = ivfPqAdaptiveParts(vectors,
+      calibration, k, cellCol, m, nCells, dim, maxCandMult, recallFloor)
+    val c = curve.filter(col("chosen")).head().getInt(0)
+    val candCut = math.min(k.toLong * c, Int.MaxValue).toInt
+    ivfPqScore(recon, centroids, vectors, queries, k, p, dim, candCut)
+      .withColumn("nprobe", lit(p))
+      .withColumn("cand_mult", lit(c))
   }
 
   /** Persist the trained IVF index as TABLES — the build-once /

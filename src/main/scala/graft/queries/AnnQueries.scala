@@ -652,12 +652,33 @@ object AnnQueries {
       VectorSearch.lshAdaptiveTopK(env.embeddings, calibQueriesDf(env),
         queriesDf(env), k = 5), "radius")
 
+  /** IVFPQ's SECOND dial swept at the first dial's choice: the
+    * candMult curve from ADC ranks within the chosen probe budget's
+    * candidate sets, probe budget stamped per row.
+    * [[graft.operators.VectorSearch.ivfPqCandSweep]]. */
+  def annIvfPqCandSweep(env: Env): DataFrame =
+    VectorSearch.ivfPqCandSweep(env.embeddings, calibQueriesDf(env), k = 5)
+
+  /** IVFPQ top-5 with BOTH dials derived from the 0.9 floor (nProbe
+    * from the coarse-cell sweep, candMult from the ADC-rank sweep at
+    * that budget), both stamped per row. */
+  def annIvfPqAdaptive(env: Env): DataFrame =
+    VectorSearch.ivfPqAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+
+  /** One-row recall card for the two-dial adaptive IVFPQ serve. */
+  def annIvfPqAdaptiveRecall(env: Env): DataFrame =
+    adaptiveRecallCard(env,
+      VectorSearch.ivfPqAdaptiveTopK(env.embeddings, calibQueriesDf(env),
+        queriesDf(env), k = 5), "nprobe", "cand_mult")
+
   /** Recall\@5 of an adaptively-budgeted serve over the FULL workload,
     * as one row: (budget, n_truth, n_hits, recall, floor_met). The
     * brute side is the standard ground-truth scan; the single recall
     * division is correctly rounded, so the card is oracle-exact. */
   private def adaptiveRecallCard(env: Env, served: DataFrame,
-                                 budgetCol: String): DataFrame = {
+                                 budgetCols: String*): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, max, round}
     val brute = VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env),
         k = 5)
@@ -669,9 +690,11 @@ object AnnQueries {
       .select($"n_truth", $"n_hits",
         round($"n_hits".cast("double") / $"n_truth", 4).as("recall"))
     graft.operators.PlanHints.withScalars(card,
-        served.agg(max(col(budgetCol)).as(budgetCol)))
-      .select(col(budgetCol), $"n_truth", $"n_hits", $"recall",
-        ($"recall" >= 0.9).as("floor_met"))
+        served.agg(max(col(budgetCols.head)).as(budgetCols.head),
+          budgetCols.tail.map(c => max(col(c)).as(c)): _*))
+      .select(budgetCols.map(col) ++
+        Seq($"n_truth", $"n_hits", $"recall",
+          ($"recall" >= 0.9).as("floor_met")): _*)
   }
 
   /** Calibration CTE chain for the IVF adaptive oracles: probe ranks
@@ -1286,7 +1309,7 @@ object AnnQueries {
     * (coarse centroid means + residual codebook init/sweep) — residual
     * computation and encoding stay full-corpus, which is the
     * frozen-artifact append replay ann_ivfpq_append needs. */
-  private def ivfPqChainFor(trainPred: String => String): String =
+  private def ivfPqTrainCtes(trainPred: String => String): String =
     s"""cent AS (
        |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
        |    SELECT CAST(label AS INT) AS cell, t.d AS d,
@@ -1351,10 +1374,17 @@ object AnnQueries {
        |         list_transform(range(1, 65),
        |           i -> c.centroid[i] + r.rv[i]) AS fv
        |  FROM reconr r JOIN ev ON ev.vec_id = r.vec_id
-       |  JOIN cent c ON c.cell = ev.cell),
-       |q AS (
+       |  JOIN cent c ON c.cell = ev.cell)""".stripMargin
+
+  /** The IVFPQ serve chain (probe selection → ADC scoring → candidate
+    * cut → exact re-rank), parameterized by the query predicate and
+    * BOTH budget expressions so the adaptive oracle can bind them to
+    * the calibration sweeps' choices. */
+  private def ivfPqServeCtes(qWhere: String, probeExpr: String,
+                             candCutExpr: String): String =
+    s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  $qWhere),
        |psim AS (
        |  SELECT q.qid, c.cell,
        |    round(
@@ -1370,7 +1400,7 @@ object AnnQueries {
        |    SELECT qid, cell,
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY sim DESC, cell ASC) AS rn
-       |    FROM psim) WHERE rn <= 3),
+       |    FROM psim) WHERE rn <= $probeExpr),
        |approx AS (
        |  SELECT p.qid, r.vec_id,
        |    round(list_sum(list_transform(range(1, 65),
@@ -1394,7 +1424,7 @@ object AnnQueries {
        |    SELECT qid, vec_id, cos_pq,
        |           row_number() OVER (PARTITION BY qid
        |                              ORDER BY cos_pq DESC, vec_id ASC) AS rn
-       |    FROM approx) WHERE rn <= 20),
+       |    FROM approx) WHERE rn <= $candCutExpr),
        |rr AS (
        |  SELECT c3.qid, c3.vec_id,
        |         round(${cos("q.qe", "e.embedding")}, 6) AS cos, c3.cos_pq
@@ -1407,7 +1437,110 @@ object AnnQueries {
        |                            ORDER BY cos DESC, vec_id ASC) AS rn
        |  FROM rr)""".stripMargin
 
-  private[queries] val ivfPqChain: String = ivfPqChainFor(_ => "TRUE")
+  private def ivfPqChainFor(trainPred: String => String): String =
+    s"""${ivfPqTrainCtes(trainPred)},
+       |${ivfPqServeCtes("WHERE vec_id % 50 = 0", "3", "20")}""".stripMargin
+
+  private[queries] def ivfPqChain: String = ivfPqChainFor(_ => "TRUE")
+
+  /** Dial-2 calibration CTEs for the adaptive IVFPQ oracles — ADC
+    * ranks of the calibration truth pairs within the candidate sets
+    * the CHOSEN probe budget exposes (cranks/cbtop/chosen come from
+    * [[ivfCalibCtes]]; cent/recon from the shared training chain). */
+  private val ivfPqCalib2Ctes: String =
+    s"""cprobes AS (
+       |  SELECT qid, cell FROM cranks
+       |  WHERE probe_rank <= (SELECT p FROM chosen)),
+       |capprox AS (
+       |  SELECT p.qid, r.vec_id,
+       |    round(list_sum(list_transform(range(1, 65),
+       |            i -> CAST(q.qe[i] AS DOUBLE) * r.fv[i]))
+       |          / (sqrt(list_sum(list_transform(range(1, 65),
+       |               i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(range(1, 65),
+       |                 i -> r.fv[i] * r.fv[i])))), 6) AS cos_pq
+       |  FROM cprobes p
+       |  JOIN recon r ON r.cell = p.cell
+       |  JOIN cq q ON q.qid = p.qid
+       |  JOIN embeddings e ON e.vec_id = r.vec_id
+       |  WHERE r.vec_id <> p.qid
+       |    AND list_sum(list_transform(range(1, 65),
+       |          i -> CAST(e.embedding[i] AS DOUBLE)
+       |               * CAST(e.embedding[i] AS DOUBLE))) > 0
+       |    AND list_sum(list_transform(range(1, 65),
+       |          i -> r.fv[i] * r.fv[i])) > 0),
+       |caranked AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY cos_pq DESC, vec_id ASC) AS arank
+       |  FROM capprox),
+       |minc AS (
+       |  SELECT b.qid, b.vec_id, CAST((c.arank + 4) // 5 AS INT) AS min_cm
+       |  FROM cbtop b LEFT JOIN caranked c
+       |    ON c.qid = b.qid AND c.vec_id = b.vec_id),
+       |ladder2 AS (SELECT CAST(t.x AS INT) AS cand_mult FROM range(1, 65) t(x)),
+       |tot2 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM minc),
+       |sweep2 AS (
+       |  SELECT l.cand_mult, CAST(count(m.vec_id) AS BIGINT) AS n_hits
+       |  FROM ladder2 l LEFT JOIN minc m ON m.min_cm <= l.cand_mult
+       |  GROUP BY l.cand_mult),
+       |curve2 AS (
+       |  SELECT s.cand_mult, s.n_hits, t.n_truth,
+       |         round(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall
+       |  FROM sweep2 s, tot2 t),
+       |chosen2 AS (
+       |  SELECT coalesce(
+       |           min(CASE WHEN recall >= CAST(0.9 AS DOUBLE)
+       |               THEN cand_mult END),
+       |           64) AS c FROM curve2)""".stripMargin
+
+  private val ivfPqCandSweepSql: String =
+    s"""WITH ${ivfPqTrainCtes(_ => "TRUE")},
+       |$ivfCalibCtes,
+       |$ivfPqCalib2Ctes
+       |SELECT c.cand_mult, c.n_hits, c.n_truth, c.recall,
+       |       (c.cand_mult = ch.c) AS chosen,
+       |       (SELECT p FROM chosen) AS nprobe
+       |FROM curve2 c, chosen2 ch ORDER BY c.cand_mult""".stripMargin
+
+  private val ivfPqAdaptiveSql: String =
+    s"""WITH ${ivfPqTrainCtes(_ => "TRUE")},
+       |$ivfCalibCtes,
+       |$ivfPqCalib2Ctes,
+       |${ivfPqServeCtes("WHERE vec_id % 50 = 0", "(SELECT p FROM chosen)",
+          "5 * (SELECT c FROM chosen2)")}
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq,
+       |       (SELECT p FROM chosen) AS nprobe,
+       |       (SELECT c FROM chosen2) AS cand_mult
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val ivfPqAdaptiveRecallSql: String =
+    s"""WITH ${ivfPqTrainCtes(_ => "TRUE")},
+       |$ivfCalibCtes,
+       |$ivfPqCalib2Ctes,
+       |${ivfPqServeCtes("WHERE vec_id % 50 = 0", "(SELECT p FROM chosen)",
+          "5 * (SELECT c FROM chosen2)")},
+       |stop AS (SELECT qid, vec_id FROM ranked WHERE rn <= 5),
+       |sbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+       |sbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM sbscored) WHERE rn <= 5)
+       |SELECT (SELECT p FROM chosen) AS nprobe,
+       |       (SELECT c FROM chosen2) AS cand_mult,
+       |       CAST(count(*) AS BIGINT) AS n_truth,
+       |       CAST(count(s.vec_id) AS BIGINT) AS n_hits,
+       |       round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4) AS recall,
+       |       (round(CAST(count(s.vec_id) AS DOUBLE) / count(*), 4)
+       |        >= CAST(0.9 AS DOUBLE)) AS floor_met
+       |FROM sbtop b LEFT JOIN stop s
+       |  ON s.qid = b.qid AND s.vec_id = b.vec_id""".stripMargin
 
   private[queries] val ivfPqSql: String =
     s"""WITH $ivfPqChain
@@ -1909,6 +2042,10 @@ object AnnQueries {
     Q.sql("ann_lsh_adaptive", annLshAdaptive, lshAdaptiveSql),
     Q.sql("ann_lsh_adaptive_recall", annLshAdaptiveRecall,
       lshAdaptiveRecallSql),
+    Q.sql("ann_ivfpq_cand_sweep", annIvfPqCandSweep, ivfPqCandSweepSql),
+    Q.sql("ann_ivfpq_adaptive", annIvfPqAdaptive, ivfPqAdaptiveSql),
+    Q.sql("ann_ivfpq_adaptive_recall", annIvfPqAdaptiveRecall,
+      ivfPqAdaptiveRecallSql),
 
     // same plane-seed replay as ann_lsh_topk; sequential dim fold,
     // /sqrt(16) = /4 exact, 6dp edge rounding

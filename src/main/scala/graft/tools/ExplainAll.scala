@@ -48,6 +48,9 @@ object ExplainAll {
       "ann_lsh_radius_sweep" -> 1,
       "ann_lsh_adaptive" -> 1,
       "ann_lsh_adaptive_recall" -> 2,
+      "ann_ivfpq_cand_sweep" -> 2, // calib brute ×2 (cell + ADC dials)
+      "ann_ivfpq_adaptive" -> 2,
+      "ann_ivfpq_adaptive_recall" -> 3, // + serve-set brute
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
       // the DENSE NB model is classes × vocab BY DEFINITION — the one
       // cross product is between two vocabulary-bounded aggregates

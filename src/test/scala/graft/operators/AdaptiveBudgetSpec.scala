@@ -124,6 +124,37 @@ class AdaptiveBudgetSpec extends SparkSpec {
     assert(pinned.nonEmpty)
   }
 
+  test("ivfPqCandSweep matches directly-measured recall; adaptive equals pinned two-dial serve") {
+    val maxCm = 8
+    val sweep = VectorSearch.ivfPqCandSweep(emb, queries, k = 5,
+        maxCandMult = maxCm, recallFloor = 0.7)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4), r.getInt(5)))
+    val p = sweep.head._6
+    assert(sweep.forall(_._6 == p)) // one probe budget stamped throughout
+    for ((c, h, t, _, _, _) <- sweep.filter(r => Seq(1, 4, maxCm).contains(r._1))) {
+      val direct = directRecall(
+        VectorSearch.ivfPqTopK(emb, queries, k = 5, nProbe = p,
+          candMult = c))
+      assert(h == math.round(direct * t),
+        s"candMult=$c at nProbe=$p: sweep h=$h/$t direct=$direct")
+    }
+    val recs = sweep.sortBy(_._1).map(_._4)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b })
+    val expected = sweep.sortBy(_._1).find(_._4 >= 0.7).map(_._1)
+      .getOrElse(maxCm)
+    val adaptive = VectorSearch.ivfPqAdaptiveTopK(emb, queries, queries,
+      k = 5, maxCandMult = maxCm, recallFloor = 0.7)
+    assert(adaptive.select($"nprobe", $"cand_mult").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((p, expected)))
+    val pinned = VectorSearch.ivfPqTopK(emb, queries, k = 5, nProbe = p,
+        candMult = expected)
+      .orderBy($"qid", $"rank").collect().toSeq
+    assert(adaptive.drop("nprobe", "cand_mult").orderBy($"qid", $"rank")
+      .collect().toSeq == pinned)
+    assert(pinned.nonEmpty)
+  }
+
   test("mrl adaptive serve equals pinned candMult serve, budget stamped") {
     val floor = 0.6
     val sweep = VectorSearch.mrlCandSweep(emb, queries, k = 5,
