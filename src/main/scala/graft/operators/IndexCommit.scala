@@ -157,7 +157,17 @@ object IndexCommit {
   /** Delete segment dirs and manifests no longer referenced by the
     * CURRENT manifest — call after a commit (never before: post-commit
     * GC can only orphan, not corrupt). Touches nothing but this
-    * module's own naming patterns. */
+    * module's own naming patterns.
+    *
+    * Reader race (the standard table-format vacuum trade): a reader
+    * that resolved [[tablePaths]] against manifest g(n) and is still
+    * scanning when a later commit's GC deletes a g(n)-only segment
+    * fails that scan. Single-JVM callers here GC in the same thread
+    * that committed, so no overlap exists; a multi-reader deployment
+    * should defer GC by a grace period longer than its longest query
+    * (Iceberg/Delta vacuum semantics) — retention is a deploy knob,
+    * not a correctness one, since GC never touches segments the
+    * current manifest references. */
   def gcUnreferenced(spark: SparkSession, dir: String): Unit =
     currentManifest(spark, dir).foreach { m =>
       val (fs, p) = fsOf(spark, dir)
