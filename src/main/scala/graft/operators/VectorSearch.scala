@@ -755,11 +755,13 @@ object VectorSearch {
   private def ivfProbeSweepFrom(assigned: DataFrame,
                                 centroids: Array[(Int, Array[Double])],
                                 vectors: DataFrame, queries: DataFrame,
-                                k: Int, dim: Int,
-                                recallFloor: Double): DataFrame = {
+                                k: Int, dim: Int, recallFloor: Double,
+                                sharedTruth: Option[DataFrame] = None)
+      : DataFrame = {
     val nCells = centroids.length
-    val truth = bruteForceTopK(vectors, queries, k, dim)
-      .select(col("qid"), col("vec_id"))
+    val truth = sharedTruth.getOrElse(
+      bruteForceTopK(vectors, queries, k, dim)
+        .select(col("qid"), col("vec_id")))
     val minProbe = truth
       .join(assigned.select(col("cell"), col("vec_id")), Seq("vec_id"),
         "left")
@@ -956,8 +958,12 @@ object VectorSearch {
       .localCheckpoint(eager = false) // feeds the cand sweep AND serve
     val assigned = resid.map { case (vid, cell, _, _) => (cell, vid) }
       .toDF("cell", "vec_id")
+    // ONE calibration ground-truth scan feeds both dials' sweeps
+    val truth = bruteForceTopK(vectors, calibration, k, dim)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(eager = false)
     val p = ivfProbeSweepFrom(assigned, centroids, vectors, calibration,
-        k, dim, recallFloor)
+        k, dim, recallFloor, sharedTruth = Some(truth))
       .filter(col("chosen")).head().getInt(0)
     val adc = recon.join(ivfProbes(calibration, centroids, p, dim),
         Seq("cell"))
@@ -976,8 +982,6 @@ object VectorSearch {
     val ranked = adc.withColumn("arank", row_number().over(w))
       .filter(col("arank") <= cutK)
       .select(col("qid"), col("vec_id"), col("arank"))
-    val truth = bruteForceTopK(vectors, calibration, k, dim)
-      .select(col("qid"), col("vec_id"))
     val minCm = truth.join(ranked, Seq("qid", "vec_id"), "left")
       .select(((col("arank") + lit(k - 1)) divide lit(k)).cast("int")
         .as("min_b"))
