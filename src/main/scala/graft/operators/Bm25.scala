@@ -212,6 +212,32 @@ object Bm25 {
     IndexCommit.gcUnreferenced(spark, dir)
   }
 
+  /** COMPACT the postings table back to ONE term-sorted segment — the
+    * maintenance job nightly [[appendIndex]] runs accumulate toward:
+    * each append adds a postings segment, and a serve-time term filter
+    * must open every segment's row groups (N small files after N
+    * nights — the same small-files decay
+    * [[VectorSearch.compactIndexTable]] fixes for the cell-partitioned
+    * families, here with the term-sort restored so row-group pruning
+    * bites again). Pure reorganization committed by one manifest flip
+    * (live segments are only read; inputs are GC'd after): rows are
+    * identical, so serving shares the uncompacted oracle. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val postings = IndexCommit.readTable(spark, dir, "postings")
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"compactIndex: no committed index at $dir"))
+      postings
+        .repartition(IndexCommit.writeWidth(postings), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+      prev.tables.updated("postings", Seq(s"postings-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
+  }
+
   /** Serve BM25 top-k from a persisted inverted index (see
     * [[writeIndex]]): the postings scan carries the query-term filter
     * (pushed to parquet — only matching row groups are read), df is

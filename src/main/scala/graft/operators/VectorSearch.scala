@@ -2226,6 +2226,37 @@ object VectorSearch {
     IndexCommit.gcUnreferenced(spark, dir)
   }
 
+  /** APPEND an increment to a persisted MRL prefix table — the last
+    * of the five vector-index families to carry the nightly-ingest
+    * discipline, and the simplest: the "quantizer" is a stateless
+    * prefix copy (geometry read from the one-row meta), so
+    * base+append is BIT-IDENTICAL to a full rebuild and serving
+    * shares [[mrlTopK]]'s oracle outright. The increment lands as a
+    * new manifest segment in one flip — a crashed append is
+    * invisible, a retry replaces its orphan. */
+  def mrlAppendIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, increment: DataFrame): Unit = {
+    import spark.implicits._
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
+    val prefixDim = meta.getInt(0)
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"mrlAppendIndex: no committed index at $dir — mrlWriteIndex first"))
+      increment.select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull)
+        .as[(Long, Array[Float])]
+        .mapPartitions(_.map { case (vid, e) =>
+          (vid, java.util.Arrays.copyOf(e, prefixDim))
+        })
+        .toDF("vec_id", "prefix")
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "prefix", gen))
+      prev.tables.updated("prefix",
+        prev.tables("prefix") :+ s"prefix-g$gen")
+    }
+    IndexCommit.gcUnreferenced(spark, dir)
+  }
+
   /** Serve Matryoshka two-stage top-k from a persisted prefix table
     * (see [[mrlWriteIndex]]): coarse scan over the prefix artifact
     * (prefixDim/dim of the bytes read from disk), exact full-dim

@@ -470,6 +470,24 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INCREMENTAL MRL lifecycle — the last vector family to carry the
+    * nightly-ingest discipline: persist the prefix table on the base
+    * corpus (every vec_id % 7 ≠ 0), APPEND the increment
+    * ([[graft.operators.VectorSearch.mrlAppendIndex]] — a stateless
+    * prefix copy against the persisted geometry, so base+append is
+    * bit-identical to a full build) and serve the standard workload.
+    * Shares ann_mrl_rerank's oracle — the split is the assertion. */
+  def annMrlAppend(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/mrl_append_index"
+    VectorSearch.mrlWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.mrlAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.mrlServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Recall\@5 of the prefix-16 two-stage search against brute force
     * — the [[annRecallReport]] pattern for the Matryoshka family, so
     * the trained-state-free byte cut is readable next to LSH/IVF/PQ
@@ -2022,6 +2040,8 @@ object AnnQueries {
     Q.sql("ann_mrl_rerank", annMrlRerank, mrlRerankSql),
     // prefix persisted as its own table: the byte cut reaches disk
     Q.sql("ann_mrl_index_roundtrip", annMrlIndexRoundtrip, mrlRerankSql),
+    // stateless prefix copy: base+append ≡ full build, same oracle
+    Q.sql("ann_mrl_append", annMrlAppend, mrlRerankSql),
     Q.sql("ann_mrl_recall_report", annMrlRecallReport, mrlRecallSql),
 
     // ADAPTIVE BUDGETS — (nProbe, candMult) derived from a stated

@@ -498,6 +498,24 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Inverted-index COMPACTION: build on the base, append the
+    * increment (two postings segments now live under the manifest),
+    * compact back to ONE term-sorted segment
+    * ([[graft.operators.Bm25.compactIndex]] — restores row-group
+    * pruning for the serve-time term filter after N nightly appends),
+    * and serve the standard workload. Pure reorganization: shares
+    * text_bm25_topk's oracle — the compaction IS the assertion. */
+  def textBm25Compact(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/bm25_compact_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    graft.operators.Bm25.appendIndex(env.spark, dir,
+      env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text")
+    graft.operators.Bm25.compactIndex(env.spark, dir)
+    graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** The text_bm25_topk oracle, shared by the persisted-index round
     * trip (bit-exact serve). */
   private val bm25TopkSql: String = {
@@ -1183,6 +1201,9 @@ object TextQueries {
       bm25TopkSql),
     // additive merge is exact: incremental build ≡ full build
     Q.sql("text_bm25_append", textBm25Append, bm25TopkSql),
+    // append then compact to one term-sorted segment; rows identical,
+    // so the serve shares the same oracle
+    Q.sql("text_bm25_compact", textBm25Compact, bm25TopkSql),
 
     // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
     // oracle verbatim with the VALUES workload swapped for the

@@ -90,6 +90,15 @@ class Bm25Spec extends SparkSpec {
         .orderBy("qid", "rank").collect().toSeq
       assert(incr == inline)
       assert(inline.nonEmpty)
+      // the append left TWO postings segments under the manifest;
+      // compaction rewrites them into ONE term-sorted segment and the
+      // serve stays bit-equal (pure reorganization)
+      assert(IndexCommit.tablePaths(spark, dirB, "postings").size == 2)
+      Bm25.compactIndex(spark, dirB)
+      assert(IndexCommit.tablePaths(spark, dirB, "postings").size == 1)
+      val compacted = Bm25.serve(spark, dirB, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(compacted == inline)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -469,6 +469,42 @@ class VectorSearchSpec extends SparkSpec {
       .forall(_.getLong(1) == 4L))
   }
 
+  test("MRL append equals a full build (stateless prefix quantizer)") {
+    val rnd = new scala.util.Random(37)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_mrl_full").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_mrl_app").toString
+    try {
+      VectorSearch.mrlWriteIndex(emb, dirA, prefixDim = 4, dim = 16)
+      VectorSearch.mrlWriteIndex(emb.filter($"vec_id" % 7 =!= 0), dirB,
+        prefixDim = 4, dim = 16)
+      VectorSearch.mrlAppendIndex(spark, dirB,
+        emb.filter($"vec_id" % 7 === 0))
+      // two prefix segments live under the manifest after the append
+      assert(IndexCommit.tablePaths(spark, dirB, "prefix").size == 2)
+      val full = VectorSearch.mrlServe(spark, dirA, emb, queries, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      val appended = VectorSearch.mrlServe(spark, dirB, emb, queries,
+          k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(appended == full)
+      assert(full.nonEmpty)
+      // every eligible vector is served from the merged prefix table
+      assert(IndexCommit.readTable(spark, dirB, "prefix").count() == 150)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
+    }
+  }
+
   test("IVFPQ index appends compose: two nightly increments equal one") {
     val rnd = new scala.util.Random(31)
     val emb = (0 until 150).map { i =>
