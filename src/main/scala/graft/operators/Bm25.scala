@@ -177,8 +177,8 @@ object Bm25 {
     * The merge reads only the vocab-sized df table and the one-row
     * stats, never the postings. */
   def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                  docs: DataFrame, idCol: String,
-                  textCol: String): Unit = {
+                  docs: DataFrame, idCol: String, textCol: String,
+                  retainGens: Int = 1): Unit = {
     val base = corpusBase(docs, idCol, textCol)
     val tfInc = base.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
@@ -209,7 +209,7 @@ object Bm25 {
       Map("postings" -> (prev.tables("postings") :+ s"postings-g$gen"),
         "df" -> Seq(s"df-g$gen"), "stats" -> Seq(s"stats-g$gen"))
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** COMPACT the postings table back to ONE term-sorted segment — the
@@ -246,14 +246,19 @@ object Bm25 {
     * fixed query list. */
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
             queries: Seq[(String, Seq[String])], k: Int = 10,
-            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+            k1: Double = 1.2, b: Double = 0.75,
+            atGen: Option[Long] = None): DataFrame = {
+    def table(t: String) = atGen match {
+      case Some(g) => IndexCommit.readTableAt(spark, dir, t, g)
+      case None => IndexCommit.readTable(spark, dir, t)
+    }
     val terms = queries.flatMap(_._2).distinct
-    val tf = IndexCommit.readTable(spark, dir, "postings")
+    val tf = table("postings")
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
-    val dfT = IndexCommit.readTable(spark, dir, "df")
+    val dfT = table("df")
       .filter(col("term").isin(terms: _*))
-    val stats = IndexCommit.readTable(spark, dir, "stats")
+    val stats = table("stats")
     scoreAndRank(tf, dfT, stats, queries, k, k1, b)
   }
 }

@@ -74,31 +74,62 @@ object IndexCommit {
 
   private def manifestName(gen: Long): String = f"_manifest_g$gen%012d"
 
+  private def listGens(fs: FileSystem, p: Path): Array[Long] =
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case ManifestRe(g) => g.toLong }
+
+  private def parseManifest(fs: FileSystem, p: Path, gen: Long,
+                            dir: String): Manifest = {
+    val in = fs.open(new Path(p, manifestName(gen)))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.toSeq
+    require(lines.headOption.contains(Header),
+      s"unrecognized manifest header in $dir: ${lines.headOption}")
+    val tables = lines.drop(1).filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"malformed manifest line in $dir: $line")
+      line.substring(0, i) ->
+        line.substring(i + 1).split(',').toSeq.filter(_.nonEmpty)
+    }.toMap
+    Manifest(gen, tables)
+  }
+
   /** Highest-generation manifest in `dir`, or None for an empty /
     * pre-manifest directory. */
   def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) return None
-    val gens = fs.listStatus(p).map(_.getPath.getName)
-      .collect { case ManifestRe(g) => g.toLong }
-    if (gens.isEmpty) None
-    else {
-      val gen = gens.max
-      val in = fs.open(new Path(p, manifestName(gen)))
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = text.linesIterator.toSeq
-      require(lines.headOption.contains(Header),
-        s"unrecognized manifest header in $dir: ${lines.headOption}")
-      val tables = lines.drop(1).filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('=')
-        require(i > 0, s"malformed manifest line in $dir: $line")
-        line.substring(0, i) ->
-          line.substring(i + 1).split(',').toSeq.filter(_.nonEmpty)
-      }.toMap
-      Some(Manifest(gen, tables))
-    }
+    val gens = listGens(fs, p)
+    if (gens.isEmpty) None else Some(parseManifest(fs, p, gens.max, dir))
+  }
+
+  /** The manifest at a SPECIFIC generation — TIME TRAVEL: every commit
+    * is immutable, so as long as retention ([[gcUnreferenced]]'s
+    * `keepGens`) hasn't collected it, any prior index state serves
+    * bit-identically to when it was current. Loud error when the
+    * generation was never committed or has been GC'd. */
+  def manifestAt(spark: SparkSession, dir: String, gen: Long): Manifest = {
+    val (fs, p) = fsOf(spark, dir)
+    require(fs.exists(new Path(p, manifestName(gen))),
+      s"index at $dir has no manifest g$gen (never committed, or GC'd " +
+        "past retention — raise keepGens on gcUnreferenced to keep " +
+        "time-travel windows)")
+    parseManifest(fs, p, gen, dir)
+  }
+
+  /** [[readTable]] pinned to generation `gen` — the union of the
+    * segments THAT manifest lists for `table`. */
+  def readTableAt(spark: SparkSession, dir: String, table: String,
+                  gen: Long): DataFrame = {
+    val m = manifestAt(spark, dir, gen)
+    m.tables.getOrElse(table,
+        sys.error(s"index at $dir g$gen has no table '$table' " +
+          s"(manifest carries ${m.tables.keys.toSeq.sorted})"))
+      .map(s => spark.read.option("basePath", s"$dir/$s")
+        .parquet(s"$dir/$s"))
+      .reduce(_ unionByName _)
   }
 
   /** Run one atomic commit against `dir`: `stage(gen, current)` writes
@@ -167,21 +198,36 @@ object IndexCommit {
     * should defer GC by a grace period longer than its longest query
     * (Iceberg/Delta vacuum semantics) — retention is a deploy knob,
     * not a correctness one, since GC never touches segments the
-    * current manifest references. */
-  def gcUnreferenced(spark: SparkSession, dir: String): Unit =
-    currentManifest(spark, dir).foreach { m =>
-      val (fs, p) = fsOf(spark, dir)
-      val live = m.tables.values.flatten.toSet + manifestName(m.gen)
-      fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        val ours = n match {
-          case ManifestRe(_) => true
-          case SegmentRe(_, _) if st.isDirectory => true
-          case _ => n.startsWith("._manifest_")
-        }
-        if (ours && !live.contains(n)) fs.delete(st.getPath, true): Unit
+    * current manifest references.
+    *
+    * `keepGens` is the RETENTION window: segments and manifest files
+    * referenced by any of the newest `keepGens` generations survive
+    * (default 1 = current only). Raising it buys both time-travel
+    * reads ([[manifestAt]]/[[readTableAt]]) and the multi-reader
+    * grace period the vacuum-race note above calls for — retention is
+    * the deploy knob, GC never touches what a retained manifest
+    * references. */
+  def gcUnreferenced(spark: SparkSession, dir: String,
+                     keepGens: Int = 1): Unit = {
+    require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) return
+    val gens = listGens(fs, p).sorted.reverse.take(keepGens)
+    if (gens.isEmpty) return
+    val live = gens.flatMap { g =>
+      parseManifest(fs, p, g, dir).tables.values.flatten.toSeq :+
+        manifestName(g)
+    }.toSet
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val ours = n match {
+        case ManifestRe(_) => true
+        case SegmentRe(_, _) if st.isDirectory => true
+        case _ => n.startsWith("._manifest_")
       }
+      if (ours && !live.contains(n)) fs.delete(st.getPath, true): Unit
     }
+  }
 
   /** Cap on the derived width: 65 536 writers × the 128 MiB default
     * target ≈ 8 TiB per table per job — above that, split the build

@@ -516,15 +516,43 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** TIME-TRAVEL serve: build the index on the base corpus (gen 1),
+    * append the increment with a 2-generation retention window
+    * (gen 2), then serve the workload FROM GEN 1
+    * ([[graft.operators.IndexCommit.readTableAt]]) — every commit is
+    * immutable, so the pre-append index answers bit-identically to
+    * when it was current. Oracle: the BM25 replay over ONLY the base
+    * docs — reproducibility of yesterday's corpus snapshot from
+    * today's index directory, the audit primitive a training-data
+    * pipeline needs when a run must be traced to the exact index
+    * state that produced it. */
+  def textBm25TimeTravel(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/bm25_tt_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    graft.operators.Bm25.appendIndex(env.spark, dir,
+      env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text",
+      retainGens = 2)
+    graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10,
+        atGen = Some(1L))
+      .orderBy($"qid", $"rank")
+  }
+
   /** The text_bm25_topk oracle, shared by the persisted-index round
     * trip (bit-exact serve). */
-  private val bm25TopkSql: String = {
+  private val bm25TopkSql: String = bm25TopkSqlFor("")
+
+  /** The BM25 oracle parameterized by a documents predicate — "" for
+    * the full corpus; a doc_id filter replays a TIME-TRAVEL serve of
+    * the index generation that indexed only those docs. */
+  private def bm25TopkSqlFor(docsWhere: String): String = {
     val values = Bm25Workload
       .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
       .mkString(", ")
     val inList = Bm25Workload.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+       |           FROM documents $docsWhere),
        |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
        |       FROM base),
@@ -1204,6 +1232,10 @@ object TextQueries {
     // append then compact to one term-sorted segment; rows identical,
     // so the serve shares the same oracle
     Q.sql("text_bm25_compact", textBm25Compact, bm25TopkSql),
+    // serve yesterday's generation from today's index dir: oracle
+    // replays BM25 over only the base (gen-1) docs
+    Q.sql("text_bm25_time_travel", textBm25TimeTravel,
+      bm25TopkSqlFor("WHERE doc_id % 7 <> 0")),
 
     // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
     // oracle verbatim with the VALUES workload swapped for the

@@ -127,6 +127,43 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmRf(dir)
   }
 
+  test("time travel: retained generations serve the old state; GC honors keepGens") {
+    val dir = tmpDir("graft_tt")
+    try {
+      val base = docs.filter($"doc_id" =!= 4L)
+      Bm25.writeIndex(base, "doc_id", "text", dir)
+      val genOne = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      // append with a 2-gen retention window: gen 1 stays readable
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 4L),
+        "doc_id", "text", retainGens = 2)
+      assert(IndexCommit.currentManifest(spark, dir).get.gen == 2L)
+      // the pinned-generation serve answers exactly as gen 1 did when
+      // it was current (base-only build)
+      val travel = Bm25.serve(spark, dir, queries, k = 3, atGen = Some(1L))
+        .orderBy("qid", "rank").collect().toSeq
+      assert(travel == genOne)
+      val baseOnly = Bm25.topK(base, "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(travel == baseOnly)
+      // the current generation serves the full corpus
+      val now = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(now == Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq)
+      assert(now != travel)
+      // default GC (keepGens = 1) collects gen 1; time travel now
+      // fails LOUDLY, and the current serve is untouched
+      IndexCommit.gcUnreferenced(spark, dir)
+      val ex = intercept[IllegalArgumentException](
+        Bm25.serve(spark, dir, queries, k = 3, atGen = Some(1L))
+          .collect())
+      assert(ex.getMessage.contains("no manifest g1"), ex.getMessage)
+      assert(Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq == now)
+    } finally rmRf(dir)
+  }
+
   test("crash MID-STAGE: a failing increment job commits nothing") {
     val dir = tmpDir("graft_crash_mid")
     try {
