@@ -216,10 +216,23 @@ object Bench {
     // run is host noise; cold vs warm: > 3× is past any codegen cost
     val suspWarm = windowSuspects(results, warmSents, coldMap, 1.5)
     val suspCold = windowSuspects(cold, coldSents, warmMap, 3.0)
+    // warm ≫ cold with CALM sentinels is the opposite of a suspect: an
+    // identical replayed plan can't honestly triple, but the probes
+    // saw nothing — so either a sub-20-query burst slipped between
+    // sentinels (a concurrent compile did exactly this: 33.9 s warm on
+    // a 2 s query, both neighbors calm) or the query is genuinely
+    // nondeterministic. Flagged as warm_anomalies = "investigate me",
+    // never as exoneration.
+    val warmAnomalies = results.collect {
+      case (name, sec, None)
+          if sec >= 0 && !suspWarm.contains(name) &&
+            coldMap.get(name).exists(c =>
+              c >= 0 && sec > 3.0 * math.max(c, 0.5)) => name
+    }
     def strArr(xs: Seq[String]): String =
       xs.map(x => s""""${esc(x)}"""").mkString("[", ",", "]")
     val suspJson =
-      s"""{"cold":${strArr(suspCold)},"warm":${strArr(suspWarm)}}"""
+      s"""{"cold":${strArr(suspCold)},"warm":${strArr(suspWarm)},"warm_anomalies":${strArr(warmAnomalies)}}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"cold_queries":$coldQs,"errors":$errs,"sentinels":{"cold":${sentJson(coldSents)},"warm":${sentJson(warmSents)}},"window_suspects":$suspJson,"sf":"${esc(sfDir)}"}"""
     println(json)
     // The driver records only the LAST ~2000 chars of stdout — a
@@ -231,7 +244,7 @@ object Bench {
     val nErr = (cold ++ results).collect { case (k, _, Some(_)) => k }.distinct.size
     val (sMedW, sMaxW) = sentStats(warmSents)
     val nSusp = (suspCold ++ suspWarm).distinct.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"sentinel_med":$sMedW,"sentinel_max":$sMaxW,"n_window_suspects":$nSusp,"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":{},"errors":{},"n_queries":${results.size},"n_errors":$nErr,"sentinel_med":$sMedW,"sentinel_max":$sMaxW,"n_window_suspects":$nSusp,"n_warm_anomalies":${warmAnomalies.size},"detail":"BENCH_FULL.json","sf":"${esc(sfDir)}"}""")
     // The driver tail-captures stdout and can clip the single long line
     // past the first ~40 queries — persist the full JSON to files too
     // so every timing survives into the round record (BENCH_FULL.json
