@@ -212,6 +212,70 @@ object Bm25 {
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
+  /** DELETE documents from a persisted index — the
+    * takedown/opt-out/right-to-be-forgotten primitive a corpus index
+    * needs (appends grow an index; governance shrinks it). EXACT, not
+    * best-effort: the deleted docs' per-term df decrements and their
+    * (n_docs, Σdl) stats contributions are recovered from the
+    * postings themselves (postings ⋈ ids, one row group of work per
+    * matching term file), so after the commit the aggregates are
+    * precisely those of an index BUILT WITHOUT the docs, and the
+    * postings rows are masked by a `tombstones` table the serve path
+    * anti-joins — served results are bit-identical to a from-scratch
+    * build on the surviving corpus (the entry's oracle IS that
+    * replay). [[compactIndex]] later materializes the mask (rewrites
+    * postings minus tombstones, drops the table), reclaiming the
+    * bytes. Idempotent: already-tombstoned ids are excluded before
+    * the decrements, so a retried delete can't double-subtract. All
+    * four staged tables land in one manifest flip. */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 ids: DataFrame, retainGens: Int = 1): Unit = {
+    val newIds = ids.select(col(ids.columns.head).cast("long")
+      .as("doc_id")).distinct()
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"deleteDocs: no committed index at $dir — writeIndex first"))
+      val hasTombs = prev.tables.contains("tombstones")
+      val priorTombs =
+        if (hasTombs) IndexCommit.readTable(spark, dir, "tombstones")
+        else newIds.limit(0)
+      val fresh = newIds.join(priorTombs, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = false) // feeds decrements + tombstones
+      // the deleted docs' exact contributions, recovered from postings
+      val delRows = IndexCommit.readTable(spark, dir, "postings")
+        .join(fresh, Seq("doc_id"))
+        .localCheckpoint(eager = false) // feeds df AND stats decrements
+      val delDf = delRows.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("ddf"))
+      IndexCommit.readTable(spark, dir, "df")
+        .join(delDf, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "df", gen))
+      val delStats = delRows.groupBy(col("doc_id"))
+        .agg(first(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("dn"),
+          // sum over zero rows is NULL, not 0 — an empty delete set
+          // must leave the stats untouched, not null them
+          coalesce(sum(col("dl").cast("long")), lit(0L)).as("ddl"))
+      PlanHints.withScalars(
+          IndexCommit.readTable(spark, dir, "stats"), delStats)
+        .select((col("n_docs") - col("dn")).as("n_docs"),
+          (col("sum_dl") - col("ddl")).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+      priorTombs.unionByName(fresh).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
+      prev.tables ++ Map(
+        "df" -> Seq(s"df-g$gen"), "stats" -> Seq(s"stats-g$gen"),
+        "tombstones" -> Seq(s"tombstones-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
   /** COMPACT the postings table back to ONE term-sorted segment — the
     * maintenance job nightly [[appendIndex]] runs accumulate toward:
     * each append adds a postings segment, and a serve-time term filter
@@ -228,12 +292,20 @@ object Bm25 {
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"compactIndex: no committed index at $dir"))
-      postings
+      // materialize pending deletes: the rewrite drops tombstoned rows
+      // and the tombstones table itself — the mask becomes physical
+      val live =
+        if (prev.tables.contains("tombstones"))
+          postings.join(IndexCommit.readTable(spark, dir, "tombstones"),
+            Seq("doc_id"), "left_anti")
+        else postings
+      live
         .repartition(IndexCommit.writeWidth(postings), col("term"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "postings", gen))
-      prev.tables.updated("postings", Seq(s"postings-g$gen"))
+      (prev.tables - "tombstones")
+        .updated("postings", Seq(s"postings-g$gen"))
     }
     IndexCommit.gcUnreferenced(spark, dir)
   }
@@ -248,14 +320,24 @@ object Bm25 {
             queries: Seq[(String, Seq[String])], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75,
             atGen: Option[Long] = None): DataFrame = {
-    def table(t: String) = atGen match {
-      case Some(g) => IndexCommit.readTableAt(spark, dir, t, g)
-      case None => IndexCommit.readTable(spark, dir, t)
+    val manifest = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir)
+        .getOrElse(sys.error(s"serve: no committed index at $dir"))
     }
+    def table(t: String) =
+      IndexCommit.readTableAt(spark, dir, t, manifest.gen)
     val terms = queries.flatMap(_._2).distinct
-    val tf = table("postings")
+    val raw = table("postings")
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    // tombstoned docs ([[deleteDocs]]) are masked here; df/stats were
+    // decremented exactly at delete time, so the serve is
+    // bit-identical to a from-scratch build on the surviving corpus
+    val tf =
+      if (manifest.tables.contains("tombstones"))
+        raw.join(table("tombstones"), Seq("doc_id"), "left_anti")
+      else raw
     val dfT = table("df")
       .filter(col("term").isin(terms: _*))
     val stats = table("stats")

@@ -516,6 +516,35 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** DELETE lifecycle — the takedown/opt-out primitive: build the
+    * index on the FULL corpus, delete every doc_id % 5 == 2
+    * ([[graft.operators.Bm25.deleteDocs]] — exact df/stats decrements
+    * recovered from the postings, tombstone mask at serve), and serve
+    * the workload. Oracle: the BM25 replay over only the surviving
+    * docs — the delete is bit-identical to never having indexed
+    * them. */
+  def textBm25Delete(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/bm25_delete_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
+    graft.operators.Bm25.deleteDocs(env.spark, dir,
+      env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
+    graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Delete then COMPACT: the tombstone mask is materialized (postings
+    * rewritten minus deleted rows, tombstones table dropped) and the
+    * serve must not change — same oracle as [[textBm25Delete]]. */
+  def textBm25DeleteCompact(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/bm25_delc_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
+    graft.operators.Bm25.deleteDocs(env.spark, dir,
+      env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
+    graft.operators.Bm25.compactIndex(env.spark, dir)
+    graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** TIME-TRAVEL serve: build the index on the base corpus (gen 1),
     * append the increment with a 2-generation retention window
     * (gen 2), then serve the workload FROM GEN 1
@@ -1236,6 +1265,12 @@ object TextQueries {
     // replays BM25 over only the base (gen-1) docs
     Q.sql("text_bm25_time_travel", textBm25TimeTravel,
       bm25TopkSqlFor("WHERE doc_id % 7 <> 0")),
+    // takedown: delete == never-indexed (exact df/stats decrements +
+    // tombstone mask); compaction materializes the mask, same oracle
+    Q.sql("text_bm25_delete", textBm25Delete,
+      bm25TopkSqlFor("WHERE doc_id % 5 <> 2")),
+    Q.sql("text_bm25_delete_compact", textBm25DeleteCompact,
+      bm25TopkSqlFor("WHERE doc_id % 5 <> 2")),
 
     // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
     // oracle verbatim with the VALUES workload swapped for the

@@ -164,6 +164,42 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmRf(dir)
   }
 
+  test("deleteDocs equals never-indexed; idempotent; compaction materializes") {
+    val dir = tmpDir("graft_del")
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", dir)
+      val ids = docs.filter($"doc_id" === 3L).select($"doc_id")
+      Bm25.deleteDocs(spark, dir, ids)
+      val served = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      // exact semantics: delete == a from-scratch build without doc 3
+      // (df/stats decremented precisely, postings masked)
+      val rebuilt = Bm25.topK(docs.filter($"doc_id" =!= 3L),
+          "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == rebuilt)
+      assert(served.nonEmpty)
+      // q2 is only answerable by green docs (2, 3); after deleting 3
+      // the result set actually changed — the assertion has teeth
+      assert(served != Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq)
+      // idempotent: re-deleting the same doc must not double-subtract
+      // the df/stats contributions
+      Bm25.deleteDocs(spark, dir, ids)
+      assert(Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq == served)
+      // compaction materializes: tombstones table gone, rows gone,
+      // serve unchanged
+      Bm25.compactIndex(spark, dir)
+      val m = IndexCommit.currentManifest(spark, dir).get
+      assert(!m.tables.contains("tombstones"))
+      assert(IndexCommit.readTable(spark, dir, "postings")
+        .filter($"doc_id" === 3L).count() == 0)
+      assert(Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq == served)
+    } finally rmRf(dir)
+  }
+
   test("crash MID-STAGE: a failing increment job commits nothing") {
     val dir = tmpDir("graft_crash_mid")
     try {
