@@ -1112,6 +1112,38 @@ object VectorSearch {
     IndexCommit.gcUnreferenced(spark, dir)
   }
 
+  /** DELETE vectors from a persisted IVF index — the takedown/opt-out
+    * primitive for the vector side ([[Bm25.deleteDocs]]' shape): the
+    * ids land in a `tombstones` table the serve path anti-joins, all
+    * in one manifest flip. Geometry semantics match the append path:
+    * centroids stay FROZEN (a from-scratch rebuild would retrain
+    * them; deletion, like [[ivfAppendIndex]], treats the coarse
+    * quantizer as the stable artifact), so the served result is
+    * exactly "the same index minus those candidates" — which is what
+    * the SQL oracle replays. Idempotent by construction (the table is
+    * a distinct union). [[compactIndexTable]] later materializes the
+    * mask and drops the table. */
+  def ivfDeleteVectors(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, ids: DataFrame,
+                       retainGens: Int = 1): Unit = {
+    val newIds = ids.select(col(ids.columns.head).cast("long")
+      .as("vec_id")).distinct()
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"ivfDeleteVectors: no committed index at $dir — " +
+          "ivfWriteIndex first"))
+      val priorTombs =
+        if (prev.tables.contains("tombstones"))
+          IndexCommit.readTable(spark, dir, "tombstones")
+        else newIds.limit(0)
+      priorTombs.unionByName(newIds).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
+      prev.tables.updated("tombstones", Seq(s"tombstones-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
   /** COMPACT a partitioned index table in place — the maintenance job
     * every append-based ingest eventually needs: each nightly
     * [[ivfAppendIndex]]/[[lshAppendIndex]] adds one SEGMENT (one file
@@ -1132,10 +1164,17 @@ object VectorSearch {
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"compactIndexTable: no committed index at $dir"))
-      live.repartition(IndexCommit.writeWidth(live), col(partCol))
+      // materialize pending deletes ([[ivfDeleteVectors]]): the
+      // rewrite drops tombstoned rows and the tombstones table itself
+      val rows =
+        if (prev.tables.contains("tombstones"))
+          live.join(IndexCommit.readTable(spark, dir, "tombstones"),
+            Seq("vec_id"), "left_anti")
+        else live
+      rows.repartition(IndexCommit.writeWidth(live), col(partCol))
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(IndexCommit.segmentPath(dir, table, gen))
-      prev.tables.updated(table, Seq(s"$table-g$gen"))
+      (prev.tables - "tombstones").updated(table, Seq(s"$table-g$gen"))
     }
     IndexCommit.gcUnreferenced(spark, dir)
   }
@@ -1152,9 +1191,18 @@ object VectorSearch {
     import spark.implicits._
     val centroids = IndexCommit.readTable(spark, dir, "centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
-    val assigned = IndexCommit.readTable(spark, dir, "cells")
+    val raw = IndexCommit.readTable(spark, dir, "cells")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("embedding"))
+    // tombstoned vectors ([[ivfDeleteVectors]]) never become
+    // candidates; centroids stay frozen, matching the append path
+    val hasTombs = IndexCommit.currentManifest(spark, dir)
+      .exists(_.tables.contains("tombstones"))
+    val assigned =
+      if (hasTombs)
+        raw.join(IndexCommit.readTable(spark, dir, "tombstones"),
+          Seq("vec_id"), "left_anti")
+      else raw
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 

@@ -123,6 +123,35 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Vector DELETION — takedown for the embedding index
+    * ([[graft.operators.VectorSearch.ivfDeleteVectors]]): build on the
+    * full corpus, tombstone every vec_id % 5 == 2, serve. Centroids
+    * stay frozen (the append path's geometry contract), so the oracle
+    * replays full-corpus training with the deleted vectors excluded
+    * from candidates. */
+  def annIvfDelete(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_delete_index"
+    VectorSearch.ivfWriteIndex(env.embeddings, dir)
+    VectorSearch.ivfDeleteVectors(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Delete then COMPACT the cells table: the tombstone mask is
+    * materialized (rows rewritten minus deleted vectors, table
+    * dropped) and the serve must not change — same oracle as
+    * [[annIvfDelete]]. */
+  def annIvfDeleteCompact(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_delc_index"
+    VectorSearch.ivfWriteIndex(env.embeddings, dir)
+    VectorSearch.ivfDeleteVectors(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    VectorSearch.compactIndexTable(env.spark, dir, "cells", "cell")
+    VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** LSH index persistence round trip — the [[annIndexRoundtrip]]
     * shape for the hyperplane family: bucket-partitioned vector
     * parquet + the one-row geometry, served back bit-exactly (shares
@@ -957,7 +986,8 @@ object AnnQueries {
     * exact rank), parameterized by the query predicate and the probe
     * budget EXPRESSION — a literal for the pinned entries, a scalar
     * subquery over the calibration sweep for the adaptive one. */
-  private def ivfServeCtes(qWhere: String, probeExpr: String): String =
+  private def ivfServeCtes(qWhere: String, probeExpr: String,
+                           candPred: String = "TRUE"): String =
     s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  $qWhere),
@@ -983,7 +1013,7 @@ object AnnQueries {
        |  FROM probes p
        |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
        |  JOIN q ON q.qid = p.qid
-       |  WHERE e.vec_id <> p.qid),
+       |  WHERE e.vec_id <> p.qid AND $candPred),
        |ranked AS (
        |  SELECT qid, vec_id, cos,
        |         row_number() OVER (PARTITION BY qid
@@ -1005,6 +1035,15 @@ object AnnQueries {
 
   private[queries] val ivfTopkSql: String =
     ivfTopkSqlFor("WHERE vec_id % 50 = 0", k = 5)
+
+  /** Post-deletion serve: full-corpus centroid training (frozen
+    * geometry), deleted vectors excluded from candidates only. */
+  private val ivfDeleteSql: String =
+    s"""WITH $ivfCentCte,
+       |${ivfServeCtes("WHERE vec_id % 50 = 0", "3", "e.vec_id % 5 <> 2")}
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
 
   /** The incremental-index replay: centroids trained on the BASE only,
     * increment vectors assigned to the frozen centroids with the
@@ -1806,6 +1845,10 @@ object AnnQueries {
     // incremental lifecycle: base-trained centroids + frozen-centroid
     // increment assignment, served from the merged cells
     Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
+    // takedown: frozen centroids, deleted vectors excluded from
+    // candidates; compaction materializes the mask, same oracle
+    Q.sql("ann_ivf_delete", annIvfDelete, ivfDeleteSql),
+    Q.sql("ann_ivf_delete_compact", annIvfDeleteCompact, ivfDeleteSql),
     // compaction is pure reorganization: same rows, same oracle
     Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),
 

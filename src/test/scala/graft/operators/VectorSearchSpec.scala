@@ -469,6 +469,48 @@ class VectorSearchSpec extends SparkSpec {
       .forall(_.getLong(1) == 4L))
   }
 
+  test("IVF vector deletion: tombstoned vectors never serve; compaction materializes") {
+    val rnd = new scala.util.Random(43)
+    val emb = (0 until 150).map { i =>
+      (i.toLong, i % 6, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val qs = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del").toString
+    try {
+      VectorSearch.ivfWriteIndex(emb, dir, dim = 16)
+      val before = VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      val ids = emb.filter($"vec_id" % 5 === 2).select($"vec_id")
+      VectorSearch.ivfDeleteVectors(spark, dir, ids)
+      val served = VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq
+      // no deleted vector in any result; the result actually changed
+      assert(served.forall(r => r.getLong(2) % 5 != 2))
+      assert(served != before && served.nonEmpty)
+      assert(before.exists(r => r.getLong(2) % 5 == 2)) // teeth
+      // idempotent re-delete
+      VectorSearch.ivfDeleteVectors(spark, dir, ids)
+      assert(VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq == served)
+      // compaction materializes: tombstones dropped, rows gone,
+      // serve unchanged
+      VectorSearch.compactIndexTable(spark, dir, "cells", "cell")
+      val m = IndexCommit.currentManifest(spark, dir).get
+      assert(!m.tables.contains("tombstones"))
+      assert(IndexCommit.readTable(spark, dir, "cells")
+        .filter($"vec_id" % 5 === 2).count() == 0)
+      assert(VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
+        .orderBy("qid", "rank").collect().toSeq == served)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("MRL append equals a full build (stateless prefix quantizer)") {
     val rnd = new scala.util.Random(37)
     val emb = (0 until 150).map { i =>
