@@ -414,6 +414,41 @@ object StreamQueries {
     * the trained filter, completing the corpus-filter lifecycle:
     * label → train → verify → serve the stream.
     */
+  /** STREAMING INGEST into the persisted inverted index — the write
+    * side of the t9/t13 build-once pattern: the base index is built in
+    * batch, then the increment corpus ARRIVES AS A STREAM and every
+    * micro-batch lands as one atomic manifest append
+    * ([[graft.operators.Bm25.appendIndex]] — postings segment + exact
+    * additive df/stats merge per batch, a crash between batches leaves
+    * a consistent index at the last committed generation). The final
+    * serve is bit-identical to one full build (disjoint ids, exact
+    * merges compose across any batch slicing), so the entry shares
+    * text_bm25_topk's oracle — the streamed ingest IS the
+    * assertion. */
+  def t14Bm25IngestStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val dir = s"$scratchBase/t14_bm25_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    val stream = streamRead(env, "documents")
+      .filter($"doc_id" % 7 === 0)
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Bm25.appendIndex(spark, dir, batch,
+              "doc_id", "text")
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.operators.Bm25.serve(spark, dir, TextQueries.Bm25Workload,
+        k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -560,6 +595,12 @@ object StreamQueries {
     // text_quality_trained's oracle (batch-independent per-doc rows)
     Q.sql("t13_quality_stream", t13QualityStream,
       TextQueries.qualityTrainedSql),
+
+    // streamed ingest: every micro-batch is one atomic manifest
+    // append; exact additive merges compose across any batch slicing,
+    // so the final serve shares the full-build oracle
+    Q.sql("t14_bm25_ingest_stream", t14Bm25IngestStream,
+      TextQueries.bm25TopkSql),
 
     // IVFPQ served per micro-batch from the persisted index — shares
     // ann_ivfpq_topk's oracle (batch-independent per-query results)

@@ -569,7 +569,7 @@ object TextQueries {
 
   /** The text_bm25_topk oracle, shared by the persisted-index round
     * trip (bit-exact serve). */
-  private val bm25TopkSql: String = bm25TopkSqlFor("")
+  private[queries] val bm25TopkSql: String = bm25TopkSqlFor("")
 
   /** The BM25 oracle parameterized by a documents predicate — "" for
     * the full corpus; a doc_id filter replays a TIME-TRAVEL serve of

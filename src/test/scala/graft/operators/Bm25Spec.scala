@@ -90,6 +90,27 @@ class Bm25Spec extends SparkSpec {
         .orderBy("qid", "rank").collect().toSeq
       assert(incr == inline)
       assert(inline.nonEmpty)
+      // appends COMPOSE: a second disjoint increment (here re-split
+      // doc 3 out of the base then re-appended) still equals the full
+      // build — the property the streamed per-micro-batch ingest
+      // (t14) relies on under arbitrary batch slicing
+      val dirC = java.nio.file.Files
+        .createTempDirectory("graft_bm25_two").toString
+      try {
+        Bm25.writeIndex(docs.filter($"doc_id" < 3L), "doc_id", "text",
+          dirC)
+        Bm25.appendIndex(spark, dirC, docs.filter($"doc_id" === 3L),
+          "doc_id", "text")
+        Bm25.appendIndex(spark, dirC, docs.filter($"doc_id" === 4L),
+          "doc_id", "text")
+        assert(Bm25.serve(spark, dirC, queries, k = 3)
+          .orderBy("qid", "rank").collect().toSeq == inline)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(dirC))
+      }
       // the append left TWO postings segments under the manifest;
       // compaction rewrites them into ONE term-sorted segment and the
       // serve stays bit-equal (pure reorganization)
