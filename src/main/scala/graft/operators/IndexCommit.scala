@@ -229,6 +229,41 @@ object IndexCommit {
     }
   }
 
+  /** Merge `ids` into the index's `tombstones` table in one commit —
+    * the generic deletion primitive every family's delete wraps: the
+    * new ids are distinct-unioned with any prior tombstones (so
+    * re-deletes are idempotent) and the manifest flips once. The
+    * caller's serve path masks with [[maskTombstones]]; a later
+    * compaction materializes the mask and drops the table. */
+  def appendTombstones(spark: SparkSession, dir: String, ids: DataFrame,
+                       keyCol: String, retainGens: Int = 1): Unit = {
+    val newIds = ids.select(ids.col(ids.columns.head).cast("long")
+      .as(keyCol)).distinct()
+    commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"appendTombstones: no committed index at $dir"))
+      val prior =
+        if (prev.tables.contains("tombstones"))
+          readTable(spark, dir, "tombstones")
+        else newIds.limit(0)
+      prior.unionByName(newIds).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(segmentPath(dir, "tombstones", gen))
+      prev.tables.updated("tombstones", Seq(s"tombstones-g$gen"))
+    }
+    gcUnreferenced(spark, dir, retainGens)
+  }
+
+  /** Anti-join `df` against the index's tombstones table on `keyCol`
+    * — identity when the index carries none. Every serve path calls
+    * this so tombstoned rows never become candidates. */
+  def maskTombstones(spark: SparkSession, dir: String, df: DataFrame,
+                     keyCol: String): DataFrame =
+    if (currentManifest(spark, dir).exists(_.tables.contains("tombstones")))
+      df.join(readTable(spark, dir, "tombstones"), Seq(keyCol),
+        "left_anti")
+    else df
+
   /** Cap on the derived width: 65 536 writers × the 128 MiB default
     * target ≈ 8 TiB per table per job — above that, split the build
     * (several appends) rather than one mega-job. */

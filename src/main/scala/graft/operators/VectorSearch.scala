@@ -457,9 +457,10 @@ object VectorSearch {
                probeHamming: Int = 2): DataFrame = {
     val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (bits, dim) = (meta.getInt(0), meta.getInt(1))
-    val vbkt = IndexCommit.readTable(spark, dir, "buckets")
-      .select(col("bkt").cast("int").as("bkt"), col("vec_id"),
-        col("embedding"), col("nv"))
+    val vbkt = IndexCommit.maskTombstones(spark, dir,
+      IndexCommit.readTable(spark, dir, "buckets")
+        .select(col("bkt").cast("int").as("bkt"), col("vec_id"),
+          col("embedding"), col("nv")), "vec_id")
     lshScore(vbkt, lshQueryProbes(queries, bits, dim, probeHamming), dim, k)
   }
 
@@ -1112,37 +1113,24 @@ object VectorSearch {
     IndexCommit.gcUnreferenced(spark, dir)
   }
 
-  /** DELETE vectors from a persisted IVF index — the takedown/opt-out
-    * primitive for the vector side ([[Bm25.deleteDocs]]' shape): the
-    * ids land in a `tombstones` table the serve path anti-joins, all
-    * in one manifest flip. Geometry semantics match the append path:
-    * centroids stay FROZEN (a from-scratch rebuild would retrain
-    * them; deletion, like [[ivfAppendIndex]], treats the coarse
-    * quantizer as the stable artifact), so the served result is
-    * exactly "the same index minus those candidates" — which is what
-    * the SQL oracle replays. Idempotent by construction (the table is
-    * a distinct union). [[compactIndexTable]] later materializes the
+  /** DELETE vectors from ANY persisted vector index (LSH buckets, IVF
+    * cells, PQ/IVFPQ codes, MRL prefixes — all keyed by vec_id) — the
+    * takedown/opt-out primitive for the vector side
+    * ([[Bm25.deleteDocs]]' shape, minus the aggregate bookkeeping no
+    * vector family carries): the ids land in a `tombstones` table
+    * every serve path anti-joins
+    * ([[IndexCommit.maskTombstones]]), all in one manifest flip.
+    * Geometry semantics match the append path: quantizers stay
+    * FROZEN (a from-scratch rebuild would retrain them; deletion,
+    * like the appends, treats the trained artifacts as stable), so
+    * the served result is exactly "the same index minus those
+    * candidates" — which is what the SQL oracles replay. Idempotent
+    * by construction. [[compactIndexTable]] later materializes the
     * mask and drops the table. */
-  def ivfDeleteVectors(spark: org.apache.spark.sql.SparkSession,
-                       dir: String, ids: DataFrame,
-                       retainGens: Int = 1): Unit = {
-    val newIds = ids.select(col(ids.columns.head).cast("long")
-      .as("vec_id")).distinct()
-    IndexCommit.commit(spark, dir) { (gen, cur) =>
-      val prev = cur.getOrElse(sys.error(
-        s"ivfDeleteVectors: no committed index at $dir — " +
-          "ivfWriteIndex first"))
-      val priorTombs =
-        if (prev.tables.contains("tombstones"))
-          IndexCommit.readTable(spark, dir, "tombstones")
-        else newIds.limit(0)
-      priorTombs.unionByName(newIds).distinct()
-        .coalesce(1).write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
-      prev.tables.updated("tombstones", Seq(s"tombstones-g$gen"))
-    }
-    IndexCommit.gcUnreferenced(spark, dir, retainGens)
-  }
+  def deleteVectors(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, ids: DataFrame,
+                    retainGens: Int = 1): Unit =
+    IndexCommit.appendTombstones(spark, dir, ids, "vec_id", retainGens)
 
   /** COMPACT a partitioned index table in place — the maintenance job
     * every append-based ingest eventually needs: each nightly
@@ -1164,7 +1152,7 @@ object VectorSearch {
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"compactIndexTable: no committed index at $dir"))
-      // materialize pending deletes ([[ivfDeleteVectors]]): the
+      // materialize pending deletes ([[deleteVectors]]): the
       // rewrite drops tombstoned rows and the tombstones table itself
       val rows =
         if (prev.tables.contains("tombstones"))
@@ -1194,15 +1182,9 @@ object VectorSearch {
     val raw = IndexCommit.readTable(spark, dir, "cells")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("embedding"))
-    // tombstoned vectors ([[ivfDeleteVectors]]) never become
-    // candidates; centroids stay frozen, matching the append path
-    val hasTombs = IndexCommit.currentManifest(spark, dir)
-      .exists(_.tables.contains("tombstones"))
-    val assigned =
-      if (hasTombs)
-        raw.join(IndexCommit.readTable(spark, dir, "tombstones"),
-          Seq("vec_id"), "left_anti")
-      else raw
+    // tombstoned vectors ([[deleteVectors]]) never become candidates;
+    // centroids stay frozen, matching the append path
+    val assigned = IndexCommit.maskTombstones(spark, dir, raw, "vec_id")
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 
@@ -1817,7 +1799,8 @@ object VectorSearch {
     val cb = readPqCodebooks(spark, dir, m, nCells)
     val bc = spark.sparkContext.broadcast(cb)
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val codes = IndexCommit.readTable(spark, dir, "codes")
+    val codes = IndexCommit.maskTombstones(spark, dir,
+      IndexCommit.readTable(spark, dir, "codes"), "vec_id")
     val approx = scanPqCodes(codes, queries, bc, m, dim / m, dim, candCut)
     pqFinish(approx, vectors, queries, dim, k, candCut)
   }
@@ -2227,7 +2210,8 @@ object VectorSearch {
     val bcCent = spark.sparkContext.broadcast(centroids.toMap)
     val bcCb = spark.sparkContext.broadcast(
       readPqCodebooks(spark, dir, m, nCells))
-    val recon = IndexCommit.readTable(spark, dir, "codes")
+    val recon = IndexCommit.maskTombstones(spark, dir,
+        IndexCommit.readTable(spark, dir, "codes"), "vec_id")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("codes"))
       .as[(Int, Long, Array[Int])]
@@ -2316,7 +2300,8 @@ object VectorSearch {
     val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (prefixDim, dim) = (meta.getInt(0), meta.getInt(1))
     val candCut = math.min(k.toLong * candMult, Int.MaxValue).toInt
-    val prefix = IndexCommit.readTable(spark, dir, "prefix")
+    val prefix = IndexCommit.maskTombstones(spark, dir,
+        IndexCommit.readTable(spark, dir, "prefix"), "vec_id")
       .select(col("vec_id"), col("prefix").as("embedding"))
     val coarse = mrlCoarse(prefix, queries, prefixDim, candCut)
     pqFinish(coarse, vectors, queries, dim, k, candCut,

@@ -124,7 +124,7 @@ object AnnQueries {
   }
 
   /** Vector DELETION — takedown for the embedding index
-    * ([[graft.operators.VectorSearch.ivfDeleteVectors]]): build on the
+    * ([[graft.operators.VectorSearch.deleteVectors]]): build on the
     * full corpus, tombstone every vec_id % 5 == 2, serve. Centroids
     * stay frozen (the append path's geometry contract), so the oracle
     * replays full-corpus training with the deleted vectors excluded
@@ -132,7 +132,7 @@ object AnnQueries {
   def annIvfDelete(env: Env): DataFrame = {
     val dir = s"${StreamQueries.scratchBase}/ivf_delete_index"
     VectorSearch.ivfWriteIndex(env.embeddings, dir)
-    VectorSearch.ivfDeleteVectors(env.spark, dir,
+    VectorSearch.deleteVectors(env.spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
     VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
@@ -145,10 +145,37 @@ object AnnQueries {
   def annIvfDeleteCompact(env: Env): DataFrame = {
     val dir = s"${StreamQueries.scratchBase}/ivf_delc_index"
     VectorSearch.ivfWriteIndex(env.embeddings, dir)
-    VectorSearch.ivfDeleteVectors(env.spark, dir,
+    VectorSearch.deleteVectors(env.spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
     VectorSearch.compactIndexTable(env.spark, dir, "cells", "cell")
     VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** [[annIvfDelete]]'s takedown on the LSH family — the generic
+    * tombstone layer ([[graft.operators.VectorSearch.deleteVectors]])
+    * applied to the bucket table; seed-derived planes are stateless,
+    * so the oracle is just the standard serve with the deleted
+    * vectors excluded from candidates. */
+  def annLshDelete(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/lsh_delete_index"
+    VectorSearch.lshWriteIndex(env.embeddings, dir)
+    VectorSearch.deleteVectors(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    VectorSearch.lshServe(env.spark, dir, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** Takedown on the Matryoshka family: deleted vectors are masked
+    * out of the persisted prefix table before the coarse scan (they
+    * can never reach the re-rank), same generic tombstone layer. */
+  def annMrlDelete(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/mrl_delete_index"
+    VectorSearch.mrlWriteIndex(env.embeddings, dir)
+    VectorSearch.deleteVectors(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    VectorSearch.mrlServe(env.spark, dir, env.embeddings, queriesDf(env),
+        k = 5)
       .orderBy($"qid", $"rank")
   }
 
@@ -549,7 +576,8 @@ object AnnQueries {
     * ranked as `mranked`. The candidate cut is an EXPRESSION so the
     * adaptive oracle can bind it to the calibration sweep's chosen
     * budget. */
-  private def mrlChainFor(qWhere: String, candCutExpr: String): String = {
+  private def mrlChainFor(qWhere: String, candCutExpr: String,
+                          candPred: String = "TRUE"): String = {
     val p = 16
     s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
@@ -562,7 +590,8 @@ object AnnQueries {
        |               6) AS cos_mrl
        |  FROM q JOIN embeddings e ON e.vec_id <> q.qid
        |  WHERE ${dotPfx("e.embedding", "e.embedding", p)} > 0
-       |    AND ${dotPfx("q.qe", "q.qe", p)} > 0),
+       |    AND ${dotPfx("q.qe", "q.qe", p)} > 0
+       |    AND $candPred),
        |mcand AS (
        |  SELECT qid, vec_id, cos_mrl FROM (
        |    SELECT qid, vec_id, cos_mrl,
@@ -586,6 +615,14 @@ object AnnQueries {
 
   private val mrlRerankSql: String =
     s"""WITH $mrlChain
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_mrl
+       |FROM mranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** Post-deletion MRL serve: prefix-coarse chain with the deleted
+    * vectors excluded before the candidate cut. */
+  private val mrlDeleteSql: String =
+    s"""WITH ${mrlChainFor("WHERE vec_id % 50 = 0", "20", "e.vec_id % 5 <> 2")}
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_mrl
        |FROM mranked WHERE rn <= 5
        |ORDER BY qid, rank""".stripMargin
@@ -1142,7 +1179,8 @@ object AnnQueries {
   // bit_count(xor(buckets)) <= radius is exactly the kernel's
   // multiprobe mask-set membership; the radius is an EXPRESSION so the
   // adaptive oracle binds it to the calibration sweep's choice.
-  private def lshServeCtes(qWhere: String, radiusExpr: String): String =
+  private def lshServeCtes(qWhere: String, radiusExpr: String,
+                           candPred: String = "TRUE"): String =
     s"""q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  $qWhere),
@@ -1157,6 +1195,7 @@ object AnnQueries {
        |    ON vb.vec_id <> qb.qid
        |   AND bit_count(CAST(xor(vb.bucket, qb.qbucket) AS BIGINT))
        |       <= $radiusExpr
+       |   AND $candPred
        |  JOIN embeddings e ON e.vec_id = vb.vec_id),
        |ranked AS (
        |  SELECT qid, vec_id, cos,
@@ -1212,6 +1251,15 @@ object AnnQueries {
        |           min(CASE WHEN recall >= CAST(0.9 AS DOUBLE)
        |               THEN radius END),
        |           8) AS p FROM curve)""".stripMargin
+
+  /** Post-deletion LSH serve: standard radius-2 chain, deleted
+    * vectors excluded from the bucket candidates. */
+  private val lshDeleteSql: String =
+    s"""WITH $lshBucketsCte,
+       |${lshServeCtes("WHERE vec_id % 50 = 0", "2", "vb.vec_id % 5 <> 2")}
+       |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+       |FROM ranked WHERE rn <= 5
+       |ORDER BY qid, rank""".stripMargin
 
   private val lshSweepSql: String =
     s"""WITH $lshBucketsCte,
@@ -1832,6 +1880,9 @@ object AnnQueries {
     Q.sql("ann_lsh_index_roundtrip", annLshIndexRoundtrip, lshTopkSql),
     // stateless quantizer: incremental build ≡ full build, same oracle
     Q.sql("ann_lsh_append", annLshAppend, lshTopkSql),
+    // takedown on the bucket table: generic tombstone mask, stateless
+    // geometry — oracle = standard serve minus the deleted candidates
+    Q.sql("ann_lsh_delete", annLshDelete, lshDeleteSql),
 
     // Centroids: per-cell per-dimension mean rounded to 4dp (the kernel
     // rounds identically, making training order-independent); probes:
@@ -2085,6 +2136,9 @@ object AnnQueries {
     Q.sql("ann_mrl_index_roundtrip", annMrlIndexRoundtrip, mrlRerankSql),
     // stateless prefix copy: base+append ≡ full build, same oracle
     Q.sql("ann_mrl_append", annMrlAppend, mrlRerankSql),
+    // takedown on the prefix table: deleted vectors masked before the
+    // coarse scan — oracle excludes them from the prefix candidates
+    Q.sql("ann_mrl_delete", annMrlDelete, mrlDeleteSql),
     Q.sql("ann_mrl_recall_report", annMrlRecallReport, mrlRecallSql),
 
     // ADAPTIVE BUDGETS — (nProbe, candMult) derived from a stated

@@ -559,11 +559,17 @@ object TextQueries {
     val dir = s"${StreamQueries.scratchBase}/bm25_tt_index"
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    // the generation the base build just committed — NOT a hard-coded
+    // 1: the scratch dir persists across in-process reruns (the bench
+    // runs every query twice), so each rerun's base lands at a higher
+    // gen and the literal raced past its own retention window
+    val baseGen = graft.operators.IndexCommit
+      .currentManifest(env.spark, dir).get.gen
     graft.operators.Bm25.appendIndex(env.spark, dir,
       env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text",
       retainGens = 2)
     graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10,
-        atGen = Some(1L))
+        atGen = Some(baseGen))
       .orderBy($"qid", $"rank")
   }
 

@@ -483,7 +483,7 @@ class VectorSearchSpec extends SparkSpec {
       val before = VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
         .orderBy("qid", "rank").collect().toSeq
       val ids = emb.filter($"vec_id" % 5 === 2).select($"vec_id")
-      VectorSearch.ivfDeleteVectors(spark, dir, ids)
+      VectorSearch.deleteVectors(spark, dir, ids)
       val served = VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
         .orderBy("qid", "rank").collect().toSeq
       // no deleted vector in any result; the result actually changed
@@ -491,7 +491,7 @@ class VectorSearchSpec extends SparkSpec {
       assert(served != before && served.nonEmpty)
       assert(before.exists(r => r.getLong(2) % 5 == 2)) // teeth
       // idempotent re-delete
-      VectorSearch.ivfDeleteVectors(spark, dir, ids)
+      VectorSearch.deleteVectors(spark, dir, ids)
       assert(VectorSearch.ivfServe(spark, dir, qs, k = 4, dim = 16)
         .orderBy("qid", "rank").collect().toSeq == served)
       // compaction materializes: tombstones dropped, rows gone,
