@@ -77,11 +77,34 @@ object Bm25 {
     scoreAndRank(tf, dfT, stats, queries, k, k1, b)
   }
 
+  /** NULL text is normalized to the empty string, whose single-token
+    * split `[""]` gives the doc dl = 1 and one `""` posting — a term
+    * no whitespace-token query can ever name, so scoring is
+    * unaffected, but EVERY doc now owns at least one posting row.
+    * That makes [[deleteDocs]]' exact recovery total: the n_docs/Σdl
+    * decrements are recovered from postings, and a null-text doc
+    * without the sentinel row could never be decremented (its stats
+    * contribution would drift from the advertised bit-identical-to-
+    * never-indexed replay). */
   private def corpusBase(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("toks"))
+        split(coalesce(col(textCol), lit("")), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+
+  /** Fold the df table's DELTA SEGMENTS to per-term document
+    * frequencies: [[writeIndex]] commits the base df, every
+    * [[appendIndex]] a positive increment delta, every [[deleteDocs]]
+    * a negative one; the logical df is their sum (terms folded to
+    * ≤ 0 have no live postings and drop out). Reading folds; only
+    * [[compactIndex]] materializes — so an append/delete writes
+    * increment-sized df volume even at a 10⁹-term vocabulary, the
+    * same discipline the postings table has. Callers filter the
+    * segments BEFORE folding where they can (the serve path's
+    * query-term filter pushes into every segment scan). */
+  private def foldDf(raw: DataFrame): DataFrame =
+    raw.groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
 
   /** The shared scoring tail of the inline ([[topK]]) and served
     * ([[serve]]) paths — ONE body so the quantized-long arithmetic
@@ -138,24 +161,34 @@ object Bm25 {
                  dir: String): Unit = {
     val spark = docs.sparkSession
     val base = corpusBase(docs, idCol, textCol)
-    val tfAll = base.select(col("doc_id"), col("dl"),
+    val tfPlan = base.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false) // feeds postings AND df
+    // width hints come from the un-checkpointed plan (scan-backed
+    // stats); the checkpointed twin carries the data so the corpus
+    // term extraction runs once for postings AND df
+    val dfWidth = IndexCommit.writeWidth(tfPlan.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")))
+    val tfAll = tfPlan.localCheckpoint(eager = false)
     IndexCommit.commit(spark, dir) { (gen, _) =>
       tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
         .repartition(IndexCommit.writeWidth(docs), col("term"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+      // df is vocab-sized, not corpus-sized, but a web corpus's vocab
+      // is 10⁸–10⁹ terms — size-derived width and a term sort (row-
+      // group pruning for the serve-time term filter), never one file
       tfAll.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
-        .coalesce(1).write.mode("overwrite")
+        .repartition(dfWidth, col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "df", gen))
       base.agg(count(lit(1)).as("n_docs"),
           sum(col("dl").cast("long")).as("sum_dl"))
-        .coalesce(1).write.mode("overwrite")
+        .coalesce(1).write.mode("overwrite") // genuinely one row
         .parquet(IndexCommit.segmentPath(dir, "stats", gen))
       Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
     }
@@ -174,30 +207,46 @@ object Bm25 {
     * — a crash mid-append can no longer strand postings that df/stats
     * don't count (the round-12 hazard), and a retried append replaces
     * the failed attempt's orphan segments instead of double-appending.
-    * The merge reads only the vocab-sized df table and the one-row
-    * stats, never the postings. */
+    *
+    * Write volume is INCREMENT-SIZED at any index size: the df merge
+    * is a DELTA SEGMENT (the increment's own per-term df, folded with
+    * the base and every other delta at read — [[foldDf]] — and
+    * materialized only at [[compactIndex]]), never a rewrite of the
+    * vocab-sized table; only the one-row stats re-merge reads prior
+    * state. Tombstones ([[deleteDocs]]) are CARRIED FORWARD — an
+    * append must never resurrect deleted docs' postings against
+    * already-decremented aggregates — and the increment must be
+    * DISJOINT from them (enforced loudly,
+    * [[IndexCommit.requireDisjointFromTombstones]]): re-ingesting a
+    * deleted id requires a [[compactIndex]] first to physically drop
+    * its pre-delete rows, or the unmasked old and new rows would both
+    * score. */
   def appendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                   docs: DataFrame, idCol: String, textCol: String,
                   retainGens: Int = 1): Unit = {
     val base = corpusBase(docs, idCol, textCol)
-    val tfInc = base.select(col("doc_id"), col("dl"),
+    val tfPlan = base.select(col("doc_id"), col("dl"),
         explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false) // feeds postings AND df merge
+    val dfWidth = IndexCommit.deltaWidth(tfPlan.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")))
+    val tfInc = tfPlan.localCheckpoint(eager = false) // postings AND df
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"appendIndex: no committed index at $dir — writeIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        base.select(col("doc_id")), "doc_id", "appendIndex")
       tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
         .repartition(IndexCommit.writeWidth(docs), col("term"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "postings", gen))
-      IndexCommit.readTable(spark, dir, "df")
-        .unionByName(tfInc.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .coalesce(1).write.mode("overwrite")
+      tfInc.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .repartition(dfWidth, col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "df", gen))
       IndexCommit.readTable(spark, dir, "stats")
         .unionByName(base.agg(count(lit(1)).as("n_docs"),
@@ -206,8 +255,10 @@ object Bm25 {
           sum(col("sum_dl")).as("sum_dl"))
         .coalesce(1).write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "stats", gen))
-      Map("postings" -> (prev.tables("postings") :+ s"postings-g$gen"),
-        "df" -> Seq(s"df-g$gen"), "stats" -> Seq(s"stats-g$gen"))
+      prev.tables ++ Map(
+        "postings" -> (prev.tables("postings") :+ s"postings-g$gen"),
+        "df" -> (prev.tables("df") :+ s"df-g$gen"),
+        "stats" -> Seq(s"stats-g$gen"))
     }
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
@@ -245,14 +296,14 @@ object Bm25 {
       val delRows = IndexCommit.readTable(spark, dir, "postings")
         .join(fresh, Seq("doc_id"))
         .localCheckpoint(eager = false) // feeds df AND stats decrements
-      val delDf = delRows.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("ddf"))
-      IndexCommit.readTable(spark, dir, "df")
-        .join(delDf, Seq("term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-        .filter(col("df") > 0)
-        .coalesce(1).write.mode("overwrite")
+      // a NEGATIVE df delta — delete-sized write volume no matter the
+      // vocabulary size; [[foldDf]] nets it out at read, compaction
+      // materializes
+      delRows.groupBy(col("term"))
+        .agg((-countDistinct(col("doc_id"))).as("df"))
+        .repartition(IndexCommit.deltaWidth(newIds), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "df", gen))
       val delStats = delRows.groupBy(col("doc_id"))
         .agg(first(col("dl")).as("dl"))
@@ -266,12 +317,17 @@ object Bm25 {
           (col("sum_dl") - col("ddl")).as("sum_dl"))
         .coalesce(1).write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "stats", gen))
-      priorTombs.unionByName(fresh).distinct()
-        .coalesce(1).write.mode("overwrite")
+      // the fresh ids alone, as a DELTA segment beside any prior ones
+      // (anti-join masking works on the un-folded union)
+      fresh
+        .repartition(IndexCommit.deltaWidth(newIds))
+        .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
       prev.tables ++ Map(
-        "df" -> Seq(s"df-g$gen"), "stats" -> Seq(s"stats-g$gen"),
-        "tombstones" -> Seq(s"tombstones-g$gen"))
+        "df" -> (prev.tables("df") :+ s"df-g$gen"),
+        "stats" -> Seq(s"stats-g$gen"),
+        "tombstones" ->
+          (prev.tables.getOrElse("tombstones", Nil) :+ s"tombstones-g$gen"))
     }
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
@@ -283,12 +339,17 @@ object Bm25 {
     * nights — the same small-files decay
     * [[VectorSearch.compactIndexTable]] fixes for the cell-partitioned
     * families, here with the term-sort restored so row-group pruning
-    * bites again). Pure reorganization committed by one manifest flip
-    * (live segments are only read; inputs are GC'd after): rows are
-    * identical, so serving shares the uncompacted oracle. */
+    * bites again) — and the df DELTA segments the appends/deletes
+    * accumulated fold back to ONE materialized per-term table. Pure
+    * reorganization committed by one manifest flip (live segments are
+    * only read; inputs are GC'd after): rows are identical, so serving
+    * shares the uncompacted oracle. `retainGens` keeps superseded
+    * generations readable ([[IndexCommit.manifestAt]]) through the
+    * compaction, matching the append/delete paths. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): Unit = {
+                   dir: String, retainGens: Int = 1): Unit = {
     val postings = IndexCommit.readTable(spark, dir, "postings")
+    val dfRaw = IndexCommit.readTable(spark, dir, "df")
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"compactIndex: no committed index at $dir"))
@@ -304,10 +365,16 @@ object Bm25 {
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite")
         .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+      foldDf(dfRaw)
+        .repartition(IndexCommit.writeWidth(dfRaw), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "df", gen))
       (prev.tables - "tombstones")
         .updated("postings", Seq(s"postings-g$gen"))
+        .updated("df", Seq(s"df-g$gen"))
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** Serve BM25 top-k from a persisted inverted index (see
@@ -338,8 +405,11 @@ object Bm25 {
       if (manifest.tables.contains("tombstones"))
         raw.join(table("tombstones"), Seq("doc_id"), "left_anti")
       else raw
-    val dfT = table("df")
-      .filter(col("term").isin(terms: _*))
+    // the term filter pushes into EVERY df delta segment's scan; the
+    // fold then nets base + append/delete deltas over only the
+    // matching terms
+    val dfT = foldDf(table("df")
+      .filter(col("term").isin(terms: _*)))
     val stats = table("stats")
     scoreAndRank(tf, dfT, stats, queries, k, k1, b)
   }

@@ -33,9 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `mode("overwrite")`, replacing the orphan half-written segments
   *    of the failed attempt rather than appending beside them.
   *
-  * Single writer per index directory remains the ingest contract
-  * (there is no lock here — concurrent committers would race the gen
-  * number); readers need no coordination at all.
+  * Single writer per index directory is the ingest contract, and it
+  * is ENFORCED: [[commit]] claims its generation by atomically
+  * creating a `_claim_g<gen>` marker (create-fails-if-exists) before
+  * staging, so a second committer racing the same generation errors
+  * LOUDLY — naming the winner — instead of silently interleaving
+  * manifests. The claim is removed when the commit flips (or when
+  * `stage` throws), so ordinary crash-retries never see it; only a
+  * hard process kill mid-commit strands one, and [[gcUnreferenced]]
+  * clears stranded claims (GC must not run concurrently with a
+  * commit — the same single-writer discipline). Readers need no
+  * coordination at all.
   *
   * Garbage: segments dereferenced by a newer manifest (compaction
   * inputs, superseded df/stats stagings) and old manifest files are
@@ -64,6 +72,7 @@ object IndexCommit {
   final case class Manifest(gen: Long, tables: Map[String, Seq[String]])
 
   private val ManifestRe = "_manifest_g(\\d+)".r
+  private val ClaimRe = "_claim_g(\\d+)".r
   private val SegmentRe = "(.+)-g(\\d+)".r
   private val Header = "graft-index-manifest-v1"
 
@@ -73,6 +82,7 @@ object IndexCommit {
   }
 
   private def manifestName(gen: Long): String = f"_manifest_g$gen%012d"
+  private def claimName(gen: Long): String = f"_claim_g$gen%012d"
 
   private def listGens(fs: FileSystem, p: Path): Array[Long] =
     fs.listStatus(p).map(_.getPath.getName)
@@ -142,20 +152,49 @@ object IndexCommit {
       stage: (Long, Option[Manifest]) => Map[String, Seq[String]]): Unit = {
     val cur = currentManifest(spark, dir)
     val gen = cur.map(_.gen).getOrElse(0L) + 1
-    val tables = stage(gen, cur)
-    require(tables.nonEmpty, s"commit to $dir staged no tables")
     val (fs, p) = fsOf(spark, dir)
-    val body = (Header +: tables.toSeq.sortBy(_._1).map { case (t, segs) =>
-      require(!t.contains('=') && !t.contains(','), s"bad table name: $t")
-      segs.foreach(s => require(!s.contains(','), s"bad segment name: $s"))
-      s"$t=${segs.mkString(",")}"
-    }).mkString("", "\n", "\n")
-    val tmp = new Path(p, s"._manifest_g$gen.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    val fin = new Path(p, manifestName(gen))
-    require(fs.rename(tmp, fin),
-      s"manifest flip failed: $tmp -> $fin (concurrent writer?)")
+    if (!fs.exists(p)) fs.mkdirs(p): Unit
+    // claim the generation FIRST (atomic create-fails-if-exists): two
+    // committers racing the same gen — a single-writer contract
+    // violation — now fail loudly at the claim instead of silently
+    // interleaving staged segments and manifests
+    val claim = new Path(p, claimName(gen))
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      if (fs.exists(new Path(p, manifestName(gen)))) sys.error(
+        s"commit to $dir lost the race: generation $gen was committed " +
+          "by a concurrent writer (single-writer contract violated)")
+      else sys.error(
+        s"commit to $dir: ${claimName(gen)} is already held — a " +
+          "concurrent committer is mid-flight (single-writer contract " +
+          "violated) or a prior attempt was killed before its flip; a " +
+          "sole writer recovering from a kill should gcUnreferenced " +
+          "the directory to clear stranded claims, then retry")
+    }
+    try {
+      val tables = stage(gen, cur)
+      require(tables.nonEmpty, s"commit to $dir staged no tables")
+      val body = (Header +: tables.toSeq.sortBy(_._1).map { case (t, segs) =>
+        require(!t.contains('=') && !t.contains(','), s"bad table name: $t")
+        segs.foreach(s => require(!s.contains(','), s"bad segment name: $s"))
+        s"$t=${segs.mkString(",")}"
+      }).mkString("", "\n", "\n")
+      val tmp = new Path(p, s"._manifest_g$gen.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val fin = new Path(p, manifestName(gen))
+      // belt over the claim's braces: a committer that claimed through
+      // the winner's claim-release gap still refuses to replace a
+      // committed manifest (atomic on HDFS where rename-to-existing
+      // fails; best-effort check on local filesystems)
+      require(!fs.exists(fin),
+        s"commit to $dir lost the race: generation $gen was committed " +
+          "by a concurrent writer (single-writer contract violated)")
+      require(fs.rename(tmp, fin),
+        s"manifest flip failed: $tmp -> $fin (concurrent writer?)")
+    } finally fs.delete(claim, false): Unit
   }
 
   /** Canonical segment dir (absolute) for `table` staged at `gen`. */
@@ -206,14 +245,36 @@ object IndexCommit {
     * reads ([[manifestAt]]/[[readTableAt]]) and the multi-reader
     * grace period the vacuum-race note above calls for — retention is
     * the deploy knob, GC never touches what a retained manifest
-    * references. */
+    * references.
+    *
+    * `graceMs` is the TIME-BASED reader lease: a generation stays
+    * retained until it has been superseded for at least `graceMs`
+    * (measured from its successor manifest's mtime — the instant it
+    * stopped being current), regardless of `keepGens`. A reader that
+    * resolved paths against gen N therefore survives any number of
+    * concurrent commit+GC cycles as long as its scan finishes within
+    * the grace window — the Iceberg/Delta vacuum contract. Default 0
+    * keeps the count-only retention (single-JVM callers GC in the
+    * committing thread, where no reader overlap exists).
+    *
+    * Also clears stranded `_claim_g*` markers (a committer killed
+    * before its flip) — GC never runs concurrently with a commit by
+    * the single-writer contract, so any claim it sees is dead. */
   def gcUnreferenced(spark: SparkSession, dir: String,
-                     keepGens: Int = 1): Unit = {
+                     keepGens: Int = 1, graceMs: Long = 0L): Unit = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) return
-    val gens = listGens(fs, p).sorted.reverse.take(keepGens)
-    if (gens.isEmpty) return
+    val all = listGens(fs, p).sorted.reverse
+    if (all.isEmpty) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    val gens = all.zipWithIndex.filter { case (_, i) =>
+      i < keepGens || (graceMs > 0 &&
+        // supersession time of gen i = mtime of its successor's
+        // manifest (the commit that dereferenced it)
+        fs.getFileStatus(new Path(p, manifestName(all(i - 1))))
+          .getModificationTime >= cutoff)
+    }.map(_._1)
     val live = gens.flatMap { g =>
       parseManifest(fs, p, g, dir).tables.values.flatten.toSeq :+
         manifestName(g)
@@ -222,6 +283,7 @@ object IndexCommit {
       val n = st.getPath.getName
       val ours = n match {
         case ManifestRe(_) => true
+        case ClaimRe(_) => true // stranded by a killed committer
         case SegmentRe(_, _) if st.isDirectory => true
         case _ => n.startsWith("._manifest_")
       }
@@ -230,11 +292,14 @@ object IndexCommit {
   }
 
   /** Merge `ids` into the index's `tombstones` table in one commit —
-    * the generic deletion primitive every family's delete wraps: the
-    * new ids are distinct-unioned with any prior tombstones (so
-    * re-deletes are idempotent) and the manifest flips once. The
-    * caller's serve path masks with [[maskTombstones]]; a later
-    * compaction materializes the mask and drops the table. */
+    * the generic deletion primitive every family's delete wraps. The
+    * not-already-tombstoned ids (so re-deletes are idempotent) land as
+    * a NEW DELTA SEGMENT and the manifest flips once — a delete writes
+    * delete-sized volume no matter how large the accumulated tombstone
+    * set is (the logical table is the union of its delta segments;
+    * anti-join masking needs no fold). The caller's serve path masks
+    * with [[maskTombstones]]; a later compaction materializes the mask
+    * and drops the table. */
   def appendTombstones(spark: SparkSession, dir: String, ids: DataFrame,
                        keyCol: String, retainGens: Int = 1): Unit = {
     val newIds = ids.select(ids.col(ids.columns.head).cast("long")
@@ -242,17 +307,45 @@ object IndexCommit {
     commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"appendTombstones: no committed index at $dir"))
-      val prior =
+      val fresh =
         if (prev.tables.contains("tombstones"))
-          readTable(spark, dir, "tombstones")
-        else newIds.limit(0)
-      prior.unionByName(newIds).distinct()
-        .coalesce(1).write.mode("overwrite")
+          newIds.join(readTable(spark, dir, "tombstones"), Seq(keyCol),
+            "left_anti")
+        else newIds
+      fresh.repartition(deltaWidth(newIds))
+        .write.mode("overwrite")
         .parquet(segmentPath(dir, "tombstones", gen))
-      prev.tables.updated("tombstones", Seq(s"tombstones-g$gen"))
+      prev.tables.updated("tombstones",
+        prev.tables.getOrElse("tombstones", Nil) :+ s"tombstones-g$gen")
     }
     gcUnreferenced(spark, dir, retainGens)
   }
+
+  /** Enforce, inside an APPEND commit, that the increment's ids are
+    * disjoint from the index's tombstones — the re-ingest contract.
+    * An append can neither keep a re-ingested id masked (it would
+    * serve as deleted while this very commit's aggregates count it)
+    * nor simply unmask it (the id's PRE-DELETE rows are still
+    * physically present in carried-forward segments until a
+    * compaction, so unmasking resurrects them beside the new rows and
+    * double-counts the doc). The only consistent order is compact
+    * first — materialize the deletion — then re-ingest, and this
+    * check turns the wrong order into a loud error instead of a
+    * silently wrong index. No-op when the index carries no
+    * tombstones. */
+  def requireDisjointFromTombstones(spark: SparkSession, dir: String,
+                                    prev: Manifest, ids: DataFrame,
+                                    keyCol: String, op: String): Unit =
+    if (prev.tables.contains("tombstones")) {
+      val overlap = readTable(spark, dir, "tombstones")
+        .join(ids.select(ids.col(ids.columns.head).cast("long")
+          .as(keyCol)).distinct(), Seq(keyCol), "left_semi")
+        .count()
+      require(overlap == 0,
+        s"$op to $dir: $overlap increment id(s) were previously " +
+          "deleted and are still tombstoned — compact the index to " +
+          "materialize the deletion before re-ingesting them")
+    }
 
   /** Anti-join `df` against the index's tombstones table on `keyCol`
     * — identity when the index carries none. Every serve path calls
@@ -292,5 +385,24 @@ object IndexCommit {
         "scan-backed sizeHint, not a checkpointed/RDD-backed frame")
     val byBytes = (est + targetBytesPerFile - 1) / targetBytesPerFile
     math.max(floor, byBytes.min(BigInt(MaxWidth)).toInt)
+  }
+
+  /** [[writeWidth]] for DELTA segments (per-append df deltas, per-
+    * delete tombstone batches) whose natural size hint may be
+    * checkpoint- or join-backed and so carry the unknown-stats
+    * sentinel: deltas are increment-sized by construction, so an
+    * unknown estimate falls back to the parallel floor instead of the
+    * loud error the full-table writes keep. */
+  def deltaWidth(sizeHint: DataFrame,
+                 targetBytesPerFile: Long = 128L << 20): Int = {
+    val spark = sizeHint.sparkSession
+    val floor =
+      math.max(1, math.min(spark.sparkContext.defaultParallelism, 16))
+    val est = sizeHint.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= BigInt(Long.MaxValue) / 4) floor
+    else {
+      val byBytes = (est + targetBytesPerFile - 1) / targetBytesPerFile
+      math.max(floor, byBytes.min(BigInt(MaxWidth)).toInt)
+    }
   }
 }

@@ -425,7 +425,7 @@ object VectorSearch {
     * bit-exactly, so served results equal [[lshTopK]]'s to the last
     * bit (one shared oracle). */
   def lshWriteIndex(vectors: DataFrame, dir: String, bits: Int = 8,
-                    dim: Int = 64): Unit = {
+                    dim: Int = 64, retainGens: Int = 1): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     IndexCommit.commit(spark, dir) { (gen, _) =>
@@ -445,7 +445,7 @@ object VectorSearch {
         .parquet(IndexCommit.segmentPath(dir, "meta", gen))
       Map("buckets" -> Seq(s"buckets-g$gen"), "meta" -> Seq(s"meta-g$gen"))
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** Serve top-k from a persisted LSH index (see [[lshWriteIndex]]).
@@ -478,12 +478,14 @@ object VectorSearch {
     * its orphan), hash-clustered so each bucket's
     * new file is written in parallel. */
   def lshAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     increment: DataFrame): Unit = {
+                     increment: DataFrame, retainGens: Int = 1): Unit = {
     val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (bits, dim) = (meta.getInt(0), meta.getInt(1))
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"lshAppendIndex: no committed index at $dir — lshWriteIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        increment.select("vec_id"), "vec_id", "lshAppendIndex")
       lshVectorBuckets(increment, bits, dim)
         .repartition(IndexCommit.writeWidth(increment), col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
@@ -491,7 +493,7 @@ object VectorSearch {
       prev.tables.updated("buckets",
         prev.tables("buckets") :+ s"buckets-g$gen")
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** The IVF index: cell-assigned vectors plus their trained centroids
@@ -1037,7 +1039,7 @@ object VectorSearch {
     */
   def ivfWriteIndex(vectors: DataFrame, dir: String,
                     cellCol: String = "label", dim: Int = 64,
-                    refine: Int = 0): Unit = {
+                    refine: Int = 0, retainGens: Int = 1): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine)
@@ -1054,7 +1056,7 @@ object VectorSearch {
       Map("cells" -> Seq(s"cells-g$gen"),
         "centroids" -> Seq(s"centroids-g$gen"))
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** APPEND an increment to a persisted IVF index without rebuilding —
@@ -1074,7 +1076,7 @@ object VectorSearch {
     * increment's rows, clustered one file per cell.
     */
   def ivfAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     increment: DataFrame, dim: Int = 64): Unit = {
+                     increment: DataFrame, dim: Int = 64, retainGens: Int = 1): Unit = {
     import spark.implicits._
     val centroids = IndexCommit.readTable(spark, dir, "centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
@@ -1104,13 +1106,15 @@ object VectorSearch {
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"ivfAppendIndex: no committed index at $dir — ivfWriteIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        increment.select("vec_id"), "vec_id", "ivfAppendIndex")
       assignedInc
         .repartition(IndexCommit.writeWidth(increment), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "cells", gen))
       prev.tables.updated("cells", prev.tables("cells") :+ s"cells-g$gen")
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** DELETE vectors from ANY persisted vector index (LSH buckets, IVF
@@ -1147,7 +1151,7 @@ object VectorSearch {
     * uncompacted oracle. */
   def compactIndexTable(spark: org.apache.spark.sql.SparkSession,
                         dir: String, table: String,
-                        partCol: String): Unit = {
+                        partCol: String, retainGens: Int = 1): Unit = {
     val live = IndexCommit.readTable(spark, dir, table)
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
@@ -1164,7 +1168,62 @@ object VectorSearch {
         .parquet(IndexCommit.segmentPath(dir, table, gen))
       (prev.tables - "tombstones").updated(table, Seq(s"$table-g$gen"))
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
+  /** RETRAIN-DECISION card over a persisted IVF index — the feedback
+    * loop frozen-quantizer appends need: every [[ivfAppendIndex]]
+    * assigns against centroids trained on an older corpus, so drift
+    * accumulates silently until probes stop covering the data. The
+    * card measures the drifted artifact AS IT IS ON DISK and emits
+    * what a maintenance scheduler consumes:
+    *
+    *  - occupancy `skew` = max-cell rows × cell count ÷ total rows
+    *    (1.0 = perfectly balanced; bloated cells both slow their
+    *    probes and starve the others),
+    *  - `recall_at_k` of the index's own serve at the given budget
+    *    against the exact brute-force truth over the indexed rows
+    *    (the recall-floor verdict the adaptive sweeps calibrate to),
+    *  - `rebuild_recommended` — skew past `skewMax` or recall under
+    *    `recallFloor`.
+    *
+    * Scale shape: occupancy is one count-by-cell aggregate; the
+    * recall leg runs only the fixed calibration workload `queries`,
+    * never the corpus. Ground truth is brute force BY DESIGN — the
+    * card is a maintenance job run at calibration cadence, and its
+    * truth must not inherit the drifted index's own blind spots. */
+  def ivfRetrainCard(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, queries: DataFrame, k: Int = 5,
+                     nProbe: Int = 3, dim: Int = 64,
+                     skewMax: Double = 1.5, recallFloor: Double = 0.9)
+      : DataFrame = {
+    val rows = IndexCommit.maskTombstones(spark, dir,
+      IndexCommit.readTable(spark, dir, "cells")
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("embedding")), "vec_id")
+    val occ = rows.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("total"),
+        max(col("n")).as("max_n"))
+    val truth = bruteForceTopK(rows.select(col("vec_id"), col("embedding")),
+        queries, k, dim)
+      .select(col("qid"), col("vec_id"))
+    val served = ivfServe(spark, dir, queries, k, nProbe, dim)
+      .select(col("qid"), col("vec_id"))
+    val hits = truth.join(served, Seq("qid", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nq = queries.agg(count(lit(1)).as("n_q"))
+    val skew = round(col("max_n").cast("double") * col("n_cells")
+      / col("total"), 6)
+    val recall = round(col("n_hit").cast("double")
+      / (col("n_q") * lit(k.toDouble)), 4)
+    PlanHints.withScalars(PlanHints.withScalars(occ, hits), nq)
+      .select(col("n_cells").cast("long").as("n_cells"),
+        col("total").cast("long").as("total"),
+        col("max_n").cast("long").as("max_n"),
+        skew.as("skew"),
+        recall.as("recall_at_k"),
+        (skew > skewMax || recall < recallFloor)
+          .as("rebuild_recommended"))
   }
 
   /** Serve top-k from a persisted index directory (see
@@ -1753,7 +1812,7 @@ object VectorSearch {
     * returns [[pqTopK]]'s answer to the last bit (one shared oracle).
     */
   def pqWriteIndex(vectors: DataFrame, dir: String, m: Int = 8,
-                   nCells: Int = 16, dim: Int = 64): Unit = {
+                   nCells: Int = 16, dim: Int = 64, retainGens: Int = 1): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -1782,7 +1841,7 @@ object VectorSearch {
         .parquet(IndexCommit.segmentPath(dir, "meta", gen))
       Seq("codes", "codebooks", "meta").map(t => t -> Seq(s"$t-g$gen")).toMap
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** Serve top-k from a persisted PQ index (see [[pqWriteIndex]]): the
@@ -1833,7 +1892,7 @@ object VectorSearch {
     * over the increment; the append writes only the increment's code
     * rows. */
   def pqAppendIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    increment: DataFrame): Unit = {
+                    increment: DataFrame, retainGens: Int = 1): Unit = {
     import spark.implicits._
     val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
@@ -1843,6 +1902,8 @@ object VectorSearch {
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"pqAppendIndex: no committed index at $dir — pqWriteIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        increment.select("vec_id"), "vec_id", "pqAppendIndex")
       increment.select(col("vec_id"), col("embedding"))
         .filter(col("embedding").isNotNull)
         .as[(Long, Array[Float])]
@@ -1855,7 +1916,7 @@ object VectorSearch {
         .parquet(IndexCommit.segmentPath(dir, "codes", gen))
       prev.tables.updated("codes", prev.tables("codes") :+ s"codes-g$gen")
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** Chunk-blocked scan over PQ CODES — [[scanChunks]] with the m-byte
@@ -2153,7 +2214,7 @@ object VectorSearch {
     */
   def ivfPqWriteIndex(vectors: DataFrame, dir: String,
                       cellCol: String = "label", m: Int = 8,
-                      nCells: Int = 16, dim: Int = 64): Unit = {
+                      nCells: Int = 16, dim: Int = 64, retainGens: Int = 1): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val sub = dim / m
@@ -2187,7 +2248,7 @@ object VectorSearch {
       Seq("codes", "centroids", "codebooks", "meta")
         .map(t => t -> Seq(s"$t-g$gen")).toMap
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** Serve IVFPQ top-k from a persisted index directory (see
@@ -2237,7 +2298,7 @@ object VectorSearch {
     * Floats round-trip parquet bit-exactly, so served results equal
     * [[mrlTopK]]'s to the last bit (one shared oracle). */
   def mrlWriteIndex(vectors: DataFrame, dir: String, prefixDim: Int = 16,
-                    dim: Int = 64): Unit = {
+                    dim: Int = 64, retainGens: Int = 1): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
     IndexCommit.commit(spark, dir) { (gen, _) =>
@@ -2255,7 +2316,7 @@ object VectorSearch {
         .parquet(IndexCommit.segmentPath(dir, "meta", gen))
       Map("prefix" -> Seq(s"prefix-g$gen"), "meta" -> Seq(s"meta-g$gen"))
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** APPEND an increment to a persisted MRL prefix table — the last
@@ -2267,13 +2328,15 @@ object VectorSearch {
     * new manifest segment in one flip — a crashed append is
     * invisible, a retry replaces its orphan. */
   def mrlAppendIndex(spark: org.apache.spark.sql.SparkSession,
-                     dir: String, increment: DataFrame): Unit = {
+                     dir: String, increment: DataFrame, retainGens: Int = 1): Unit = {
     import spark.implicits._
     val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val prefixDim = meta.getInt(0)
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"mrlAppendIndex: no committed index at $dir — mrlWriteIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        increment.select("vec_id"), "vec_id", "mrlAppendIndex")
       increment.select(col("vec_id"), col("embedding"))
         .filter(col("embedding").isNotNull)
         .as[(Long, Array[Float])]
@@ -2286,7 +2349,7 @@ object VectorSearch {
       prev.tables.updated("prefix",
         prev.tables("prefix") :+ s"prefix-g$gen")
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** Serve Matryoshka two-stage top-k from a persisted prefix table
@@ -2321,7 +2384,7 @@ object VectorSearch {
     * nightly-ingest lifecycle across all four index families. */
   def ivfPqAppendIndex(spark: org.apache.spark.sql.SparkSession,
                        dir: String, increment: DataFrame,
-                       cellCol: String = "label"): Unit = {
+                       cellCol: String = "label", retainGens: Int = 1): Unit = {
     import spark.implicits._
     val meta = IndexCommit.readTable(spark, dir, "meta").head()
     val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
@@ -2354,13 +2417,15 @@ object VectorSearch {
       val prev = cur.getOrElse(sys.error(
         s"ivfPqAppendIndex: no committed index at $dir — " +
           "ivfPqWriteIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        increment.select("vec_id"), "vec_id", "ivfPqAppendIndex")
       codesInc
         .repartition(IndexCommit.writeWidth(increment), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "codes", gen))
       prev.tables.updated("codes", prev.tables("codes") :+ s"codes-g$gen")
     }
-    IndexCommit.gcUnreferenced(spark, dir)
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.

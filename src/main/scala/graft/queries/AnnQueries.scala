@@ -105,6 +105,31 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** RETRAIN TRIGGER card — closes the append-drift loop the adaptive
+    * budgets started: nightly [[graft.operators.VectorSearch.ivfAppendIndex]]
+    * appends assign against FROZEN centroids, so the quantizer slowly
+    * stops describing the corpus (cells bloat unevenly; probes miss).
+    * After the append cycle this entry reads the drifted persisted
+    * index and emits the rebuild decision a maintenance scheduler
+    * consumes: occupancy SKEW (max cell × cell count ÷ rows — the
+    * ann_cell_stats ratio on the index as it actually is on disk),
+    * the RECALL-FLOOR verdict at the serving budget (recall@5 of the
+    * persisted serve vs the exact brute-force truth on the
+    * calibration workload, the ann_ivf_recall_report measurement
+    * pointed at the drifted artifact), and `rebuild_recommended` —
+    * true when skew exceeds 1.5 or recall undershoots the 0.9 floor
+    * the adaptive sweeps calibrate serving to. Scale shape: occupancy
+    * is one count-by-cell aggregate over the cells table; the recall
+    * leg is the fixed-size calibration workload, never the corpus. */
+  def annRetrainCard(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_retrain_index"
+    VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.ivfAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.ivfRetrainCard(env.spark, dir, queriesDf(env))
+  }
+
   /** Index COMPACTION lifecycle: build the IVF index on the base
     * corpus, append the increment (one new file per touched cell),
     * then compact the cell table
@@ -1075,7 +1100,7 @@ object AnnQueries {
 
   /** Post-deletion serve: full-corpus centroid training (frozen
     * geometry), deleted vectors excluded from candidates only. */
-  private val ivfDeleteSql: String =
+  private[queries] val ivfDeleteSql: String =
     s"""WITH $ivfCentCte,
        |${ivfServeCtes("WHERE vec_id % 50 = 0", "3", "e.vec_id % 5 <> 2")}
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
@@ -1896,6 +1921,107 @@ object AnnQueries {
     // incremental lifecycle: base-trained centroids + frozen-centroid
     // increment assignment, served from the merged cells
     Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
+
+    // rebuild decision on the drifted (base + frozen-assignment
+    // append) index: occupancy skew + recall@5 at the serving budget
+    // vs brute truth, flag = skew > 1.5 OR recall < 0.9
+    Q.sql("ann_retrain_card", annRetrainCard,
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |branked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM bscored),
+         |btop AS (SELECT qid, vec_id FROM branked WHERE rn <= 5),
+         |cent AS (
+         |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+         |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+         |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+         |    FROM embeddings, range(1, 65) t(d)
+         |    WHERE vec_id % 7 <> 0
+         |    GROUP BY cell, t.d)
+         |  GROUP BY cell),
+         |inc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+         |isim AS (
+         |  SELECT i.vec_id, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        x -> CAST(i.embedding[x] AS DOUBLE) * c.centroid[x]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           x -> CAST(i.embedding[x] AS DOUBLE)
+         |                * CAST(i.embedding[x] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             x -> c.centroid[x] * c.centroid[x])))), 6) AS sim
+         |  FROM inc i, cent c
+         |  WHERE list_sum(list_transform(range(1, 65),
+         |          x -> CAST(i.embedding[x] AS DOUBLE)
+         |               * CAST(i.embedding[x] AS DOUBLE))) > 0),
+         |iassign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM isim) WHERE rn = 1),
+         |cells AS (
+         |  SELECT CAST(label AS INT) AS cell, vec_id, embedding
+         |  FROM embeddings
+         |  WHERE vec_id % 7 <> 0 AND embedding IS NOT NULL
+         |  UNION ALL
+         |  SELECT a.cell, i.vec_id, i.embedding
+         |  FROM inc i JOIN iassign a USING (vec_id)),
+         |occ AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |         CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n
+         |  FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n
+         |        FROM cells GROUP BY cell)),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= 3),
+         |icand AS (
+         |  SELECT p.qid, c.vec_id,
+         |         round(${cos("q.qe", "c.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN cells c ON c.cell = p.cell
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE c.vec_id <> p.qid),
+         |iranked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM icand),
+         |itop AS (SELECT qid, vec_id FROM iranked WHERE rn <= 5),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q),
+         |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM btop JOIN itop USING (qid, vec_id))
+         |SELECT occ.n_cells, occ.total, occ.max_n,
+         |  round(CAST(occ.max_n AS DOUBLE) * occ.n_cells / occ.total, 6)
+         |    AS skew,
+         |  round(CAST(hit.n_hit AS DOUBLE) / (nq.n_q * 5.0), 4)
+         |    AS recall_at_k,
+         |  (round(CAST(occ.max_n AS DOUBLE) * occ.n_cells / occ.total, 6)
+         |     > 1.5
+         |   OR round(CAST(hit.n_hit AS DOUBLE) / (nq.n_q * 5.0), 4) < 0.9)
+         |    AS rebuild_recommended
+         |FROM occ, nq, hit""".stripMargin),
     // takedown: frozen centroids, deleted vectors excluded from
     // candidates; compaction materializes the mask, same oracle
     Q.sql("ann_ivf_delete", annIvfDelete, ivfDeleteSql),

@@ -449,6 +449,70 @@ object StreamQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** T15 — STREAMING TAKEDOWN, the governance twin of [[t14Bm25IngestStream]]:
+    * the index is built in batch, then deletion requests ARRIVE AS A
+    * STREAM and every micro-batch lands as one atomic manifest flip
+    * ([[graft.operators.Bm25.deleteDocs]] — exact df/stats decrements
+    * as a negative delta segment plus a tombstone delta, so a crash
+    * between batches leaves a consistent index with every
+    * already-committed takedown applied). Deletes compose across any
+    * batch slicing (each batch's decrements are recovered from the
+    * postings of ids not yet tombstoned), so the final serve is
+    * bit-identical to one batch delete — the entry shares
+    * text_bm25_delete's surviving-corpus oracle. */
+  def t15TakedownStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val dir = s"$scratchBase/t15_bm25_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
+    val stream = streamRead(env, "documents")
+      .filter($"doc_id" % 5 === 2)
+      .select($"doc_id")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Bm25.deleteDocs(spark, dir, batch)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.operators.Bm25.serve(spark, dir, TextQueries.Bm25Workload,
+        k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** T16 — the same streaming takedown on a VECTOR index: each
+    * micro-batch of vec_ids is one atomic tombstone-delta commit
+    * ([[graft.operators.VectorSearch.deleteVectors]]); the serve path
+    * anti-joins the union of delta segments, so stream-sliced deletes
+    * ≡ one batch delete and the entry shares ann_ivf_delete's
+    * oracle. */
+  def t16AnnTakedownStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val dir = s"$scratchBase/t16_ivf_index"
+    graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, dir)
+    val stream = streamRead(env, "embeddings")
+      .filter($"vec_id" % 5 === 2)
+      .select($"vec_id")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.VectorSearch.deleteVectors(spark, dir, batch)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.operators.VectorSearch.ivfServe(spark, dir,
+        env.embeddings.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -601,6 +665,15 @@ object StreamQueries {
     // so the final serve shares the full-build oracle
     Q.sql("t14_bm25_ingest_stream", t14Bm25IngestStream,
       TextQueries.bm25TopkSql),
+
+    // streamed takedown: every micro-batch is one atomic delete
+    // commit; exact decrements compose across any batch slicing, so
+    // the final serve shares the batch delete's surviving-corpus
+    // oracle
+    Q.sql("t15_takedown_stream", t15TakedownStream,
+      TextQueries.bm25DeleteSql),
+    Q.sql("t16_ann_takedown_stream", t16AnnTakedownStream,
+      AnnQueries.ivfDeleteSql),
 
     // IVFPQ served per micro-batch from the persisted index — shares
     // ann_ivfpq_topk's oracle (batch-independent per-query results)

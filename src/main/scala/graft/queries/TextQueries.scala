@@ -577,6 +577,11 @@ object TextQueries {
     * trip (bit-exact serve). */
   private[queries] val bm25TopkSql: String = bm25TopkSqlFor("")
 
+  /** The surviving-corpus replay shared by the batch delete entries
+    * and the streaming takedown (t15). */
+  private[queries] val bm25DeleteSql: String =
+    bm25TopkSqlFor("WHERE doc_id % 5 <> 2")
+
   /** The BM25 oracle parameterized by a documents predicate — "" for
     * the full corpus; a doc_id filter replays a TIME-TRAVEL serve of
     * the index generation that indexed only those docs. */
@@ -661,6 +666,59 @@ object TextQueries {
       .bruteForceTopK(env.embeddings,
         env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
           .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 10)
+      .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + $"trank"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + $"vrank"), lit(0.0)), 6))
+    val w = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank".cast("int").as("rank"), $"doc_id", $"rrf")
+      .orderBy($"qid", $"rank")
+  }
+
+  /** [[textHybridRrf]] in its DEPLOYMENT shape: both retriever legs
+    * serve from PERSISTED indexes instead of rebuilding per query set
+    * — the keyword leg from the BM25 manifest tables
+    * ([[graft.operators.Bm25.serve]]: term filter pushed into the
+    * postings row groups, df deltas folded over only the matching
+    * terms) and the vector leg from the persisted IVF cells
+    * ([[graft.operators.VectorSearch.ivfServe]]). The vector serve
+    * probes ALL cells so the candidate set is the full corpus and the
+    * ranking is bit-equal to the inline brute leg (a production
+    * deployment would drop nProbe and accept the recall trade the
+    * ann_ivf_adaptive entries calibrate); both serves round and
+    * tie-break exactly as their inline twins, so the fused ranking is
+    * bit-identical and the entry shares the inline oracle. This is the
+    * build-once/serve-many split RAG retrieval actually runs
+    * (reference analogue: the consolidated-cache serve-many idea,
+    * /root/reference/fast.py:34-56). */
+  def textHybridRrfServed(env: Env): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, lit, round, row_number, slice, split}
+    val spark = env.spark
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val bmDir = s"${StreamQueries.scratchBase}/hybrid_bm25_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
+    val text = graft.operators.Bm25.serve(spark, bmDir, terms, k = 10)
+      .select($"qid".cast("long").as("qid"), $"doc_id",
+              $"rank".as("trank"))
+      .filter($"doc_id" =!= $"qid")
+    val ivfDir = s"${StreamQueries.scratchBase}/hybrid_ivf_index"
+    graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+    val nCells = graft.operators.IndexCommit
+      .readTable(spark, ivfDir, "centroids").count().toInt
+    val vec = graft.operators.VectorSearch
+      .ivfServe(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")),
+        k = 10, nProbe = nCells)
       .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
     val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf", round(
@@ -1075,6 +1133,75 @@ object TextQueries {
        |FROM a CROSS JOIN b JOIN y USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
+  /** The hybrid-RRF oracle shared by text_hybrid_rrf (inline legs)
+    * and text_hybrid_rrf_served (persisted-index legs): the BM25
+    * chain mirrors text_bm25_topk with the query-by-example terms;
+    * the cosine leg mirrors ann_brute_topk at k = 10. */
+  private[queries] val hybridRrfSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |       FROM base),
+        |q AS (SELECT doc_id AS qid,
+        |        unnest(list_distinct(list_slice(s, 1, 6))) AS term
+        |      FROM t WHERE doc_id % 100 = 0 AND doc_id < 5000),
+        |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
+        |       FROM base, unnest(s) AS u(term)
+        |       WHERE u.term IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY doc_id, dl, u.term),
+        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT q.qid, tf.doc_id, tf.term,
+        |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
+        |            / (CAST(dft.df AS DOUBLE) + 0.5))
+        |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE)
+        |              * ((CAST(1.0 AS DOUBLE) - 0.75)
+        |                 + CAST(0.75 AS DOUBLE)
+        |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+        |           AS s
+        |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
+        |ag AS (SELECT qid, doc_id,
+        |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
+        |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+        |       FROM sc GROUP BY qid, doc_id),
+        |trk AS (SELECT qid, doc_id, score,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY score DESC, doc_id) AS trank
+        |        FROM ag),
+        |tsel AS (SELECT qid, doc_id, trank FROM trk
+        |         WHERE trank <= 10 AND doc_id <> qid),
+        |vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |       WHERE vec_id % 100 = 0 AND vec_id < 5000),
+        |vs AS (SELECT vq.qid, e.vec_id,
+        |         round(list_sum(list_transform(range(1, len(vq.qe) + 1),
+        |                 i -> CAST(vq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |               / (sqrt(list_sum(list_transform(range(1, len(vq.qe) + 1),
+        |                    i -> CAST(vq.qe[i] AS DOUBLE) * CAST(vq.qe[i] AS DOUBLE))))
+        |                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+        |               6) AS cos
+        |       FROM vq JOIN embeddings e ON e.vec_id <> vq.qid),
+        |vrk AS (SELECT qid, vec_id AS doc_id,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY cos DESC, vec_id) AS vrank
+        |        FROM vs),
+        |vsel AS (SELECT qid, doc_id, vrank FROM vrk WHERE vrank <= 10),
+        |f AS (SELECT coalesce(t2.qid, v.qid) AS qid,
+        |        coalesce(t2.doc_id, v.doc_id) AS doc_id,
+        |        round(coalesce(CAST(1 AS DOUBLE) / (60 + t2.trank),
+        |                       CAST(0 AS DOUBLE))
+        |              + coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank),
+        |                         CAST(0 AS DOUBLE)), 6) AS rrf
+        |      FROM tsel t2 FULL OUTER JOIN vsel v
+        |        ON t2.qid = v.qid AND t2.doc_id = v.doc_id),
+        |rk2 AS (SELECT qid, doc_id, rrf,
+        |          row_number() OVER (PARTITION BY qid
+        |                             ORDER BY rrf DESC, doc_id) AS rn
+        |        FROM f)
+        |SELECT qid, CAST(rn AS INT) AS rank, doc_id, rrf
+        |FROM rk2 WHERE rn <= 10
+        |ORDER BY qid, rank""".stripMargin
+
   val entries: Seq[Q] = Seq(
     Q.sql("text_badwords_filter", textBadwordsFilter,
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
@@ -1273,79 +1400,21 @@ object TextQueries {
       bm25TopkSqlFor("WHERE doc_id % 7 <> 0")),
     // takedown: delete == never-indexed (exact df/stats decrements +
     // tombstone mask); compaction materializes the mask, same oracle
-    Q.sql("text_bm25_delete", textBm25Delete,
-      bm25TopkSqlFor("WHERE doc_id % 5 <> 2")),
+    Q.sql("text_bm25_delete", textBm25Delete, bm25DeleteSql),
     Q.sql("text_bm25_delete_compact", textBm25DeleteCompact,
-      bm25TopkSqlFor("WHERE doc_id % 5 <> 2")),
+      bm25DeleteSql),
 
     // the BM25 chain (t/base/st/tf/dft/sc/ag) mirrors text_bm25_topk's
     // oracle verbatim with the VALUES workload swapped for the
     // table-derived query-by-example terms; the cosine leg mirrors
     // ann_brute_topk at k = 10
-    Q.sql("text_hybrid_rrf", textHybridRrf,
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
-        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
-        |       FROM base),
-        |q AS (SELECT doc_id AS qid,
-        |        unnest(list_distinct(list_slice(s, 1, 6))) AS term
-        |      FROM t WHERE doc_id % 100 = 0 AND doc_id < 5000),
-        |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
-        |       FROM base, unnest(s) AS u(term)
-        |       WHERE u.term IN (SELECT DISTINCT term FROM q)
-        |       GROUP BY doc_id, dl, u.term),
-        |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-        |sc AS (SELECT q.qid, tf.doc_id, tf.term,
-        |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
-        |            / (CAST(dft.df AS DOUBLE) + 0.5))
-        |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
-        |         / (tf.tf + CAST(1.2 AS DOUBLE)
-        |              * ((CAST(1.0 AS DOUBLE) - 0.75)
-        |                 + CAST(0.75 AS DOUBLE)
-        |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
-        |           AS s
-        |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
-        |ag AS (SELECT qid, doc_id,
-        |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
-        |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
-        |       FROM sc GROUP BY qid, doc_id),
-        |trk AS (SELECT qid, doc_id, score,
-        |          row_number() OVER (PARTITION BY qid
-        |                             ORDER BY score DESC, doc_id) AS trank
-        |        FROM ag),
-        |tsel AS (SELECT qid, doc_id, trank FROM trk
-        |         WHERE trank <= 10 AND doc_id <> qid),
-        |vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-        |       WHERE vec_id % 100 = 0 AND vec_id < 5000),
-        |vs AS (SELECT vq.qid, e.vec_id,
-        |         round(list_sum(list_transform(range(1, len(vq.qe) + 1),
-        |                 i -> CAST(vq.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
-        |               / (sqrt(list_sum(list_transform(range(1, len(vq.qe) + 1),
-        |                    i -> CAST(vq.qe[i] AS DOUBLE) * CAST(vq.qe[i] AS DOUBLE))))
-        |                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
-        |               6) AS cos
-        |       FROM vq JOIN embeddings e ON e.vec_id <> vq.qid),
-        |vrk AS (SELECT qid, vec_id AS doc_id,
-        |          row_number() OVER (PARTITION BY qid
-        |                             ORDER BY cos DESC, vec_id) AS vrank
-        |        FROM vs),
-        |vsel AS (SELECT qid, doc_id, vrank FROM vrk WHERE vrank <= 10),
-        |f AS (SELECT coalesce(t2.qid, v.qid) AS qid,
-        |        coalesce(t2.doc_id, v.doc_id) AS doc_id,
-        |        round(coalesce(CAST(1 AS DOUBLE) / (60 + t2.trank),
-        |                       CAST(0 AS DOUBLE))
-        |              + coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank),
-        |                         CAST(0 AS DOUBLE)), 6) AS rrf
-        |      FROM tsel t2 FULL OUTER JOIN vsel v
-        |        ON t2.qid = v.qid AND t2.doc_id = v.doc_id),
-        |rk2 AS (SELECT qid, doc_id, rrf,
-        |          row_number() OVER (PARTITION BY qid
-        |                             ORDER BY rrf DESC, doc_id) AS rn
-        |        FROM f)
-        |SELECT qid, CAST(rn AS INT) AS rank, doc_id, rrf
-        |FROM rk2 WHERE rn <= 10
-        |ORDER BY qid, rank""".stripMargin),
+    Q.sql("text_hybrid_rrf", textHybridRrf, hybridRrfSql),
+
+    // the DEPLOYMENT shape of the same fusion: both legs serve from
+    // persisted indexes (BM25 manifest tables; IVF cells at full
+    // probe) — bit-equal to the inline entry, same oracle
+    Q.sql("text_hybrid_rrf_served", textHybridRrfServed, hybridRrfSql),
+
 
     Q.sql("text_pii_redact", textPiiRedact,
       """WITH b AS (

@@ -55,6 +55,27 @@ object IndexLayout {
 
     report("bm25", env.documents,
       d => Bm25.writeIndex(env.documents, "doc_id", "text", d), "postings")
+    // the vocab-sized df aggregate: same estimator discipline as the
+    // postings (floor on test data), and a web-scale synthetic frame
+    // shows the derived width crossing both the old fixed 16 and the
+    // former coalesce(1) — df is never a single-task write
+    locally {
+      import org.apache.spark.sql.functions._
+      val dfPlan = env.documents
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val bigVocab = spark.range(3L * 1000 * 1000 * 1000)
+        .select(col("id").cast("string").as("term"),
+          col("id").as("df")) // a 10⁹-term vocabulary's estimate shape
+      val dfFiles = IndexCommit.tablePaths(spark, s"$scratch/bm25", "df")
+        .map(parquetFiles).sum
+      println(s"[layout] bm25_df @ $sfDir: " +
+        s"width@128MiB=${IndexCommit.writeWidth(dfPlan)} " +
+        s"width@64KiB=${IndexCommit.writeWidth(dfPlan, 64L << 10)} " +
+        s"big_vocab_width@128MiB=${IndexCommit.writeWidth(bigVocab)} " +
+        s"df_files=$dfFiles")
+    }
     report("lsh", env.embeddings,
       d => VectorSearch.lshWriteIndex(env.embeddings, d), "buckets")
     report("ivf", env.embeddings,

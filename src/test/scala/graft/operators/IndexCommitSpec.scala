@@ -227,6 +227,223 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmRf(dir)
   }
 
+  test("delete THEN append: tombstones survive; serve == rebuild on survivors+appended") {
+    val dir = tmpDir("graft_del_app")
+    try {
+      Bm25.writeIndex(docs.filter($"doc_id" =!= 4L), "doc_id", "text", dir)
+      Bm25.deleteDocs(spark, dir,
+        docs.filter($"doc_id" === 3L).select($"doc_id"))
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 4L),
+        "doc_id", "text")
+      // the append must CARRY the mask forward — dropping it would
+      // resurrect doc 3's postings against already-decremented df/
+      // stats (doc 3 holds "table", a q1 term: resurrection is
+      // visible in the ranking, the assertion has teeth)
+      val m = IndexCommit.currentManifest(spark, dir).get
+      assert(m.tables.contains("tombstones"),
+        s"append dropped the tombstones table: ${m.tables.keys}")
+      val served = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      val rebuilt = Bm25.topK(docs.filter($"doc_id" =!= 3L),
+          "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == rebuilt)
+      assert(served.nonEmpty)
+    } finally rmRf(dir)
+  }
+
+  test("re-ingest after delete: loud error until a compaction materializes it (BM25 and IVF)") {
+    // an append can neither keep a re-ingested id masked (served as
+    // deleted while counted) nor unmask it (its pre-delete rows are
+    // still physically present beside the new ones — double-counted);
+    // the only consistent order is compact-then-re-ingest, ENFORCED
+    val dir = tmpDir("graft_reingest")
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", dir)
+      Bm25.deleteDocs(spark, dir,
+        docs.filter($"doc_id" === 3L).select($"doc_id"))
+      val doc3v2 = Seq((3L, "table table green")).toDF("doc_id", "text")
+      val ex = intercept[IllegalArgumentException](
+        Bm25.appendIndex(spark, dir, doc3v2, "doc_id", "text"))
+      assert(ex.getMessage.contains("compact the index"), ex.getMessage)
+      // the refused commit changed nothing: still at the delete's gen
+      Bm25.compactIndex(spark, dir)
+      Bm25.appendIndex(spark, dir, doc3v2, "doc_id", "text")
+      val served = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      val rebuilt = Bm25.topK(
+          docs.filter($"doc_id" =!= 3L).unionByName(doc3v2),
+          "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == rebuilt)
+      assert(served.nonEmpty)
+    } finally rmRf(dir)
+    // same contract on a vector family. Probing vec 7's own embedding
+    // pins the lifecycle: its nearest cell is by definition probed, so
+    // rank-1 is vec 7 itself exactly when the id is servable
+    val rnd = new scala.util.Random(43)
+    val emb = (0 until 90).map { i =>
+      (i.toLong, i % 6, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    // query id 999 ∉ corpus: the serve path's self-match exclusion
+    // (vid != qid) must not hide the vector we're probing for
+    val probe7 = emb.filter($"vec_id" === 7L)
+      .select(org.apache.spark.sql.functions.lit(999L).as("qid"),
+        $"embedding".as("qe"))
+    def top1(vdir: String): Long = VectorSearch
+      .ivfServe(spark, vdir, probe7, k = 1, nProbe = 6, dim = 16)
+      .select($"vec_id").head().getLong(0)
+    val vdir = tmpDir("graft_reingest_ivf")
+    try {
+      VectorSearch.ivfWriteIndex(emb, vdir, dim = 16)
+      assert(top1(vdir) == 7L)
+      VectorSearch.deleteVectors(spark, vdir,
+        emb.filter($"vec_id" === 7L).select($"vec_id"))
+      assert(top1(vdir) != 7L, "deleted vec 7 must not be served")
+      val vex = intercept[IllegalArgumentException](
+        VectorSearch.ivfAppendIndex(spark, vdir,
+          emb.filter($"vec_id" === 7L).select($"vec_id", $"embedding"),
+          dim = 16))
+      assert(vex.getMessage.contains("compact the index"), vex.getMessage)
+      VectorSearch.compactIndexTable(spark, vdir, "cells", "cell")
+      VectorSearch.ivfAppendIndex(spark, vdir,
+        emb.filter($"vec_id" === 7L).select($"vec_id", $"embedding"),
+        dim = 16)
+      assert(top1(vdir) == 7L, "re-ingested vec 7 must serve again")
+    } finally rmRf(vdir)
+  }
+
+  test("deleting a NULL-text doc decrements stats exactly") {
+    val dir = tmpDir("graft_del_null")
+    try {
+      // a null-text doc is indexed via the empty-string sentinel
+      // posting, so its n_docs/Σdl contribution is recoverable at
+      // delete time — without it the stats would drift from the
+      // bit-identical-to-never-indexed contract
+      val nullDoc = Seq((5L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      Bm25.writeIndex(docs.unionByName(nullDoc), "doc_id", "text", dir)
+      Bm25.deleteDocs(spark, dir, nullDoc.select($"doc_id"))
+      val stats = IndexCommit.readTable(spark, dir, "stats")
+        .agg(org.apache.spark.sql.functions.sum($"n_docs"),
+          org.apache.spark.sql.functions.sum($"sum_dl")).head()
+      assert(stats.getLong(0) == 4L, s"n_docs ${stats.getLong(0)}")
+      assert(stats.getLong(1) == 16L, s"sum_dl ${stats.getLong(1)}") // 4+5+3+4
+      val served = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == Bm25.topK(docs, "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq)
+      assert(served.nonEmpty)
+    } finally rmRf(dir)
+  }
+
+  test("df deltas: appends/deletes write delta segments; compact materializes the fold") {
+    val dir = tmpDir("graft_df_delta")
+    try {
+      Bm25.writeIndex(docs.filter($"doc_id" < 3L), "doc_id", "text", dir)
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 3L),
+        "doc_id", "text")
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 4L),
+        "doc_id", "text")
+      Bm25.deleteDocs(spark, dir,
+        docs.filter($"doc_id" === 2L).select($"doc_id"))
+      // base + 2 positive deltas + 1 negative delta, never rewritten
+      val m = IndexCommit.currentManifest(spark, dir).get
+      assert(m.tables("df").size == 4, m.tables("df").toString)
+      val served = Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == Bm25.topK(docs.filter($"doc_id" =!= 2L),
+          "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq)
+      // the N-delta fold ≡ the materialized table compaction writes
+      val folded = IndexCommit.readTable(spark, dir, "df")
+        .groupBy($"term")
+        .agg(org.apache.spark.sql.functions.sum($"df").as("df"))
+        .filter($"df" > 0)
+        .orderBy($"term").collect().toSeq
+      Bm25.compactIndex(spark, dir)
+      val m2 = IndexCommit.currentManifest(spark, dir).get
+      assert(m2.tables("df").size == 1 && !m2.tables.contains("tombstones"))
+      val materialized = IndexCommit.readTable(spark, dir, "df")
+        .orderBy($"term").collect().toSeq
+      assert(materialized == folded)
+      assert(Bm25.serve(spark, dir, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq == served)
+    } finally rmRf(dir)
+  }
+
+  test("single-writer contract: a racing committer loses LOUDLY; stale claims recover via GC") {
+    val dir = tmpDir("graft_claim")
+    try {
+      def commitOne(tag: String): Unit =
+        IndexCommit.commit(spark, dir) { (gen, _) =>
+          Seq((gen, tag)).toDF("k", "v").write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "t", gen))
+          Map("t" -> Seq(s"t-g$gen"))
+        }
+      commitOne("seed")
+      // a second committer interleaves mid-stage: exactly one wins,
+      // and the loser's error names the contested generation
+      var loser: Option[Throwable] = None
+      IndexCommit.commit(spark, dir) { (gen, _) =>
+        loser = Some(intercept[RuntimeException](commitOne("intruder")))
+        Seq((gen, "winner")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> Seq(s"t-g$gen"))
+      }
+      assert(loser.get.getMessage.contains("_claim_g000000000002"),
+        loser.get.getMessage)
+      assert(loser.get.getMessage.contains("single-writer"),
+        loser.get.getMessage)
+      val m = IndexCommit.currentManifest(spark, dir).get
+      assert(m.gen == 2L)
+      assert(IndexCommit.readTable(spark, dir, "t")
+        .collect().map(_.getString(1)).toSeq == Seq("winner"))
+      // a committer KILLED before its flip strands a claim: the next
+      // commit refuses (could be a live concurrent writer), and the
+      // documented recovery — GC, which only a sole writer may run —
+      // clears it so the retry proceeds
+      new java.io.File(dir, "_claim_g000000000003").createNewFile()
+      val stale = intercept[RuntimeException](commitOne("retry"))
+      assert(stale.getMessage.contains("already held"), stale.getMessage)
+      IndexCommit.gcUnreferenced(spark, dir)
+      commitOne("retry")
+      assert(IndexCommit.currentManifest(spark, dir).get.gen == 3L)
+    } finally rmRf(dir)
+  }
+
+  test("GC grace: a reader holding gen N survives a concurrent commit+GC") {
+    val dir = tmpDir("graft_grace")
+    try {
+      IndexCommit.commit(spark, dir) { (gen, _) =>
+        Seq((1, "old")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> Seq(s"t-g$gen"))
+      }
+      // a long-running reader resolves its scan paths against gen 1...
+      val readerPaths = IndexCommit.tablePaths(spark, dir, "t")
+      // ...while a writer supersedes it and vacuums with a grace
+      // window: gen 1 was dereferenced less than graceMs ago, so its
+      // segments survive keepGens = 1
+      IndexCommit.commit(spark, dir) { (gen, _) =>
+        Seq((2, "new")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> Seq(s"t-g$gen"))
+      }
+      IndexCommit.gcUnreferenced(spark, dir, keepGens = 1,
+        graceMs = 3600L * 1000)
+      // the reader's late scan completes, and the superseded
+      // generation even stays time-travel readable through the lease
+      assert(spark.read.parquet(readerPaths: _*)
+        .collect().map(_.getString(1)).toSeq == Seq("old"))
+      assert(IndexCommit.manifestAt(spark, dir, 1L).tables("t") ==
+        Seq("t-g1"))
+      // without the grace (the single-JVM default) the segment goes
+      assert(IndexCommit.gcUnreferenced(spark, dir, keepGens = 1) == ())
+      assert(!new java.io.File(dir, "t-g1").exists())
+    } finally rmRf(dir)
+  }
+
   test("IVF append crash leaves the cells/centroids pair consistent") {
     val rnd = new scala.util.Random(41)
     val emb = (0 until 120).map { i =>
