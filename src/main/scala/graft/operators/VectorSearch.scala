@@ -1234,16 +1234,30 @@ object VectorSearch {
     */
   def ivfServe(spark: org.apache.spark.sql.SparkSession, dir: String,
                queries: DataFrame, k: Int, nProbe: Int = 3,
-               dim: Int = 64): DataFrame = {
+               dim: Int = 64, atGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val centroids = IndexCommit.readTable(spark, dir, "centroids")
+    // `atGen` is TIME TRAVEL (the vector-side twin of Bm25.serve's):
+    // every commit is immutable, so any retained generation — cells,
+    // its centroids, AND its tombstone mask — serves bit-identically
+    // to when it was current
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir)
+        .getOrElse(sys.error(s"ivfServe: no committed index at $dir"))
+    }
+    def table(t: String) =
+      IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val centroids = table("centroids")
       .as[(Int, Array[Double])].collect().sortBy(_._1)
-    val raw = IndexCommit.readTable(spark, dir, "cells")
+    val raw = table("cells")
       .select(col("cell").cast("int").as("cell"), col("vec_id"),
               col("embedding"))
     // tombstoned vectors ([[deleteVectors]]) never become candidates;
     // centroids stay frozen, matching the append path
-    val assigned = IndexCommit.maskTombstones(spark, dir, raw, "vec_id")
+    val assigned =
+      if (m.tables.contains("tombstones"))
+        raw.join(table("tombstones"), Seq("vec_id"), "left_anti")
+      else raw
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 

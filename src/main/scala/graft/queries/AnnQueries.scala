@@ -130,6 +130,32 @@ object AnnQueries {
     VectorSearch.ivfRetrainCard(env.spark, dir, queriesDf(env))
   }
 
+  /** TIME-TRAVEL serve on the VECTOR index — [[textBm25TimeTravel]]'s
+    * twin ([[graft.operators.VectorSearch.ivfServe]] `atGen`): build
+    * on the base corpus (gen 1), append the increment with a
+    * 2-generation retention window (gen 2), then serve FROM GEN 1 —
+    * cells, centroids, and mask all pinned to the committed snapshot,
+    * so yesterday's retrieval is reproducible from today's index
+    * directory (the audit primitive when a training run must be
+    * traced to the exact index state that produced its batches).
+    * Oracle: the IVF replay with training AND candidates restricted
+    * to the base docs. */
+  def annIvfTimeTravel(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_tt_index"
+    VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    // the generation the base build just committed — not a literal 1:
+    // the scratch dir persists across in-process reruns (bench runs
+    // every query twice), so each rerun's base lands at a higher gen
+    val baseGen = graft.operators.IndexCommit
+      .currentManifest(env.spark, dir).get.gen
+    VectorSearch.ivfAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0), retainGens = 2)
+    VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5,
+        atGen = Some(baseGen))
+      .orderBy($"qid", $"rank")
+  }
+
   /** Index COMPACTION lifecycle: build the IVF index on the base
     * corpus, append the increment (one new file per touched cell),
     * then compact the cell table
@@ -1035,14 +1061,20 @@ object AnnQueries {
   /** The trained-centroid CTE shared by every IVF-family oracle.
     * A def, not a val: the adaptive oracles above it in declaration
     * order read it during object init. */
-  private def ivfCentCte: String =
-    """cent AS (
-      |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
-      |    SELECT CAST(label AS INT) AS cell, t.d AS d,
-      |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
-      |    FROM embeddings, range(1, 65) t(d)
-      |    GROUP BY cell, t.d)
-      |  GROUP BY cell)""".stripMargin
+  private def ivfCentCte: String = ivfCentCteFor("")
+
+  /** [[ivfCentCte]] with a training predicate — replays an index whose
+    * centroids were trained on a corpus SLICE (the time-travel serve
+    * of a base-only generation). */
+  private def ivfCentCteFor(where: String): String =
+    s"""cent AS (
+       |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+       |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+       |    FROM embeddings, range(1, 65) t(d)
+       |    $where
+       |    GROUP BY cell, t.d)
+       |  GROUP BY cell)""".stripMargin
 
   /** The IVF serve chain (query set → probe cells → candidates →
     * exact rank), parameterized by the query predicate and the probe
@@ -1111,7 +1143,7 @@ object AnnQueries {
     * increment vectors assigned to the frozen centroids with the
     * refine sweep's exact rule, merged cells served through the
     * standard probe/top-k chain. */
-  private val ivfAppendSql: String =
+  private[queries] val ivfAppendSql: String =
     s"""WITH cent AS (
        |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
        |    SELECT CAST(label AS INT) AS cell, t.d AS d,
@@ -1921,6 +1953,16 @@ object AnnQueries {
     // incremental lifecycle: base-trained centroids + frozen-centroid
     // increment assignment, served from the merged cells
     Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
+
+    // vector-side time travel: gen-1 (base-only) serve replayed with
+    // training AND candidates restricted to the base docs
+    Q.sql("ann_ivf_time_travel", annIvfTimeTravel,
+      s"""WITH ${ivfCentCteFor("WHERE vec_id % 7 <> 0")},
+         |${ivfServeCtes("WHERE vec_id % 50 = 0", "3",
+             "e.vec_id % 7 <> 0")}
+         |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
+         |FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rank""".stripMargin),
 
     // rebuild decision on the drifted (base + frozen-assignment
     // append) index: occupancy skew + recall@5 at the serving budget

@@ -513,6 +513,39 @@ object StreamQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** T17 — STREAMING INGEST into the persisted VECTOR index, t14's
+    * twin: the IVF index is built in batch on the base corpus, the
+    * increment ARRIVES AS A STREAM, and every micro-batch lands as one
+    * atomic manifest append
+    * ([[graft.operators.VectorSearch.ivfAppendIndex]] — frozen-
+    * centroid assignment, one new cells segment per batch). Per-vector
+    * assignment is batch-independent, so the streamed union equals one
+    * full append and the entry shares ann_ivf_append's oracle. */
+  def t17AnnIngestStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val dir = s"$scratchBase/t17_ivf_index"
+    graft.operators.VectorSearch.ivfWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    val stream = streamRead(env, "embeddings")
+      .filter($"vec_id" % 7 === 0)
+      .select($"vec_id", $"embedding")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.VectorSearch.ivfAppendIndex(spark, dir, batch)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.operators.VectorSearch.ivfServe(spark, dir,
+        env.embeddings.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -674,6 +707,12 @@ object StreamQueries {
       TextQueries.bm25DeleteSql),
     Q.sql("t16_ann_takedown_stream", t16AnnTakedownStream,
       AnnQueries.ivfDeleteSql),
+
+    // streamed vector ingest: frozen-centroid assignment is
+    // batch-independent, so the streamed union shares the one-append
+    // oracle
+    Q.sql("t17_ann_ingest_stream", t17AnnIngestStream,
+      AnnQueries.ivfAppendSql),
 
     // IVFPQ served per micro-batch from the persisted index — shares
     // ann_ivfpq_topk's oracle (batch-independent per-query results)

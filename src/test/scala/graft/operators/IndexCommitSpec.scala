@@ -444,6 +444,33 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmRf(dir)
   }
 
+  test("IVF time travel pins cells, centroids AND the tombstone mask") {
+    val rnd = new scala.util.Random(53)
+    val emb = (0 until 80).map { i =>
+      (i.toLong, i % 4, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val probe = emb.filter($"vec_id" === 11L)
+      .select(org.apache.spark.sql.functions.lit(999L).as("qid"),
+        $"embedding".as("qe"))
+    val dir = tmpDir("graft_ivf_tt")
+    try {
+      VectorSearch.ivfWriteIndex(emb, dir, dim = 8)
+      def top1(atGen: Option[Long]) = VectorSearch
+        .ivfServe(spark, dir, probe, k = 1, nProbe = 4, dim = 8,
+          atGen = atGen)
+        .select($"vec_id").head().getLong(0)
+      assert(top1(None) == 11L)
+      // delete vec 11 with a retention window: the pre-delete
+      // generation must still serve it, the current one must not —
+      // the mask is part of the pinned snapshot, not a global overlay
+      VectorSearch.deleteVectors(spark, dir,
+        emb.filter($"vec_id" === 11L).select($"vec_id"), retainGens = 2)
+      assert(top1(None) != 11L)
+      assert(top1(Some(1L)) == 11L,
+        "gen-1 serve must predate the takedown")
+    } finally rmRf(dir)
+  }
+
   test("IVF append crash leaves the cells/centroids pair consistent") {
     val rnd = new scala.util.Random(41)
     val emb = (0 until 120).map { i =>
