@@ -377,6 +377,60 @@ object Bm25 {
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
+  /** MERGE shard indexes into one — the SHARD-PARALLEL build shape a
+    * 100 TB corpus needs: no single job builds the whole index; K
+    * independent [[writeIndex]] jobs each index a corpus slice (their
+    * own clusters, their own failure domains), and this merge folds
+    * the shards into one serving index. The BM25 aggregates make the
+    * merge EXACT under the disjoint-doc-ids shard contract: per-term
+    * df adds across shards (each term's df counts disjoint doc sets),
+    * (n_docs, Σdl) adds, and postings union — so the merged index is
+    * BIT-IDENTICAL to a single full build and serves against
+    * [[topK]]'s oracle outright. Pending deletes in a shard are
+    * MATERIALIZED on the way through (postings anti-joined per shard;
+    * each shard's df deltas already carry the exact decrements), so
+    * the merged index starts tombstone-free. One [[IndexCommit]]
+    * manifest flip on the destination; sources are read-only. */
+  def mergeIndexes(spark: org.apache.spark.sql.SparkSession,
+                   dest: String, sources: Seq[String],
+                   retainGens: Int = 1): Unit = {
+    require(sources.nonEmpty, "mergeIndexes: no source shards")
+    val shardPostings = sources.map { src =>
+      val m = IndexCommit.currentManifest(spark, src).getOrElse(
+        sys.error(s"mergeIndexes: no committed index at $src"))
+      val raw = IndexCommit.readTable(spark, src, "postings")
+      if (m.tables.contains("tombstones"))
+        raw.join(IndexCommit.readTable(spark, src, "tombstones"),
+          Seq("doc_id"), "left_anti")
+      else raw
+    }
+    val postings = shardPostings.reduce(_ unionByName _)
+    // shard df segments (base + any append/delete deltas) fold across
+    // shards exactly like within one: sum per term
+    val dfAll = sources.map(IndexCommit.readTable(spark, _, "df"))
+      .reduce(_ unionByName _)
+    val stats = sources.map(IndexCommit.readTable(spark, _, "stats"))
+      .reduce(_ unionByName _)
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl"))
+    IndexCommit.commit(spark, dest) { (gen, _) =>
+      postings
+        .repartition(IndexCommit.writeWidth(postings), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dest, "postings", gen))
+      foldDf(dfAll)
+        .repartition(IndexCommit.writeWidth(dfAll), col("term"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dest, "df", gen))
+      stats.coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dest, "stats", gen))
+      Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
+    }
+    IndexCommit.gcUnreferenced(spark, dest, retainGens)
+  }
+
   /** Serve BM25 top-k from a persisted inverted index (see
     * [[writeIndex]]): the postings scan carries the query-term filter
     * (pushed to parquet — only matching row groups are read), df is

@@ -1171,6 +1171,56 @@ object VectorSearch {
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
+  /** MERGE shard indexes of a STATELESS-quantizer family (LSH buckets
+    * or MRL prefixes) — [[Bm25.mergeIndexes]]' shard-parallel build
+    * shape on the vector side: K independent write jobs each index a
+    * corpus slice, and the merge folds them into one serving index.
+    * Exactness is even stronger than BM25's additive algebra: the
+    * quantizer is seed-/geometry-derived (nothing trained), so every
+    * shard assigned identically and the merged table IS the full
+    * build's, row for row. Shards must share the same `meta` geometry
+    * (checked loudly) and disjoint ids (the shard contract); pending
+    * shard deletes are materialized through the merge. The trained
+    * families (IVF/PQ/IVFPQ) have NO exact merge — per-shard training
+    * diverges — their scale path is one train plus [[ivfAppendIndex]]-
+    * style assignment ingest. */
+  def mergeStatelessIndexes(spark: org.apache.spark.sql.SparkSession,
+                            dest: String, sources: Seq[String],
+                            table: String, partCol: Option[String],
+                            retainGens: Int = 1): Unit = {
+    require(sources.nonEmpty, "mergeStatelessIndexes: no source shards")
+    val metas = sources.map(src =>
+      IndexCommit.readTable(spark, src, "meta").head())
+    require(metas.distinct.size == 1,
+      s"mergeStatelessIndexes: shard geometries differ: $metas — " +
+        "shards must be built with the same meta parameters")
+    val rows = sources.map { src =>
+      val m = IndexCommit.currentManifest(spark, src).getOrElse(
+        sys.error(s"mergeStatelessIndexes: no committed index at $src"))
+      val raw = IndexCommit.readTable(spark, src, table)
+      if (m.tables.contains("tombstones"))
+        raw.join(IndexCommit.readTable(spark, src, "tombstones"),
+          Seq("vec_id"), "left_anti")
+      else raw
+    }.reduce(_ unionByName _)
+    IndexCommit.commit(spark, dest) { (gen, _) =>
+      val w = partCol match {
+        case Some(c) => rows
+          .repartition(IndexCommit.writeWidth(rows), col(c))
+          .write.mode("overwrite").partitionBy(c)
+        case None => rows
+          .repartition(IndexCommit.writeWidth(rows))
+          .write.mode("overwrite")
+      }
+      w.parquet(IndexCommit.segmentPath(dest, table, gen))
+      IndexCommit.readTable(spark, sources.head, "meta")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dest, "meta", gen))
+      Map(table -> Seq(s"$table-g$gen"), "meta" -> Seq(s"meta-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dest, retainGens)
+  }
+
   /** RETRAIN-DECISION card over a persisted IVF index — the feedback
     * loop frozen-quantizer appends need: every [[ivfAppendIndex]]
     * assigns against centroids trained on an older corpus, so drift

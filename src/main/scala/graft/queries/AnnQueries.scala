@@ -241,6 +241,45 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** SHARD-PARALLEL LSH index construction
+    * ([[graft.operators.VectorSearch.mergeStatelessIndexes]]): three
+    * independent shard builds over disjoint corpus slices merged into
+    * one serving index. The hyperplanes are seed-derived — nothing
+    * trained — so every shard assigned identically and the merge is
+    * bit-identical to a full build: shares ann_lsh_topk's oracle. */
+  def annLshShardMerge(env: Env): DataFrame = {
+    val base = s"${StreamQueries.scratchBase}/lsh_shard"
+    val shards = (0 to 2).map { s =>
+      val dir = s"${base}_$s"
+      VectorSearch.lshWriteIndex(
+        env.embeddings.filter($"vec_id" % 3 === s), dir)
+      dir
+    }
+    val dest = s"${base}_merged"
+    VectorSearch.mergeStatelessIndexes(env.spark, dest, shards,
+      "buckets", Some("bkt"))
+    VectorSearch.lshServe(env.spark, dest, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** SHARD-PARALLEL MRL prefix-table construction — the same merge on
+    * the stateless prefix copy; shares ann_mrl_rerank's oracle. */
+  def annMrlShardMerge(env: Env): DataFrame = {
+    val base = s"${StreamQueries.scratchBase}/mrl_shard"
+    val shards = (0 to 2).map { s =>
+      val dir = s"${base}_$s"
+      VectorSearch.mrlWriteIndex(
+        env.embeddings.filter($"vec_id" % 3 === s), dir)
+      dir
+    }
+    val dest = s"${base}_merged"
+    VectorSearch.mergeStatelessIndexes(env.spark, dest, shards,
+      "prefix", None)
+    VectorSearch.mrlServe(env.spark, dest, env.embeddings,
+        queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** INCREMENTAL LSH index lifecycle: build the bucket table on the
     * base corpus (every vec_id % 7 ≠ 0), APPEND the increment
     * ([[graft.operators.VectorSearch.lshAppendIndex]] — bucket-assign
@@ -1937,6 +1976,9 @@ object AnnQueries {
     Q.sql("ann_lsh_index_roundtrip", annLshIndexRoundtrip, lshTopkSql),
     // stateless quantizer: incremental build ≡ full build, same oracle
     Q.sql("ann_lsh_append", annLshAppend, lshTopkSql),
+    // shard-parallel build: stateless geometry => merge bit-identical
+    // to a full build, same oracle
+    Q.sql("ann_lsh_shard_merge", annLshShardMerge, lshTopkSql),
     // takedown on the bucket table: generic tombstone mask, stateless
     // geometry — oracle = standard serve minus the deleted candidates
     Q.sql("ann_lsh_delete", annLshDelete, lshDeleteSql),
@@ -2304,6 +2346,7 @@ object AnnQueries {
     Q.sql("ann_mrl_index_roundtrip", annMrlIndexRoundtrip, mrlRerankSql),
     // stateless prefix copy: base+append ≡ full build, same oracle
     Q.sql("ann_mrl_append", annMrlAppend, mrlRerankSql),
+    Q.sql("ann_mrl_shard_merge", annMrlShardMerge, mrlRerankSql),
     // takedown on the prefix table: deleted vectors masked before the
     // coarse scan — oracle excludes them from the prefix candidates
     Q.sql("ann_mrl_delete", annMrlDelete, mrlDeleteSql),

@@ -516,6 +516,28 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** SHARD-PARALLEL index construction
+    * ([[graft.operators.Bm25.mergeIndexes]]): no single job builds a
+    * 100 TB index — three independent [[graft.operators.Bm25.writeIndex]]
+    * jobs each index a corpus slice (doc_id mod 3), and the exact
+    * merge folds them into one serving index. BM25's aggregates are
+    * additive under disjoint doc ids, so the merged index is
+    * bit-identical to a single full build and the entry shares
+    * text_bm25_topk's oracle — the sharding IS the assertion. */
+  def textBm25ShardMerge(env: Env): DataFrame = {
+    val base = s"${StreamQueries.scratchBase}/bm25_shard"
+    val shards = (0 to 2).map { s =>
+      val dir = s"${base}_$s"
+      graft.operators.Bm25.writeIndex(
+        env.documents.filter($"doc_id" % 3 === s), "doc_id", "text", dir)
+      dir
+    }
+    val dest = s"${base}_merged"
+    graft.operators.Bm25.mergeIndexes(env.spark, dest, shards)
+    graft.operators.Bm25.serve(env.spark, dest, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** DELETE lifecycle — the takedown/opt-out primitive: build the
     * index on the FULL corpus, delete every doc_id % 5 == 2
     * ([[graft.operators.Bm25.deleteDocs]] — exact df/stats decrements
@@ -1398,6 +1420,10 @@ object TextQueries {
     // replays BM25 over only the base (gen-1) docs
     Q.sql("text_bm25_time_travel", textBm25TimeTravel,
       bm25TopkSqlFor("WHERE doc_id % 7 <> 0")),
+    // shard-parallel build: K independent shard indexes exact-merged
+    // into one — bit-identical to a single full build, same oracle
+    Q.sql("text_bm25_shard_merge", textBm25ShardMerge, bm25TopkSql),
+
     // takedown: delete == never-indexed (exact df/stats decrements +
     // tombstone mask); compaction materializes the mask, same oracle
     Q.sql("text_bm25_delete", textBm25Delete, bm25DeleteSql),

@@ -37,6 +37,7 @@ object ExplainAll {
       "ann_mrl_rerank" -> 1, // prefix-dim chunk scan
       "ann_mrl_index_roundtrip" -> 1, // same scan over the prefix table
       "ann_mrl_append" -> 1, // same scan over the merged segments
+      "ann_mrl_shard_merge" -> 1, // same scan over the merged shards
       "ann_mrl_delete" -> 1, // same scan over the masked prefix table
       "ann_mrl_recall_report" -> 2, // brute ground truth + prefix scan
       // adaptive-budget family: calibration brute truth (+ prefix

@@ -444,6 +444,73 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmRf(dir)
   }
 
+  test("shard merge == full build; pending shard deletes materialize through") {
+    val dirs = (0 to 2).map(i => tmpDir(s"graft_shard$i"))
+    val dest = tmpDir("graft_shard_merged")
+    try {
+      // three shard builds over disjoint slices, one with a pending
+      // delete (tombstone mask not yet compacted)
+      (0 to 2).foreach { s =>
+        Bm25.writeIndex(docs.filter($"doc_id" % 3 === s.toLong),
+          "doc_id", "text", dirs(s))
+      }
+      Bm25.deleteDocs(spark, dirs(0), // doc 3 lives in shard 0 (3 % 3)
+        docs.filter($"doc_id" === 3L).select($"doc_id"))
+      Bm25.mergeIndexes(spark, dest, dirs)
+      // merged == a single build on everything-but-the-deleted-doc,
+      // and the merge materialized the shard's mask (no tombstones)
+      val m = IndexCommit.currentManifest(spark, dest).get
+      assert(!m.tables.contains("tombstones"))
+      assert(m.tables("postings").size == 1 && m.tables("df").size == 1)
+      val served = Bm25.serve(spark, dest, queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(served == Bm25.topK(docs.filter($"doc_id" =!= 3L),
+          "doc_id", "text", queries, k = 3)
+        .orderBy("qid", "rank").collect().toSeq)
+      assert(served.nonEmpty)
+      assert(IndexCommit.readTable(spark, dest, "postings")
+        .filter($"doc_id" === 3L).count() == 0)
+    } finally { dirs.foreach(rmRf); rmRf(dest) }
+  }
+
+  test("stateless shard merge == full build; mismatched geometry fails loudly") {
+    val rnd = new scala.util.Random(59)
+    val emb = (0 until 90).map { i =>
+      (i.toLong, i % 5, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val qs = emb.filter($"vec_id" % 9 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val dirs = (0 to 1).map(i => tmpDir(s"graft_lshard$i"))
+    val full = tmpDir("graft_lfull")
+    val dest = tmpDir("graft_lmerged")
+    try {
+      (0 to 1).foreach { s =>
+        VectorSearch.lshWriteIndex(emb.filter($"vec_id" % 2 === s.toLong),
+          dirs(s), bits = 6, dim = 16)
+      }
+      VectorSearch.lshWriteIndex(emb, full, bits = 6, dim = 16)
+      VectorSearch.mergeStatelessIndexes(spark, dest, dirs,
+        "buckets", Some("bkt"))
+      // seed-derived planes: every shard assigned identically, so the
+      // merged serve is bit-equal to the single full build's
+      val merged = VectorSearch.lshServe(spark, dest, qs, k = 4)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(merged == VectorSearch.lshServe(spark, full, qs, k = 4)
+        .orderBy("qid", "rank").collect().toSeq)
+      assert(merged.nonEmpty)
+      // a shard built at different geometry cannot merge silently
+      val odd = tmpDir("graft_lodd")
+      try {
+        VectorSearch.lshWriteIndex(emb.filter($"vec_id" % 2 === 0L),
+          odd, bits = 8, dim = 16)
+        val ex = intercept[IllegalArgumentException](
+          VectorSearch.mergeStatelessIndexes(spark, tmpDir("graft_lx"),
+            Seq(dirs(0), odd), "buckets", Some("bkt")))
+        assert(ex.getMessage.contains("geometries differ"), ex.getMessage)
+      } finally rmRf(odd)
+    } finally { dirs.foreach(rmRf); rmRf(full); rmRf(dest) }
+  }
+
   test("IVF time travel pins cells, centroids AND the tombstone mask") {
     val rnd = new scala.util.Random(53)
     val emb = (0 until 80).map { i =>
