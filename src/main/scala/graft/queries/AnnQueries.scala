@@ -130,6 +130,28 @@ object AnnQueries {
     VectorSearch.ivfRetrainCard(env.spark, dir, queriesDf(env))
   }
 
+  /** The REBUILD the retrain card recommends, executed: after the
+    * append cycle drifts the index ([[annRetrainCard]]'s setup), a
+    * fresh [[graft.operators.VectorSearch.ivfWriteIndex]] on the same
+    * directory RETRAINS the quantizer on the full current corpus as
+    * one more manifest generation (readers on the drifted generation
+    * are undisturbed; the flip is atomic; the drifted index stays
+    * time-travel readable under retention) — and the card, re-run on
+    * the rebuilt artifact, reports the recovered occupancy/recall
+    * posture. Card → action → verified recovery: the full maintenance
+    * loop. Oracle replays the full-corpus training card. */
+  def annRetrainRebuild(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/ivf_rebuild_index"
+    VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
+      dir)
+    VectorSearch.ivfAppendIndex(env.spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    // the rebuild: retrain on everything the index now holds — in
+    // place, one atomic generation flip
+    VectorSearch.ivfWriteIndex(env.embeddings, dir)
+    VectorSearch.ivfRetrainCard(env.spark, dir, queriesDf(env))
+  }
+
   /** TIME-TRAVEL serve on the VECTOR index — [[textBm25TimeTravel]]'s
     * twin ([[graft.operators.VectorSearch.ivfServe]] `atGen`): build
     * on the base corpus (gen 1), append the increment with a
@@ -1995,6 +2017,75 @@ object AnnQueries {
     // incremental lifecycle: base-trained centroids + frozen-centroid
     // increment assignment, served from the merged cells
     Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
+
+    // the recommended rebuild executed: retrained-on-everything card
+    // (full-corpus training; occupancy over label cells; recall at the
+    // serving budget vs brute truth)
+    Q.sql("ann_retrain_rebuild", annRetrainRebuild,
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0),
+         |bscored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         round(${cos("q.qe", "e.embedding")}, 6) AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+         |branked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM bscored),
+         |btop AS (SELECT qid, vec_id FROM branked WHERE rn <= 5),
+         |$ivfCentCte,
+         |cells AS (
+         |  SELECT CAST(label AS INT) AS cell, vec_id, embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |occ AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         |         CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n
+         |  FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n
+         |        FROM cells GROUP BY cell)),
+         |psim AS (
+         |  SELECT q.qid, c.cell,
+         |    round(
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+         |  FROM q, cent c),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT qid, cell,
+         |           row_number() OVER (PARTITION BY qid
+         |                              ORDER BY sim DESC, cell ASC) AS rn
+         |    FROM psim) WHERE rn <= 3),
+         |icand AS (
+         |  SELECT p.qid, c.vec_id,
+         |         round(${cos("q.qe", "c.embedding")}, 6) AS cos
+         |  FROM probes p
+         |  JOIN cells c ON c.cell = p.cell
+         |  JOIN q ON q.qid = p.qid
+         |  WHERE c.vec_id <> p.qid),
+         |iranked AS (
+         |  SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM icand),
+         |itop AS (SELECT qid, vec_id FROM iranked WHERE rn <= 5),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM q),
+         |hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM btop JOIN itop USING (qid, vec_id))
+         |SELECT occ.n_cells, occ.total, occ.max_n,
+         |  round(CAST(occ.max_n AS DOUBLE) * occ.n_cells / occ.total, 6)
+         |    AS skew,
+         |  round(CAST(hit.n_hit AS DOUBLE) / (nq.n_q * 5.0), 4)
+         |    AS recall_at_k,
+         |  (round(CAST(occ.max_n AS DOUBLE) * occ.n_cells / occ.total, 6)
+         |     > 1.5
+         |   OR round(CAST(hit.n_hit AS DOUBLE) / (nq.n_q * 5.0), 4) < 0.9)
+         |    AS rebuild_recommended
+         |FROM occ, nq, hit""".stripMargin),
 
     // vector-side time travel: gen-1 (base-only) serve replayed with
     // training AND candidates restricted to the base docs

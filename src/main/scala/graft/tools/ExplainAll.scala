@@ -56,6 +56,7 @@ object ExplainAll {
       "ann_ivfpq_adaptive_recall" -> 3, // + serve-set brute
       "text_hybrid_rrf" -> 1,      // brute vector leg (50-query contract)
       "ann_retrain_card" -> 1,     // brute ground-truth leg of the card
+      "ann_retrain_rebuild" -> 1,  // same card on the rebuilt index
       // the DENSE NB model is classes × vocab BY DEFINITION — the one
       // cross product is between two vocabulary-bounded aggregates
       // (NaiveBayes.train), never against the document stream

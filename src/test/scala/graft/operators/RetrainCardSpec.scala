@@ -81,6 +81,22 @@ class RetrainCardSpec extends SparkSpec {
       assert(drSkew > 1.5, s"drifted skew $drSkew should exceed 1.5")
       assert(dr.getAs[Boolean]("rebuild_recommended"),
         s"card must recommend a rebuild at skew $drSkew")
+      // the recommended rebuild, executed: retrain on everything the
+      // index holds — the drift region gets cells of its own, sized
+      // like a retrained quantizer would size them (5 sub-cells of 40,
+      // matching the base occupancy) — one atomic generation flip in
+      // place — and the card reports recovery: the loop closes
+      val rebuilt = base.select($"vec_id", $"label", $"embedding")
+        .unionByName((300 until 500).map { i =>
+          val e = Array.tabulate(dim)(d =>
+            ((if (d <= 1) 7.0 else 0.0) + rnd.nextGaussian() * 0.1).toFloat)
+          (i.toLong, 4 + i % 5, e)
+        }.toDF("vec_id", "label", "embedding"))
+      VectorSearch.ivfWriteIndex(rebuilt, drDir, dim = dim)
+      val post = card(drDir)
+      assert(post.getAs[Double]("skew") < 1.5)
+      assert(!post.getAs[Boolean]("rebuild_recommended"),
+        "rebuilt card must report recovery")
     } finally rmRf(drDir)
   }
 }
