@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-index atomic snapshots — the consistency layer ABOVE
+  * [[IndexCommit]]. A retrieval deployment rarely serves one index:
+  * hybrid RRF reads a BM25 manifest AND a vector manifest, and a
+  * takedown must vanish from BOTH legs at once. Each member index
+  * already flips atomically, but two member flips are two instants —
+  * a reader resolving manifests between them sees the document deleted
+  * from one leg and alive in the other (exactly the torn state a
+  * multi-table transaction exists to prevent; Iceberg/Delta solve the
+  * single-table version of this, the reference's analogue is the
+  * consolidated cache swapping feeds under one lookup key,
+  * /root/reference/fast.py:106-136).
+  *
+  * A COLLECTION directory owns its member indexes as subdirectories
+  * (`colDir/<member>` is an ordinary [[IndexCommit]] index) plus
+  * numbered collection manifests (`_collection_g<gen>`) pinning, per
+  * member, ONE index generation. Readers resolve the collection
+  * manifest once and serve every leg at its pinned generation
+  * ([[graft.operators.Bm25.serve]]'s / ivfServe's `atGen`): the set of
+  * legs they observe is always one that was committed TOGETHER.
+  *
+  * == Protocol ==
+  *
+  * [[commit]] claims its generation (atomic create-fails-if-exists,
+  * same single-writer enforcement as the member layer), runs `stage`
+  * — which performs the member commits, each itself atomic — and only
+  * then flips the collection manifest via temp-file + rename.
+  * Consequences, which CollectionCommitSpec pins:
+  *
+  *  - a crash AFTER some member flips but BEFORE the collection flip
+  *    leaves collection readers on the PRIOR collection manifest,
+  *    whose pinned member generations are all still present (member
+  *    commits never modify prior generations) — consistent, just
+  *    stale; the orphan member generations are superseded by the
+  *    retry or trimmed by [[gc]];
+  *  - a retried commit re-runs the member operations (append/delete
+  *    retries are idempotent at the member layer) and flips the same
+  *    collection generation the crashed attempt claimed;
+  *  - two racing collection committers: exactly one wins, the loser
+  *    errors naming the contested generation.
+  *
+  * == Retention ==
+  *
+  * Member-level GC must never collect a generation some retained
+  * collection manifest still pins. Member maintenance invoked inside
+  * `stage` should therefore pass `retainGens = Int.MaxValue` (retain
+  * everything) and leave trimming to [[gc]], which derives each
+  * member's exact retention floor from the retained collection
+  * manifests — the same inversion of control the member layer applies
+  * to its own segments (manifests decide, GC obeys). */
+object CollectionCommit {
+
+  /** One committed collection state: per member subdirectory name, the
+    * pinned [[IndexCommit]] generation. */
+  final case class Manifest(gen: Long, members: Map[String, Long])
+
+  private val ManifestRe = "_collection_g(\\d+)".r
+  private val ClaimRe = "_colclaim_g(\\d+)".r
+  private val Header = "graft-collection-manifest-v1"
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def manifestName(gen: Long): String = f"_collection_g$gen%012d"
+  private def claimName(gen: Long): String = f"_colclaim_g$gen%012d"
+
+  private def listGens(fs: FileSystem, p: Path): Array[Long] =
+    fs.listStatus(p).map(_.getPath.getName)
+      .collect { case ManifestRe(g) => g.toLong }
+
+  private def parse(fs: FileSystem, p: Path, gen: Long,
+                    dir: String): Manifest = {
+    val in = fs.open(new Path(p, manifestName(gen)))
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.toSeq
+    require(lines.headOption.contains(Header),
+      s"unrecognized collection manifest header in $dir: ${lines.headOption}")
+    val members = lines.drop(1).filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('=')
+      require(i > 0, s"malformed collection manifest line in $dir: $line")
+      line.substring(0, i) -> line.substring(i + 1).toLong
+    }.toMap
+    Manifest(gen, members)
+  }
+
+  /** The member index's own directory under the collection root. */
+  def memberDir(colDir: String, member: String): String =
+    s"$colDir/$member"
+
+  /** Highest-generation collection manifest, or None before the first
+    * commit. */
+  def currentManifest(spark: SparkSession, colDir: String): Option[Manifest] = {
+    val (fs, p) = fsOf(spark, colDir)
+    if (!fs.exists(p)) return None
+    val gens = listGens(fs, p)
+    if (gens.isEmpty) None else Some(parse(fs, p, gens.max, colDir))
+  }
+
+  /** The collection manifest at a SPECIFIC generation — collection
+    * TIME TRAVEL: every leg of a prior snapshot serves bit-identically
+    * as long as [[gc]] retention covers it. */
+  def manifestAt(spark: SparkSession, colDir: String, gen: Long): Manifest = {
+    val (fs, p) = fsOf(spark, colDir)
+    require(fs.exists(new Path(p, manifestName(gen))),
+      s"collection at $colDir has no manifest g$gen (never committed, " +
+        "or GC'd past retention — raise keepGens on gc)")
+    parse(fs, p, gen, colDir)
+  }
+
+  /** Run one atomic collection commit: `stage(gen, current)` performs
+    * the member index commits (each atomic at its own layer) and
+    * returns the FULL member→generation map the new collection
+    * manifest pins (carrying forward untouched members' generations
+    * verbatim). Only after `stage` returns is the collection marker
+    * flipped; a `stage` that throws commits nothing at the collection
+    * layer. */
+  def commit(spark: SparkSession, colDir: String)(
+      stage: (Long, Option[Manifest]) => Map[String, Long]): Unit = {
+    val cur = currentManifest(spark, colDir)
+    val gen = cur.map(_.gen).getOrElse(0L) + 1
+    val (fs, p) = fsOf(spark, colDir)
+    if (!fs.exists(p)) fs.mkdirs(p): Unit
+    val claim = new Path(p, claimName(gen))
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!claimed) {
+      if (fs.exists(new Path(p, manifestName(gen)))) sys.error(
+        s"collection commit to $colDir lost the race: generation $gen " +
+          "was committed by a concurrent writer (single-writer " +
+          "contract violated)")
+      else sys.error(
+        s"collection commit to $colDir: ${claimName(gen)} is already " +
+          "held — a concurrent committer is mid-flight (single-writer " +
+          "contract violated) or a prior attempt was killed before its " +
+          "flip; a sole writer recovering from a kill should gc the " +
+          "collection to clear stranded claims, then retry")
+    }
+    try {
+      val members = stage(gen, cur)
+      require(members.nonEmpty, s"collection commit to $colDir pinned " +
+        "no members")
+      members.keys.foreach(m => require(
+        !m.contains('=') && !m.contains('/') && !m.contains(','),
+        s"bad member name: $m"))
+      val body = (Header +: members.toSeq.sortBy(_._1)
+        .map { case (m, g) => s"$m=$g" }).mkString("", "\n", "\n")
+      val tmp = new Path(p, s"._collection_g$gen.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val fin = new Path(p, manifestName(gen))
+      require(!fs.exists(fin),
+        s"collection commit to $colDir lost the race: generation $gen " +
+          "was committed by a concurrent writer (single-writer contract " +
+          "violated)")
+      require(fs.rename(tmp, fin),
+        s"collection manifest flip failed: $tmp -> $fin (concurrent " +
+          "writer?)")
+    } finally fs.delete(claim, false): Unit
+  }
+
+  /** Trim collection AND member retention in one pass: keep the newest
+    * `keepGens` collection manifests, then GC each member index down
+    * to exactly the generations some retained collection manifest
+    * still pins (plus anything newer — orphans of a crashed stage are
+    * superseded, not resurrected). `graceMs` forwards the member
+    * layer's time-based reader lease. Call after a commit, never
+    * before — post-commit GC can only orphan, not corrupt. */
+  def gc(spark: SparkSession, colDir: String, keepGens: Int = 1,
+         graceMs: Long = 0L): Unit = {
+    require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
+    val (fs, p) = fsOf(spark, colDir)
+    if (!fs.exists(p)) return
+    val all = listGens(fs, p).sorted.reverse
+    if (all.isEmpty) return
+    val retained = all.take(keepGens).map(parse(fs, p, _, colDir))
+    retained.flatMap(_.members.keys).distinct.foreach { member =>
+      val mDir = memberDir(colDir, member)
+      val floor = retained.flatMap(_.members.get(member)).min
+      IndexCommit.currentManifest(spark, mDir).foreach { cur =>
+        // keep every member gen >= the oldest pinned one; the member
+        // layer counts retention from its newest gen downward
+        val span = (cur.gen - floor + 1).max(1L).min(Int.MaxValue.toLong)
+        IndexCommit.gcUnreferenced(spark, mDir, span.toInt, graceMs)
+      }
+    }
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val dead = n match {
+        case ManifestRe(g) => !all.take(keepGens).contains(g.toLong)
+        case ClaimRe(_) => true // stranded by a killed committer
+        case _ => n.startsWith("._collection_")
+      }
+      if (dead) fs.delete(st.getPath, true): Unit
+    }
+  }
+}

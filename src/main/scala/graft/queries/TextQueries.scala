@@ -671,8 +671,7 @@ object TextQueries {
     * tokens — the documented tiny-side contract, same posture as the
     * ANN centroid collect). */
   def textHybridRrf(env: Env): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{coalesce, lit, round, row_number, slice, split}
+    import org.apache.spark.sql.functions.{slice, split}
     val terms: Seq[(String, Seq[String])] = env.documents
       .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
       .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
@@ -689,15 +688,7 @@ object TextQueries {
         env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
           .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 10)
       .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
-    val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(60) + $"trank"), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(60) + $"vrank"), lit(0.0)), 6))
-    val w = Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id")
-    fused.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
-      .select($"qid", $"rank".cast("int").as("rank"), $"doc_id", $"rrf")
-      .orderBy($"qid", $"rank")
+    fuseRrf(text, vec).orderBy($"qid", $"rank")
   }
 
   /** [[textHybridRrf]] in its DEPLOYMENT shape: both retriever legs
@@ -717,8 +708,7 @@ object TextQueries {
     * (reference analogue: the consolidated-cache serve-many idea,
     * /root/reference/fast.py:34-56). */
   def textHybridRrfServed(env: Env): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{coalesce, lit, round, row_number, slice, split}
+    import org.apache.spark.sql.functions.{slice, split}
     val spark = env.spark
     val terms: Seq[(String, Seq[String])] = env.documents
       .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
@@ -742,6 +732,16 @@ object TextQueries {
           .select($"vec_id".as("qid"), $"embedding".as("qe")),
         k = 10, nProbe = nCells)
       .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    fuseRrf(text, vec).orderBy($"qid", $"rank")
+  }
+
+  /** RRF fusion of a served text leg and a served vector leg — the
+    * shared tail of all three hybrid entries (inline, served,
+    * takedown): full-outer on (qid, doc_id), 1/(60+rank) per leg,
+    * re-rank per qid. */
+  private def fuseRrf(text: DataFrame, vec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, lit, round, row_number}
     val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60) + $"trank"), lit(0.0)) +
@@ -750,7 +750,87 @@ object TextQueries {
     fused.withColumn("rank", row_number().over(w))
       .filter($"rank" <= 10)
       .select($"qid", $"rank".cast("int").as("rank"), $"doc_id", $"rrf")
-      .orderBy($"qid", $"rank")
+  }
+
+  /** Cross-index CONSISTENT TAKEDOWN over the hybrid deployment —
+    * the governance twin of [[textHybridRrfServed]]. Hybrid retrieval
+    * reads TWO persisted indexes; deleting a document from each index
+    * separately leaves a window where a reader sees it gone from one
+    * leg and alive in the other. Here both member indexes live under
+    * ONE [[graft.operators.CollectionCommit]] directory: snapshot g1
+    * pins (bm25 g1, ivf g1) built together; the takedown runs
+    * [[graft.operators.Bm25.deleteDocs]] AND
+    * [[graft.operators.VectorSearch.deleteVectors]] inside one
+    * collection commit, so g2 pins both post-delete generations as
+    * one atomic flip — no reader-observable state has the doc in only
+    * one leg. The entry serves BOTH collection snapshots (collection
+    * time travel: every leg pinned via `atGen`) and the oracle is the
+    * two from-scratch rankings — full corpus at g1, surviving corpus
+    * at g2 — exactly the bit-identical-deletion contract the member
+    * entries (text_bm25_delete, ann_ivf_delete) establish per index,
+    * now composed. Reference analogue: the consolidated cache swaps a
+    * rebuilt feed under one lookup key
+    * (/root/reference/fast.py:106-136); this is that idea promoted to
+    * a multi-index transaction. */
+  def textHybridTakedown(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.{lit, slice, split}
+    val spark = env.spark
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val vq = env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val colDir = s"${StreamQueries.scratchBase}/hybrid_collection"
+    // deterministic rebuild per run: wipe so collection gens are 1/2
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    // snapshot 1: both legs built and pinned together
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    // snapshot 2: the takedown — both member deletes inside ONE
+    // collection flip; member GC deferred to the collection layer
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.deleteDocs(spark, bmDir,
+        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+        retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+        retainGens = Int.MaxValue)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    // trim member retention to exactly what the two snapshots pin
+    CollectionCommit.gc(spark, colDir, keepGens = 2)
+    def serveAt(colGen: Long): DataFrame = {
+      val m = CollectionCommit.manifestAt(spark, colDir, colGen)
+      val text = Bm25
+        .serve(spark, bmDir, terms, k = 10, atGen = Some(m.members("bm25")))
+        .select($"qid".cast("long").as("qid"), $"doc_id",
+                $"rank".as("trank"))
+        .filter($"doc_id" =!= $"qid")
+      val ivfGen = m.members("ivf")
+      val nCells = IndexCommit
+        .readTableAt(spark, ivfDir, "centroids", ivfGen).count().toInt
+      val vec = VectorSearch
+        .ivfServe(spark, ivfDir, vq, k = 10, nProbe = nCells,
+          atGen = Some(ivfGen))
+        .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+      fuseRrf(text, vec).withColumn("col_gen", lit(colGen.toInt))
+    }
+    serveAt(1L).unionByName(serveAt(2L))
+      .select($"col_gen", $"qid", $"rank", $"doc_id", $"rrf")
+      .orderBy($"col_gen", $"qid", $"rank")
   }
 
   /** Winnowing fingerprints over the corpus — see
@@ -1155,13 +1235,19 @@ object TextQueries {
        |FROM a CROSS JOIN b JOIN y USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
-  /** The hybrid-RRF oracle shared by text_hybrid_rrf (inline legs)
-    * and text_hybrid_rrf_served (persisted-index legs): the BM25
-    * chain mirrors text_bm25_topk with the query-by-example terms;
-    * the cosine leg mirrors ann_brute_topk at k = 10. */
-  private[queries] val hybridRrfSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
-        |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
+  /** The hybrid-RRF oracle core, parametrized by a CORPUS predicate
+    * per leg (the query-by-example workload always comes from the
+    * full tables — queries are external input, the corpus is what a
+    * takedown shrinks). `TRUE`/`TRUE` is the full-corpus ranking
+    * text_hybrid_rrf and text_hybrid_rrf_served share; the takedown
+    * entry composes two instances. The BM25 chain mirrors
+    * text_bm25_topk with the query-by-example terms; the cosine leg
+    * mirrors ann_brute_topk at k = 10. No trailing ORDER BY — callers
+    * append their own (a composed UNION must order once, outside). */
+  private[queries] def hybridRrfCore(docFilter: String,
+                                     embFilter: String): String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |base AS (SELECT doc_id, len(s) AS dl, s FROM t WHERE $docFilter),
         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
         |       FROM base),
         |q AS (SELECT doc_id AS qid,
@@ -1202,7 +1288,8 @@ object TextQueries {
         |                  * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
         |                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
         |               6) AS cos
-        |       FROM vq JOIN embeddings e ON e.vec_id <> vq.qid),
+        |       FROM vq JOIN (SELECT * FROM embeddings WHERE $embFilter) e
+        |         ON e.vec_id <> vq.qid),
         |vrk AS (SELECT qid, vec_id AS doc_id,
         |          row_number() OVER (PARTITION BY qid
         |                             ORDER BY cos DESC, vec_id) AS vrank
@@ -1221,8 +1308,25 @@ object TextQueries {
         |                             ORDER BY rrf DESC, doc_id) AS rn
         |        FROM f)
         |SELECT qid, CAST(rn AS INT) AS rank, doc_id, rrf
-        |FROM rk2 WHERE rn <= 10
-        |ORDER BY qid, rank""".stripMargin
+        |FROM rk2 WHERE rn <= 10""".stripMargin
+
+  /** Full-corpus instance shared by text_hybrid_rrf and
+    * text_hybrid_rrf_served. */
+  private[queries] val hybridRrfSql: String =
+    hybridRrfCore("TRUE", "TRUE") + "\nORDER BY qid, rank"
+
+  /** The takedown entry's oracle: snapshot 1 is the full-corpus
+    * ranking, snapshot 2 the ranking over the corpus minus the
+    * takedown set — both legs shrink TOGETHER, which is exactly the
+    * consistency the collection manifest guarantees. */
+  private[queries] val hybridTakedownSql: String =
+    s"""SELECT * FROM (
+        |  SELECT 1 AS col_gen, s1.* FROM (
+        |${hybridRrfCore("TRUE", "TRUE")}) s1
+        |  UNION ALL
+        |  SELECT 2 AS col_gen, s2.* FROM (
+        |${hybridRrfCore("doc_id % 17 <> 3", "vec_id % 17 <> 3")}) s2)
+        |ORDER BY col_gen, qid, rank""".stripMargin
 
   val entries: Seq[Q] = Seq(
     Q.sql("text_badwords_filter", textBadwordsFilter,
@@ -1440,6 +1544,11 @@ object TextQueries {
     // persisted indexes (BM25 manifest tables; IVF cells at full
     // probe) — bit-equal to the inline entry, same oracle
     Q.sql("text_hybrid_rrf_served", textHybridRrfServed, hybridRrfSql),
+
+    // cross-index consistent takedown + collection time travel: both
+    // snapshots served from pinned member generations; oracle = the
+    // two from-scratch rankings (full corpus, surviving corpus)
+    Q.sql("text_hybrid_takedown", textHybridTakedown, hybridTakedownSql),
 
 
     Q.sql("text_pii_redact", textPiiRedact,

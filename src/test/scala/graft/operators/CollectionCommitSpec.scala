@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The cross-index snapshot contract: a collection manifest pins one
+  * generation per member index, commits flip atomically with the same
+  * claim/rename discipline as the member layer, readers never observe
+  * a takedown applied to one member but not another, and collection GC
+  * derives each member's retention floor from the retained collection
+  * manifests instead of a blind keepGens. */
+class CollectionCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rmRf(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
+  private val docs = Seq(
+    (1L, "red blue red fast"),
+    (2L, "red blue green fast scan"),
+    (3L, "green green table"),
+    (4L, "red table scan value")).toDF("doc_id", "text")
+  private val vecs = Seq(
+    (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(0.9f, 0.1f)),
+    (3L, 1, Array(0.0f, 1.0f)), (4L, 1, Array(0.1f, 0.9f)))
+    .toDF("vec_id", "label", "embedding")
+  private val queries = Seq("q1" -> Seq("red", "table"))
+
+  private def buildBoth(colDir: String): Unit =
+    CollectionCommit.commit(spark, colDir) { (gen, cur) =>
+      assert(gen == 1L && cur.isEmpty)
+      Bm25.writeIndex(docs, "doc_id", "text",
+        CollectionCommit.memberDir(colDir, "bm25"))
+      VectorSearch.ivfWriteIndex(vecs,
+        CollectionCommit.memberDir(colDir, "ivf"), dim = 2)
+      Map("bm25" -> 1L, "ivf" -> 1L)
+    }
+
+  private def takedown(colDir: String): Unit =
+    CollectionCommit.commit(spark, colDir) { (gen, cur) =>
+      assert(gen == 2L && cur.get.members == Map("bm25" -> 1L, "ivf" -> 1L))
+      Bm25.deleteDocs(spark, CollectionCommit.memberDir(colDir, "bm25"),
+        Seq(4L).toDF("doc_id"), retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark,
+        CollectionCommit.memberDir(colDir, "ivf"),
+        Seq(4L).toDF("vec_id"), retainGens = Int.MaxValue)
+      Map("bm25" -> 2L, "ivf" -> 2L)
+    }
+
+  private def servedDocs(colDir: String, colGen: Long): (Set[Long], Set[Long]) = {
+    val m = CollectionCommit.manifestAt(spark, colDir, colGen)
+    val bm = Bm25.serve(spark, CollectionCommit.memberDir(colDir, "bm25"),
+        queries, k = 10, atGen = Some(m.members("bm25")))
+      .select("doc_id").as[Long].collect().toSet
+    val ivf = VectorSearch.ivfServe(spark,
+        CollectionCommit.memberDir(colDir, "ivf"),
+        Seq((9L, Array(1.0f, 0.0f))).toDF("qid", "qe"),
+        k = 10, nProbe = 16, dim = 2, atGen = Some(m.members("ivf")))
+      .select("vec_id").as[Long].collect().toSet
+    (bm, ivf)
+  }
+
+  test("takedown flips both members in one snapshot; time travel serves " +
+       "the pre-delete pair") {
+    val colDir = tmpDir("graft_col")
+    try {
+      buildBoth(colDir)
+      takedown(colDir)
+      CollectionCommit.gc(spark, colDir, keepGens = 2)
+      val (bm1, ivf1) = servedDocs(colDir, 1L)
+      assert(bm1.contains(4L) && ivf1.contains(4L)) // pre-delete: both legs
+      val (bm2, ivf2) = servedDocs(colDir, 2L)
+      assert(!bm2.contains(4L) && !ivf2.contains(4L)) // post: neither leg
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen == 2L)
+    } finally rmRf(colDir)
+  }
+
+  test("crash between member flips and collection flip leaves readers " +
+       "on a consistent prior snapshot; retry converges") {
+    val colDir = tmpDir("graft_col_crash")
+    try {
+      buildBoth(colDir)
+      // the crash: both member deletes commit, then the process dies
+      // before the collection manifest flips
+      val boom = intercept[RuntimeException] {
+        CollectionCommit.commit(spark, colDir) { (_, _) =>
+          Bm25.deleteDocs(spark, CollectionCommit.memberDir(colDir, "bm25"),
+            Seq(4L).toDF("doc_id"), retainGens = Int.MaxValue)
+          VectorSearch.deleteVectors(spark,
+            CollectionCommit.memberDir(colDir, "ivf"),
+            Seq(4L).toDF("vec_id"), retainGens = Int.MaxValue)
+          sys.error("crash before collection flip")
+        }
+      }
+      assert(boom.getMessage.contains("crash before collection flip"))
+      // collection readers still resolve the PRE-delete pair — stale
+      // but mutually consistent (doc 4 alive in BOTH legs)
+      val cur = CollectionCommit.currentManifest(spark, colDir).get
+      assert(cur.gen == 1L && cur.members == Map("bm25" -> 1L, "ivf" -> 1L))
+      val (bm1, ivf1) = servedDocs(colDir, 1L)
+      assert(bm1.contains(4L) && ivf1.contains(4L))
+      // the retry: member deletes are idempotent (already-tombstoned
+      // ids excluded), the collection flips the gen the crash claimed
+      takedown(colDir)
+      val (bm2, ivf2) = servedDocs(colDir, 2L)
+      assert(!bm2.contains(4L) && !ivf2.contains(4L))
+    } finally rmRf(colDir)
+  }
+
+  test("two racing collection committers: exactly one wins, the loser " +
+       "errors naming the contested generation") {
+    val colDir = tmpDir("graft_col_race")
+    try {
+      buildBoth(colDir)
+      // a second committer interleaves mid-stage: it contests the held
+      // claim for gen 2 and loses loudly; the first completes
+      var loser: Option[Throwable] = None
+      CollectionCommit.commit(spark, colDir) { (_, _) =>
+        loser = Some(intercept[RuntimeException](
+          CollectionCommit.commit(spark, colDir) { (_, _) =>
+            Map("bm25" -> 1L, "ivf" -> 1L)
+          }))
+        Map("bm25" -> 1L, "ivf" -> 1L)
+      }
+      assert(loser.get.getMessage.contains("_colclaim_g000000000002"),
+        loser.get.getMessage)
+      assert(loser.get.getMessage.contains("single-writer"),
+        loser.get.getMessage)
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen == 2L)
+      // a committer KILLED before its flip strands a claim: the next
+      // commit refuses, and gc (sole-writer recovery) clears it
+      new java.io.File(colDir, "_colclaim_g000000000003").createNewFile()
+      val stale = intercept[RuntimeException](
+        CollectionCommit.commit(spark, colDir) { (_, _) =>
+          Map("bm25" -> 1L, "ivf" -> 1L)
+        })
+      assert(stale.getMessage.contains("already held"), stale.getMessage)
+      CollectionCommit.gc(spark, colDir, keepGens = 2)
+      CollectionCommit.commit(spark, colDir) { (_, _) =>
+        Map("bm25" -> 1L, "ivf" -> 1L)
+      }
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen == 3L)
+    } finally rmRf(colDir)
+  }
+
+  test("collection gc derives member retention floors from retained " +
+       "snapshots and trims below them") {
+    val colDir = tmpDir("graft_col_gc")
+    try {
+      buildBoth(colDir)
+      takedown(colDir)
+      // keepGens = 2: both snapshots and their member gens survive
+      CollectionCommit.gc(spark, colDir, keepGens = 2)
+      assert(servedDocs(colDir, 1L)._1.contains(4L))
+      assert(!servedDocs(colDir, 2L)._1.contains(4L))
+      // keepGens = 1: snapshot 1 and the member gens only it pinned go
+      CollectionCommit.gc(spark, colDir, keepGens = 1)
+      val gone = intercept[IllegalArgumentException](
+        CollectionCommit.manifestAt(spark, colDir, 1L))
+      assert(gone.getMessage.contains("no manifest g1"), gone.getMessage)
+      val memberGone = intercept[IllegalArgumentException](
+        IndexCommit.manifestAt(spark,
+          CollectionCommit.memberDir(colDir, "bm25"), 1L))
+      assert(memberGone.getMessage.contains("no manifest g1"))
+      // the surviving snapshot still serves, post-delete
+      val (bm2, ivf2) = servedDocs(colDir, 2L)
+      assert(!bm2.contains(4L) && !ivf2.contains(4L))
+      assert(bm2.nonEmpty && ivf2.nonEmpty)
+    } finally rmRf(colDir)
+  }
+}
