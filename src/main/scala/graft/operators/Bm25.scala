@@ -437,6 +437,57 @@ object Bm25 {
     * filtered the same and broadcast, stats is the one-row scalar
     * attach. No corpus scan, no driver-side collection beyond the
     * fixed query list. */
+  /** INDEX HEALTH card — the maintenance advisor that closes the
+    * append/delete loop the way [[VectorSearch.ivfRetrainCard]] closes
+    * the drift loop: reads the index AS IT IS ON DISK and reports, per
+    * manifest table, the segment count (how many files a serve-time
+    * term filter must open — the read amplification nightly
+    * [[appendIndex]]/[[deleteDocs]] deltas accumulate) and the raw row
+    * count (what a compaction would read, un-folded), plus the
+    * tombstone-debt scalars: `masked_docs` (tombstoned ids whose
+    * postings rows are still physically present) and `live_docs` (the
+    * exactly-maintained stats count). `compact_recommended` flips when
+    * segment debt exceeds `maxSegments` or the masked fraction exceeds
+    * `maxMaskedFrac` — the signal an operator (or scheduler) acts on
+    * with [[compactIndex]], after which the card re-run reports one
+    * segment per table and zero masks (the spec pins card → action →
+    * verified recovery). Segment counts come from the manifest
+    * (driver-side metadata); row counts are distributed aggregates;
+    * the debt scalars attach via the constant-key scalar join, so the
+    * card is one lazy plan — no corpus-sized collects. */
+  def healthCard(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 maxSegments: Int = 8,
+                 maxMaskedFrac: Double = 0.1): DataFrame = {
+    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
+      s"healthCard: no committed index at $dir"))
+    val maxSeg = m.tables.values.map(_.size).max
+    val masked =
+      if (m.tables.contains("tombstones"))
+        IndexCommit.readTable(spark, dir, "tombstones")
+          .agg(count(lit(1)).cast("long").as("masked_docs"))
+      else
+        // range(1)'s id IS the zero — a lit(0L) column would be
+        // foldable and collapse withScalars' constant-key join back
+        // into the nested-loop cross join it exists to avoid
+        spark.range(1).select(col("id").as("masked_docs"))
+    val live = IndexCommit.readTable(spark, dir, "stats")
+      .select(col("n_docs").cast("long").as("live_docs"))
+    val perTable = m.tables.keys.toSeq.sorted.map { t =>
+      IndexCommit.readTable(spark, dir, t)
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(t).as("tbl"),
+          lit(m.tables(t).size).as("segments"), col("n_rows"))
+    }.reduce(_ unionByName _)
+    PlanHints.withScalars(PlanHints.withScalars(perTable, masked), live)
+      .withColumn("compact_recommended",
+        lit(maxSeg > maxSegments) ||
+          (col("masked_docs").cast("double")
+            / (col("masked_docs") + col("live_docs"))
+            > lit(maxMaskedFrac)))
+      .select(col("tbl"), col("segments"), col("n_rows"),
+        col("masked_docs"), col("live_docs"), col("compact_recommended"))
+  }
+
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
             queries: Seq[(String, Seq[String])], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75,

@@ -516,6 +516,86 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** INDEX HEALTH card ([[graft.operators.Bm25.healthCard]]) around a
+    * realistic maintenance cycle: build one corpus third, append the
+    * other two nightly increments, take down the doc_id % 17 == 3 set
+    * — at which point the index carries 3 postings segments, 4 df
+    * delta segments, and a tombstone mask — then read the card
+    * (`compact_recommended` flips at the 3-segment debt threshold),
+    * run the [[graft.operators.Bm25.compactIndex]] it recommends, and
+    * read the card again: one segment per table, zero masks, flag
+    * quiet. The card → action → verified-recovery loop, matching the
+    * retrain card on the vector side. The oracle derives every row
+    * count from the corpus (postings = distinct (doc, term) pairs
+    * including masked docs; df = the four deltas' distinct-term
+    * counts; tombstones = the takedown set) and the segment counts
+    * from the op sequence — the physical layout IS the assertion.
+    * Pre-compact card plans resolve segment paths at construction, so
+    * the compact retains one prior generation (`retainGens = 2`) for
+    * them to read — the same reader-lease discipline a concurrent
+    * deployment needs anyway. */
+  def textIndexHealth(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/bm25_health_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
+    graft.operators.Bm25.appendIndex(spark, dir,
+      env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    graft.operators.Bm25.appendIndex(spark, dir,
+      env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    graft.operators.Bm25.deleteDocs(spark, dir,
+      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"))
+    val pre = graft.operators.Bm25.healthCard(spark, dir, maxSegments = 3)
+      .withColumn("phase", lit("pre"))
+    graft.operators.Bm25.compactIndex(spark, dir, retainGens = 2)
+    val post = graft.operators.Bm25.healthCard(spark, dir, maxSegments = 3)
+      .withColumn("phase", lit("post"))
+    pre.unionByName(post)
+      .select($"phase", $"tbl", $"segments", $"n_rows",
+        $"masked_docs", $"live_docs", $"compact_recommended")
+      .orderBy($"phase".desc, $"tbl")
+  }
+
+  private[queries] val indexHealthSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+      |pairs AS (SELECT DISTINCT doc_id, u.term AS term
+      |          FROM t, unnest(s) AS u(term)),
+      |m AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 17 = 3) AS masked,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |   WHERE doc_id % 17 <> 3) AS live),
+      |pre AS (SELECT
+      |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS postings,
+      |  CAST((SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 3 = 0)
+      |     + (SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 3 = 1)
+      |     + (SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 3 = 2)
+      |     + (SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 17 = 3)
+      |    AS BIGINT) AS df),
+      |post AS (SELECT
+      |  CAST((SELECT count(*) FROM pairs WHERE doc_id % 17 <> 3)
+      |    AS BIGINT) AS postings,
+      |  CAST((SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 17 <> 3)
+      |    AS BIGINT) AS df)
+      |SELECT * FROM (
+      |  SELECT 'pre' AS phase, 'df' AS tbl, CAST(4 AS INT) AS segments,
+      |         (SELECT df FROM pre) AS n_rows, m.masked AS masked_docs,
+      |         m.live AS live_docs, TRUE AS compact_recommended FROM m
+      |  UNION ALL SELECT 'pre', 'postings', 3, (SELECT postings FROM pre),
+      |         m.masked, m.live, TRUE FROM m
+      |  UNION ALL SELECT 'pre', 'stats', 1, CAST(1 AS BIGINT),
+      |         m.masked, m.live, TRUE FROM m
+      |  UNION ALL SELECT 'pre', 'tombstones', 1, m.masked,
+      |         m.masked, m.live, TRUE FROM m
+      |  UNION ALL SELECT 'post', 'df', 1, (SELECT df FROM post),
+      |         CAST(0 AS BIGINT), m.live, FALSE FROM m
+      |  UNION ALL SELECT 'post', 'postings', 1, (SELECT postings FROM post),
+      |         CAST(0 AS BIGINT), m.live, FALSE FROM m
+      |  UNION ALL SELECT 'post', 'stats', 1, CAST(1 AS BIGINT),
+      |         CAST(0 AS BIGINT), m.live, FALSE FROM m)
+      |ORDER BY phase DESC, tbl""".stripMargin
+
   /** SHARD-PARALLEL index construction
     * ([[graft.operators.Bm25.mergeIndexes]]): no single job builds a
     * 100 TB index — three independent [[graft.operators.Bm25.writeIndex]]
@@ -1549,6 +1629,12 @@ object TextQueries {
     // snapshots served from pinned member generations; oracle = the
     // two from-scratch rankings (full corpus, surviving corpus)
     Q.sql("text_hybrid_takedown", textHybridTakedown, hybridTakedownSql),
+
+    // the maintenance advisor: segment/tombstone debt per manifest
+    // table, flag → compactIndex → verified recovery; the oracle
+    // derives row counts from the corpus and segment counts from the
+    // op sequence
+    Q.sql("text_index_health", textIndexHealth, indexHealthSql),
 
 
     Q.sql("text_pii_redact", textPiiRedact,

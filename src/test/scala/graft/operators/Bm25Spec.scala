@@ -127,4 +127,54 @@ class Bm25Spec extends SparkSpec {
       rm(new java.io.File(dirA)); rm(new java.io.File(dirB))
     }
   }
+
+  test("health card: segment/tombstone debt flips the flag; compaction " +
+       "quiets it") {
+    val docs = Seq(
+      (1L, "red blue red"), (2L, "red green"), (3L, "blue table"),
+      (4L, "green scan"), (5L, "table value red"), (6L, "blue scan"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_health").toString
+    try {
+      Bm25.writeIndex(docs.filter($"doc_id" <= 2L), "doc_id", "text", dir)
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 3L ||
+        $"doc_id" === 4L), "doc_id", "text")
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" >= 5L),
+        "doc_id", "text")
+      Bm25.deleteDocs(spark, dir, Seq(2L).toDF("doc_id"))
+      val pre = Bm25.healthCard(spark, dir, maxSegments = 3)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getBoolean(5))).toMap
+      // postings: 3 build/append segments; rows = distinct (doc, term)
+      // over ALL six docs (doc 2's rows masked, not dropped)
+      assert(pre("postings") == (3, 13L, 1L, 5L, true))
+      // df: base + 2 append deltas + the delete's negative delta; the
+      // delta rows are each slice's distinct terms (3+4+5+2)
+      assert(pre("df") == (4, 14L, 1L, 5L, true))
+      assert(pre("stats") == (1, 1L, 1L, 5L, true))
+      assert(pre("tombstones") == (1, 1L, 1L, 5L, true))
+      // masked fraction alone can flip it too: 1/6 > 0.1 even under a
+      // generous segment budget
+      assert(Bm25.healthCard(spark, dir, maxSegments = 100)
+        .select("compact_recommended").head().getBoolean(0))
+      Bm25.compactIndex(spark, dir)
+      val post = Bm25.healthCard(spark, dir, maxSegments = 3)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getBoolean(5))).toMap
+      assert(post.keySet == Set("postings", "df", "stats"))
+      // doc 2's two postings rows and its 'green' df contribution are
+      // physically gone; 'red' df down to docs 1/5
+      assert(post("postings") == (1, 11L, 0L, 5L, false))
+      assert(post("df") == (1, 6L, 0L, 5L, false))
+      assert(post("stats") == (1, 1L, 0L, 5L, false))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
