@@ -546,6 +546,83 @@ object StreamQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** T18 — streaming takedown at the COLLECTION level, composing t15
+    * and t16's per-index discipline with the cross-index consistency
+    * layer: takedown requests arrive as ONE stream of ids applying to
+    * BOTH hybrid-retrieval legs (the testdata contract: embeddings
+    * vec_ids ≡ documents doc_ids), and every micro-batch lands as ONE
+    * [[graft.operators.CollectionCommit]] flip containing both member
+    * deletes — at no reader-observable instant is a doc gone from one
+    * leg and alive in the other, however the stream slices the set.
+    * Exact decrements and tombstone deltas compose across any batch
+    * slicing, so the final hybrid serve (both legs pinned to the last
+    * collection snapshot) shares the batch takedown entry's
+    * surviving-corpus ranking. */
+  def t18CollectionTakedownStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    val colDir = s"$scratchBase/t18_collection"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val stream = streamRead(env, "documents")
+      .filter($"doc_id" % 17 === 3)
+      .select($"doc_id")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val ids = batch.persist()
+            try CollectionCommit.commit(spark, colDir) { (_, _) =>
+              Bm25.deleteDocs(spark, bmDir, ids,
+                retainGens = Int.MaxValue)
+              VectorSearch.deleteVectors(spark, ivfDir,
+                ids.select($"doc_id".as("vec_id")),
+                retainGens = Int.MaxValue)
+              Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+            } finally { ids.unpersist(); () }
+          }
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    CollectionCommit.gc(spark, colDir, keepGens = 1)
+    val m = CollectionCommit.currentManifest(spark, colDir).get
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.slice(
+          org.apache.spark.sql.functions.split($"text", " "), 1, 6).as("t6"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val text = Bm25
+      .serve(spark, bmDir, terms, k = 10, atGen = Some(m.members("bm25")))
+      .select($"qid".cast("long").as("qid"), $"doc_id", $"rank".as("trank"))
+      .filter($"doc_id" =!= $"qid")
+    val ivfGen = m.members("ivf")
+    val nCells = IndexCommit
+      .readTableAt(spark, ivfDir, "centroids", ivfGen).count().toInt
+    val vec = VectorSearch
+      .ivfServe(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")),
+        k = 10, nProbe = nCells, atGen = Some(ivfGen))
+      .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    TextQueries.fuseRrf(text, vec).orderBy($"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -713,6 +790,12 @@ object StreamQueries {
     // oracle
     Q.sql("t17_ann_ingest_stream", t17AnnIngestStream,
       AnnQueries.ivfAppendSql),
+
+    // collection-level streaming takedown: every micro-batch one
+    // atomic cross-index flip; final hybrid serve shares the batch
+    // takedown's surviving-corpus ranking
+    Q.sql("t18_collection_takedown_stream", t18CollectionTakedownStream,
+      TextQueries.hybridTakedownServeSql),
 
     // IVFPQ served per micro-batch from the persisted index — shares
     // ann_ivfpq_topk's oracle (batch-independent per-query results)

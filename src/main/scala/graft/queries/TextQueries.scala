@@ -819,7 +819,7 @@ object TextQueries {
     * shared tail of all three hybrid entries (inline, served,
     * takedown): full-outer on (qid, doc_id), 1/(60+rank) per leg,
     * re-rank per qid. */
-  private def fuseRrf(text: DataFrame, vec: DataFrame): DataFrame = {
+  private[queries] def fuseRrf(text: DataFrame, vec: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{coalesce, lit, round, row_number}
     val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
@@ -1394,6 +1394,13 @@ object TextQueries {
     * text_hybrid_rrf_served. */
   private[queries] val hybridRrfSql: String =
     hybridRrfCore("TRUE", "TRUE") + "\nORDER BY qid, rank"
+
+  /** The post-takedown serve alone — t18's oracle: the stream-sliced
+    * collection takedown must land the same final state as the batch
+    * entry's snapshot 2. */
+  private[queries] val hybridTakedownServeSql: String =
+    hybridRrfCore("doc_id % 17 <> 3", "vec_id % 17 <> 3") +
+      "\nORDER BY qid, rank"
 
   /** The takedown entry's oracle: snapshot 1 is the full-corpus
     * ranking, snapshot 2 the ranking over the corpus minus the
