@@ -472,12 +472,7 @@ object Bm25 {
         spark.range(1).select(col("id").as("masked_docs"))
     val live = IndexCommit.readTable(spark, dir, "stats")
       .select(col("n_docs").cast("long").as("live_docs"))
-    val perTable = m.tables.keys.toSeq.sorted.map { t =>
-      IndexCommit.readTable(spark, dir, t)
-        .agg(count(lit(1)).cast("long").as("n_rows"))
-        .select(lit(t).as("tbl"),
-          lit(m.tables(t).size).as("segments"), col("n_rows"))
-    }.reduce(_ unionByName _)
+    val perTable = IndexCommit.segmentDebt(spark, dir, m)
     PlanHints.withScalars(PlanHints.withScalars(perTable, masked), live)
       .withColumn("compact_recommended",
         lit(maxSeg > maxSegments) ||

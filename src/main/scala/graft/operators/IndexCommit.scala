@@ -224,6 +224,23 @@ object IndexCommit {
       .map(p => spark.read.option("basePath", p).parquet(p))
       .reduce(_ unionByName _)
 
+  /** Per-table segment debt under `m`: (tbl, segments, n_rows) — the
+    * family-agnostic core every health card shares (segment counts are
+    * manifest metadata; row counts are distributed aggregates over the
+    * un-folded segment unions, i.e. what a compaction would read).
+    * Callers attach their family's mask/live scalars and threshold
+    * logic on top. */
+  def segmentDebt(spark: SparkSession, dir: String,
+                  m: Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    m.tables.keys.toSeq.sorted.map { t =>
+      readTable(spark, dir, t)
+        .agg(count(lit(1)).cast("long").as("n_rows"))
+        .select(lit(t).as("tbl"),
+          lit(m.tables(t).size).as("segments"), col("n_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Delete segment dirs and manifests no longer referenced by the
     * CURRENT manifest — call after a commit (never before: post-commit
     * GC can only orphan, not corrupt). Touches nothing but this

@@ -1171,6 +1171,49 @@ object VectorSearch {
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
+  /** INDEX HEALTH card for a persisted vector index —
+    * [[Bm25.healthCard]]'s twin, covering what the drift-focused
+    * [[ivfRetrainCard]] does not: physical LAYOUT debt. Per manifest
+    * table the segment count (how many files a probe's partition scan
+    * opens — the small-files decay nightly [[ivfAppendIndex]] deltas
+    * accumulate) and un-folded row count, plus the tombstone-debt
+    * scalars `masked_vecs` (tombstoned ids whose rows are still
+    * physically present in `rowsTable`) and `live_vecs`.
+    * `compact_recommended` flips at segment debt > `maxSegments` or
+    * masked fraction > `maxMaskedFrac` — the signal acted on with
+    * [[compactIndexTable]], after which the re-run card is quiet.
+    * `rowsTable` is the family's vector-row table ("cells" for IVF,
+    * "buckets" for LSH, "codes" for PQ/IVFPQ, "prefixes" for MRL). */
+  def healthCard(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 rowsTable: String, maxSegments: Int = 8,
+                 maxMaskedFrac: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
+      s"healthCard: no committed index at $dir"))
+    require(m.tables.contains(rowsTable),
+      s"healthCard: index at $dir has no table '$rowsTable' " +
+        s"(manifest carries ${m.tables.keys.toSeq.sorted})")
+    val maxSeg = m.tables.values.map(_.size).max
+    val masked =
+      if (m.tables.contains("tombstones"))
+        IndexCommit.readTable(spark, dir, "tombstones")
+          .agg(count(lit(1)).cast("long").as("masked_vecs"))
+      else // range(1)'s id IS the zero (a literal would fold the
+           // constant-key scalar join into a nested-loop cross join)
+        spark.range(1).select(col("id").as("masked_vecs"))
+    val total = IndexCommit.readTable(spark, dir, rowsTable)
+      .agg(count(lit(1)).cast("long").as("_total_rows"))
+    val perTable = IndexCommit.segmentDebt(spark, dir, m)
+    PlanHints.withScalars(PlanHints.withScalars(perTable, masked), total)
+      .withColumn("live_vecs", col("_total_rows") - col("masked_vecs"))
+      .withColumn("compact_recommended",
+        lit(maxSeg > maxSegments) ||
+          (col("masked_vecs").cast("double") / col("_total_rows")
+            > lit(maxMaskedFrac)))
+      .select(col("tbl"), col("segments"), col("n_rows"),
+        col("masked_vecs"), col("live_vecs"), col("compact_recommended"))
+  }
+
   /** MERGE shard indexes of a STATELESS-quantizer family (LSH buckets
     * or MRL prefixes) — [[Bm25.mergeIndexes]]' shard-parallel build
     * shape on the vector side: K independent write jobs each index a

@@ -17,6 +17,42 @@ object AnnQueries {
     env.embeddings.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
 
+  /** LAYOUT-DEBT health card for the persisted IVF index
+    * ([[graft.operators.VectorSearch.healthCard]]) around the same
+    * maintenance cycle as its BM25 twin: build one corpus third,
+    * append the other two (each a new cells segment against frozen
+    * centroids), take down vec_id % 17 == 3, read the card (3 cells
+    * segments > the 2-segment budget flips `compact_recommended`),
+    * run the [[graft.operators.VectorSearch.compactIndexTable]] it
+    * recommends, read it again: one segment per table, zero masks,
+    * quiet. Complements [[annRetrainCard]], which watches GEOMETRY
+    * drift — together they cover both ways an append-maintained index
+    * decays. Pre-compact card plans resolve segment paths at
+    * construction, so the compact retains one prior generation. */
+  def annIndexHealth(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/ivf_health_index"
+    VectorSearch.ivfWriteIndex(
+      env.embeddings.filter($"vec_id" % 3 === 0), dir)
+    VectorSearch.ivfAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 3 === 1))
+    VectorSearch.ivfAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 3 === 2))
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    val pre = VectorSearch.healthCard(spark, dir, "cells", maxSegments = 2)
+      .withColumn("phase", lit("pre"))
+    VectorSearch.compactIndexTable(spark, dir, "cells", "cell",
+      retainGens = 2)
+    val post = VectorSearch.healthCard(spark, dir, "cells", maxSegments = 2)
+      .withColumn("phase", lit("post"))
+    pre.unionByName(post)
+      .select($"phase", $"tbl", $"segments", $"n_rows",
+        $"masked_vecs", $"live_vecs", $"compact_recommended")
+      .orderBy($"phase".desc, $"tbl")
+  }
+
   /** Exact brute-force cosine top-5 for every 50th vector. */
   def annBruteTopK(env: Env): DataFrame =
     VectorSearch.bruteForceTopK(env.embeddings, queriesDf(env), k = 5)
@@ -2017,6 +2053,32 @@ object AnnQueries {
     // incremental lifecycle: base-trained centroids + frozen-centroid
     // increment assignment, served from the merged cells
     Q.sql("ann_ivf_append", annIvfAppend, ivfAppendSql),
+
+    // layout-debt maintenance advisor (the retrain card's physical
+    // twin): segment counts from the op sequence, row counts from the
+    // corpus, tombstone debt from the takedown set; card -> compact ->
+    // quiet re-run
+    Q.sql("ann_index_health", annIndexHealth,
+      """WITH m AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 = 3) AS masked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total,
+        |  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 3 = 0) AS ncells)
+        |SELECT * FROM (
+        |  SELECT 'pre' AS phase, 'cells' AS tbl, CAST(3 AS INT) AS segments,
+        |         m.total AS n_rows, m.masked AS masked_vecs,
+        |         m.total - m.masked AS live_vecs,
+        |         TRUE AS compact_recommended FROM m
+        |  UNION ALL SELECT 'pre', 'centroids', 1, m.ncells, m.masked,
+        |         m.total - m.masked, TRUE FROM m
+        |  UNION ALL SELECT 'pre', 'tombstones', 1, m.masked, m.masked,
+        |         m.total - m.masked, TRUE FROM m
+        |  UNION ALL SELECT 'post', 'cells', 1, m.total - m.masked,
+        |         CAST(0 AS BIGINT), m.total - m.masked, FALSE FROM m
+        |  UNION ALL SELECT 'post', 'centroids', 1, m.ncells,
+        |         CAST(0 AS BIGINT), m.total - m.masked, FALSE FROM m)
+        |ORDER BY phase DESC, tbl""".stripMargin),
 
     // the recommended rebuild executed: retrained-on-everything card
     // (full-corpus training; occupancy over label cells; recall at the

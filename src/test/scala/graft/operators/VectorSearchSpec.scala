@@ -733,4 +733,54 @@ class VectorSearchSpec extends SparkSpec {
     // every returned (query, candidate) cosine matches the exact value
     auto.foreach { case (k, c) => assert(brute.get(k).contains(c), k) }
   }
+
+  test("vector health card: cells segment debt flips the flag; " +
+       "compaction quiets it") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, i % 4, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_health").toString
+    try {
+      VectorSearch.ivfWriteIndex(emb.filter($"vec_id" % 3 === 0), dir,
+        dim = 8)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 3 === 1), dim = 8)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 3 === 2), dim = 8)
+      VectorSearch.deleteVectors(spark, dir,
+        emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
+      val pre = VectorSearch.healthCard(spark, dir, "cells",
+          maxSegments = 2)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getBoolean(5))).toMap
+      // 60 vectors across 3 cells segments; 4 label-derived centroids;
+      // 6 tombstoned ids (7,17,...,57) still physically present
+      assert(pre("cells") == (3, 60L, 6L, 54L, true))
+      assert(pre("centroids") == (1, 4L, 6L, 54L, true))
+      assert(pre("tombstones") == (1, 6L, 6L, 54L, true))
+      // masked fraction alone: 6/60 = 10% is NOT > 0.1, so a generous
+      // segment budget keeps the flag quiet — the thresholds compose
+      // by OR, not by accident
+      assert(!VectorSearch.healthCard(spark, dir, "cells",
+        maxSegments = 100).select("compact_recommended")
+        .head().getBoolean(0))
+      VectorSearch.compactIndexTable(spark, dir, "cells", "cell")
+      val post = VectorSearch.healthCard(spark, dir, "cells",
+          maxSegments = 2)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getBoolean(5))).toMap
+      assert(post.keySet == Set("cells", "centroids"))
+      assert(post("cells") == (1, 54L, 0L, 54L, false))
+      assert(post("centroids") == (1, 4L, 0L, 54L, false))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
