@@ -516,6 +516,40 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** RE-INGEST after takedown — the full right-to-be-forgotten +
+    * re-onboard lifecycle: delete the doc_id % 17 == 3 set
+    * (tombstones + exact decrements), COMPACT to materialize the
+    * deletion (the enforced re-ingest contract:
+    * [[graft.operators.IndexCommit.requireDisjointFromTombstones]]
+    * errors a still-tombstoned append loudly, because unmasking would
+    * double-count the id's still-present pre-delete rows), then
+    * re-ingest the same ids with REVISED text via the ordinary append
+    * path. The additive algebra makes the final index bit-identical
+    * to a from-scratch build on the revised corpus — which is exactly
+    * what the oracle replays (deleted docs' text swapped for the v2
+    * version, everyone else untouched). */
+  def textBm25Reingest(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/bm25_reingest_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
+    val takedown = env.documents.filter($"doc_id" % 17 === 3)
+    graft.operators.Bm25.deleteDocs(spark, dir,
+      takedown.select($"doc_id"))
+    graft.operators.Bm25.compactIndex(spark, dir)
+    graft.operators.Bm25.appendIndex(spark, dir,
+      takedown.select($"doc_id",
+        concat($"text", lit(" v2")).as("text")), "doc_id", "text")
+    graft.operators.Bm25.serve(spark, dir, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  private[queries] val bm25ReingestSql: String = bm25TopkSqlFrom(
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END
+      |         AS text
+      |FROM documents""".stripMargin)
+
   /** INDEX HEALTH card ([[graft.operators.Bm25.healthCard]]) around a
     * realistic maintenance cycle: build one corpus third, append the
     * other two nightly increments, take down the doc_id % 17 == 3 set
@@ -687,14 +721,20 @@ object TextQueries {
   /** The BM25 oracle parameterized by a documents predicate — "" for
     * the full corpus; a doc_id filter replays a TIME-TRAVEL serve of
     * the index generation that indexed only those docs. */
-  private def bm25TopkSqlFor(docsWhere: String): String = {
+  private def bm25TopkSqlFor(docsWhere: String): String =
+    bm25TopkSqlFrom(s"SELECT doc_id, text FROM documents $docsWhere")
+
+  /** [[bm25TopkSqlFor]] generalized to an arbitrary (doc_id, text)
+    * corpus subquery — the re-ingest oracle swaps deleted docs'
+    * text for the re-onboarded version. */
+  private def bm25TopkSqlFrom(corpusSql: String): String = {
     val values = Bm25Workload
       .flatMap { case (q, ts) => ts.map(t => s"('$q', '$t')") }
       .mkString(", ")
     val inList = Bm25Workload.flatMap(_._2).distinct
       .map(t => s"'$t'").mkString(", ")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
-       |           FROM documents $docsWhere),
+       |           FROM ($corpusSql)),
        |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
        |       FROM base),
@@ -1642,6 +1682,11 @@ object TextQueries {
     // derives row counts from the corpus and segment counts from the
     // op sequence
     Q.sql("text_index_health", textIndexHealth, indexHealthSql),
+
+    // delete -> compact (materialize) -> append the revised docs: the
+    // re-onboard lifecycle; oracle = from-scratch build on the revised
+    // corpus
+    Q.sql("text_bm25_reingest", textBm25Reingest, bm25ReingestSql),
 
 
     Q.sql("text_pii_redact", textPiiRedact,
