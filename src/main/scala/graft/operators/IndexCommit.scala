@@ -224,6 +224,55 @@ object IndexCommit {
       .map(p => spark.read.option("basePath", p).parquet(p))
       .reduce(_ unionByName _)
 
+  /** CLONE one committed snapshot into a fresh index directory — the
+    * promotion/backup primitive (validate an index in staging, then
+    * promote the EXACT bytes to serving; or export yesterday's pinned
+    * generation before a risky maintenance cycle). The clone is a new
+    * INDEPENDENT index: its manifest is generation 1, its segments are
+    * byte-copies (no re-encode — physical layout, term sort order and
+    * row-group statistics survive verbatim), and source GC can never
+    * reach into it. Cloned segment dirs are renamed `<table>-c<i>-g1`
+    * — the `c<i>` infix keeps the source's multi-segment (delta)
+    * structure while guaranteeing no collision with any segment a
+    * LATER commit against the clone stages (`<table>-g<gen>` names).
+    * Time travel composes: `atGen` clones any retained source
+    * generation, not just the current one.
+    *
+    * The copy itself is driver-orchestrated FileSystem I/O — right for
+    * test scale and for metadata-sized tables; a petabyte deployment
+    * swaps this loop for a distcp-style parallel copy job over the
+    * same segment list (the manifest gives the exact file set), with
+    * the commit protocol unchanged: the clone's manifest flips only
+    * after every byte landed. */
+  def cloneSnapshot(spark: SparkSession, src: String, dest: String,
+                    atGen: Option[Long] = None): Unit = {
+    val m = atGen match {
+      case Some(g) => manifestAt(spark, src, g)
+      case None => currentManifest(spark, src)
+        .getOrElse(sys.error(s"cloneSnapshot: no committed index at $src"))
+    }
+    val (sfs, sp) = fsOf(spark, src)
+    val conf = spark.sessionState.newHadoopConf()
+    commit(spark, dest) { (gen, cur) =>
+      require(cur.isEmpty,
+        s"cloneSnapshot: destination $dest already holds a committed " +
+          "index (gen " + cur.map(_.gen).getOrElse(0L) + ") — clones " +
+          "are fresh directories, not merges")
+      val (dfs, dp) = fsOf(spark, dest)
+      m.tables.map { case (t, segs) =>
+        val cloned = segs.zipWithIndex.map { case (seg, i) =>
+          val name = s"$t-c$i-g$gen"
+          require(org.apache.hadoop.fs.FileUtil.copy(
+            sfs, new Path(sp, seg), dfs, new Path(dp, name),
+            false, true, conf),
+            s"cloneSnapshot: copy failed: $src/$seg -> $dest/$name")
+          name
+        }
+        t -> cloned
+      }
+    }
+  }
+
   /** Per-table segment debt under `m`: (tbl, segments, n_rows) — the
     * family-agnostic core every health card shares (segment counts are
     * manifest metadata; row counts are distributed aggregates over the

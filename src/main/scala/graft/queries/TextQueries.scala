@@ -516,6 +516,31 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** SNAPSHOT CLONE / PROMOTION
+    * ([[graft.operators.IndexCommit.cloneSnapshot]]): validate an
+    * index in a staging directory — here a build plus a takedown —
+    * then promote the exact bytes to a fresh serving directory and
+    * serve from the CLONE. Byte-copied segments keep the physical
+    * layout (term sort, row-group stats — the serve-time pruning
+    * survives promotion verbatim), the clone's manifest is its own
+    * generation 1, and source GC can never reach into it; the served
+    * ranking shares text_bm25_delete's surviving-corpus oracle
+    * because promotion must be invisible to results. */
+  def textBm25CloneServe(env: Env): DataFrame = {
+    val spark = env.spark
+    val src = s"${StreamQueries.scratchBase}/bm25_clone_src"
+    val dst = s"${StreamQueries.scratchBase}/bm25_clone_dst"
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dstPath)) fs.delete(dstPath, true): Unit // fresh dest
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", src)
+    graft.operators.Bm25.deleteDocs(spark, src,
+      env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
+    graft.operators.IndexCommit.cloneSnapshot(spark, src, dst)
+    graft.operators.Bm25.serve(spark, dst, Bm25Workload, k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
   /** RE-INGEST after takedown — the full right-to-be-forgotten +
     * re-onboard lifecycle: delete the doc_id % 17 == 3 set
     * (tombstones + exact decrements), COMPACT to materialize the
@@ -1687,6 +1712,10 @@ object TextQueries {
     // re-onboard lifecycle; oracle = from-scratch build on the revised
     // corpus
     Q.sql("text_bm25_reingest", textBm25Reingest, bm25ReingestSql),
+
+    // staging -> serving promotion: serve from the byte-copied clone;
+    // promotion must be invisible to results (shared delete oracle)
+    Q.sql("text_bm25_clone_serve", textBm25CloneServe, bm25DeleteSql),
 
 
     Q.sql("text_pii_redact", textPiiRedact,

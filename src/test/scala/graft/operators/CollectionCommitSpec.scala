@@ -174,4 +174,89 @@ class CollectionCommitSpec extends SparkSpec {
       assert(bm2.nonEmpty && ivf2.nonEmpty)
     } finally rmRf(colDir)
   }
+
+  test("randomized lifecycle: every retained snapshot serves its own " +
+       "from-scratch expectation on BOTH legs") {
+    val rnd = new scala.util.Random(42)
+    def vecOf(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array(r.nextFloat() + 0.1f, r.nextFloat() + 0.1f) // never zero-norm
+    }
+    for (trial <- 0 until 2) {
+      val colDir = tmpDir(s"graft_col_rand$trial")
+      try {
+        val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+        val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+        var nextId = 100L
+        def freshIds(n: Int): Seq[Long] = {
+          val ids = (nextId until nextId + n); nextId += n; ids
+        }
+        def docsFor(ids: Seq[Long]) =
+          ids.map(i => (i, s"common t$i")).toDF("doc_id", "text")
+        def vecsFor(ids: Seq[Long]) =
+          ids.map(i => (i, (i % 3).toInt, vecOf(i)))
+            .toDF("vec_id", "label", "embedding")
+        val base = freshIds(6)
+        var alive = base.toSet
+        // snapshot expectations, indexed by collection gen - 1
+        val expected = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+        CollectionCommit.commit(spark, colDir) { (_, _) =>
+          Bm25.writeIndex(docsFor(base), "doc_id", "text", bmDir)
+          VectorSearch.ivfWriteIndex(vecsFor(base), ivfDir, dim = 2,
+            retainGens = Int.MaxValue)
+          Map("bm25" -> 1L, "ivf" -> 1L)
+        }
+        expected += alive
+        def memberGen(dir: String): Long =
+          IndexCommit.currentManifest(spark, dir).get.gen
+        for (_ <- 0 until 3) {
+          val doDelete = rnd.nextBoolean() && alive.size > 2
+          CollectionCommit.commit(spark, colDir) { (_, _) =>
+            if (doDelete) {
+              val del = rnd.shuffle(alive.toSeq)
+                .take(1 + rnd.nextInt(alive.size - 2))
+              Bm25.deleteDocs(spark, bmDir, del.toDF("doc_id"),
+                retainGens = Int.MaxValue)
+              VectorSearch.deleteVectors(spark, ivfDir,
+                del.toDF("vec_id"), retainGens = Int.MaxValue)
+              alive --= del
+            } else {
+              val add = freshIds(1 + rnd.nextInt(3))
+              Bm25.appendIndex(spark, bmDir, docsFor(add), "doc_id",
+                "text", retainGens = Int.MaxValue)
+              VectorSearch.ivfAppendIndex(spark, ivfDir, vecsFor(add),
+                dim = 2, retainGens = Int.MaxValue)
+              alive ++= add
+            }
+            Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+          }
+          expected += alive
+        }
+        val keep = 1 + rnd.nextInt(expected.size)
+        CollectionCommit.gc(spark, colDir, keepGens = keep)
+        val total = expected.size.toLong
+        for (gen <- 1L to total) {
+          if (gen > total - keep) {
+            val m = CollectionCommit.manifestAt(spark, colDir, gen)
+            val bm = Bm25.serve(spark, bmDir,
+                Seq("q" -> Seq("common")), k = 100,
+                atGen = Some(m.members("bm25")))
+              .select("doc_id").as[Long].collect().toSet
+            assert(bm == expected((gen - 1).toInt),
+              s"trial $trial gen $gen bm25 leg")
+            val ivf = VectorSearch.ivfServe(spark, ivfDir,
+                Seq((999L, vecOf(999L))).toDF("qid", "qe"),
+                k = 100, nProbe = 64, dim = 2,
+                atGen = Some(m.members("ivf")))
+              .select("vec_id").as[Long].collect().toSet
+            assert(ivf == expected((gen - 1).toInt),
+              s"trial $trial gen $gen ivf leg")
+          } else {
+            intercept[IllegalArgumentException](
+              CollectionCommit.manifestAt(spark, colDir, gen)): Unit
+          }
+        }
+      } finally rmRf(colDir)
+    }
+  }
 }

@@ -568,4 +568,39 @@ class IndexCommitSpec extends SparkSpec {
       assert(after.nonEmpty)
     } finally rmRf(dir)
   }
+
+  test("cloneSnapshot: byte-copied promotion is independent, " +
+       "time-travels, and stays collision-free under later commits") {
+    val src = tmpDir("graft_clone_src")
+    val dst = tmpDir("graft_clone_dst_") + "/fresh"
+    val dstOld = tmpDir("graft_clone_old_") + "/pinned"
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", src)
+      // retain gen 1 through the delete so the pinned clone can read it
+      Bm25.deleteDocs(spark, src, Seq(4L).toDF("doc_id"), retainGens = 2)
+      def served(dir: String): Set[Long] =
+        Bm25.serve(spark, dir, queries, k = 10)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      // current-gen clone: the takedown travels with the bytes
+      IndexCommit.cloneSnapshot(spark, src, dst)
+      assert(IndexCommit.currentManifest(spark, dst).get.gen == 1L)
+      assert(served(dst) == served(src) && !served(dst).contains(4L))
+      // pinned-gen clone: yesterday's index, byte-for-byte
+      IndexCommit.cloneSnapshot(spark, src, dstOld, atGen = Some(1L))
+      assert(served(dstOld).contains(4L))
+      // a clone is not a merge: re-cloning onto it errors loudly
+      val busy = intercept[IllegalArgumentException](
+        IndexCommit.cloneSnapshot(spark, src, dst))
+      assert(busy.getMessage.contains("already holds"), busy.getMessage)
+      // independence: source GC (and even deletion) cannot reach the clone
+      IndexCommit.gcUnreferenced(spark, src, keepGens = 1)
+      rmRf(src)
+      assert(!served(dst).contains(4L))
+      // later commits against the clone stage <table>-g2 names — the
+      // c<i> infix on cloned segments guarantees no collision
+      Bm25.appendIndex(spark, dst,
+        Seq((9L, "red nine")).toDF("doc_id", "text"), "doc_id", "text")
+      assert(served(dst).contains(9L) && !served(dst).contains(4L))
+    } finally { rmRf(dst); rmRf(dstOld) }
+  }
 }
