@@ -288,6 +288,127 @@ object TextDedup {
     verifyPairs(cands, shI, shB, "inc_id", "base_id", threshold)
   }
 
+  /** Persist the MinHash-LSH DEDUP INDEX — the dedup family joins the
+    * [[IndexCommit]] lifecycle the retrieval families already have.
+    * At corpus scale near-dup is not a query, it is an ARTIFACT
+    * workflow: the accumulated corpus's band keys and shingle sets are
+    * computed once, committed as tables, and every nightly increment
+    * is a kernel pass over the increment plus one equi-join against
+    * the persisted bands ([[nearDupAgainstIndex]] — the served twin of
+    * [[minhashNearDupAgainst]], bit-identical because candidates and
+    * the exact-Jaccard verify read the same values from parquet that
+    * the inline path computes in-flight; integer hashes round-trip
+    * exactly). Three tables in one atomic flip: `bands` (doc_id, band,
+    * key, n_sh — the candidate join side, hash-clustered by key),
+    * `shingles` (doc_id, sh — the exact-verify side), `meta` (the
+    * (n, k, bands) geometry appends must match). Appends commit delta
+    * segments (increment-sized volume); deletion is the shared
+    * tombstone layer ([[IndexCommit.appendTombstones]] via
+    * [[deleteFromDedupIndex]]), masked on BOTH the candidate and
+    * verify sides at serve. */
+  def writeDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                      dir: String, n: Int = 3, k: Int = 64,
+                      bands: Int = 16, retainGens: Int = 1): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val named = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    IndexCommit.commit(spark, dir) { (gen, _) =>
+      bandKeysKernel(named, n, k, bands)
+        .repartition(IndexCommit.writeWidth(docs), col("key"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "bands", gen))
+      shingleHashSets(named, n)
+        .repartition(IndexCommit.writeWidth(docs), col("doc_id"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "shingles", gen))
+      Seq((n, k, bands)).toDF("n", "k", "bands")
+        .coalesce(1).write.mode("overwrite") // genuinely one row
+        .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+      Seq("bands", "shingles", "meta")
+        .map(t => t -> Seq(s"$t-g$gen")).toMap
+    }
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
+  private def dedupIndexGeometry(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
+    (meta.getAs[Int]("n"), meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+  }
+
+  /** APPEND an increment to a persisted dedup index: band keys and
+    * shingle sets are pure per-document functions of the text under
+    * the index's frozen (n, k, bands) geometry, so the appended index
+    * is bit-identical to a full rebuild on base ∪ increment — the
+    * entry shares the roundtrip oracle outright. Increment-sized
+    * delta segments; disjoint-ids and re-ingest contracts enforced
+    * like every other family. */
+  def appendDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, increment: DataFrame, idCol: String,
+                       textCol: String, retainGens: Int = 1): Unit = {
+    import spark.implicits._
+    val (n, k, bands) = dedupIndexGeometry(spark, dir)
+    val named = increment.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    IndexCommit.commit(spark, dir) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"appendDedupIndex: no committed index at $dir — " +
+          "writeDedupIndex first"))
+      IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+        named.select(col("doc_id")), "doc_id", "appendDedupIndex")
+      bandKeysKernel(named, n, k, bands)
+        .repartition(IndexCommit.deltaWidth(increment), col("key"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "bands", gen))
+      shingleHashSets(named, n)
+        .repartition(IndexCommit.deltaWidth(increment), col("doc_id"))
+        .write.mode("overwrite")
+        .parquet(IndexCommit.segmentPath(dir, "shingles", gen))
+      prev.tables ++ Map(
+        "bands" -> (prev.tables("bands") :+ s"bands-g$gen"),
+        "shingles" -> (prev.tables("shingles") :+ s"shingles-g$gen"))
+    }
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
+  /** Takedown for the dedup index — the shared tombstone layer; the
+    * serve path masks deleted docs out of BOTH the candidate and
+    * verify sides, so they can neither match nor be matched. */
+  def deleteFromDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, ids: DataFrame,
+                           retainGens: Int = 1): Unit =
+    IndexCommit.appendTombstones(spark, dir, ids, "doc_id", retainGens)
+
+  /** Serve an increment against the persisted dedup index — the
+    * build-once/check-nightly twin of [[minhashNearDupAgainst]]:
+    * increment band keys equi-join the persisted `bands` table
+    * (length-filtered), candidates verify by exact Jaccard against
+    * the persisted `shingles` sets. Bit-identical to the inline
+    * operator over the index's live (un-tombstoned) corpus. */
+  def nearDupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, increment: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double = 0.5): DataFrame = {
+    val (n, k, bands) = dedupIndexGeometry(spark, dir)
+    val named = increment.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val bandI = bandKeysKernel(named, n, k, bands)
+      .localCheckpoint(eager = false)
+    val shI = shingleHashSets(named, n).localCheckpoint(eager = false)
+    def served(t: String) = IndexCommit.maskTombstones(spark, dir,
+      IndexCommit.readTable(spark, dir, t), "doc_id")
+    val cands = bandI.as("a")
+      .join(served("bands").as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        sizeBand(threshold))
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    verifyPairs(cands, shI, served("shingles"), "inc_id", "base_id",
+      threshold)
+  }
+
   /** N-gram-Jaccard near-dup pairs via MIN-SHINGLE blocking (the
     * third dedup family of the pipeline brief, distinct from banded
     * MinHash): each doc's block keys are its `keys` lexicographically

@@ -138,6 +138,71 @@ object DedupQueries {
       .orderBy($"inc_id", $"base_id")
   }
 
+  /** The incremental-dedup ground truth parameterized by the BASE
+    * predicate — brute-force exact Jaccard over inc × base, shared by
+    * the inline entry and every persisted-index lifecycle entry. */
+  private def dedupIncrementalSqlFor(baseCond: String): String =
+    s"""$shingleCte
+       |SELECT i.doc_id AS inc_id, b.doc_id AS base_id,
+       |       round(CAST(len(list_intersect(i.g, b.g)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(i.g, b.g))), 6) AS jaccard
+       |FROM sh i JOIN sh b
+       |  ON i.doc_id % 7 = 0 AND $baseCond
+       |WHERE CAST(len(list_intersect(i.g, b.g)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(i.g, b.g))) >= 0.8
+       |ORDER BY inc_id, base_id""".stripMargin
+
+  private def serveIncAgainst(env: Env, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.round
+    graft.operators.TextDedup
+      .nearDupAgainstIndex(env.spark, dir,
+        env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text",
+        threshold = 0.8)
+      .select($"inc_id", $"base_id", round($"jaccard", 6).as("jaccard"))
+      .orderBy($"inc_id", $"base_id")
+  }
+
+  /** The dedup family's persisted-index lifecycle
+    * ([[graft.operators.TextDedup.writeDedupIndex]]): the base
+    * corpus's band keys and shingle sets committed as manifest tables,
+    * the nightly increment served against them — bit-identical to the
+    * inline [[dedupIncremental]], whose oracle it shares. */
+  def dedupIndexRoundtrip(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/dedup_minhash_index"
+    graft.operators.TextDedup.writeDedupIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    serveIncAgainst(env, dir)
+  }
+
+  /** Nightly growth: half the base at build, half appended as a delta
+    * segment — band keys and shingle sets are pure per-doc functions
+    * under the frozen geometry, so build+append ≡ full build and the
+    * entry shares the roundtrip oracle. */
+  def dedupIndexAppend(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/dedup_minhash_append_index"
+    graft.operators.TextDedup.writeDedupIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 2 === 1),
+      "doc_id", "text", dir)
+    graft.operators.TextDedup.appendDedupIndex(env.spark, dir,
+      env.documents.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 2 === 0),
+      "doc_id", "text")
+    serveIncAgainst(env, dir)
+  }
+
+  /** Takedown on the dedup index: tombstoned base docs can neither
+    * generate candidates nor verify — the increment's matches are
+    * exactly those against the surviving base, which is what the
+    * oracle's tightened base predicate replays. */
+  def dedupIndexDelete(env: Env): DataFrame = {
+    val dir = s"${StreamQueries.scratchBase}/dedup_minhash_delete_index"
+    graft.operators.TextDedup.writeDedupIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    graft.operators.TextDedup.deleteFromDedupIndex(env.spark, dir,
+      env.documents.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 5 === 2)
+        .select($"doc_id"))
+    serveIncAgainst(env, dir)
+  }
+
   /** N-gram Jaccard near-dup via min-shingle blocking — same ground
     * truth as dedup_minhash (brute-force oracle), different candidate
     * scheme; verified at 0.8 for the same recall-guarantee reason. */
@@ -317,15 +382,17 @@ object DedupQueries {
         |ORDER BY canonical_id""".stripMargin),
 
     Q.sql("dedup_incremental", dedupIncremental,
-      s"""$shingleCte
-         |SELECT i.doc_id AS inc_id, b.doc_id AS base_id,
-         |       round(CAST(len(list_intersect(i.g, b.g)) AS DOUBLE)
-         |             / len(list_distinct(list_concat(i.g, b.g))), 6) AS jaccard
-         |FROM sh i JOIN sh b
-         |  ON i.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
-         |WHERE CAST(len(list_intersect(i.g, b.g)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(i.g, b.g))) >= 0.8
-         |ORDER BY inc_id, base_id""".stripMargin),
+      dedupIncrementalSqlFor("b.doc_id % 7 <> 0")),
+
+    // the persisted dedup-index lifecycle: roundtrip/append serve the
+    // same ground truth as the inline incremental; delete serves it
+    // against the surviving base
+    Q.sql("dedup_index_roundtrip", dedupIndexRoundtrip,
+      dedupIncrementalSqlFor("b.doc_id % 7 <> 0")),
+    Q.sql("dedup_index_append", dedupIndexAppend,
+      dedupIncrementalSqlFor("b.doc_id % 7 <> 0")),
+    Q.sql("dedup_index_delete", dedupIndexDelete,
+      dedupIncrementalSqlFor("b.doc_id % 7 <> 0 AND b.doc_id % 5 <> 2")),
 
     Q.sql("dedup_minhash", dedupMinhash,
       s"""$shingleCte

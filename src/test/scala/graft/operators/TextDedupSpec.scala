@@ -245,4 +245,63 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     if (toks.length < 3) Set(toks.mkString(" "))
     else toks.sliding(3).map(_.mkString(" ")).toSet
   }
+
+  test("persisted dedup index: roundtrip/append bit-equal to inline; " +
+       "delete masks candidates AND verify") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "aa bb cc dd ee gg"),   // near-dup of 1
+      (3L, "zz yy xx ww vv uu"),
+      (4L, "mm nn oo pp qq rr")).toDF("doc_id", "text")
+    val inc = Seq(
+      (11L, "aa bb cc dd ee ff"),  // dup of 1, near-dup of 2
+      (12L, "zz yy xx ww vv uu"),  // dup of 3
+      (13L, "totally novel words here")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("inc_id", "base_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val inline = canon(TextDedup.minhashNearDupAgainst(
+      base, inc, "doc_id", "text", threshold = 0.5))
+    assert(inline.map(t => (t._1, t._2)) ==
+      Seq((11L, 1L), (11L, 2L), (12L, 3L)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx").toString
+    try {
+      TextDedup.writeDedupIndex(base, "doc_id", "text", dir)
+      assert(canon(TextDedup.nearDupAgainstIndex(spark, dir, inc,
+        "doc_id", "text", threshold = 0.5)) == inline)
+      // build-half + append-half == full build (frozen geometry)
+      val dir2 = java.nio.file.Files
+        .createTempDirectory("graft_dedup_idx2").toString
+      try {
+        TextDedup.writeDedupIndex(base.filter($"doc_id" <= 2),
+          "doc_id", "text", dir2)
+        TextDedup.appendDedupIndex(spark, dir2,
+          base.filter($"doc_id" > 2), "doc_id", "text")
+        assert(canon(TextDedup.nearDupAgainstIndex(spark, dir2, inc,
+          "doc_id", "text", threshold = 0.5)) == inline)
+      } finally rmRfDir(dir2)
+      // takedown doc 1: 11 keeps only its match against 2; 12 keeps 3
+      TextDedup.deleteFromDedupIndex(spark, dir, Seq(1L).toDF("doc_id"))
+      val afterDel = canon(TextDedup.nearDupAgainstIndex(spark, dir, inc,
+        "doc_id", "text", threshold = 0.5))
+      assert(afterDel.map(t => (t._1, t._2)) == Seq((11L, 2L), (12L, 3L)))
+      // re-ingest contract: appending the tombstoned id errors loudly
+      val boom = intercept[RuntimeException](
+        TextDedup.appendDedupIndex(spark, dir,
+          Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text"),
+          "doc_id", "text"))
+      assert(boom.getMessage.contains("tombston"), boom.getMessage)
+    } finally rmRfDir(dir)
+  }
+
+  private def rmRfDir(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
 }
