@@ -476,8 +476,14 @@ object Bm25 {
     PlanHints.withScalars(PlanHints.withScalars(perTable, masked), live)
       .withColumn("compact_recommended",
         lit(maxSeg > maxSegments) ||
-          (col("masked_docs").cast("double")
-            / (col("masked_docs") + col("live_docs"))
+          // guarded denominator: an EMPTY index (0 masked, 0 live)
+          // must report a quiet card, not the NaN that 0/0 yields —
+          // Spark orders NaN above every double, so NaN > frac would
+          // recommend compacting an index with nothing to compact
+          (when(col("masked_docs") + col("live_docs") > 0,
+            col("masked_docs").cast("double")
+              / (col("masked_docs") + col("live_docs")))
+            .otherwise(lit(0.0))
             > lit(maxMaskedFrac)))
       .select(col("tbl"), col("segments"), col("n_rows"),
         col("masked_docs"), col("live_docs"), col("compact_recommended"))

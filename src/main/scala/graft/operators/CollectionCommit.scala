@@ -151,6 +151,33 @@ object CollectionCommit {
       members.keys.foreach(m => require(
         !m.contains('=') && !m.contains('/') && !m.contains(','),
         s"bad member name: $m"))
+      // every generation this manifest pins — new AND carried-forward
+      // from the prior snapshot — must RESOLVE before the flip: a
+      // member-level op inside stage that ran with default retention
+      // (instead of the documented retainGens = Int.MaxValue) GCs
+      // member generations a prior collection manifest still pins.
+      // Validating here turns that misuse into a loud commit-time
+      // error instead of a collection-time-travel read failing later.
+      members.foreach { case (mem, g) =>
+        try { IndexCommit.manifestAt(spark, memberDir(colDir, mem), g); () }
+        catch { case e: Exception => sys.error(
+          s"collection commit to $colDir: member '$mem' generation " +
+            s"$g does not resolve (${e.getMessage}) — member " +
+            "maintenance inside stage must pass retainGens = " +
+            "Int.MaxValue and leave trimming to CollectionCommit.gc")
+        }
+      }
+      cur.foreach(_.members.foreach { case (mem, g) =>
+        try { IndexCommit.manifestAt(spark, memberDir(colDir, mem), g); () }
+        catch { case e: Exception => sys.error(
+          s"collection commit to $colDir: PRIOR snapshot g${cur.get.gen} " +
+            s"pins member '$mem' generation $g which no longer resolves " +
+            s"(${e.getMessage}) — member maintenance inside stage must " +
+            "pass retainGens = Int.MaxValue so retained collection " +
+            "snapshots keep serving; trimming belongs to " +
+            "CollectionCommit.gc")
+        }
+      })
       val body = (Header +: members.toSeq.sortBy(_._1)
         .map { case (m, g) => s"$m=$g" }).mkString("", "\n", "\n")
       val tmp = new Path(p, s"._collection_g$gen.tmp")
@@ -165,6 +192,52 @@ object CollectionCommit {
         s"collection manifest flip failed: $tmp -> $fin (concurrent " +
           "writer?)")
     } finally fs.delete(claim, false): Unit
+  }
+
+  /** CLONE one committed collection snapshot into a fresh collection
+    * directory — staging→serving promotion for a MULTI-INDEX
+    * deployment: validate the whole hybrid state (every leg) in
+    * staging, then promote the exact bytes of EVERY member at its
+    * pinned generation in one operation. Each member is cloned via
+    * [[IndexCommit.cloneSnapshot]] (a distributed distcp-shape copy;
+    * physical layout survives verbatim) at the generation THIS
+    * collection snapshot pins — so the promoted collection is the
+    * consistent cross-index state the snapshot guarantees, never a
+    * mix of member currents. The destination commits as collection
+    * generation 1 pinning every member's clone at its own generation
+    * 1; source GC can never reach into it. `atGen` promotes any
+    * retained source snapshot (collection time travel composes).
+    *
+    * Crash recovery: member clones land first, the collection
+    * manifest flips last — a crash mid-way leaves dest without a
+    * collection manifest, and the retry wipes the partial member
+    * clones (nothing references them: the destination collection
+    * never committed) and re-copies. */
+  def cloneSnapshot(spark: SparkSession, colDir: String, dest: String,
+                    atGen: Option[Long] = None): Unit = {
+    val src = atGen match {
+      case Some(g) => manifestAt(spark, colDir, g)
+      case None => currentManifest(spark, colDir).getOrElse(sys.error(
+        s"cloneSnapshot: no committed collection at $colDir"))
+    }
+    commit(spark, dest) { (_, cur) =>
+      require(cur.isEmpty,
+        s"cloneSnapshot: destination $dest already holds a committed " +
+          "collection (gen " + cur.map(_.gen).getOrElse(0L) + ") — " +
+          "clones are fresh directories, not merges")
+      src.members.foreach { case (mem, g) =>
+        val dm = memberDir(dest, mem)
+        // a crashed prior attempt may have left a committed member
+        // clone; the destination collection never flipped, so nothing
+        // references it — wipe and re-copy (idempotent retry)
+        val dmp = new Path(dm)
+        val dfs = dmp.getFileSystem(spark.sessionState.newHadoopConf())
+        if (dfs.exists(dmp)) dfs.delete(dmp, true): Unit
+        IndexCommit.cloneSnapshot(spark, memberDir(colDir, mem), dm,
+          Some(g))
+      }
+      src.members.map { case (mem, _) => mem -> 1L }
+    }
   }
 
   /** Trim collection AND member retention in one pass: keep the newest
@@ -182,7 +255,8 @@ object CollectionCommit {
     val all = listGens(fs, p).sorted.reverse
     if (all.isEmpty) return
     val retained = all.take(keepGens).map(parse(fs, p, _, colDir))
-    retained.flatMap(_.members.keys).distinct.foreach { member =>
+    val retainedMembers = retained.flatMap(_.members.keys).toSet
+    retainedMembers.foreach { member =>
       val mDir = memberDir(colDir, member)
       val floor = retained.flatMap(_.members.get(member)).min
       IndexCommit.currentManifest(spark, mDir).foreach { cur =>
@@ -192,11 +266,21 @@ object CollectionCommit {
         IndexCommit.gcUnreferenced(spark, mDir, span.toInt, graceMs)
       }
     }
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val dead = n match {
         case ManifestRe(g) => !all.take(keepGens).contains(g.toLong)
-        case ClaimRe(_) => true // stranded by a killed committer
+        // stranded claims only once aged past graceMs — a younger one
+        // may belong to a LIVE committer (an out-of-contract
+        // concurrent GC must not reopen the interleave race)
+        case ClaimRe(_) => st.getModificationTime < cutoff
+        // a member directory dropped from EVERY retained collection
+        // manifest is unreachable by any reader this layer serves —
+        // without this it (and all its generations) leaks disk
+        // forever. The collection dir OWNS its subdirectories (the
+        // member contract), so an unpinned subdirectory is garbage.
+        case _ if st.isDirectory => !retainedMembers.contains(n)
         case _ => n.startsWith("._collection_")
       }
       if (dead) fs.delete(st.getPath, true): Unit

@@ -238,12 +238,19 @@ object IndexCommit {
     * Time travel composes: `atGen` clones any retained source
     * generation, not just the current one.
     *
-    * The copy itself is driver-orchestrated FileSystem I/O — right for
-    * test scale and for metadata-sized tables; a petabyte deployment
-    * swaps this loop for a distcp-style parallel copy job over the
-    * same segment list (the manifest gives the exact file set), with
-    * the commit protocol unchanged: the clone's manifest flips only
-    * after every byte landed. */
+    * The copy is a DISTRIBUTED job (distcp shape): the manifest gives
+    * the EXACT file set, the driver's only work is listing it
+    * (metadata-sized — file names and lengths, never bytes), and the
+    * bytes move through one cluster task per ~[[CloneBytesPerTask]]
+    * of payload — files packed largest-first round-robin so a skewed
+    * segment (one fat parquet file beside many small ones) can't
+    * serialize the job. Each task streams its files raw (no re-encode
+    * — physical layout, term sort order, row-group statistics survive
+    * verbatim) and verifies landed lengths. The commit protocol is
+    * unchanged: the clone's manifest flips only after EVERY byte
+    * landed, so a crash mid-copy leaves an uncommitted directory a
+    * retry overwrites. Promotion of a petabyte index is therefore
+    * cluster-wide parallel I/O, not a driver bottleneck. */
   def cloneSnapshot(spark: SparkSession, src: String, dest: String,
                     atGen: Option[Long] = None): Unit = {
     val m = atGen match {
@@ -252,25 +259,100 @@ object IndexCommit {
         .getOrElse(sys.error(s"cloneSnapshot: no committed index at $src"))
     }
     val (sfs, sp) = fsOf(spark, src)
-    val conf = spark.sessionState.newHadoopConf()
     commit(spark, dest) { (gen, cur) =>
       require(cur.isEmpty,
         s"cloneSnapshot: destination $dest already holds a committed " +
           "index (gen " + cur.map(_.gen).getOrElse(0L) + ") — clones " +
           "are fresh directories, not merges")
-      val (dfs, dp) = fsOf(spark, dest)
+      val renames = m.tables.toSeq.flatMap { case (t, segs) =>
+        segs.zipWithIndex.map { case (seg, i) => (seg, s"$t-c$i-g$gen") }
+      }
+      // the exact file list, from the manifest's segment dirs: driver
+      // work is directory listings only
+      val files: Seq[(String, String, Long)] = renames.flatMap {
+        case (seg, name) =>
+          val segRoot = sfs.makeQualified(new Path(sp, seg))
+          val it = sfs.listFiles(segRoot, true)
+          val buf = Seq.newBuilder[(String, String, Long)]
+          while (it.hasNext) {
+            val st = it.next()
+            val full = st.getPath.toString
+            val rel = full.stripPrefix(segRoot.toString).stripPrefix("/")
+            require(full != rel, s"cloneSnapshot: $full not under $segRoot")
+            buf += ((full, s"$dest/$name/$rel", st.getLen))
+          }
+          buf.result()
+      }
+      copyDistributed(spark, files)
       m.tables.map { case (t, segs) =>
-        val cloned = segs.zipWithIndex.map { case (seg, i) =>
-          val name = s"$t-c$i-g$gen"
-          require(org.apache.hadoop.fs.FileUtil.copy(
-            sfs, new Path(sp, seg), dfs, new Path(dp, name),
-            false, true, conf),
-            s"cloneSnapshot: copy failed: $src/$seg -> $dest/$name")
-          name
-        }
-        t -> cloned
+        t -> segs.indices.map(i => s"$t-c$i-g$gen")
       }
     }
+  }
+
+  /** Payload target per clone-copy task — one task per ~this many
+    * bytes, so copy parallelism scales with index size (the
+    * [[writeWidth]] discipline applied to promotion I/O). */
+  val CloneBytesPerTask: Long = 128L << 20
+
+  /** Task count for a distributed copy of `totalBytes` across
+    * `nFiles` files given the cluster's `parallelism`: at least the
+    * parallel floor (small clones still fan out across files), at
+    * most one task per file (a task's unit of work is a whole file),
+    * growing one task per [[CloneBytesPerTask]] of payload. */
+  def cloneSlices(totalBytes: Long, nFiles: Int, parallelism: Int): Int = {
+    if (nFiles <= 0) 1
+    else {
+      val byBytes = ((totalBytes + CloneBytesPerTask - 1)
+        / CloneBytesPerTask).toInt
+      math.min(nFiles, math.max(math.max(1, byBytes),
+        math.min(parallelism, nFiles)))
+    }
+  }
+
+  /** Stream `(srcFile, destFile, expectedLen)` triples through a
+    * cluster job: files packed largest-first round-robin into
+    * [[cloneSlices]] bins, each task opening the filesystems from the
+    * shipped Hadoop conf, copying raw bytes, and verifying the landed
+    * length. Re-runnable: destination files are created with
+    * overwrite. */
+  private def copyDistributed(spark: SparkSession,
+                              files: Seq[(String, String, Long)]): Unit = {
+    if (files.isEmpty) return
+    val slices = cloneSlices(files.map(_._3).sum, files.size,
+      spark.sparkContext.defaultParallelism)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sessionState.newHadoopConf()))
+    val binned = files.sortBy(-_._3).zipWithIndex
+      .map { case (f, i) => (i % slices, f) }
+    spark.sparkContext.parallelize(binned, slices)
+      .partitionBy(new org.apache.spark.HashPartitioner(slices))
+      .values
+      .foreachPartition { (it: Iterator[(String, String, Long)]) =>
+        val conf = confBc.value.value
+        val buf = new Array[Byte](1 << 20)
+        it.foreach { case (s, d, len) =>
+          val spath = new Path(s)
+          val dpath = new Path(d)
+          val sfs = spath.getFileSystem(conf)
+          val dfs = dpath.getFileSystem(conf)
+          val in = sfs.open(spath)
+          try {
+            val out = dfs.create(dpath, true)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) out.write(buf, 0, n)
+                n = in.read(buf)
+              }
+            } finally out.close()
+          } finally in.close()
+          val landed = dfs.getFileStatus(dpath).getLen
+          require(landed == len,
+            s"cloneSnapshot: $d landed $landed bytes, expected $len")
+        }
+      }
   }
 
   /** Per-table segment debt under `m`: (tbl, segments, n_rows) — the
@@ -283,7 +365,14 @@ object IndexCommit {
                   m: Manifest): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
     m.tables.keys.toSeq.sorted.map { t =>
-      readTable(spark, dir, t)
+      // the union is built from M's own segment list (not readTable,
+      // which resolves the CURRENT manifest) so segment counts and row
+      // counts derive from the same snapshot — a time-travel manifest
+      // reports its own rows, never a mix of old layout and new data
+      m.tables(t)
+        .map(s => spark.read.option("basePath", s"$dir/$s")
+          .parquet(s"$dir/$s"))
+        .reduce(_ unionByName _)
         .agg(count(lit(1)).cast("long").as("n_rows"))
         .select(lit(t).as("tbl"),
           lit(m.tables(t).size).as("segments"), col("n_rows"))
@@ -325,7 +414,14 @@ object IndexCommit {
     *
     * Also clears stranded `_claim_g*` markers (a committer killed
     * before its flip) — GC never runs concurrently with a commit by
-    * the single-writer contract, so any claim it sees is dead. */
+    * the single-writer contract, so any claim it sees SHOULD be dead.
+    * Hardening against a contract violation (an operator running GC
+    * during a live commit): a claim is only cleared once it is older
+    * than `graceMs`, so a mid-flight committer's fresh claim survives
+    * an erroneous concurrent GC and the silent-interleave window the
+    * claims exist to close stays closed. With the default `graceMs`
+    * of 0 every claim GC sees is treated as stranded — the
+    * single-JVM recover-after-kill path. */
   def gcUnreferenced(spark: SparkSession, dir: String,
                      keepGens: Int = 1, graceMs: Long = 0L): Unit = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
@@ -349,7 +445,11 @@ object IndexCommit {
       val n = st.getPath.getName
       val ours = n match {
         case ManifestRe(_) => true
-        case ClaimRe(_) => true // stranded by a killed committer
+        // a claim is stranded (killed committer) only once it has
+        // aged past graceMs; a younger one may be a LIVE commit's —
+        // sparing it keeps an out-of-contract concurrent GC from
+        // reopening the interleave race the claims close
+        case ClaimRe(_) => st.getModificationTime < cutoff
         case SegmentRe(_, _) if st.isDirectory => true
         case _ => n.startsWith("._manifest_")
       }

@@ -1187,7 +1187,7 @@ object VectorSearch {
   def healthCard(spark: org.apache.spark.sql.SparkSession, dir: String,
                  rowsTable: String, maxSegments: Int = 8,
                  maxMaskedFrac: Double = 0.1): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, when}
     val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
       s"healthCard: no committed index at $dir"))
     require(m.tables.contains(rowsTable),
@@ -1208,7 +1208,12 @@ object VectorSearch {
       .withColumn("live_vecs", col("_total_rows") - col("masked_vecs"))
       .withColumn("compact_recommended",
         lit(maxSeg > maxSegments) ||
-          (col("masked_vecs").cast("double") / col("_total_rows")
+          // guarded denominator: empty rows table → 0/0 is NaN, and
+          // NaN orders above every double, so an empty index would
+          // flip compact_recommended — report 0.0 instead
+          (when(col("_total_rows") > 0,
+            col("masked_vecs").cast("double") / col("_total_rows"))
+            .otherwise(lit(0.0))
             > lit(maxMaskedFrac)))
       .select(col("tbl"), col("segments"), col("n_rows"),
         col("masked_vecs"), col("live_vecs"), col("compact_recommended"))

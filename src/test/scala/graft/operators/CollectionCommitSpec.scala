@@ -259,4 +259,94 @@ class CollectionCommitSpec extends SparkSpec {
       } finally rmRf(colDir)
     }
   }
+
+  test("commit-time validation: default-retention member maintenance " +
+       "inside stage fails the collection commit LOUDLY") {
+    val colDir = tmpDir("graft_col_validate")
+    try {
+      buildBoth(colDir)
+      // the misuse the docs warn about: a member delete with DEFAULT
+      // retention GCs member gen 1 while collection snapshot 1 still
+      // pins it — the commit must error before flipping, not leave
+      // collection time travel silently broken
+      val ex = intercept[RuntimeException] {
+        CollectionCommit.commit(spark, colDir) { (_, _) =>
+          Bm25.deleteDocs(spark,
+            CollectionCommit.memberDir(colDir, "bm25"),
+            Seq(4L).toDF("doc_id")) // retainGens = 1: WRONG here
+          VectorSearch.deleteVectors(spark,
+            CollectionCommit.memberDir(colDir, "ivf"),
+            Seq(4L).toDF("vec_id"), retainGens = Int.MaxValue)
+          Map("bm25" -> 2L, "ivf" -> 2L)
+        }
+      }
+      assert(ex.getMessage.contains("retainGens"), ex.getMessage)
+      // no torn state: the collection manifest never advanced
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen == 1L)
+    } finally rmRf(colDir)
+  }
+
+  test("gc removes member directories dropped from every retained " +
+       "snapshot") {
+    val colDir = tmpDir("graft_col_drop")
+    try {
+      buildBoth(colDir)
+      // snapshot 2 drops the ivf member entirely (decommissioned leg)
+      CollectionCommit.commit(spark, colDir) { (gen, cur) =>
+        assert(gen == 2L && cur.get.members.contains("ivf"))
+        Map("bm25" -> 1L)
+      }
+      val ivfDir = new java.io.File(
+        CollectionCommit.memberDir(colDir, "ivf"))
+      assert(ivfDir.isDirectory)
+      // keepGens = 2 still retains snapshot 1, which pins ivf: kept
+      CollectionCommit.gc(spark, colDir, keepGens = 2)
+      assert(ivfDir.isDirectory)
+      // keepGens = 1: no retained snapshot pins ivf — the directory
+      // (all its generations) is unreachable garbage and is removed
+      CollectionCommit.gc(spark, colDir, keepGens = 1)
+      assert(!ivfDir.exists(),
+        "unpinned member directory must not leak disk")
+      // the surviving (bm25-only) snapshot still serves
+      val m2 = CollectionCommit.manifestAt(spark, colDir, 2L)
+      val bm = Bm25.serve(spark,
+          CollectionCommit.memberDir(colDir, "bm25"), queries, k = 10,
+          atGen = Some(m2.members("bm25")))
+        .select("doc_id").as[Long].collect().toSet
+      assert(bm.nonEmpty)
+    } finally rmRf(colDir)
+  }
+
+  test("collection clone promotes every member at its pinned " +
+       "generation; time travel composes") {
+    val colDir = tmpDir("graft_col_clone_src")
+    val dest = tmpDir("graft_col_clone_dst_") + "/fresh"
+    val destOld = tmpDir("graft_col_clone_old_") + "/pinned"
+    try {
+      buildBoth(colDir)
+      takedown(colDir)
+      def servedAt(dir: String, gen: Long): (Set[Long], Set[Long]) =
+        servedDocs(dir, gen)
+      // current-snapshot promotion: both legs land at THEIR pinned
+      // generations, collection gen 1 at the destination
+      CollectionCommit.cloneSnapshot(spark, colDir, dest)
+      val mc = CollectionCommit.currentManifest(spark, dest).get
+      assert(mc.gen == 1L && mc.members == Map("bm25" -> 1L, "ivf" -> 1L))
+      assert(servedAt(dest, 1L) == servedAt(colDir, 2L))
+      assert(!servedAt(dest, 1L)._1.contains(4L))
+      // pinned-snapshot promotion: yesterday's consistent pair
+      CollectionCommit.cloneSnapshot(spark, colDir, destOld,
+        atGen = Some(1L))
+      assert(servedAt(destOld, 1L) == servedAt(colDir, 1L))
+      assert(servedAt(destOld, 1L)._1.contains(4L))
+      // clones are fresh directories, never merges
+      val busy = intercept[RuntimeException](
+        CollectionCommit.cloneSnapshot(spark, colDir, dest))
+      assert(busy.getMessage.contains("already holds"), busy.getMessage)
+      // independence: wiping the source leaves the promotion serving
+      rmRf(colDir)
+      assert(!servedAt(dest, 1L)._1.contains(4L))
+      assert(servedAt(dest, 1L)._1.nonEmpty)
+    } finally { rmRf(colDir); rmRf(dest); rmRf(destOld) }
+  }
 }

@@ -603,4 +603,132 @@ class IndexCommitSpec extends SparkSpec {
       assert(served(dst).contains(9L) && !served(dst).contains(4L))
     } finally { rmRf(dst); rmRf(dstOld) }
   }
+
+  test("distributed clone: segments land byte-identical; task count " +
+       "scales with index size") {
+    val src = tmpDir("graft_dclone_src")
+    val dst = tmpDir("graft_dclone_dst_") + "/fresh"
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", src)
+      Bm25.appendIndex(spark, src,
+        Seq((9L, "red nine table")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      val m = IndexCommit.currentManifest(spark, src).get
+      IndexCommit.cloneSnapshot(spark, src, dst)
+      val mc = IndexCommit.currentManifest(spark, dst).get
+      // every source segment file has a byte-identical twin under the
+      // clone's renamed segment dir — the copy is raw streaming, no
+      // re-encode, so md5s match file for file
+      def md5(f: java.io.File): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        d.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }
+      def filesUnder(dir: java.io.File): Seq[java.io.File] = {
+        val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.filter(_.isFile) ++ kids.filter(_.isDirectory)
+          .flatMap(filesUnder)
+      }
+      var checked = 0
+      m.tables.foreach { case (t, segs) =>
+        segs.zipWithIndex.foreach { case (seg, i) =>
+          val cloneSeg = mc.tables(t)(i)
+          val srcRoot = new java.io.File(src, seg)
+          val dstRoot = new java.io.File(dst, cloneSeg)
+          filesUnder(srcRoot).foreach { sf =>
+            val rel = srcRoot.toPath.relativize(sf.toPath).toString
+            val df = new java.io.File(dstRoot, rel)
+            assert(df.isFile, s"missing clone file $df")
+            assert(md5(sf) == md5(df), s"clone differs at $rel")
+            checked += 1
+          }
+        }
+      }
+      assert(checked > 0)
+      // copy parallelism scales with the payload: a metadata-sized
+      // clone stays at the parallel floor, a 100 GB index fans out to
+      // one task per ~128 MiB, capped at one task per file
+      val floorSlices = IndexCommit.cloneSlices(1L << 20, 40, 32)
+      assert(floorSlices == 32, s"floor: $floorSlices")
+      val bigSlices = IndexCommit.cloneSlices(100L << 30, 10000, 32)
+      assert(bigSlices == 800, s"100GB: $bigSlices")
+      assert(IndexCommit.cloneSlices(100L << 30, 10, 32) == 10,
+        "never more tasks than files")
+    } finally { rmRf(src); rmRf(dst) }
+  }
+
+  test("GC during a mid-flight commit (contract violation) spares the " +
+       "live claim; stale claims still recover") {
+    val dir = tmpDir("graft_claimage")
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", dir)
+      // an operator erroneously runs GC with a grace window while a
+      // commit is mid-stage: the committer's fresh claim survives and
+      // the commit completes
+      IndexCommit.commit(spark, dir) { (gen, cur) =>
+        IndexCommit.gcUnreferenced(spark, dir, keepGens = 1,
+          graceMs = 60000L)
+        val claim = new java.io.File(dir, f"_claim_g$gen%012d")
+        assert(claim.isFile,
+          "GC with a grace window must spare a live claim")
+        Seq((9L, 9L)).toDF("doc_id", "x").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "extra", gen))
+        cur.get.tables.updated("extra", Seq(s"extra-g$gen"))
+      }
+      assert(IndexCommit.currentManifest(spark, dir).get
+        .tables.contains("extra"))
+      // a genuinely stranded claim (killed committer, aged past the
+      // grace) is still cleared so the sole writer can retry
+      val nextGen = IndexCommit.currentManifest(spark, dir).get.gen + 1
+      val stale = new java.io.File(dir, f"_claim_g$nextGen%012d")
+      assert(stale.createNewFile())
+      assert(stale.setLastModified(System.currentTimeMillis() - 120000L))
+      IndexCommit.gcUnreferenced(spark, dir, keepGens = 1,
+        graceMs = 60000L)
+      assert(!stale.exists(), "aged stranded claim must be cleared")
+    } finally rmRf(dir)
+  }
+
+  test("segmentDebt derives row counts from the PASSED manifest, not " +
+       "the current one") {
+    val dir = tmpDir("graft_debt")
+    try {
+      IndexCommit.commit(spark, dir) { (gen, _) =>
+        Seq((1, "a")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> Seq(s"t-g$gen"))
+      }
+      val m1 = IndexCommit.currentManifest(spark, dir).get
+      IndexCommit.commit(spark, dir) { (gen, cur) =>
+        Seq((2, "b"), (3, "c")).toDF("k", "v").write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "t", gen))
+        Map("t" -> (cur.get.tables("t") :+ s"t-g$gen"))
+      }
+      val m2 = IndexCommit.currentManifest(spark, dir).get
+      def debtRows(m: IndexCommit.Manifest): (Long, Long) = {
+        val r = IndexCommit.segmentDebt(spark, dir, m)
+          .filter($"tbl" === "t").head()
+        (r.getAs[Int]("segments").toLong, r.getAs[Long]("n_rows"))
+      }
+      // time-travel manifest: ITS segment count with ITS row count
+      assert(debtRows(m1) == ((1L, 1L)))
+      assert(debtRows(m2) == ((2L, 3L)))
+    } finally rmRf(dir)
+  }
+
+  test("health cards stay quiet on an emptied index (no NaN flip)") {
+    val dir = tmpDir("graft_empty_health")
+    try {
+      Bm25.writeIndex(docs, "doc_id", "text", dir)
+      Bm25.deleteDocs(spark, dir, docs.select($"doc_id"))
+      Bm25.compactIndex(spark, dir)
+      // all docs deleted and materialized: masked = live = 0; the
+      // masked fraction must read 0.0, not the NaN of 0/0 (which
+      // Spark orders above every threshold)
+      val card = Bm25.healthCard(spark, dir).collect()
+      assert(card.nonEmpty)
+      assert(card.forall(!_.getAs[Boolean]("compact_recommended")),
+        card.mkString("; "))
+    } finally rmRf(dir)
+  }
 }
