@@ -1359,6 +1359,59 @@ object VectorSearch {
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 
+  /** [[ivfServe]] at a probe budget DERIVED from a recall floor — the
+    * [[ivfAdaptiveTopK]] contract moved to the PERSISTED index: the
+    * probe sweep runs against the index's own cells/centroids tables
+    * (masked by any tombstones) on a held-out `calibration` sample,
+    * the smallest budget whose calibration recall meets `recallFloor`
+    * is chosen (nCells fallback), and `queries` serve at that budget
+    * with the choice stamped on every row (`nprobe`) so the serving
+    * configuration is part of the verified result. The only
+    * driver-side value is the chosen budget read from the
+    * nCells-row sweep — geometry-bounded, never corpus rows. */
+  def ivfServeAdaptive(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, calibration: DataFrame,
+                       queries: DataFrame, k: Int, dim: Int = 64,
+                       recallFloor: Double = 0.9,
+                       atGen: Option[Long] = None): DataFrame = {
+    val chosen = ivfChosenProbe(spark, dir, calibration, k, dim,
+      recallFloor, atGen)
+    ivfServe(spark, dir, queries, k, chosen, dim, atGen)
+      .withColumn("nprobe", lit(chosen))
+  }
+
+  /** The probe budget the persisted index's calibration sweep picks
+    * for `recallFloor` — the one driver-side value of
+    * [[ivfServeAdaptive]], exposed so callers embedding the serve in
+    * a larger plan (the hybrid fusion) can stamp the budget
+    * themselves. */
+  def ivfChosenProbe(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, calibration: DataFrame, k: Int,
+                     dim: Int = 64, recallFloor: Double = 0.9,
+                     atGen: Option[Long] = None): Int = {
+    import spark.implicits._
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir)
+        .getOrElse(sys.error(s"ivfChosenProbe: no committed index at $dir"))
+    }
+    def table(t: String) =
+      IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val centroids = table("centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val raw = table("cells")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+              col("embedding"))
+    val assigned =
+      if (m.tables.contains("tombstones"))
+        raw.join(table("tombstones"), Seq("vec_id"), "left_anti")
+      else raw
+    ivfProbeSweepFrom(assigned, centroids,
+        assigned.select(col("vec_id"), col("embedding")), calibration,
+        k, dim, recallFloor)
+      .filter(col("chosen")).head().getInt(0)
+  }
+
   /** Corpus-scale k-NN JOIN through the IVF index — [[ivfTopK]]'s
     * result for |Q| on the order of |V| (every-document queries:
     * corpus-wide SemDeDup, hard-negative mining). [[ivfTopK]]'s

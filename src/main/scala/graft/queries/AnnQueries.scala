@@ -761,7 +761,7 @@ object AnnQueries {
 
   private def mrlChain: String = mrlChainFor("WHERE vec_id % 50 = 0", "20")
 
-  private val mrlRerankSql: String =
+  private[queries] val mrlRerankSql: String =
     s"""WITH $mrlChain
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_mrl
        |FROM mranked WHERE rn <= 5
@@ -1810,7 +1810,7 @@ object AnnQueries {
   /** The frozen-artifact append replay: coarse centroids AND residual
     * codebooks trained on the BASE split only, every vector encoded
     * against them, probe/scan/re-rank unchanged. */
-  private val ivfPqAppendSql: String =
+  private[queries] val ivfPqAppendSql: String =
     s"""WITH ${ivfPqChainFor(t => s"$t.vec_id % 7 <> 0")}
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos, cos_pq
        |FROM ranked WHERE rn <= 5

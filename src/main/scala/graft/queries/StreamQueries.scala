@@ -623,6 +623,72 @@ object StreamQueries {
     TextQueries.fuseRrf(text, vec).orderBy($"qid", $"rank")
   }
 
+  /** T19 — STREAMING INGEST into the persisted IVFPQ index, t17's
+    * shape for the two-stage-quantized family: the coarse centroids
+    * AND residual codebooks are trained in batch on the base corpus
+    * (every vec_id % 7 ≠ 0) and FROZEN; the increment arrives as a
+    * stream, and every micro-batch lands as one atomic code-segment
+    * append ([[graft.operators.VectorSearch.ivfPqAppendIndex]] —
+    * per-row residual encoding against both frozen artifacts). The
+    * encoding is batch-independent, so the streamed union equals one
+    * full append and the entry shares ann_ivfpq_append's oracle. */
+  def t19IvfPqIngestStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val dir = s"$scratchBase/t19_ivfpq_index"
+    graft.operators.VectorSearch.ivfPqWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    val stream = streamRead(env, "embeddings")
+      .filter($"vec_id" % 7 === 0)
+      .select($"vec_id", $"label", $"embedding")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.VectorSearch.ivfPqAppendIndex(spark, dir, batch)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.operators.VectorSearch.ivfPqServe(spark, dir, env.embeddings,
+        env.embeddings.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** T20 — streaming ingest for the MATRYOSHKA family: the persisted
+    * prefix geometry is fixed at build time, each micro-batch appends
+    * a stateless prefix-copy segment
+    * ([[graft.operators.VectorSearch.mrlAppendIndex]]), and the
+    * two-stage serve reads the segment union. Prefix truncation is
+    * per-row, so ANY batch slicing equals the one-shot append — the
+    * entry shares ann_mrl_append's (= ann_mrl_rerank's) oracle. */
+  def t20MrlIngestStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    val dir = s"$scratchBase/t20_mrl_index"
+    graft.operators.VectorSearch.mrlWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    val stream = streamRead(env, "embeddings")
+      .filter($"vec_id" % 7 === 0)
+      .select($"vec_id", $"embedding")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.VectorSearch.mrlAppendIndex(spark, dir, batch)
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    graft.operators.VectorSearch.mrlServe(spark, dir, env.embeddings,
+        env.embeddings.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -800,6 +866,16 @@ object StreamQueries {
     // IVFPQ served per micro-batch from the persisted index — shares
     // ann_ivfpq_topk's oracle (batch-independent per-query results)
     Q.sql("t12_ivfpq_stream", t12IvfPqStream, AnnQueries.ivfPqSql),
+
+    // streamed IVFPQ ingest == one batch append (frozen two-stage
+    // artifacts; per-row residual encode) — shares ann_ivfpq_append's
+    // oracle
+    Q.sql("t19_ivfpq_ingest_stream", t19IvfPqIngestStream,
+      AnnQueries.ivfPqAppendSql),
+    // streamed MRL ingest == one batch append (stateless prefix copy)
+    // — shares ann_mrl_append's oracle
+    Q.sql("t20_mrl_ingest_stream", t20MrlIngestStream,
+      AnnQueries.mrlRerankSql),
 
     Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),

@@ -880,6 +880,116 @@ object TextQueries {
     fuseRrf(text, vec).orderBy($"qid", $"rank")
   }
 
+  /** HYBRID PROMOTION — the staging→serving move a multi-index
+    * deployment performs: both legs are built and pinned in ONE
+    * collection snapshot in a STAGING directory (where they can be
+    * validated), then
+    * [[graft.operators.CollectionCommit.cloneSnapshot]] promotes the
+    * exact bytes of every member at its pinned generation to a fresh
+    * serving directory, and the hybrid workload serves entirely from
+    * the CLONE. The member copies are distributed distcp-shape jobs
+    * (one task per ~128 MiB of segment payload) and the destination's
+    * collection manifest flips only after every member landed — so
+    * the promoted state is the consistent cross-index snapshot, never
+    * a mix of member currents. Promotion must be invisible to
+    * results: the entry shares text_hybrid_rrf's full-corpus oracle,
+    * the same bit-equal contract text_bm25_clone_serve pins per
+    * index. */
+  def textHybridCloneServe(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.{slice, split}
+    val spark = env.spark
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val staging = s"${StreamQueries.scratchBase}/hybrid_clone_staging"
+    val serving = s"${StreamQueries.scratchBase}/hybrid_clone_serving"
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq(staging, serving).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, staging) { (_, _) =>
+      Bm25.writeIndex(env.documents, "doc_id", "text",
+        CollectionCommit.memberDir(staging, "bm25"))
+      VectorSearch.ivfWriteIndex(env.embeddings,
+        CollectionCommit.memberDir(staging, "ivf"))
+      Map(
+        "bm25" -> memberGen(CollectionCommit.memberDir(staging, "bm25")),
+        "ivf" -> memberGen(CollectionCommit.memberDir(staging, "ivf")))
+    }
+    CollectionCommit.cloneSnapshot(spark, staging, serving)
+    val m = CollectionCommit.currentManifest(spark, serving).get
+    val bmDir = CollectionCommit.memberDir(serving, "bm25")
+    val ivfDir = CollectionCommit.memberDir(serving, "ivf")
+    val text = Bm25
+      .serve(spark, bmDir, terms, k = 10, atGen = Some(m.members("bm25")))
+      .select($"qid".cast("long").as("qid"), $"doc_id",
+              $"rank".as("trank"))
+      .filter($"doc_id" =!= $"qid")
+    val ivfGen = m.members("ivf")
+    val nCells = IndexCommit
+      .readTableAt(spark, ivfDir, "centroids", ivfGen).count().toInt
+    val vec = VectorSearch
+      .ivfServe(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")),
+        k = 10, nProbe = nCells, atGen = Some(ivfGen))
+      .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    fuseRrf(text, vec).orderBy($"qid", $"rank")
+  }
+
+  /** Hybrid RRF with the vector leg at an ADAPTIVE probe budget —
+    * [[textHybridRrfServed]] serves its IVF leg at full probe (exact
+    * but paying a corpus-wide candidate scan); a production serve
+    * drops nProbe to the smallest budget meeting a stated recall
+    * floor. Here the persisted index's own calibration sweep
+    * ([[graft.operators.VectorSearch.ivfChosenProbe]] — the
+    * ann_ivf_adaptive discipline moved to the manifest tables) picks
+    * that budget on a HELD-OUT sample (every vec_id % 100 == 50 —
+    * disjoint from the % 100 == 0 hybrid workload), the vector leg
+    * serves at it, and the choice is stamped on every fused row
+    * (`nprobe`) so the serving configuration is part of the verified
+    * result. The oracle replays the sweep, the budget-bounded probe
+    * serve, and the fusion. */
+  def textHybridRrfAdaptive(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, slice, split}
+    val spark = env.spark
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val bmDir = s"${StreamQueries.scratchBase}/hybrid_adpt_bm25_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
+    val text = graft.operators.Bm25.serve(spark, bmDir, terms, k = 10)
+      .select($"qid".cast("long").as("qid"), $"doc_id",
+              $"rank".as("trank"))
+      .filter($"doc_id" =!= $"qid")
+    val ivfDir = s"${StreamQueries.scratchBase}/hybrid_adpt_ivf_index"
+    graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+    val calib = env.embeddings.filter($"vec_id" % 100 === 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val np = graft.operators.VectorSearch
+      .ivfChosenProbe(spark, ivfDir, calib, k = 10)
+    val vec = graft.operators.VectorSearch
+      .ivfServe(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")),
+        k = 10, nProbe = np)
+      .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    fuseRrf(text, vec)
+      .withColumn("nprobe", lit(np))
+      .orderBy($"qid", $"rank")
+  }
+
   /** RRF fusion of a served text leg and a served vector leg — the
     * shared tail of all three hybrid entries (inline, served,
     * takedown): full-outer on (qid, doc_id), 1/(60+rank) per leg,
@@ -1460,6 +1570,158 @@ object TextQueries {
   private[queries] val hybridRrfSql: String =
     hybridRrfCore("TRUE", "TRUE") + "\nORDER BY qid, rank"
 
+  /** The adaptive-hybrid oracle: the IVF calibration sweep (held-out
+    * vec_id % 100 = 50 sample, brute truth at k = 10, min-probe →
+    * one-pass recall curve → smallest budget ≥ 0.9, nCells fallback —
+    * the ann_ivf_adaptive chain verbatim at the hybrid's k), then the
+    * hybrid fusion with the VECTOR leg served through the
+    * budget-bounded probe chain instead of the full brute scan, the
+    * chosen budget stamped on every row. */
+  private[queries] val hybridRrfAdaptiveSql: String = {
+    def cosSql(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, 65),
+         |        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |         * sqrt(list_sum(list_transform(range(1, 65),
+         |             i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))),
+         |      6)""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
+       |    SELECT CAST(label AS INT) AS cell, t.d AS d,
+       |           round(sum(CAST(embedding[t.d] AS DOUBLE)) / count(*), 4) AS c
+       |    FROM embeddings, range(1, 65) t(d)
+       |    GROUP BY cell, t.d)
+       |  GROUP BY cell),
+       |nc AS (SELECT CAST(count(*) AS INT) AS n_cells FROM cent),
+       |cq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id % 100 = 50),
+       |csim AS (
+       |  SELECT q.qid, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+       |  FROM cq q, cent c),
+       |cranks AS (
+       |  SELECT qid, cell,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY sim DESC, cell ASC) AS probe_rank
+       |  FROM csim),
+       |cbscored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         ${cosSql("q.qe", "e.embedding")} AS cos
+       |  FROM cq q JOIN embeddings e ON e.vec_id <> q.qid),
+       |cbtop AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM cbscored) WHERE rn <= 10),
+       |minp AS (
+       |  SELECT b.qid, b.vec_id, r.probe_rank
+       |  FROM cbtop b JOIN embeddings e ON e.vec_id = b.vec_id
+       |  LEFT JOIN cranks r ON r.qid = b.qid AND r.cell = CAST(e.label AS INT)),
+       |ladder AS (
+       |  SELECT CAST(t.x AS INT) AS nprobe FROM range(1, 65537) t(x)
+       |  WHERE t.x <= (SELECT n_cells FROM nc)),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM minp),
+       |sweep AS (
+       |  SELECT l.nprobe, CAST(count(m.vec_id) AS BIGINT) AS n_hits
+       |  FROM ladder l LEFT JOIN minp m ON m.probe_rank <= l.nprobe
+       |  GROUP BY l.nprobe),
+       |curve AS (
+       |  SELECT s.nprobe, s.n_hits, t.n_truth,
+       |         round(CAST(s.n_hits AS DOUBLE) / t.n_truth, 4) AS recall
+       |  FROM sweep s, tot t),
+       |chosen AS (
+       |  SELECT coalesce(
+       |           min(CASE WHEN recall >= CAST(0.9 AS DOUBLE)
+       |               THEN nprobe END),
+       |           (SELECT n_cells FROM nc)) AS p FROM curve),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |base AS (SELECT doc_id, len(s) AS dl, s FROM t),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+       |       FROM base),
+       |q AS (SELECT doc_id AS qid,
+       |        unnest(list_distinct(list_slice(s, 1, 6))) AS term
+       |      FROM t WHERE doc_id % 100 = 0 AND doc_id < 5000),
+       |tf AS (SELECT doc_id, dl, u.term AS term, count(*) AS tf
+       |       FROM base, unnest(s) AS u(term)
+       |       WHERE u.term IN (SELECT DISTINCT term FROM q)
+       |       GROUP BY doc_id, dl, u.term),
+       |dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+       |sc AS (SELECT q.qid, tf.doc_id, tf.term,
+       |         ((CAST(st.n_docs AS DOUBLE) - dft.df + 0.5)
+       |            / (CAST(dft.df AS DOUBLE) + 0.5))
+       |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+       |         / (tf.tf + CAST(1.2 AS DOUBLE)
+       |              * ((CAST(1.0 AS DOUBLE) - 0.75)
+       |                 + CAST(0.75 AS DOUBLE)
+       |                   * (tf.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))))
+       |           AS s
+       |       FROM tf JOIN dft USING (term) JOIN q ON q.term = tf.term, st),
+       |ag AS (SELECT qid, doc_id,
+       |         CAST(CAST(sum(CAST(floor(s * 1000000.0) AS BIGINT))
+       |                   AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+       |       FROM sc GROUP BY qid, doc_id),
+       |trk AS (SELECT qid, doc_id, score,
+       |          row_number() OVER (PARTITION BY qid
+       |                             ORDER BY score DESC, doc_id) AS trank
+       |        FROM ag),
+       |tsel AS (SELECT qid, doc_id, trank FROM trk
+       |         WHERE trank <= 10 AND doc_id <> qid),
+       |vq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id % 100 = 0 AND vec_id < 5000),
+       |psim AS (
+       |  SELECT q.qid, c.cell,
+       |    round(
+       |      list_sum(list_transform(range(1, 65),
+       |        i -> CAST(q.qe[i] AS DOUBLE) * c.centroid[i]))
+       |      / (sqrt(list_sum(list_transform(range(1, 65),
+       |           i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(range(1, 65),
+       |             i -> c.centroid[i] * c.centroid[i])))), 6) AS sim
+       |  FROM vq q, cent c),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY sim DESC, cell ASC) AS rn
+       |    FROM psim) WHERE rn <= (SELECT p FROM chosen)),
+       |vs AS (
+       |  SELECT p.qid, e.vec_id,
+       |         ${cosSql("q.qe", "e.embedding")} AS cos
+       |  FROM probes p
+       |  JOIN embeddings e ON CAST(e.label AS INT) = p.cell
+       |  JOIN vq q ON q.qid = p.qid
+       |  WHERE e.vec_id <> p.qid),
+       |vrk AS (SELECT qid, vec_id AS doc_id,
+       |          row_number() OVER (PARTITION BY qid
+       |                             ORDER BY cos DESC, vec_id) AS vrank
+       |        FROM vs),
+       |vsel AS (SELECT qid, doc_id, vrank FROM vrk WHERE vrank <= 10),
+       |f AS (SELECT coalesce(t2.qid, v.qid) AS qid,
+       |        coalesce(t2.doc_id, v.doc_id) AS doc_id,
+       |        round(coalesce(CAST(1 AS DOUBLE) / (60 + t2.trank),
+       |                       CAST(0 AS DOUBLE))
+       |              + coalesce(CAST(1 AS DOUBLE) / (60 + v.vrank),
+       |                         CAST(0 AS DOUBLE)), 6) AS rrf
+       |      FROM tsel t2 FULL OUTER JOIN vsel v
+       |        ON t2.qid = v.qid AND t2.doc_id = v.doc_id),
+       |rk2 AS (SELECT qid, doc_id, rrf,
+       |          row_number() OVER (PARTITION BY qid
+       |                             ORDER BY rrf DESC, doc_id) AS rn
+       |        FROM f)
+       |SELECT qid, CAST(rn AS INT) AS rank, doc_id, rrf,
+       |       (SELECT p FROM chosen) AS nprobe
+       |FROM rk2 WHERE rn <= 10
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** The post-takedown serve alone — t18's oracle: the stream-sliced
     * collection takedown must land the same final state as the batch
     * entry's snapshot 2. */
@@ -1696,6 +1958,14 @@ object TextQueries {
     // persisted indexes (BM25 manifest tables; IVF cells at full
     // probe) — bit-equal to the inline entry, same oracle
     Q.sql("text_hybrid_rrf_served", textHybridRrfServed, hybridRrfSql),
+    // staging -> serving promotion of the WHOLE hybrid deployment:
+    // both legs cloned at their pinned generations in one collection
+    // promotion; bit-equal serve is the assertion
+    Q.sql("text_hybrid_clone_serve", textHybridCloneServe, hybridRrfSql),
+    // vector leg at the calibration-chosen probe budget (0.9 floor),
+    // budget stamped per fused row
+    Q.sql("text_hybrid_rrf_adaptive", textHybridRrfAdaptive,
+      hybridRrfAdaptiveSql),
 
     // cross-index consistent takedown + collection time travel: both
     // snapshots served from pinned member generations; oracle = the
