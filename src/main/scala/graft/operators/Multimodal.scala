@@ -27,11 +27,17 @@ import org.apache.spark.sql.types._
   * [[sampleAviFrames]] walks the RIFF container and decodes each
   * frame through the real (lossy) JPEG codec — both reporting
   * per-frame dimensions + pixel statistics, the same honest-codec
-  * move WAV made for audio. MP4/WebM remain STUBBED (no JDK codec):
-  * [[sampleFrames]] chunks the payload deterministically; its
-  * Spark-side contract — schema, batching, partitioning, generator
-  * shape — is real and tested, and a codec implementation replaces
-  * only the body marked "STUB".
+  * move WAV made for audio. For MP4 and WebM the CONTAINER layer is
+  * REAL: [[mp4Meta]] walks the ISO-BMFF box tree (ftyp/moov/trak/
+  * stbl — codecs, sample tables, durations) and [[webmMeta]] walks
+  * the EBML tree (DocType, TimecodeScale, TrackEntry, CodecID,
+  * dimensions) as pure-JDK byte parsing — the triage-without-decode
+  * probe an intake pipeline runs to route video. Only the frame/
+  * pixel DECODE for these two stays STUBBED (no JDK VP8/VP9/H.264
+  * codec): [[sampleFrames]] chunks the payload deterministically;
+  * its Spark-side contract — schema, batching, partitioning,
+  * generator shape — is real and tested, and a codec implementation
+  * replaces only the body marked "STUB".
   */
 object Multimodal {
 
@@ -871,6 +877,389 @@ object Multimodal {
         } catch { case _: Exception => Nil }
       }
       .toDF("media_id", "frame_ordinal", "width", "height", "mean_rgb")
+  }
+
+  // ---- MP4 / WebM CONTAINER parsing (REAL, pure-JDK byte walking;
+  //      only the frame/pixel DECODE stays stubbed — no JDK codec) ----
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** One ISO-BMFF box: u32 big-endian size (incl. 8-byte header) +
+    * fourcc + payload. */
+  private def mp4Box(typ: String, body: Array[Byte]*): Array[Byte] = {
+    val payload = Array.concat(body: _*)
+    Array.concat(be32(payload.length + 8L), fourcc(typ), payload)
+  }
+
+  /** Minimal-but-well-formed MP4 (ISO base media) container: ftyp +
+    * moov(mvhd + one trak per stream, each with tkhd/mdia(mdhd, hdlr,
+    * minf(stbl(stsd, stts, stsz, stsc, stco)))) + mdat. Sample DATA
+    * is opaque payload (no codec frames — the honest stub boundary);
+    * the sample TABLES are real: per-sample sizes (stsz), a uniform
+    * tick delta (stts), and the codec sample-entry fourcc (stsd), so
+    * [[mp4Meta]] recovers counts/durations/codecs from a genuine box
+    * walk, exactly what a corpus-intake probe runs before deciding
+    * whether to decode at all.
+    * Tracks: (handlerType "vide"|"soun", codecFourcc, timescale,
+    * sampleDelta, sampleSizes, width, height). */
+  def mp4Bytes(movieTimescale: Long, movieDuration: Long,
+               tracks: Seq[(String, String, Long, Long, Seq[Int], Int, Int)])
+      : Array[Byte] = {
+    val mvhd = mp4Box("mvhd",
+      be32(0L),                      // version 0 + flags
+      be32(0L), be32(0L),            // creation, modification
+      be32(movieTimescale), be32(movieDuration),
+      be32(0x00010000L), be16(0x0100), be16(0),  // rate, volume, reserved
+      be32(0L), be32(0L),            // reserved
+      // identity matrix
+      be32(0x00010000L), be32(0L), be32(0L),
+      be32(0L), be32(0x00010000L), be32(0L),
+      be32(0L), be32(0L), be32(0x40000000L),
+      Array.fill[Byte](24)(0),       // pre_defined
+      be32(tracks.length + 1L))      // next_track_ID
+    val traks = tracks.zipWithIndex.map {
+      case ((handler, codec, timescale, delta, sizes, w, h), i) =>
+        val durTicks = sizes.length.toLong * delta
+        val tkhd = mp4Box("tkhd",
+          be32(7L),                  // version 0, flags: enabled|movie
+          be32(0L), be32(0L), be32(i + 1L), be32(0L), be32(durTicks),
+          be32(0L), be32(0L), be16(0), be16(0), be16(0), be16(0),
+          be32(0x00010000L), be32(0L), be32(0L),
+          be32(0L), be32(0x00010000L), be32(0L),
+          be32(0L), be32(0L), be32(0x40000000L),
+          be32(w.toLong << 16), be32(h.toLong << 16)) // 16.16 fixed
+        val mdhd = mp4Box("mdhd",
+          be32(0L), be32(0L), be32(0L), be32(timescale), be32(durTicks),
+          be16(0x55c4), be16(0))     // language "und"
+        val hdlr = mp4Box("hdlr",
+          be32(0L), be32(0L), fourcc(handler),
+          Array.fill[Byte](12)(0), fourcc(handler), Array[Byte](0))
+        // sample entry: 6 reserved + u16 data_ref_index, then the
+        // visual-sample fields (width/height at body offsets 24/26)
+        val entryBody = new Array[Byte](78)
+        entryBody(7) = 1             // data_reference_index = 1
+        System.arraycopy(be16(w), 0, entryBody, 24, 2)
+        System.arraycopy(be16(h), 0, entryBody, 26, 2)
+        val stsd = mp4Box("stsd", be32(0L), be32(1L),
+          mp4Box(codec, entryBody))
+        val stts = mp4Box("stts", be32(0L), be32(1L),
+          be32(sizes.length.toLong), be32(delta))
+        val stsz = mp4Box("stsz", be32(0L), be32(0L),
+          be32(sizes.length.toLong),
+          Array.concat(sizes.map(s => be32(s.toLong)): _*))
+        val stsc = mp4Box("stsc", be32(0L), be32(1L),
+          be32(1L), be32(sizes.length.toLong), be32(1L))
+        val stco = mp4Box("stco", be32(0L), be32(1L), be32(0L))
+        val stbl = mp4Box("stbl", stsd, stts, stsz, stsc, stco)
+        val minf = mp4Box("minf", stbl)
+        val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+        mp4Box("trak", tkhd, mdia)
+    }
+    val moov = mp4Box("moov", (mvhd +: traks): _*)
+    val ftyp = mp4Box("ftyp", fourcc("isom"), be32(512L),
+      fourcc("isom"), fourcc("mp41"))
+    // opaque sample payload: deterministic filler of the declared size
+    val mdatLen = tracks.flatMap(_._5).map(_.toLong).sum
+    val mdat = mp4Box("mdat",
+      Array.tabulate[Byte](mdatLen.toInt)(i => (i % 251).toByte))
+    Array.concat(ftyp, moov, mdat)
+  }
+
+  /** One parsed MP4 track: handler ("vide"/"soun"), codec fourcc from
+    * the first stsd entry, media timescale, duration in media ticks
+    * (Σ stts count·delta), sample count (stsz), total declared sample
+    * bytes, and the sample-entry width/height (0 for sound). */
+  final case class Mp4Track(handler: String, codec: String,
+                            timescale: Long, durationTicks: Long,
+                            nSamples: Long, sampleBytes: Long,
+                            width: Int, height: Int)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def cc4(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Walk the children of the box region [from, to): calls `f(type,
+    * bodyFrom, bodyTo)` per box. Handles the 64-bit largesize form;
+    * a malformed size aborts the walk (never reads past `to`). */
+  private def mp4Walk(b: Array[Byte], from: Int, to: Int)
+                     (f: (String, Int, Int) => Unit): Unit = {
+    var off = from
+    while (off + 8 <= to) {
+      val size0 = u32(b, off)
+      val typ = cc4(b, off + 4)
+      val (body, end) =
+        if (size0 == 1L && off + 16 <= to) {
+          val hi = u32(b, off + 8); val lo = u32(b, off + 12)
+          (off + 16, off + ((hi << 32) | lo))
+        } else (off + 8, off + size0)
+      if (size0 == 0L || end > to || end <= off) return // malformed
+      f(typ, body, end.toInt)
+      off = end.toInt
+    }
+  }
+
+  /** Parse MP4 container metadata from a real box walk — the probe a
+    * 100 TB intake runs to route/triage video WITHOUT decoding: major
+    * brand, movie timescale/duration (mvhd), and per-track codec +
+    * sample-table stats. The frame DECODE stays stubbed (no JDK
+    * codec); everything here is what the container declares. */
+  def mp4Meta(bytes: Array[Byte])
+      : (String, Long, Long, Seq[Mp4Track]) = {
+    var brand = ""
+    var mts = 0L
+    var mdur = 0L
+    val tracks = Seq.newBuilder[Mp4Track]
+    mp4Walk(bytes, 0, bytes.length) {
+      case ("ftyp", from, _) => brand = cc4(bytes, from)
+      case ("moov", mfrom, mto) =>
+        mp4Walk(bytes, mfrom, mto) {
+          case ("mvhd", from, _) =>
+            mts = u32(bytes, from + 12); mdur = u32(bytes, from + 16)
+          case ("trak", tfrom, tto) =>
+            var handler = ""; var codec = ""
+            var ts = 0L; var dur = 0L; var n = 0L; var sb = 0L
+            var w = 0; var h = 0
+            mp4Walk(bytes, tfrom, tto) {
+              case ("mdia", dfrom, dto) =>
+                mp4Walk(bytes, dfrom, dto) {
+                  case ("mdhd", from, _) => ts = u32(bytes, from + 12)
+                  case ("hdlr", from, _) => handler = cc4(bytes, from + 8)
+                  case ("minf", ifrom, ito) =>
+                    mp4Walk(bytes, ifrom, ito) {
+                      case ("stbl", sfrom, sto) =>
+                        mp4Walk(bytes, sfrom, sto) {
+                          case ("stsd", from, _) =>
+                            if (u32(bytes, from + 4) >= 1L) {
+                              codec = cc4(bytes, from + 12)
+                              // visual fields live at entry body 24/26
+                              w = u16(bytes, from + 16 + 24)
+                              h = u16(bytes, from + 16 + 26)
+                            }
+                          case ("stts", from, _) =>
+                            val entries = u32(bytes, from + 4).toInt
+                            var i = 0
+                            while (i < entries) {
+                              dur += u32(bytes, from + 8 + i * 8) *
+                                u32(bytes, from + 12 + i * 8)
+                              i += 1
+                            }
+                          case ("stsz", from, _) =>
+                            val uniform = u32(bytes, from + 4)
+                            n = u32(bytes, from + 8)
+                            sb =
+                              if (uniform != 0L) uniform * n
+                              else {
+                                var s = 0L; var i = 0
+                                while (i < n) {
+                                  s += u32(bytes, from + 12 + i * 4)
+                                  i += 1
+                                }
+                                s
+                              }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            if (handler == "soun") { w = 0; h = 0 }
+            tracks += Mp4Track(handler, codec, ts, dur, n, sb, w, h)
+          case _ => ()
+        }
+      case _ => ()
+    }
+    (brand, mts, mdur, tracks.result())
+  }
+
+  // ---- WebM (EBML) ----
+
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    // element IDs are stored verbatim (marker included); width from
+    // the leading byte
+    val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+            else if (id <= 0xffffff) 3 else 4
+    Array.tabulate[Byte](n)(i => ((id >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+  private def ebmlVint(v: Long): Array[Byte] = {
+    // data-size VINT: n length-marker bits, 7n-bit payload
+    var n = 1
+    while (n < 8 && v >= (1L << (7 * n)) - 1) n += 1
+    val marked = v | (1L << (7 * n))
+    Array.tabulate[Byte](n)(i =>
+      ((marked >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+  private def ebmlEl(id: Long, body: Array[Byte]): Array[Byte] =
+    Array.concat(ebmlIdBytes(id), ebmlVint(body.length.toLong), body)
+  private def ebmlUint(v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && v >= (1L << (8 * n))) n += 1
+    Array.tabulate[Byte](n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+  }
+
+  /** Minimal-but-well-formed WebM container: EBML header (DocType
+    * "webm") + Segment(Info(TimecodeScale, Duration), Tracks(
+    * TrackEntry(TrackNumber, TrackType, CodecID, Video(PixelWidth,
+    * PixelHeight)))). No Clusters — frame data is exactly the part
+    * that stays stubbed (no JDK VP8/VP9 codec); the declared
+    * metadata is real EBML, which [[webmMeta]] re-reads by varint
+    * walking. */
+  def webmBytes(codecId: String, width: Int, height: Int,
+                durationMs: Double, timecodeScale: Long = 1000000L)
+      : Array[Byte] = {
+    val header = ebmlEl(0x1A45DFA3L, Array.concat(
+      ebmlEl(0x4286L, ebmlUint(1)),        // EBMLVersion
+      ebmlEl(0x42F7L, ebmlUint(1)),        // EBMLReadVersion
+      ebmlEl(0x42F2L, ebmlUint(4)),        // EBMLMaxIDLength
+      ebmlEl(0x42F3L, ebmlUint(8)),        // EBMLMaxSizeLength
+      ebmlEl(0x4282L, "webm".getBytes("US-ASCII")), // DocType
+      ebmlEl(0x4287L, ebmlUint(2)),        // DocTypeVersion
+      ebmlEl(0x4285L, ebmlUint(2))))       // DocTypeReadVersion
+    val durBits = java.lang.Double.doubleToLongBits(durationMs)
+    val info = ebmlEl(0x1549A966L, Array.concat(
+      ebmlEl(0x2AD7B1L, ebmlUint(timecodeScale)),
+      ebmlEl(0x4489L, Array.tabulate[Byte](8)(i =>
+        ((durBits >> (8 * (7 - i))) & 0xff).toByte))))
+    val video = ebmlEl(0xE0L, Array.concat(
+      ebmlEl(0xB0L, ebmlUint(width.toLong)),
+      ebmlEl(0xBAL, ebmlUint(height.toLong))))
+    val trackEntry = ebmlEl(0xAEL, Array.concat(
+      ebmlEl(0xD7L, ebmlUint(1)),          // TrackNumber
+      ebmlEl(0x73C5L, ebmlUint(1)),        // TrackUID
+      ebmlEl(0x83L, ebmlUint(1)),          // TrackType: video
+      ebmlEl(0x86L, codecId.getBytes("US-ASCII")),
+      video))
+    val tracks = ebmlEl(0x1654AE6BL, trackEntry)
+    val segment = ebmlEl(0x18538067L, Array.concat(info, tracks))
+    Array.concat(header, segment)
+  }
+
+  /** Parsed WebM/EBML declaration. */
+  final case class WebmMeta(docType: String, timecodeScale: Long,
+                            trackNumber: Long, trackType: Long,
+                            codecId: String, width: Int, height: Int,
+                            durationMs: Double)
+
+  /** Read an EBML element ID (marker kept) and its width. */
+  private def ebmlReadId(b: Array[Byte], off: Int): (Long, Int) = {
+    val first = b(off) & 0xff
+    val n = if ((first & 0x80) != 0) 1 else if ((first & 0x40) != 0) 2
+            else if ((first & 0x20) != 0) 3 else 4
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    (v, n)
+  }
+  /** Read a data-size VINT (marker stripped) and its width. */
+  private def ebmlReadVint(b: Array[Byte], off: Int): (Long, Int) = {
+    val first = b(off) & 0xff
+    var n = 1
+    var mask = 0x80
+    while (n <= 8 && (first & mask) == 0) { n += 1; mask >>= 1 }
+    var v = (first & (mask - 1)).toLong
+    var i = 1
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    (v, n)
+  }
+  private def ebmlUintAt(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Parse the WebM declaration by walking the EBML tree — the same
+    * triage-without-decode probe as [[mp4Meta]] for the other major
+    * web container. Master elements (EBML header, Segment, Info,
+    * Tracks, TrackEntry, Video) recurse; leaves fill the card. */
+  def webmMeta(bytes: Array[Byte]): WebmMeta = {
+    var docType = ""; var tcs = 1000000L; var trackNo = 0L
+    var trackType = 0L; var codec = ""; var w = 0; var h = 0
+    var dur = 0.0
+    val masters = Set(0x1A45DFA3L, 0x18538067L, 0x1549A966L,
+      0x1654AE6BL, 0xAEL, 0xE0L)
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off < to) {
+        val (id, idw) = ebmlReadId(bytes, off)
+        val (sz, szw) = ebmlReadVint(bytes, off + idw)
+        val body = off + idw + szw
+        val end = body + sz.toInt
+        if (end > to) return // malformed: never read past the region
+        if (masters.contains(id)) walk(body, end)
+        else id match {
+          case 0x4282L => docType = new String(bytes, body, sz.toInt,
+            "US-ASCII")
+          case 0x2AD7B1L => tcs = ebmlUintAt(bytes, body, sz.toInt)
+          case 0x4489L =>
+            dur =
+              if (sz == 4L) java.lang.Float.intBitsToFloat(
+                ebmlUintAt(bytes, body, 4).toInt).toDouble
+              else java.lang.Double.longBitsToDouble(
+                ebmlUintAt(bytes, body, 8))
+          case 0xD7L => trackNo = ebmlUintAt(bytes, body, sz.toInt)
+          case 0x83L => trackType = ebmlUintAt(bytes, body, sz.toInt)
+          case 0x86L => codec = new String(bytes, body, sz.toInt,
+            "US-ASCII")
+          case 0xB0L => w = ebmlUintAt(bytes, body, sz.toInt).toInt
+          case 0xBAL => h = ebmlUintAt(bytes, body, sz.toInt).toInt
+          case _ => ()
+        }
+        off = end
+      }
+    }
+    walk(0, bytes.length)
+    WebmMeta(docType, tcs, trackNo, trackType, codec, w, h, dur)
+  }
+
+  /** MP4 container probe over a media table — one row per declared
+    * track, from a real box walk (no decode). */
+  def probeMp4(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Nil
+        else try {
+          val (brand, mts, mdur, tracks) = mp4Meta(bytes)
+          tracks.zipWithIndex.map { case (t, i) =>
+            (id, brand, mts, mdur, i, t.handler, t.codec, t.timescale,
+              t.durationTicks, t.nSamples, t.sampleBytes, t.width,
+              t.height)
+          }
+        } catch { case _: Exception => Nil }
+      }
+      .toDF("media_id", "brand", "movie_timescale", "movie_duration",
+        "track_ordinal", "handler", "codec", "timescale",
+        "duration_ticks", "n_samples", "sample_bytes", "width", "height")
+  }
+
+  /** WebM declaration probe over a media table — one row per
+    * container. */
+  def probeWebm(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Nil
+        else try {
+          val m = webmMeta(bytes)
+          Some((id, m.docType, m.timecodeScale, m.trackNumber,
+            m.trackType, m.codecId, m.width, m.height, m.durationMs))
+        } catch { case _: Exception => None }
+      }
+      .toDF("media_id", "doc_type", "timecode_scale", "track_number",
+        "track_type", "codec_id", "width", "height", "duration_ms")
   }
 
   /** STUB frame sampling — splits the payload into fixed-size chunks

@@ -194,6 +194,72 @@ object MultimodalQueries {
     Multimodal.aHashDedupPairs(phashMedia(env), maxHamming = 3)
       .orderBy($"media_a", $"media_b")
 
+  /** Deterministic MP4 corpus over `part`: per key a two-track
+    * container (video + audio) whose codec fourccs, timescales,
+    * per-sample size tables and tick deltas follow fixed integer
+    * recurrences — every declared quantity the box walk recovers is
+    * predictable in SQL. Frame payload stays opaque (the honest stub
+    * boundary: no JDK H.264/VP9 codec); the BOX TREE is real. */
+  private[graft] def mp4Media(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val vN = (2 + key % 4).toInt
+        val vDelta = 100 + key % 7
+        val vTs = 1000L * (1 + key % 3)
+        val vSizes = Seq.tabulate(vN)(i =>
+          (50 + (key * 13 + i * 7) % 100).toInt)
+        val aN = (4 + key % 3).toInt
+        val aTs = 8000L + (key % 3) * 4000L
+        val aSizes = Seq.tabulate(aN)(i =>
+          (20 + (key * 11 + i * 5) % 50).toInt)
+        val w = (16 * (1 + key % 5)).toInt
+        val h = (16 * (1 + key % 3)).toInt
+        val codec = if (key % 2 == 0) "avc1" else "vp09"
+        (key, Multimodal.mp4Bytes(1000L, vN * vDelta, Seq(
+          ("vide", codec, vTs, vDelta, vSizes, w, h),
+          ("soun", "mp4a", aTs, 1024L, aSizes, 0, 0))))
+      }.toDF("media_id", "content")
+  }
+
+  /** MP4 container probe end to end: synthesize the box tree, walk it
+    * back ([[Multimodal.mp4Meta]]), report per-track codec, sample
+    * count, tick duration and declared byte volume — the
+    * decode-nothing triage card a video intake runs first. */
+  def mmVideoMp4Meta(env: Env): DataFrame =
+    Multimodal.probeMp4(mp4Media(env))
+      .select($"media_id", $"track_ordinal", $"handler", $"codec",
+        $"movie_duration", $"timescale", $"duration_ticks",
+        $"n_samples", $"sample_bytes", $"width", $"height")
+      .orderBy($"media_id", $"track_ordinal")
+
+  /** Deterministic WebM corpus over `part`: per key one video
+    * TrackEntry whose codec, dimensions and float64 duration follow
+    * fixed recurrences; real EBML varint encoding throughout. */
+  private[graft] def webmMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val codec = if (key % 2 == 0) "V_VP9" else "V_VP8"
+        val w = (64 + 16 * (key % 8)).toInt
+        val h = (48 + 16 * (key % 6)).toInt
+        val durMs = 500.0 + (key % 20) * 40.0
+        (key, Multimodal.webmBytes(codec, w, h, durMs))
+      }.toDF("media_id", "content")
+  }
+
+  /** WebM declaration probe end to end: EBML write → varint walk →
+    * DocType/TimecodeScale/codec/dimensions/duration. The float64
+    * Duration survives bit-exactly (written and re-read as IEEE
+    * bits; the oracle's arithmetic is exact in binary). */
+  def mmVideoWebmMeta(env: Env): DataFrame =
+    Multimodal.probeWebm(webmMedia(env))
+      .orderBy($"media_id")
+
   val entries: Seq[Q] = Seq(
     // the oracle replants the md5-bit pattern per key and pairs by
     // exact hamming — the quadratic join is oracle-side only (the
@@ -272,6 +338,56 @@ object MultimodalQueries {
         |  CAST(length(s) AS INT) AS n_bytes,
         |  md5(s) AS content_md5
         |FROM m
+        |ORDER BY media_id""".stripMargin),
+
+    // container metadata from a REAL box walk; frame decode stays the
+    // declared stub — the oracle replants every declared quantity
+    Q.sql("mm_video_mp4_meta", mmVideoMp4Meta,
+      """WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS key FROM part),
+        |v AS (
+        |  SELECT key AS media_id, CAST(0 AS INT) AS track_ordinal,
+        |    'vide' AS handler,
+        |    CASE WHEN key % 2 = 0 THEN 'avc1' ELSE 'vp09' END AS codec,
+        |    CAST((2 + key % 4) * (100 + key % 7) AS BIGINT)
+        |      AS movie_duration,
+        |    CAST(1000 * (1 + key % 3) AS BIGINT) AS timescale,
+        |    CAST((2 + key % 4) * (100 + key % 7) AS BIGINT)
+        |      AS duration_ticks,
+        |    CAST(2 + key % 4 AS BIGINT) AS n_samples,
+        |    CAST(list_sum(list_transform(range(0, 2 + key % 4),
+        |      i -> 50 + (key * 13 + i * 7) % 100)) AS BIGINT)
+        |      AS sample_bytes,
+        |    CAST(16 * (1 + key % 5) AS INT) AS width,
+        |    CAST(16 * (1 + key % 3) AS INT) AS height
+        |  FROM k),
+        |a AS (
+        |  SELECT key AS media_id, CAST(1 AS INT) AS track_ordinal,
+        |    'soun' AS handler, 'mp4a' AS codec,
+        |    CAST((2 + key % 4) * (100 + key % 7) AS BIGINT)
+        |      AS movie_duration,
+        |    CAST(8000 + (key % 3) * 4000 AS BIGINT) AS timescale,
+        |    CAST((4 + key % 3) * 1024 AS BIGINT) AS duration_ticks,
+        |    CAST(4 + key % 3 AS BIGINT) AS n_samples,
+        |    CAST(list_sum(list_transform(range(0, 4 + key % 3),
+        |      i -> 20 + (key * 11 + i * 5) % 50)) AS BIGINT)
+        |      AS sample_bytes,
+        |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height
+        |  FROM k)
+        |SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM a)
+        |ORDER BY media_id, track_ordinal""".stripMargin),
+
+    Q.sql("mm_video_webm_meta", mmVideoWebmMeta,
+      """SELECT CAST(p_partkey AS BIGINT) AS media_id,
+        |  'webm' AS doc_type,
+        |  CAST(1000000 AS BIGINT) AS timecode_scale,
+        |  CAST(1 AS BIGINT) AS track_number,
+        |  CAST(1 AS BIGINT) AS track_type,
+        |  CASE WHEN p_partkey % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+        |    AS codec_id,
+        |  CAST(64 + 16 * (p_partkey % 8) AS INT) AS width,
+        |  CAST(48 + 16 * (p_partkey % 6) AS INT) AS height,
+        |  500.0 + (p_partkey % 20) * 40.0 AS duration_ms
+        |FROM part
         |ORDER BY media_id""".stripMargin),
 
     Q.sql("mm_audio_stats", mmAudioStats,

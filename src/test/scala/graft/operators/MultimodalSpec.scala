@@ -278,4 +278,43 @@ class MultimodalSpec extends SparkSpec {
       "00db".getBytes ++ Array[Byte](-1, -1, -1, -1) ++ new Array[Byte](16)
     assert(Multimodal.aviMjpegFrames(hostile).isEmpty)
   }
+
+  test("MP4 box walk: two-track round-trip recovers every declared " +
+       "quantity; malformed sizes terminate") {
+    val bytes = Multimodal.mp4Bytes(1000L, 600L, Seq(
+      ("vide", "avc1", 3000L, 100L, Seq(50, 60, 70), 64, 48),
+      ("soun", "mp4a", 8000L, 1024L, Seq(20, 21), 0, 0)))
+    val (brand, mts, mdur, tracks) = Multimodal.mp4Meta(bytes)
+    assert(brand == "isom" && mts == 1000L && mdur == 600L)
+    assert(tracks == Seq(
+      Multimodal.Mp4Track("vide", "avc1", 3000L, 300L, 3L, 180L, 64, 48),
+      Multimodal.Mp4Track("soun", "mp4a", 8000L, 2048L, 2L, 41L, 0, 0)))
+    // truncation mid-moov: the walk stops at the region edge — no
+    // exception, no read past the buffer
+    val truncated = java.util.Arrays.copyOfRange(bytes, 0, 60)
+    Multimodal.mp4Meta(truncated): Unit
+    // hostile size fields (0 and > buffer) terminate the walk
+    val hostile = Array.concat(
+      Array[Byte](0, 0, 0, 0), "free".getBytes("US-ASCII"),
+      Array[Byte](-1, -1, -1, -1), "moov".getBytes("US-ASCII"))
+    assert(Multimodal.mp4Meta(hostile)._4.isEmpty)
+  }
+
+  test("WebM EBML walk: declaration round-trip, float64 duration " +
+       "bit-exact, multi-byte varints") {
+    val b = Multimodal.webmBytes("V_VP9", 1920, 1080, 12345.625)
+    val m = Multimodal.webmMeta(b)
+    assert(m == Multimodal.WebmMeta("webm", 1000000L, 1L, 1L, "V_VP9",
+      1920, 1080, 12345.625))
+    // dimensions needing 2-byte uints and a >127-byte master body
+    // (2-byte size VINT on Segment) both survive the varint walk
+    val big = Multimodal.webmBytes("V_MS/VFW/FOURCC", 4096, 2160, 0.5,
+      timecodeScale = 500000L)
+    val mb = Multimodal.webmMeta(big)
+    assert(mb.codecId == "V_MS/VFW/FOURCC" && mb.width == 4096 &&
+      mb.height == 2160 && mb.timecodeScale == 500000L &&
+      mb.durationMs == 0.5)
+    // truncated EBML terminates cleanly
+    Multimodal.webmMeta(java.util.Arrays.copyOfRange(b, 0, 20)): Unit
+  }
 }
