@@ -247,6 +247,31 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Promotion of the VECTOR index — [[annIvfDelete]]'s state
+    * (build + takedown) cloned into a fresh serving directory via
+    * [[graft.operators.IndexCommit.cloneSnapshot]] and served from
+    * the CLONE. The vector side is the distributed copy's hard case:
+    * cells segments are `cell=…`-partitioned parquet, so the copy
+    * job's recursive file listing and nested destination paths (plus
+    * the tombstone delta traveling with the bytes) all get exercised;
+    * the serve shares ann_ivf_delete's oracle because promotion must
+    * be invisible to results — text_bm25_clone_serve's contract on
+    * the partitioned layout. */
+  def annIvfCloneServe(env: Env): DataFrame = {
+    val spark = env.spark
+    val src = s"${StreamQueries.scratchBase}/ivf_clone_src"
+    val dst = s"${StreamQueries.scratchBase}/ivf_clone_dst"
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dstPath)) fs.delete(dstPath, true): Unit // fresh dest
+    VectorSearch.ivfWriteIndex(env.embeddings, src)
+    VectorSearch.deleteVectors(spark, src,
+      env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    graft.operators.IndexCommit.cloneSnapshot(spark, src, dst)
+    VectorSearch.ivfServe(spark, dst, queriesDf(env), k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Delete then COMPACT the cells table: the tombstone mask is
     * materialized (rows rewritten minus deleted vectors, table
     * dropped) and the serve must not change — same oracle as
@@ -2263,6 +2288,9 @@ object AnnQueries {
     // candidates; compaction materializes the mask, same oracle
     Q.sql("ann_ivf_delete", annIvfDelete, ivfDeleteSql),
     Q.sql("ann_ivf_delete_compact", annIvfDeleteCompact, ivfDeleteSql),
+    // distributed-copy promotion over the cell-partitioned layout;
+    // the takedown travels with the bytes
+    Q.sql("ann_ivf_clone_serve", annIvfCloneServe, ivfDeleteSql),
     // compaction is pure reorganization: same rows, same oracle
     Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),
 

@@ -39,6 +39,7 @@ object ExplainAll {
       "ann_mrl_append" -> 1, // same scan over the merged segments
       "ann_mrl_shard_merge" -> 1, // same scan over the merged shards
       "ann_mrl_delete" -> 1, // same scan over the masked prefix table
+      "t20_mrl_ingest_stream" -> 1, // same scan, streamed-append segs
       "ann_mrl_recall_report" -> 2, // brute ground truth + prefix scan
       // adaptive-budget family: calibration brute truth (+ prefix
       // coarse scans for MRL; + serve-set brute for the recall cards)

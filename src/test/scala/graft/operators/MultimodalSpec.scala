@@ -317,4 +317,45 @@ class MultimodalSpec extends SparkSpec {
     // truncated EBML terminates cleanly
     Multimodal.webmMeta(java.util.Arrays.copyOfRange(b, 0, 20)): Unit
   }
+
+  test("randomized container round-trips: MP4 and WebM declarations " +
+       "survive arbitrary geometries") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      val nTracks = 1 + rnd.nextInt(3)
+      val tracks = (0 until nTracks).map { _ =>
+        val n = 1 + rnd.nextInt(9)
+        val sizes = Seq.fill(n)(1 + rnd.nextInt(5000))
+        val vid = rnd.nextBoolean()
+        (if (vid) "vide" else "soun",
+          Seq("avc1", "vp09", "hvc1", "mp4a")(rnd.nextInt(4)),
+          1L + rnd.nextInt(100000), 1L + rnd.nextInt(4096),
+          sizes, if (vid) 1 + rnd.nextInt(8192) else 0,
+          if (vid) 1 + rnd.nextInt(8192) else 0)
+      }
+      val mts = 1L + rnd.nextInt(1000000)
+      val mdur = rnd.nextInt(Int.MaxValue).toLong
+      val (brand, ts, dur, parsed) =
+        Multimodal.mp4Meta(Multimodal.mp4Bytes(mts, mdur, tracks))
+      assert(brand == "isom" && ts == mts && dur == mdur)
+      assert(parsed.size == nTracks)
+      tracks.zip(parsed).foreach {
+        case ((h, c, tts, delta, sizes, w, hh), p) =>
+          assert(p.handler == h && p.codec == c && p.timescale == tts)
+          assert(p.durationTicks == sizes.length.toLong * delta)
+          assert(p.nSamples == sizes.length.toLong)
+          assert(p.sampleBytes == sizes.map(_.toLong).sum)
+          if (h == "vide") assert(p.width == w && p.height == hh)
+      }
+      val codec = Seq("V_VP8", "V_VP9", "V_AV1",
+        "V_MPEG4/ISO/AVC")(rnd.nextInt(4))
+      val (ww, wh) = (1 + rnd.nextInt(65000), 1 + rnd.nextInt(65000))
+      val wdur = rnd.nextDouble() * 1e7
+      val wtcs = 1L + rnd.nextInt(100000000)
+      val m = Multimodal.webmMeta(
+        Multimodal.webmBytes(codec, ww, wh, wdur, wtcs))
+      assert(m == Multimodal.WebmMeta("webm", wtcs, 1L, 1L, codec,
+        ww, wh, wdur))
+    }
+  }
 }
