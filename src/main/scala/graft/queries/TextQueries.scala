@@ -990,6 +990,73 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** COLLECTION health card — the hybrid deployment's maintenance
+    * console in one query: both member indexes accumulate nightly
+    * debt (two appends + a takedown each) inside ONE collection flip,
+    * and the card unions each member's family health card
+    * ([[graft.operators.Bm25.healthCard]] /
+    * [[graft.operators.VectorSearch.healthCard]]) under a `member`
+    * column — per member per manifest table the segment count, raw
+    * row count, tombstone-debt scalars and the compact
+    * recommendation. An operator reads one table to decide which LEG
+    * of the deployment needs maintenance; the thresholds and op
+    * sequence mirror the per-index entries (text_index_health /
+    * ann_index_health), so the physical layout is the assertion. */
+  def collectionIndexHealth(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.lit
+    val spark = env.spark
+    val colDir = s"${StreamQueries.scratchBase}/col_health"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(
+        env.embeddings.filter($"vec_id" % 3 === 0), ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    // one atomic snapshot carries BOTH members' nightly debt
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.deleteDocs(spark, bmDir,
+        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+        retainGens = Int.MaxValue)
+      VectorSearch.ivfAppendIndex(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 3 === 1),
+        retainGens = Int.MaxValue)
+      VectorSearch.ivfAppendIndex(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 3 === 2),
+        retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+        retainGens = Int.MaxValue)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val bm = Bm25.healthCard(spark, bmDir, maxSegments = 3)
+      .withColumn("member", lit("bm25"))
+      .select($"member", $"tbl", $"segments", $"n_rows",
+        $"masked_docs".as("masked"), $"live_docs".as("live"),
+        $"compact_recommended")
+    val ivf = VectorSearch.healthCard(spark, ivfDir, "cells",
+        maxSegments = 2)
+      .withColumn("member", lit("ivf"))
+      .select($"member", $"tbl", $"segments", $"n_rows",
+        $"masked_vecs".as("masked"), $"live_vecs".as("live"),
+        $"compact_recommended")
+    bm.unionByName(ivf).orderBy($"member", $"tbl")
+  }
+
   /** RRF fusion of a served text leg and a served vector leg — the
     * shared tail of all three hybrid entries (inline, served,
     * takedown): full-outer on (qid, doc_id), 1/(60+rank) per leg,
@@ -1966,6 +2033,50 @@ object TextQueries {
     // budget stamped per fused row
     Q.sql("text_hybrid_rrf_adaptive", textHybridRrfAdaptive,
       hybridRrfAdaptiveSql),
+    // both members' nightly debt in ONE collection snapshot; the card
+    // unions the family health cards under a member column — the
+    // constructive oracle replants both physical layouts
+    Q.sql("collection_index_health", collectionIndexHealth,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, u.term AS term
+        |          FROM t, unnest(s) AS u(term)),
+        |bm AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 17 = 3) AS masked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 17 <> 3) AS live),
+        |bpre AS (SELECT
+        |  CAST((SELECT count(*) FROM pairs) AS BIGINT) AS postings,
+        |  CAST((SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 3 = 0)
+        |     + (SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 3 = 1)
+        |     + (SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 3 = 2)
+        |     + (SELECT count(DISTINCT term) FROM pairs WHERE doc_id % 17 = 3)
+        |    AS BIGINT) AS df),
+        |iv AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 = 3) AS masked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total,
+        |  (SELECT CAST(count(DISTINCT label) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 3 = 0) AS ncells)
+        |SELECT * FROM (
+        |  SELECT 'bm25' AS member, 'df' AS tbl, CAST(4 AS INT) AS segments,
+        |         (SELECT df FROM bpre) AS n_rows, bm.masked AS masked,
+        |         bm.live AS live, TRUE AS compact_recommended FROM bm
+        |  UNION ALL SELECT 'bm25', 'postings', 3,
+        |         (SELECT postings FROM bpre), bm.masked, bm.live, TRUE
+        |         FROM bm
+        |  UNION ALL SELECT 'bm25', 'stats', 1, CAST(1 AS BIGINT),
+        |         bm.masked, bm.live, TRUE FROM bm
+        |  UNION ALL SELECT 'bm25', 'tombstones', 1, bm.masked,
+        |         bm.masked, bm.live, TRUE FROM bm
+        |  UNION ALL SELECT 'ivf', 'cells', 3, iv.total, iv.masked,
+        |         iv.total - iv.masked, TRUE FROM iv
+        |  UNION ALL SELECT 'ivf', 'centroids', 1, iv.ncells, iv.masked,
+        |         iv.total - iv.masked, TRUE FROM iv
+        |  UNION ALL SELECT 'ivf', 'tombstones', 1, iv.masked, iv.masked,
+        |         iv.total - iv.masked, TRUE FROM iv)
+        |ORDER BY member, tbl""".stripMargin),
 
     // cross-index consistent takedown + collection time travel: both
     // snapshots served from pinned member generations; oracle = the

@@ -85,6 +85,30 @@ object IndexLayout {
     report("mrl", env.embeddings,
       d => VectorSearch.mrlWriteIndex(env.embeddings, d), "prefix")
 
+    // the distributed clone's task count: measured on the real index
+    // at this SF, plus the same sizing rule at deployment scales —
+    // promotion parallelism grows one task per ~128 MiB of payload
+    locally {
+      val src = s"$scratch/bm25"
+      def walkLens(f: java.io.File): Seq[Long] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walkLens)
+        else Seq(f.length())
+      val m = IndexCommit.currentManifest(spark, src).get
+      val lens = m.tables.values.flatten
+        .flatMap(seg => walkLens(new java.io.File(src, seg))).toSeq
+      val par = spark.sparkContext.defaultParallelism
+      val t0 = System.nanoTime()
+      IndexCommit.cloneSnapshot(spark, src, s"$scratch/bm25_clone")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[layout] clone @ $sfDir: files=${lens.size} " +
+        f"total_mb=${lens.sum / 1e6}%.1f " +
+        s"slices_actual=${IndexCommit.cloneSlices(lens.sum, lens.size, par)} " +
+        s"slices@100GB=${IndexCommit.cloneSlices(100L << 30, 100000, 1000)} " +
+        s"slices@10TB=${IndexCommit.cloneSlices(10L << 40, 1000000, 1000)} " +
+        f"clone_s=$sec%.1f")
+    }
+
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }

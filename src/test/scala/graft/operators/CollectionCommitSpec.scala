@@ -317,6 +317,31 @@ class CollectionCommitSpec extends SparkSpec {
     } finally rmRf(colDir)
   }
 
+  test("collection gc with a grace window spares a live collection " +
+       "claim; aged stranded claims clear") {
+    val colDir = tmpDir("graft_col_claimage")
+    try {
+      buildBoth(colDir)
+      // gc invoked (out of contract) while a collection commit is
+      // mid-stage: the fresh claim survives, the commit completes
+      CollectionCommit.commit(spark, colDir) { (gen, cur) =>
+        CollectionCommit.gc(spark, colDir, keepGens = 1,
+          graceMs = 60000L)
+        val claim = new java.io.File(colDir, f"_colclaim_g$gen%012d")
+        assert(claim.isFile,
+          "collection gc with a grace window must spare a live claim")
+        cur.get.members
+      }
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen == 2L)
+      // an aged stranded claim still clears
+      val stale = new java.io.File(colDir, f"_colclaim_g${3L}%012d")
+      assert(stale.createNewFile())
+      assert(stale.setLastModified(System.currentTimeMillis() - 120000L))
+      CollectionCommit.gc(spark, colDir, keepGens = 1, graceMs = 60000L)
+      assert(!stale.exists(), "aged stranded collection claim must clear")
+    } finally rmRf(colDir)
+  }
+
   test("collection clone promotes every member at its pinned " +
        "generation; time travel composes") {
     val colDir = tmpDir("graft_col_clone_src")
