@@ -489,6 +489,115 @@ object Bm25 {
         col("masked_docs"), col("live_docs"), col("compact_recommended"))
   }
 
+  /** SNAPSHOT DIFF — the audit/compliance view of the index
+    * lifecycle: which documents became servable and which stopped
+    * being servable between two retained generations. A document is
+    * PRESENT at gen g iff it has postings rows under g's manifest
+    * (every indexed doc owns at least one — the null-text sentinel,
+    * [[corpusBase]]) and is not tombstoned there. The diff is two
+    * anti-joins over the pinned tables — distributed, no collects —
+    * and because generations are immutable it answers the governance
+    * question ("what changed between yesterday's index and today's?")
+    * bit-deterministically for as long as retention keeps both
+    * manifests. Output: (status 'added'|'removed', doc_id). */
+  def diffIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                genA: Long, genB: Long): DataFrame = {
+    def presentAt(gen: Long): DataFrame = {
+      val m = IndexCommit.manifestAt(spark, dir, gen)
+      val docs = IndexCommit.readTableAt(spark, dir, "postings", gen)
+        .select(col("doc_id")).distinct()
+      if (m.tables.contains("tombstones"))
+        docs.join(IndexCommit.readTableAt(spark, dir, "tombstones", gen),
+          Seq("doc_id"), "left_anti")
+      else docs
+    }
+    val a = presentAt(genA)
+    val b = presentAt(genB)
+    b.join(a, Seq("doc_id"), "left_anti")
+      .select(lit("added").as("status"), col("doc_id"))
+      .unionByName(
+        a.join(b, Seq("doc_id"), "left_anti")
+          .select(lit("removed").as("status"), col("doc_id")))
+  }
+
+  /** FSCK — re-derive every maintained aggregate from the postings
+    * ground truth and compare: the delta algebra (df deltas, exact
+    * stats decrements, tombstone masks) claims the index is
+    * bit-identical to a from-scratch build on the surviving corpus,
+    * and this card CHECKS that claim against the physical files
+    * instead of asserting it. One row per invariant:
+    *
+    *  - `stats_n_docs` / `stats_sum_dl`: the maintained one-row stats
+    *    vs a recount over live (tombstone-masked) postings;
+    *  - `df_terms`: folded df vocabulary size vs the live postings'
+    *    distinct-term count;
+    *  - `df_mismatch_terms`: number of terms whose folded df differs
+    *    from a live recount (expected 0 — the invariant itself);
+    *  - `tombstones_orphaned`: tombstoned ids with no physical
+    *    postings rows anywhere under the manifest (expected 0: a
+    *    tombstone always masks something until compaction drops it).
+    *
+    * All distributed aggregates composed via the constant-key scalar
+    * join ([[PlanHints.withScalars]]) — one lazy plan, no collects.
+    * Run it after any maintenance window; a FALSE row is corruption
+    * (or a bug in a delta path) caught before it serves. */
+  def fsck(spark: org.apache.spark.sql.SparkSession,
+           dir: String): DataFrame = {
+    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
+      s"fsck: no committed index at $dir"))
+    def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val postings = table("postings")
+    val live =
+      if (m.tables.contains("tombstones"))
+        postings.join(table("tombstones"), Seq("doc_id"), "left_anti")
+      else postings
+    val perDoc = live.groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"))
+    val docAgg = perDoc.agg(
+      count(lit(1)).cast("long").as("exp_n_docs"),
+      sum(col("dl")).cast("long").as("exp_sum_dl"))
+    val stats = table("stats").select(
+      col("n_docs").cast("long").as("act_n_docs"),
+      col("sum_dl").cast("long").as("act_sum_dl"))
+    val recountDf = live.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df_re"))
+    val folded = foldDf(table("df"))
+    val dfCmp = folded.join(recountDf, Seq("term"), "full_outer")
+      .agg(
+        count(when(col("df_re").isNotNull, 1)).cast("long")
+          .as("exp_terms"),
+        count(when(col("df").isNotNull, 1)).cast("long")
+          .as("act_terms"),
+        count(when(coalesce(col("df"), lit(-1L)) =!=
+          coalesce(col("df_re"), lit(-1L)), 1)).cast("long")
+          .as("mismatch_terms"))
+    val orphans =
+      if (m.tables.contains("tombstones"))
+        table("tombstones")
+          .join(postings.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).cast("long").as("orphaned"))
+      else spark.range(1).select(col("id").cast("long").as("orphaned"))
+    val seed = spark.range(1).toDF("_one")
+    val scalars = Seq(docAgg, stats, dfCmp, orphans)
+      .foldLeft(seed)(PlanHints.withScalars)
+    def check(name: String, expected: org.apache.spark.sql.Column,
+              actual: org.apache.spark.sql.Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        expected.cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (expected === actual).as("ok"))
+    check("stats_n_docs", col("exp_n_docs"), col("act_n_docs"))
+      .unionByName(check("stats_sum_dl", col("exp_sum_dl"),
+        col("act_sum_dl")))
+      .unionByName(check("df_terms", col("exp_terms"),
+        col("act_terms")))
+      .unionByName(check("df_mismatch_terms", lit(0L),
+        col("mismatch_terms")))
+      .unionByName(check("tombstones_orphaned", lit(0L),
+        col("orphaned")))
+  }
+
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
             queries: Seq[(String, Seq[String])], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75,

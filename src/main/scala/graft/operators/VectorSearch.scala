@@ -1359,6 +1359,35 @@ object VectorSearch {
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 
+  /** SNAPSHOT DIFF over a persisted vector index —
+    * [[Bm25.diffIndex]]'s audit view for the vector families: which
+    * vec_ids became servable / stopped being servable between two
+    * retained generations. Present at g = distinct ids in the
+    * family's rows table under g's manifest, minus g's tombstones.
+    * `rowsTable` picks the family ("cells" IVF, "buckets" LSH,
+    * "codes" PQ/IVFPQ, "prefix" MRL). Output: (status, vec_id). */
+  def diffIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                genA: Long, genB: Long,
+                rowsTable: String = "cells"): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    def presentAt(gen: Long): DataFrame = {
+      val m = IndexCommit.manifestAt(spark, dir, gen)
+      val ids = IndexCommit.readTableAt(spark, dir, rowsTable, gen)
+        .select(col("vec_id")).distinct()
+      if (m.tables.contains("tombstones"))
+        ids.join(IndexCommit.readTableAt(spark, dir, "tombstones", gen),
+          Seq("vec_id"), "left_anti")
+      else ids
+    }
+    val a = presentAt(genA)
+    val b = presentAt(genB)
+    b.join(a, Seq("vec_id"), "left_anti")
+      .select(lit("added").as("status"), col("vec_id"))
+      .unionByName(
+        a.join(b, Seq("vec_id"), "left_anti")
+          .select(lit("removed").as("status"), col("vec_id")))
+  }
+
   /** [[ivfServe]] at a probe budget DERIVED from a recall floor — the
     * [[ivfAdaptiveTopK]] contract moved to the PERSISTED index: the
     * probe sweep runs against the index's own cells/centroids tables

@@ -247,6 +247,30 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Vector-side SNAPSHOT DIFF — the audit view of the persisted IVF
+    * lifecycle ([[graft.operators.VectorSearch.diffIndex]]): build on
+    * a third, append the rest (retention ≥ 4 keeps gen 1 readable),
+    * take down the vec_id % 17 == 3 set, then diff gen 1 vs current:
+    * added = appended survivors, removed = base takedowns — two
+    * anti-joins over pinned immutable tables. */
+  def annIndexDiff(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/ivf_diff_index"
+    VectorSearch.ivfWriteIndex(
+      env.embeddings.filter($"vec_id" % 3 === 0), dir)
+    VectorSearch.ivfAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 3 === 1), retainGens = 4)
+    VectorSearch.ivfAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 3 === 2), retainGens = 4)
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+      retainGens = 4)
+    VectorSearch.diffIndex(spark, dir, genA = 1L,
+        genB = graft.operators.IndexCommit
+          .currentManifest(spark, dir).get.gen)
+      .orderBy($"status", $"vec_id")
+  }
+
   /** Promotion of the VECTOR index — [[annIvfDelete]]'s state
     * (build + takedown) cloned into a fresh serving directory via
     * [[graft.operators.IndexCommit.cloneSnapshot]] and served from
@@ -2291,6 +2315,15 @@ object AnnQueries {
     // distributed-copy promotion over the cell-partitioned layout;
     // the takedown travels with the bytes
     Q.sql("ann_ivf_clone_serve", annIvfCloneServe, ivfDeleteSql),
+    // what changed between two retained vector snapshots
+    Q.sql("ann_index_diff", annIndexDiff,
+      """SELECT * FROM (
+        |  SELECT 'added' AS status, CAST(vec_id AS BIGINT) AS vec_id
+        |  FROM embeddings WHERE vec_id % 3 <> 0 AND vec_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT 'removed', CAST(vec_id AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 3 = 0 AND vec_id % 17 = 3)
+        |ORDER BY status, vec_id""".stripMargin),
     // compaction is pure reorganization: same rows, same oracle
     Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),
 

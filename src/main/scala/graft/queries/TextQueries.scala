@@ -990,6 +990,62 @@ object TextQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** SNAPSHOT DIFF as a verified entry — the compliance question
+    * "what changed between yesterday's index and today's?": build on
+    * a third of the corpus, append the other two thirds, take down
+    * the doc_id % 17 == 3 set (all with retention ≥ 4 so the first
+    * generation stays time-travel readable), then
+    * [[graft.operators.Bm25.diffIndex]] gen 1 vs current. Added =
+    * appended docs that survived the takedown; removed = base docs
+    * the takedown hit. Both sides are anti-joins over pinned
+    * immutable tables, so the answer replays bit-identically for as
+    * long as retention holds. */
+  def textIndexDiff(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/bm25_diff_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
+    graft.operators.Bm25.appendIndex(spark, dir,
+      env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+      retainGens = 4)
+    graft.operators.Bm25.appendIndex(spark, dir,
+      env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+      retainGens = 4)
+    graft.operators.Bm25.deleteDocs(spark, dir,
+      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+      retainGens = 4)
+    graft.operators.Bm25.diffIndex(spark, dir, genA = 1L,
+        genB = graft.operators.IndexCommit
+          .currentManifest(spark, dir).get.gen)
+      .orderBy($"status", $"doc_id")
+  }
+
+  /** FSCK as a verified entry — the delta algebra's central claim
+    * ("maintained aggregates ≡ a recount over the physical postings")
+    * CHECKED against the files after a build + two appends + a
+    * takedown: [[graft.operators.Bm25.fsck]] re-derives n_docs /
+    * Σdl / the df vocabulary from tombstone-masked postings and
+    * compares them to the maintained stats and folded df deltas,
+    * counts per-term df mismatches (invariant: zero) and orphaned
+    * tombstones (invariant: zero). The oracle recomputes the expected
+    * values from the surviving corpus — so a drifting delta path
+    * fails BOTH the ok flags and the hash. */
+  def textIndexFsck(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/bm25_fsck_index"
+    graft.operators.Bm25.writeIndex(
+      env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
+    graft.operators.Bm25.appendIndex(spark, dir,
+      env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text")
+    graft.operators.Bm25.appendIndex(spark, dir,
+      env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text")
+    graft.operators.Bm25.deleteDocs(spark, dir,
+      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"))
+    graft.operators.Bm25.fsck(spark, dir)
+      .withColumnRenamed("check", "invariant")
+      .orderBy($"invariant")
+  }
+
   /** COLLECTION health card — the hybrid deployment's maintenance
     * console in one query: both member indexes accumulate nightly
     * debt (two appends + a takedown each) inside ONE collection flip,
@@ -2033,6 +2089,42 @@ object TextQueries {
     // budget stamped per fused row
     Q.sql("text_hybrid_rrf_adaptive", textHybridRrfAdaptive,
       hybridRrfAdaptiveSql),
+    // what changed between two retained snapshots — audit anti-joins
+    // over pinned immutable tables
+    Q.sql("text_index_diff", textIndexDiff,
+      """SELECT * FROM (
+        |  SELECT 'added' AS status, CAST(doc_id AS BIGINT) AS doc_id
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT 'removed', CAST(doc_id AS BIGINT)
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 17 = 3)
+        |ORDER BY status, doc_id""".stripMargin),
+
+    // recount-vs-maintained invariants after a maintenance window;
+    // the oracle recomputes expected values from the surviving corpus
+    Q.sql("text_index_fsck", textIndexFsck,
+      """WITH t AS (SELECT doc_id,
+        |             string_split(coalesce(text, ''), ' ') AS s
+        |           FROM documents WHERE doc_id % 17 <> 3),
+        |d AS (SELECT doc_id, len(s) AS dl FROM t),
+        |pairs AS (SELECT DISTINCT doc_id, u.term AS term
+        |          FROM t, unnest(s) AS u(term)),
+        |v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+        |  (SELECT CAST(sum(dl) AS BIGINT) FROM d) AS sum_dl,
+        |  (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM pairs)
+        |    AS n_terms)
+        |SELECT * FROM (
+        |  SELECT 'stats_n_docs' AS invariant, n_docs AS expected,
+        |         n_docs AS actual, TRUE AS ok FROM v
+        |  UNION ALL SELECT 'stats_sum_dl', sum_dl, sum_dl, TRUE FROM v
+        |  UNION ALL SELECT 'df_terms', n_terms, n_terms, TRUE FROM v
+        |  UNION ALL SELECT 'df_mismatch_terms', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE FROM v)
+        |ORDER BY invariant""".stripMargin),
+
     // both members' nightly debt in ONE collection snapshot; the card
     // unions the family health cards under a member column — the
     // constructive oracle replants both physical layouts

@@ -716,6 +716,42 @@ class IndexCommitSpec extends SparkSpec {
     } finally rmRf(dir)
   }
 
+  test("fsck: green on a maintained index, FALSE rows on injected df " +
+       "drift; diff reports adds and takedowns") {
+    val dir = tmpDir("graft_fsck")
+    try {
+      Bm25.writeIndex(docs.filter($"doc_id" <= 2L), "doc_id", "text", dir)
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 3L),
+        "doc_id", "text", retainGens = 4)
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" === 4L),
+        "doc_id", "text", retainGens = 4)
+      Bm25.deleteDocs(spark, dir, Seq(2L).toDF("doc_id"),
+        retainGens = 4)
+      // every invariant holds after the maintenance window
+      val ok = Bm25.fsck(spark, dir).collect()
+      assert(ok.length == 5 && ok.forall(_.getAs[Boolean]("ok")),
+        ok.mkString("; "))
+      // diff gen 1 -> current: 3 and 4 were added, 2 was taken down
+      val d = Bm25.diffIndex(spark, dir, 1L,
+          IndexCommit.currentManifest(spark, dir).get.gen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(d == Set(("added", 3L), ("added", 4L), ("removed", 2L)), d)
+      // inject drift: a bogus df delta no postings back — fsck must
+      // flag the mismatch instead of trusting the fold
+      IndexCommit.commit(spark, dir) { (gen, cur) =>
+        Seq(("red", 5L)).toDF("term", "df").coalesce(1)
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "df", gen))
+        cur.get.tables.updated("df", cur.get.tables("df") :+ s"df-g$gen")
+      }
+      val bad = Bm25.fsck(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getAs[Boolean]("ok")).toMap
+      assert(!bad("df_mismatch_terms"),
+        s"injected df drift must fail the recount: $bad")
+      assert(bad("stats_n_docs") && bad("tombstones_orphaned"))
+    } finally rmRf(dir)
+  }
+
   test("health cards stay quiet on an emptied index (no NaN flip)") {
     val dir = tmpDir("graft_empty_health")
     try {
