@@ -598,6 +598,47 @@ object Bm25 {
         col("orphaned")))
   }
 
+  /** SERVE-COST card — the capacity-planning view of a query
+    * workload against the index AS IT IS ON DISK: per query, how many
+    * candidate postings rows its term filter admits. Two numbers per
+    * qid, both from the df delta segments alone (term-filtered scans
+    * of a vocabulary table — never touching the postings):
+    *
+    *  - `live_candidates`: the FOLDED df (base + append deltas −
+    *    delete deltas) summed over the query's distinct terms — the
+    *    rows that survive tombstone masking and actually score;
+    *  - `physical_candidates`: the positive deltas only — the rows
+    *    the scan must READ before masking. The gap between the two
+    *    IS the takedown read-amplification compaction reclaims, per
+    *    query: the health card says "compact when masked fraction is
+    *    high", this card says which workloads pay for not doing it.
+    */
+  def serveCostCard(spark: org.apache.spark.sql.SparkSession,
+                    dir: String,
+                    queries: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
+      s"serveCostCard: no committed index at $dir"))
+    val terms = queries.flatMap { case (qid, ts) =>
+      ts.distinct.map(qid -> _)
+    }.toDF("qid", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    // the term filter pushes into every df delta segment's scan
+    val dfSegs = IndexCommit.readTableAt(spark, dir, "df", m.gen)
+      .filter(col("term").isin(allTerms: _*))
+    val perTerm = dfSegs.groupBy(col("term")).agg(
+      sum(col("df")).as("live"),
+      sum(when(col("df") > 0, col("df")).otherwise(lit(0L)))
+        .as("physical"))
+    terms.join(perTerm, Seq("term"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        sum(coalesce(col("live"), lit(0L))).cast("long")
+          .as("live_candidates"),
+        sum(coalesce(col("physical"), lit(0L))).cast("long")
+          .as("physical_candidates"))
+  }
+
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String,
             queries: Seq[(String, Seq[String])], k: Int = 10,
             k1: Double = 1.2, b: Double = 0.75,

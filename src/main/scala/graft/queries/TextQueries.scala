@@ -1046,6 +1046,81 @@ object TextQueries {
       .orderBy($"invariant")
   }
 
+  /** SERVE-COST card as a verified entry
+    * ([[graft.operators.Bm25.serveCostCard]]): index the full corpus,
+    * take down the doc_id % 5 == 2 set (tombstones + negative df
+    * deltas, postings untouched), then report per workload query the
+    * LIVE candidate volume (folded df — what scores) and the PHYSICAL
+    * volume (positive deltas — what the scan reads before masking).
+    * The gap is the takedown read-amplification a compaction
+    * reclaims, per query — capacity planning from vocabulary-table
+    * scans alone. */
+  def textServeCostCard(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/bm25_cost_index"
+    graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
+    graft.operators.Bm25.deleteDocs(spark, dir,
+      env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
+    graft.operators.Bm25.serveCostCard(spark, dir, Bm25Workload)
+      .orderBy($"qid")
+  }
+
+  /** COLLECTION-level snapshot diff — "what changed in the hybrid
+    * deployment between snapshot 1 and snapshot 2?", answered from
+    * the collection manifests' own pins: one snapshot appends an
+    * increment AND takes down the % 17 == 3 set across BOTH members
+    * in a single flip, and the diff runs each member's
+    * [[graft.operators.Bm25.diffIndex]] /
+    * [[graft.operators.VectorSearch.diffIndex]] between the two
+    * PINNED member generations — so the report is the consistent
+    * cross-index delta the snapshot layer guarantees, never a mix of
+    * member currents. */
+  def collectionDiff(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.lit
+    val spark = env.spark
+    val colDir = s"${StreamQueries.scratchBase}/col_diff"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 5),
+        "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(
+        env.embeddings.filter($"vec_id" % 7 =!= 5), ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    // snapshot 2: ingest + takedown on BOTH members, one atomic flip
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 7 === 5), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.deleteDocs(spark, bmDir,
+        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+        retainGens = Int.MaxValue)
+      VectorSearch.ivfAppendIndex(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 7 === 5),
+        retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+        retainGens = Int.MaxValue)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val m1 = CollectionCommit.manifestAt(spark, colDir, 1L)
+    val m2 = CollectionCommit.manifestAt(spark, colDir, 2L)
+    val bm = Bm25.diffIndex(spark, bmDir,
+        m1.members("bm25"), m2.members("bm25"))
+      .select(lit("bm25").as("member"), $"status", $"doc_id".as("id"))
+    val iv = VectorSearch.diffIndex(spark, ivfDir,
+        m1.members("ivf"), m2.members("ivf"))
+      .select(lit("ivf").as("member"), $"status", $"vec_id".as("id"))
+    bm.unionByName(iv).orderBy($"member", $"status", $"id")
+  }
+
   /** COLLECTION health card — the hybrid deployment's maintenance
     * console in one query: both member indexes accumulate nightly
     * debt (two appends + a takedown each) inside ONE collection flip,
@@ -2124,6 +2199,45 @@ object TextQueries {
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE FROM v)
         |ORDER BY invariant""".stripMargin),
+
+    // per-query live vs physical candidate volume from the df deltas
+    // — the takedown read-amplification, quantified per workload query
+    Q.sql("text_serve_cost_card", textServeCostCard,
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS s
+        |           FROM documents),
+        |pairs AS (SELECT DISTINCT doc_id, u.term AS term
+        |          FROM t, unnest(s) AS u(term)),
+        |q(qid, term) AS (VALUES
+        |  ('q1', 'table'), ('q2', 'fast'), ('q2', 'scan'),
+        |  ('q3', 'window'), ('q3', 'group'), ('q3', 'value')),
+        |per AS (SELECT q.qid, q.term,
+        |  (SELECT count(*) FROM pairs p
+        |   WHERE p.term = q.term AND p.doc_id % 5 <> 2) AS live,
+        |  (SELECT count(*) FROM pairs p WHERE p.term = q.term) AS phys
+        |  FROM q)
+        |SELECT qid, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(live) AS BIGINT) AS live_candidates,
+        |       CAST(sum(phys) AS BIGINT) AS physical_candidates
+        |FROM per GROUP BY qid
+        |ORDER BY qid""".stripMargin),
+
+    // the consistent cross-index delta between two collection
+    // snapshots, from the manifests' own member-generation pins
+    Q.sql("collection_diff", collectionDiff,
+      """SELECT * FROM (
+        |  SELECT 'bm25' AS member, 'added' AS status,
+        |         CAST(doc_id AS BIGINT) AS id
+        |  FROM documents WHERE doc_id % 7 = 5 AND doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT 'bm25', 'removed', CAST(doc_id AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 <> 5 AND doc_id % 17 = 3
+        |  UNION ALL
+        |  SELECT 'ivf', 'added', CAST(vec_id AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 7 = 5 AND vec_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT 'ivf', 'removed', CAST(vec_id AS BIGINT)
+        |  FROM embeddings WHERE vec_id % 7 <> 5 AND vec_id % 17 = 3)
+        |ORDER BY member, status, id""".stripMargin),
 
     // both members' nightly debt in ONE collection snapshot; the card
     // unions the family health cards under a member column — the
