@@ -258,6 +258,10 @@ object AnnQueries {
     val dir = s"${StreamQueries.scratchBase}/ivf_diff_index"
     VectorSearch.ivfWriteIndex(
       env.embeddings.filter($"vec_id" % 3 === 0), dir)
+    // a re-run rebuilds at a higher generation (prior run GC'd) —
+    // diff against the build's own gen, never a literal
+    val g0 = graft.operators.IndexCommit
+      .currentManifest(spark, dir).get.gen
     VectorSearch.ivfAppendIndex(spark, dir,
       env.embeddings.filter($"vec_id" % 3 === 1), retainGens = 4)
     VectorSearch.ivfAppendIndex(spark, dir,
@@ -265,7 +269,7 @@ object AnnQueries {
     VectorSearch.deleteVectors(spark, dir,
       env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
       retainGens = 4)
-    VectorSearch.diffIndex(spark, dir, genA = 1L,
+    VectorSearch.diffIndex(spark, dir, genA = g0,
         genB = graft.operators.IndexCommit
           .currentManifest(spark, dir).get.gen)
       .orderBy($"status", $"vec_id")

@@ -1005,6 +1005,11 @@ object TextQueries {
     val dir = s"${StreamQueries.scratchBase}/bm25_diff_index"
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
+    // on a re-run the rebuild lands at a HIGHER generation (the prior
+    // run's manifests were GC'd) — diff against the build's own gen,
+    // never a literal
+    val g0 = graft.operators.IndexCommit
+      .currentManifest(spark, dir).get.gen
     graft.operators.Bm25.appendIndex(spark, dir,
       env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
       retainGens = 4)
@@ -1014,7 +1019,7 @@ object TextQueries {
     graft.operators.Bm25.deleteDocs(spark, dir,
       env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
       retainGens = 4)
-    graft.operators.Bm25.diffIndex(spark, dir, genA = 1L,
+    graft.operators.Bm25.diffIndex(spark, dir, genA = g0,
         genB = graft.operators.IndexCommit
           .currentManifest(spark, dir).get.gen)
       .orderBy($"status", $"doc_id")
