@@ -1359,6 +1359,45 @@ object VectorSearch {
     ivfScore(assigned, centroids, queries, k, nProbe, dim)
   }
 
+  /** SERVE-COST card for the persisted IVF index —
+    * [[Bm25.serveCostCard]]'s capacity-planning view on the vector
+    * leg: per query at probe budget `nProbe`, the candidate volume
+    * its probes admit. `physical_candidates` counts every row in the
+    * probed cells (what the cell-pruned scan reads);
+    * `live_candidates` masks tombstones (what actually scores) — the
+    * gap is the takedown read-amplification a cells compaction
+    * reclaims, per query. Occupancies are one distributed aggregate
+    * over the cells table joined to the probe assignments; the only
+    * collect is the nCells centroid artifact every serve already
+    * makes. */
+  def ivfServeCostCard(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: DataFrame, nProbe: Int = 3,
+                       dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
+      s"ivfServeCostCard: no committed index at $dir"))
+    def table(t: String) =
+      IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val centroids = table("centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val raw = table("cells")
+      .select(col("cell").cast("int").as("cell"), col("vec_id"))
+    val phys = raw.groupBy(col("cell"))
+      .agg(count(lit(1)).as("phys"))
+    val live = IndexCommit.maskTombstones(spark, dir, raw, "vec_id")
+      .groupBy(col("cell")).agg(count(lit(1)).as("live"))
+    val probes = ivfProbes(queries, centroids, nProbe, dim)
+      .select(col("qid"), col("cell"))
+    probes.join(phys, Seq("cell"), "left")
+      .join(live, Seq("cell"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).cast("long").as("n_probes"),
+        sum(coalesce(col("live"), lit(0L))).cast("long")
+          .as("live_candidates"),
+        sum(coalesce(col("phys"), lit(0L))).cast("long")
+          .as("physical_candidates"))
+  }
+
   /** SNAPSHOT DIFF over a persisted vector index —
     * [[Bm25.diffIndex]]'s audit view for the vector families: which
     * vec_ids became servable / stopped being servable between two

@@ -247,6 +247,25 @@ object AnnQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Vector-side SERVE-COST card
+    * ([[graft.operators.VectorSearch.ivfServeCostCard]]) — the
+    * text_serve_cost_card contract on the ANN leg: index the full
+    * corpus, take down the vec_id % 5 == 2 set, then report per
+    * standard query at the default probe budget the LIVE candidate
+    * volume (tombstone-masked probed-cell occupancy — what scores)
+    * next to the PHYSICAL volume (what the cell-pruned scan reads).
+    * Capacity planning for a vector serving tier from one occupancy
+    * aggregate. */
+  def annServeCostCard(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/ivf_cost_index"
+    VectorSearch.ivfWriteIndex(env.embeddings, dir)
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
+    VectorSearch.ivfServeCostCard(spark, dir, queriesDf(env))
+      .orderBy($"qid")
+  }
+
   /** Vector-side SNAPSHOT DIFF — the audit view of the persisted IVF
     * lifecycle ([[graft.operators.VectorSearch.diffIndex]]): build on
     * a third, append the rest (retention ≥ 4 keeps gen 1 readable),
@@ -2319,6 +2338,29 @@ object AnnQueries {
     // distributed-copy promotion over the cell-partitioned layout;
     // the takedown travels with the bytes
     Q.sql("ann_ivf_clone_serve", annIvfCloneServe, ivfDeleteSql),
+    // per-query live vs physical probed-cell occupancy — the vector
+    // leg's takedown read-amplification (cand/ranked CTEs from the
+    // shared serve chain go unreferenced and are pruned by the engine)
+    Q.sql("ann_serve_cost_card", annServeCostCard,
+      s"""WITH $ivfCentCte,
+         |${ivfServeCtes("WHERE vec_id % 50 = 0", "3")},
+         |occp AS (SELECT CAST(label AS INT) AS cell,
+         |                CAST(count(*) AS BIGINT) AS phys
+         |         FROM embeddings GROUP BY 1),
+         |occl AS (SELECT CAST(label AS INT) AS cell,
+         |                CAST(count(*) AS BIGINT) AS live
+         |         FROM embeddings WHERE vec_id % 5 <> 2 GROUP BY 1)
+         |SELECT p.qid, CAST(count(*) AS BIGINT) AS n_probes,
+         |       CAST(sum(coalesce(l.live, 0)) AS BIGINT)
+         |         AS live_candidates,
+         |       CAST(sum(coalesce(o.phys, 0)) AS BIGINT)
+         |         AS physical_candidates
+         |FROM probes p
+         |LEFT JOIN occp o USING (cell)
+         |LEFT JOIN occl l USING (cell)
+         |GROUP BY p.qid
+         |ORDER BY p.qid""".stripMargin),
+
     // what changed between two retained vector snapshots
     Q.sql("ann_index_diff", annIndexDiff,
       """SELECT * FROM (
