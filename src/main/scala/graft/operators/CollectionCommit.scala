@@ -74,6 +74,18 @@ object CollectionCommit {
     fs.listStatus(p).map(_.getPath.getName)
       .collect { case ManifestRe(g) => g.toLong }
 
+  private def clearAgedClaims(fs: FileSystem, p: Path,
+                              graceMs: Long): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case ClaimRe(_) if st.getModificationTime < cutoff =>
+          fs.delete(st.getPath, false): Unit
+        case _ =>
+      }
+    }
+  }
+
   private def parse(fs: FileSystem, p: Path, gen: Long,
                     dir: String): Manifest = {
     val in = fs.open(new Path(p, manifestName(gen)))
@@ -212,7 +224,9 @@ object CollectionCommit {
     * manifest flips last — a crash mid-way leaves dest without a
     * collection manifest, and the retry wipes the partial member
     * clones (nothing references them: the destination collection
-    * never committed) and re-copies. */
+    * never committed) and re-copies. A hard kill can also strand the
+    * destination's `_colclaim_g1`; [[gc]] on the (manifest-less)
+    * destination clears aged claims, after which the retry proceeds. */
   def cloneSnapshot(spark: SparkSession, colDir: String, dest: String,
                     atGen: Option[Long] = None): Unit = {
     val src = atGen match {
@@ -253,7 +267,15 @@ object CollectionCommit {
     val (fs, p) = fsOf(spark, colDir)
     if (!fs.exists(p)) return
     val all = listGens(fs, p).sorted.reverse
-    if (all.isEmpty) return
+    if (all.isEmpty) {
+      // a cloneSnapshot/first-commit killed before its flip strands a
+      // claim in a directory with NO manifest; gc is the documented
+      // recovery path, so it must clear aged claims here too — an
+      // early return would leave every retry failing at claim
+      // creation until an operator hand-deletes the marker
+      clearAgedClaims(fs, p, graceMs)
+      return
+    }
     val retained = all.take(keepGens).map(parse(fs, p, _, colDir))
     val retainedMembers = retained.flatMap(_.members.keys).toSet
     retainedMembers.foreach { member =>
@@ -280,7 +302,12 @@ object CollectionCommit {
         // without this it (and all its generations) leaks disk
         // forever. The collection dir OWNS its subdirectories (the
         // member contract), so an unpinned subdirectory is garbage.
-        case _ if st.isDirectory => !retainedMembers.contains(n)
+        // Aged-only, like claims: a fresh dir may be a NEW member a
+        // live committer is mid-staging (not yet pinned by any
+        // manifest) — an out-of-contract concurrent gc must not
+        // destroy it, and staging keeps the dir's mtime current.
+        case _ if st.isDirectory =>
+          !retainedMembers.contains(n) && st.getModificationTime < cutoff
         case _ => n.startsWith("._collection_")
       }
       if (dead) fs.delete(st.getPath, true): Unit

@@ -428,7 +428,22 @@ object IndexCommit {
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) return
     val all = listGens(fs, p).sorted.reverse
-    if (all.isEmpty) return
+    if (all.isEmpty) {
+      // a first commit (or a member clone) killed before its flip
+      // strands a claim in a directory with NO manifest; gc is the
+      // documented recovery path, so clear aged claims here too
+      // instead of early-returning past them — otherwise every retry
+      // fails at claim creation until the marker is hand-deleted
+      val cutoff0 = System.currentTimeMillis() - graceMs
+      fs.listStatus(p).foreach { st =>
+        st.getPath.getName match {
+          case ClaimRe(_) if st.getModificationTime < cutoff0 =>
+            fs.delete(st.getPath, false): Unit
+          case _ =>
+        }
+      }
+      return
+    }
     val cutoff = System.currentTimeMillis() - graceMs
     val gens = all.zipWithIndex.filter { case (_, i) =>
       i < keepGens || (graceMs > 0 &&

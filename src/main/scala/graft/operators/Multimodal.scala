@@ -887,6 +887,8 @@ object Multimodal {
   private def be32(v: Long): Array[Byte] =
     Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
           ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] =
+    Array.concat(be32(v >>> 32), be32(v & 0xffffffffL))
 
   /** One ISO-BMFF box: u32 big-endian size (incl. 8-byte header) +
     * fourcc + payload. */
@@ -907,12 +909,20 @@ object Multimodal {
     * Tracks: (handlerType "vide"|"soun", codecFourcc, timescale,
     * sampleDelta, sampleSizes, width, height). */
   def mp4Bytes(movieTimescale: Long, movieDuration: Long,
-               tracks: Seq[(String, String, Long, Long, Seq[Int], Int, Int)])
+               tracks: Seq[(String, String, Long, Long, Seq[Int], Int, Int)],
+               version1: Boolean = false)
       : Array[Byte] = {
+    // v1 full boxes carry 64-bit creation/modification/duration — the
+    // layout real long-duration files use; mp4Meta must parse both
     val mvhd = mp4Box("mvhd",
-      be32(0L),                      // version 0 + flags
-      be32(0L), be32(0L),            // creation, modification
-      be32(movieTimescale), be32(movieDuration),
+      if (version1) Array.concat(
+        be32(0x01000000L),           // version 1 + flags
+        be64(0L), be64(0L),          // creation, modification (64-bit)
+        be32(movieTimescale), be64(movieDuration))
+      else Array.concat(
+        be32(0L),                    // version 0 + flags
+        be32(0L), be32(0L),          // creation, modification
+        be32(movieTimescale), be32(movieDuration)),
       be32(0x00010000L), be16(0x0100), be16(0),  // rate, volume, reserved
       be32(0L), be32(0L),            // reserved
       // identity matrix
@@ -933,7 +943,11 @@ object Multimodal {
           be32(0L), be32(0L), be32(0x40000000L),
           be32(w.toLong << 16), be32(h.toLong << 16)) // 16.16 fixed
         val mdhd = mp4Box("mdhd",
-          be32(0L), be32(0L), be32(0L), be32(timescale), be32(durTicks),
+          if (version1) Array.concat(
+            be32(0x01000000L), be64(0L), be64(0L),
+            be32(timescale), be64(durTicks))
+          else Array.concat(
+            be32(0L), be32(0L), be32(0L), be32(timescale), be32(durTicks)),
           be16(0x55c4), be16(0))     // language "und"
         val hdlr = mp4Box("hdlr",
           be32(0L), be32(0L), fourcc(handler),
@@ -980,6 +994,8 @@ object Multimodal {
 
   private def u16(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def u64(b: Array[Byte], off: Int): Long =
+    (u32(b, off) << 32) | u32(b, off + 4)
   private def u32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
       ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
@@ -1022,7 +1038,14 @@ object Multimodal {
       case ("moov", mfrom, mto) =>
         mp4Walk(bytes, mfrom, mto) {
           case ("mvhd", from, _) =>
-            mts = u32(bytes, from + 12); mdur = u32(bytes, from + 16)
+            // full-box version byte decides the field layout: v1 has
+            // 64-bit creation/modification/duration (common in real
+            // long-duration files), so timescale moves +12 → +20
+            if ((bytes(from) & 0xff) == 1) {
+              mts = u32(bytes, from + 20); mdur = u64(bytes, from + 24)
+            } else {
+              mts = u32(bytes, from + 12); mdur = u32(bytes, from + 16)
+            }
           case ("trak", tfrom, tto) =>
             var handler = ""; var codec = ""
             var ts = 0L; var dur = 0L; var n = 0L; var sb = 0L
@@ -1030,7 +1053,10 @@ object Multimodal {
             mp4Walk(bytes, tfrom, tto) {
               case ("mdia", dfrom, dto) =>
                 mp4Walk(bytes, dfrom, dto) {
-                  case ("mdhd", from, _) => ts = u32(bytes, from + 12)
+                  case ("mdhd", from, _) =>
+                    // same v0/v1 layout split as mvhd
+                    ts = if ((bytes(from) & 0xff) == 1) u32(bytes, from + 20)
+                         else u32(bytes, from + 12)
                   case ("hdlr", from, _) => handler = cc4(bytes, from + 8)
                   case ("minf", ifrom, ito) =>
                     mp4Walk(bytes, ifrom, ito) {
@@ -1114,7 +1140,8 @@ object Multimodal {
     * metadata is real EBML, which [[webmMeta]] re-reads by varint
     * walking. */
   def webmBytes(codecId: String, width: Int, height: Int,
-                durationMs: Double, timecodeScale: Long = 1000000L)
+                durationMs: Double, timecodeScale: Long = 1000000L,
+                streamedSegment: Boolean = false)
       : Array[Byte] = {
     val header = ebmlEl(0x1A45DFA3L, Array.concat(
       ebmlEl(0x4286L, ebmlUint(1)),        // EBMLVersion
@@ -1139,7 +1166,14 @@ object Multimodal {
       ebmlEl(0x86L, codecId.getBytes("US-ASCII")),
       video))
     val tracks = ebmlEl(0x1654AE6BL, trackEntry)
-    val segment = ebmlEl(0x18538067L, Array.concat(info, tracks))
+    val segBody = Array.concat(info, tracks)
+    // streamed/live-remuxed form: the Segment's size is the
+    // unknown-size VINT (all length bits set) — the element runs to
+    // end-of-stream; webmMeta must resolve it to the region end
+    val segment =
+      if (streamedSegment) Array.concat(ebmlIdBytes(0x18538067L),
+        0x01.toByte +: Array.fill[Byte](7)(0xff.toByte), segBody)
+      else ebmlEl(0x18538067L, segBody)
     Array.concat(header, segment)
   }
 
@@ -1192,9 +1226,16 @@ object Multimodal {
         val (id, idw) = ebmlReadId(bytes, off)
         val (sz, szw) = ebmlReadVint(bytes, off + idw)
         val body = off + idw + szw
-        val end = body + sz.toInt
-        if (end > to) return // malformed: never read past the region
+        // all-ones payload is the UNKNOWN-SIZE VINT — standard for the
+        // Segment element in streamed/live-remuxed WebM: the element
+        // extends to the end of the enclosing region (master only; an
+        // unknown-size leaf is unparseable, so the walk stops there)
+        val unknown = sz == (1L << (7 * szw)) - 1
+        val endL = if (unknown) to.toLong else body.toLong + sz
+        if (endL > to) return // malformed: never read past the region
+        val end = endL.toInt
         if (masters.contains(id)) walk(body, end)
+        else if (unknown) return
         else id match {
           case 0x4282L => docType = new String(bytes, body, sz.toInt,
             "US-ASCII")

@@ -342,6 +342,81 @@ class CollectionCommitSpec extends SparkSpec {
     } finally rmRf(colDir)
   }
 
+  test("gc spares a freshly staged NEW member directory under a grace " +
+       "window; aged unpinned directories still clear") {
+    val colDir = tmpDir("graft_col_dirage")
+    try {
+      buildBoth(colDir)
+      // a commit is mid-stage adding a NEW member (not pinned by any
+      // retained manifest yet) when an out-of-contract gc runs: the
+      // fresh directory must survive — the same grace the claims get
+      CollectionCommit.commit(spark, colDir) { (_, cur) =>
+        val nm = CollectionCommit.memberDir(colDir, "ivf2")
+        VectorSearch.ivfWriteIndex(vecs, nm, dim = 2)
+        CollectionCommit.gc(spark, colDir, keepGens = 1,
+          graceMs = 60000L)
+        assert(new java.io.File(nm).isDirectory,
+          "grace-window gc must spare a member dir being staged")
+        cur.get.members + ("ivf2" -> 1L)
+      }
+      assert(CollectionCommit.currentManifest(spark, colDir)
+        .get.members.contains("ivf2"))
+      // an AGED unpinned directory (decommissioned leg) still clears
+      // even under the same grace window
+      CollectionCommit.commit(spark, colDir) { (_, cur) =>
+        cur.get.members - "ivf2"
+      }
+      val dead = new java.io.File(
+        CollectionCommit.memberDir(colDir, "ivf2"))
+      def age(f: java.io.File): Unit = {
+        f.setLastModified(System.currentTimeMillis() - 120000L): Unit
+        Option(f.listFiles()).foreach(_.foreach(age))
+      }
+      age(dead)
+      CollectionCommit.gc(spark, colDir, keepGens = 1, graceMs = 60000L)
+      assert(!dead.exists(),
+        "aged unpinned member directory must still clear under grace")
+    } finally rmRf(colDir)
+  }
+
+  test("a stranded claim in a manifest-less directory clears via gc " +
+       "(crashed first commit / clone recovery) at both layers") {
+    val colDir = tmpDir("graft_col_strand")
+    val idxDir = tmpDir("graft_idx_strand")
+    try {
+      // collection layer: a cloneSnapshot killed before any flip
+      // leaves dest with a claim and NO manifest; gc (the documented
+      // recovery path) must clear the aged claim so the retry's claim
+      // creation succeeds
+      val claim = new java.io.File(colDir, f"_colclaim_g${1L}%012d")
+      assert(claim.createNewFile())
+      assert(claim.setLastModified(System.currentTimeMillis() - 120000L))
+      CollectionCommit.gc(spark, colDir, keepGens = 1, graceMs = 60000L)
+      assert(!claim.exists(),
+        "aged claim in a manifest-less collection dir must clear")
+      // ...but a FRESH claim (live first committer) survives the same gc
+      assert(claim.createNewFile())
+      CollectionCommit.gc(spark, colDir, keepGens = 1, graceMs = 60000L)
+      assert(claim.isFile, "fresh claim must survive grace-window gc")
+      assert(claim.delete())
+      // and the retry actually proceeds end-to-end
+      buildBoth(colDir)
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen == 1L)
+      // member layer: same recovery for IndexCommit.gcUnreferenced
+      val iclaim = new java.io.File(idxDir, f"_claim_g${1L}%012d")
+      assert(iclaim.createNewFile())
+      assert(iclaim.setLastModified(System.currentTimeMillis() - 120000L))
+      IndexCommit.gcUnreferenced(spark, idxDir, keepGens = 1,
+        graceMs = 60000L)
+      assert(!iclaim.exists(),
+        "aged claim in a manifest-less index dir must clear")
+      assert(iclaim.createNewFile())
+      IndexCommit.gcUnreferenced(spark, idxDir, keepGens = 1,
+        graceMs = 60000L)
+      assert(iclaim.isFile, "fresh index claim must survive")
+    } finally { rmRf(colDir); rmRf(idxDir) }
+  }
+
   test("collection clone promotes every member at its pinned " +
        "generation; time travel composes") {
     val colDir = tmpDir("graft_col_clone_src")

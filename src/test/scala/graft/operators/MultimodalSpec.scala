@@ -300,6 +300,42 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.mp4Meta(hostile)._4.isEmpty)
   }
 
+  test("MP4 version-1 full boxes: 64-bit mvhd/mdhd layouts parse to " +
+       "the same declarations as v0") {
+    // durations past the u32 range — the reason real long files use v1
+    val mdur = 5000000000L
+    val tracks = Seq(
+      ("vide", "hvc1", 90000L, 3000L, Seq(10, 20, 30, 40), 3840, 2160),
+      ("soun", "mp4a", 48000L, 1024L, Seq(7, 8), 0, 0))
+    val v1 = Multimodal.mp4Meta(
+      Multimodal.mp4Bytes(600L, mdur, tracks, version1 = true))
+    assert(v1._1 == "isom" && v1._2 == 600L && v1._3 == mdur)
+    // everything below mvhd/mdhd is version-independent: the v1 parse
+    // must equal the v0 parse of the same declarations (modulo the
+    // u32-truncated movie duration v0 cannot carry)
+    val v0 = Multimodal.mp4Meta(Multimodal.mp4Bytes(600L, 599L, tracks))
+    assert(v1._4 == v0._4)
+    assert(v1._4.head.timescale == 90000L &&
+      v1._4.head.durationTicks == 12000L)
+  }
+
+  test("WebM unknown-size Segment (streamed form): the all-ones VINT " +
+       "resolves to the enclosing region end") {
+    val streamed = Multimodal.webmBytes("V_VP8", 640, 360, 4200.0,
+      streamedSegment = true)
+    val m = Multimodal.webmMeta(streamed)
+    assert(m == Multimodal.WebmMeta("webm", 1000000L, 1L, 1L, "V_VP8",
+      640, 360, 4200.0))
+    // and the parse equals the sized form's parse
+    assert(m == Multimodal.webmMeta(
+      Multimodal.webmBytes("V_VP8", 640, 360, 4200.0)))
+    // an unknown-size LEAF is unparseable: the walk stops without
+    // reading past the region (DocType id 0x4282 + all-ones size)
+    val badLeaf = Array[Byte](0x42, 0x82.toByte, 0x01.toByte) ++
+      Array.fill[Byte](7)(0xff.toByte) ++ "webm".getBytes("US-ASCII")
+    assert(Multimodal.webmMeta(badLeaf).docType == "")
+  }
+
   test("WebM EBML walk: declaration round-trip, float64 duration " +
        "bit-exact, multi-byte varints") {
     val b = Multimodal.webmBytes("V_VP9", 1920, 1080, 12345.625)
