@@ -615,10 +615,14 @@ object Bm25 {
     */
   def serveCostCard(spark: org.apache.spark.sql.SparkSession,
                     dir: String,
-                    queries: Seq[(String, Seq[String])]): DataFrame = {
+                    queries: Seq[(String, Seq[String])],
+                    atGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
-      s"serveCostCard: no committed index at $dir"))
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir)
+        .getOrElse(sys.error(s"serveCostCard: no committed index at $dir"))
+    }
     val terms = queries.flatMap { case (qid, ts) =>
       ts.distinct.map(qid -> _)
     }.toDF("qid", "term")

@@ -1372,10 +1372,14 @@ object VectorSearch {
     * makes. */
   def ivfServeCostCard(spark: org.apache.spark.sql.SparkSession,
                        dir: String, queries: DataFrame, nProbe: Int = 3,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64,
+                       atGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
-      s"ivfServeCostCard: no committed index at $dir"))
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"ivfServeCostCard: no committed index at $dir"))
+    }
     def table(t: String) =
       IndexCommit.readTableAt(spark, dir, t, m.gen)
     val centroids = table("centroids")
@@ -1384,8 +1388,13 @@ object VectorSearch {
       .select(col("cell").cast("int").as("cell"), col("vec_id"))
     val phys = raw.groupBy(col("cell"))
       .agg(count(lit(1)).as("phys"))
-    val live = IndexCommit.maskTombstones(spark, dir, raw, "vec_id")
-      .groupBy(col("cell")).agg(count(lit(1)).as("live"))
+    // mask with the PINNED generation's tombstones (maskTombstones
+    // resolves the current manifest — wrong under atGen time travel)
+    val masked =
+      if (m.tables.contains("tombstones"))
+        raw.join(table("tombstones"), Seq("vec_id"), "left_anti")
+      else raw
+    val live = masked.groupBy(col("cell")).agg(count(lit(1)).as("live"))
     val probes = ivfProbes(queries, centroids, nProbe, dim)
       .select(col("qid"), col("cell"))
     probes.join(phys, Seq("cell"), "left")
@@ -1425,6 +1434,148 @@ object VectorSearch {
       .unionByName(
         a.join(b, Seq("vec_id"), "left_anti")
           .select(lit("removed").as("status"), col("vec_id")))
+  }
+
+  /** FSCK for the IVF family — [[Bm25.fsck]]'s recount-vs-maintained
+    * discipline on the vector side: the append/delete algebra claims
+    * the cells table is exactly "every ingested vector in the cell
+    * its documented assignment rule chose, minus the tombstone mask",
+    * and this card CHECKS that claim against the physical cell files
+    * instead of asserting it. One row per invariant:
+    *
+    *  - `live_vecs`: the health card's maintained algebra (physical
+    *    rows − tombstones) vs a distinct-id recount over the
+    *    tombstone-masked cells — drift means a duplicate ingest or a
+    *    tombstone that masks nothing;
+    *  - `duplicate_vec_rows`: physical rows − distinct vec_ids
+    *    (expected 0: one cell per vector is the assignment contract);
+    *  - `cells_without_centroid`: occupied cells with no centroid row
+    *    (expected 0: a serve could never probe them);
+    *  - `centroid_duplicate_cells`: centroid rows − distinct centroid
+    *    cells (expected 0: the probe ranking assumes one per cell);
+    *  - `append_assignment_mismatches`: rows in APPEND segments (every
+    *    manifest segment after the base build's — the commit layer
+    *    appends segment names in commit order) whose stored cell is
+    *    not the nearest frozen centroid under [[ivfAppendIndex]]'s
+    *    exact rule (6dp-rounded cosine, lowest cell on ties) — the
+    *    occupancy-drift recount (expected 0; trivially 0 after a
+    *    compaction folds the deltas into one segment);
+    *  - `tombstones_orphaned`: tombstoned ids with no physical row
+    *    anywhere under the manifest (expected 0 — a tombstone always
+    *    masks something until compaction drops it);
+    *  - `zero_norm_rows`: physically stored unservable vectors —
+    *    cosine-undefined debris neither the build nor the append path
+    *    should ever write (expected 0).
+    *
+    * All distributed aggregates, composed into ONE lazy plan via the
+    * constant-key scalar join; the only collect is the nCells
+    * centroid artifact the assignment recount broadcasts (the same
+    * bounded collect every serve makes). Run it after any maintenance
+    * window; a FALSE row is corruption (or a bug in a delta path)
+    * caught before it serves. */
+  def ivfFsck(spark: org.apache.spark.sql.SparkSession, dir: String,
+              dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
+      s"ivfFsck: no committed index at $dir"))
+    def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val cells = table("cells").select(col("cell").cast("int").as("cell"),
+      col("vec_id"), col("embedding"))
+    val centroids = table("centroids")
+      .select(col("cell").cast("int").as("cell"), col("centroid"))
+    val hasTomb = m.tables.contains("tombstones")
+    val rowAgg = cells.agg(
+      count(lit(1)).cast("long").as("phys_rows"),
+      countDistinct(col("vec_id")).cast("long").as("phys_ids"))
+    val maskedAgg =
+      if (hasTomb) table("tombstones")
+        .agg(count(lit(1)).cast("long").as("masked"))
+      else // range(1)'s id IS the zero (a literal would fold the
+           // constant-key scalar join back into a nested-loop cross)
+        spark.range(1).select(col("id").as("masked"))
+    val liveAgg =
+      (if (hasTomb) cells.join(table("tombstones"), Seq("vec_id"),
+        "left_anti")
+       else cells)
+        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
+    val orphanAgg =
+      if (hasTomb) table("tombstones")
+        .join(cells.select(col("vec_id")).distinct(), Seq("vec_id"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("orphaned"))
+      else spark.range(1).select(col("id").as("orphaned"))
+    val centAgg = centroids.agg(
+      count(lit(1)).cast("long").as("cent_rows"),
+      countDistinct(col("cell")).cast("long").as("cent_cells"))
+    val noCentAgg = cells.select(col("cell")).distinct()
+      .join(centroids.select(col("cell")), Seq("cell"), "left_anti")
+      .agg(count(lit(1)).cast("long").as("cells_wo_centroid"))
+    val zeroAgg = cells.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (_, e) =>
+        if (e == null || normK(e, dim) == 0.0) 1L else 0L
+      })
+      .toDF("z")
+      .agg(coalesce(sum(col("z")), lit(0L)).cast("long").as("zero_norm"))
+    val appendSegs = m.tables("cells").drop(1)
+    val mismAgg =
+      if (appendSegs.isEmpty)
+        spark.range(1).select(col("id").as("mismatches"))
+      else {
+        val centArr = centroids.as[(Int, Array[Double])]
+          .collect().sortBy(_._1)
+        val bcC = spark.sparkContext.broadcast(centArr)
+        appendSegs
+          .map(s => spark.read.option("basePath", s"$dir/$s")
+            .parquet(s"$dir/$s"))
+          .reduce(_ unionByName _)
+          .select(col("cell").cast("int").as("cell"), col("vec_id"),
+            col("embedding"))
+          .as[(Int, Long, Array[Float])]
+          .mapPartitions { it =>
+            val cents = bcC.value
+              .map { case (c, v) => (c, v, normKD(v, dim)) }
+              .filter(_._3 > 0)
+            it.map { case (cell, _, e) =>
+              val ne = normK(e, dim)
+              // appends never write zero-norm rows: one here is drift
+              if (ne == 0.0) 1L
+              else {
+                var bestSim = Double.NegativeInfinity
+                var bestCell = Int.MaxValue
+                cents.foreach { case (c, v, nc) =>
+                  val sim = round6(dotKD(e, v, dim) / (ne * nc))
+                  if (sim > bestSim) { bestSim = sim; bestCell = c }
+                }
+                if (bestCell == cell) 0L else 1L
+              }
+            }
+          }
+          .toDF("mm")
+          .agg(coalesce(sum(col("mm")), lit(0L)).cast("long")
+            .as("mismatches"))
+      }
+    val seed = spark.range(1).toDF("_one")
+    val scalars = Seq(rowAgg, maskedAgg, liveAgg, orphanAgg, centAgg,
+      noCentAgg, zeroAgg, mismAgg).foldLeft(seed)(PlanHints.withScalars)
+    def check(name: String, expected: Column,
+              actual: Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        expected.cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (expected === actual).as("ok"))
+    check("append_assignment_mismatches", lit(0L), col("mismatches"))
+      .unionByName(check("cells_without_centroid", lit(0L),
+        col("cells_wo_centroid")))
+      .unionByName(check("centroid_duplicate_cells", lit(0L),
+        col("cent_rows") - col("cent_cells")))
+      .unionByName(check("duplicate_vec_rows", lit(0L),
+        col("phys_rows") - col("phys_ids")))
+      .unionByName(check("live_vecs", col("phys_rows") - col("masked"),
+        col("live_re")))
+      .unionByName(check("tombstones_orphaned", lit(0L),
+        col("orphaned")))
+      .unionByName(check("zero_norm_rows", lit(0L), col("zero_norm")))
   }
 
   /** [[ivfServe]] at a probe budget DERIVED from a recall floor — the

@@ -294,6 +294,90 @@ object AnnQueries {
       .orderBy($"status", $"vec_id")
   }
 
+  /** Vector-side FSCK as a verified entry — the append/delete
+    * algebra's claim ("each vector sits in the cell its documented
+    * assignment rule chose, once, and every tombstone masks a
+    * physical row") CHECKED against the cell files after a build +
+    * two appends + a takedown
+    * ([[graft.operators.VectorSearch.ivfFsck]]): a live-id recount vs
+    * the maintained masked/total algebra, duplicate-assignment and
+    * orphaned-tombstone counts, centroid-table invariants, and the
+    * occupancy-drift recount — every APPEND segment's rows re-assigned
+    * against the frozen centroids and compared to their stored cell.
+    * The oracle recomputes the expected values from the op sequence,
+    * so a drifting delta path fails BOTH the ok flags and the hash.
+    * Closes the round-15 asymmetry: the keyword leg's delta algebra
+    * was checked against disk ([[TextQueries.textIndexFsck]]), the
+    * vector leg's was only asserted. */
+  def annIndexFsck(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/ivf_fsck_index"
+    VectorSearch.ivfWriteIndex(
+      env.embeddings.filter($"vec_id" % 3 === 0), dir)
+    VectorSearch.ivfAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 3 === 1))
+    VectorSearch.ivfAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 3 === 2))
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.ivfFsck(spark, dir)
+      .withColumnRenamed("check", "invariant")
+      .orderBy($"invariant")
+  }
+
+  /** COLLECTION-level serve-cost card — the capacity-planning console
+    * for the whole hybrid deployment: [[graft.operators.Bm25
+    * .serveCostCard]] (per-query candidate postings from the df
+    * vocabulary deltas) and [[graft.operators.VectorSearch
+    * .ivfServeCostCard]] (per-query probed-cell occupancy) unioned
+    * under a `member` column, each leg served AT THE GENERATION the
+    * collection manifest pins — so the card describes one consistent
+    * cross-index snapshot, never a mix of member currents (the same
+    * pinning discipline as `collection_index_health`). Scenario: one
+    * snapshot builds both legs on the full corpus, a second takes
+    * down the % 5 == 2 set on BOTH in one flip; the card's live vs
+    * physical gap is then the takedown read-amplification across the
+    * whole deployment, per workload query per leg. */
+  def collectionServeCostCard(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit}
+    import org.apache.spark.sql.functions.lit
+    val spark = env.spark
+    val colDir = s"${StreamQueries.scratchBase}/col_cost"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.deleteDocs(spark, bmDir,
+        env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"),
+        retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"),
+        retainGens = Int.MaxValue)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val pins = CollectionCommit.currentManifest(spark, colDir).get.members
+    val bm = Bm25.serveCostCard(spark, bmDir, TextQueries.Bm25Workload,
+        atGen = Some(pins("bm25")))
+      .select(lit("bm25").as("member"), $"qid",
+        $"n_terms".as("n_units"), $"live_candidates",
+        $"physical_candidates")
+    val ivf = VectorSearch.ivfServeCostCard(spark, ivfDir,
+        queriesDf(env), atGen = Some(pins("ivf")))
+      .select(lit("ivf").as("member"), $"qid".cast("string").as("qid"),
+        $"n_probes".as("n_units"), $"live_candidates",
+        $"physical_candidates")
+    bm.unionByName(ivf).orderBy($"member", $"qid")
+  }
+
   /** Promotion of the VECTOR index — [[annIvfDelete]]'s state
     * (build + takedown) cloned into a fresh serving directory via
     * [[graft.operators.IndexCommit.cloneSnapshot]] and served from
@@ -2370,6 +2454,77 @@ object AnnQueries {
         |  SELECT 'removed', CAST(vec_id AS BIGINT)
         |  FROM embeddings WHERE vec_id % 3 = 0 AND vec_id % 17 = 3)
         |ORDER BY status, vec_id""".stripMargin),
+    // recount-vs-maintained invariants for the vector index after a
+    // maintenance window — the keyword fsck's twin; the oracle
+    // recomputes the expected values from the op sequence
+    Q.sql("ann_index_fsck", annIndexFsck,
+      """WITH v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 <> 3) AS live)
+        |SELECT * FROM (
+        |  SELECT 'append_assignment_mismatches' AS invariant,
+        |         CAST(0 AS BIGINT) AS expected,
+        |         CAST(0 AS BIGINT) AS actual, TRUE AS ok
+        |  UNION ALL SELECT 'cells_without_centroid', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'centroid_duplicate_cells', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'duplicate_vec_rows', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'live_vecs', live, live, TRUE FROM v
+        |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'zero_norm_rows', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE)
+        |ORDER BY invariant""".stripMargin),
+    // the whole hybrid deployment's capacity console: both members'
+    // per-query live vs physical candidate volume at the pinned
+    // collection generations, under one member column (cand/ranked
+    // CTEs from the shared serve chain go unreferenced and are pruned)
+    Q.sql("collection_serve_cost_card", collectionServeCostCard,
+      s"""WITH $ivfCentCte,
+         |${ivfServeCtes("WHERE vec_id % 50 = 0", "3")},
+         |occp AS (SELECT CAST(label AS INT) AS cell,
+         |                CAST(count(*) AS BIGINT) AS phys
+         |         FROM embeddings GROUP BY 1),
+         |occl AS (SELECT CAST(label AS INT) AS cell,
+         |                CAST(count(*) AS BIGINT) AS live
+         |         FROM embeddings WHERE vec_id % 5 <> 2 GROUP BY 1),
+         |ivfcard AS (
+         |  SELECT CAST(p.qid AS VARCHAR) AS qid,
+         |         CAST(count(*) AS BIGINT) AS n_units,
+         |         CAST(sum(coalesce(l.live, 0)) AS BIGINT)
+         |           AS live_candidates,
+         |         CAST(sum(coalesce(o.phys, 0)) AS BIGINT)
+         |           AS physical_candidates
+         |  FROM probes p
+         |  LEFT JOIN occp o USING (cell)
+         |  LEFT JOIN occl l USING (cell)
+         |  GROUP BY p.qid),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS s
+         |      FROM documents),
+         |tpairs AS (SELECT DISTINCT doc_id, u.term AS term
+         |           FROM t, unnest(s) AS u(term)),
+         |tq(qid, term) AS (VALUES
+         |  ('q1', 'table'), ('q2', 'fast'), ('q2', 'scan'),
+         |  ('q3', 'window'), ('q3', 'group'), ('q3', 'value')),
+         |tper AS (SELECT tq.qid, tq.term,
+         |  (SELECT count(*) FROM tpairs p
+         |   WHERE p.term = tq.term AND p.doc_id % 5 <> 2) AS live,
+         |  (SELECT count(*) FROM tpairs p WHERE p.term = tq.term)
+         |    AS phys
+         |  FROM tq),
+         |bmcard AS (
+         |  SELECT qid, CAST(count(*) AS BIGINT) AS n_units,
+         |         CAST(sum(live) AS BIGINT) AS live_candidates,
+         |         CAST(sum(phys) AS BIGINT) AS physical_candidates
+         |  FROM tper GROUP BY qid)
+         |SELECT * FROM (
+         |  SELECT 'bm25' AS member, * FROM bmcard
+         |  UNION ALL
+         |  SELECT 'ivf', * FROM ivfcard)
+         |ORDER BY member, qid""".stripMargin),
     // compaction is pure reorganization: same rows, same oracle
     Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),
 

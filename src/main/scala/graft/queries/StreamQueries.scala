@@ -689,6 +689,82 @@ object StreamQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** T21 — streaming ingest at the COLLECTION level, t18's twin on
+    * the write side: new documents arrive as ONE stream and every
+    * micro-batch appends to BOTH hybrid legs — the keyword index
+    * ([[graft.operators.Bm25.appendIndex]]) and the vector index
+    * ([[graft.operators.VectorSearch.ivfAppendIndex]], the batch's
+    * embeddings resolved by a left-semi join against the embeddings
+    * table under the ids≡ids testdata contract) — inside ONE
+    * [[graft.operators.CollectionCommit]] flip. A reader at ANY
+    * pinned collection generation therefore never sees one leg's
+    * batch without the other's, however the stream slices the
+    * increment. Both member appends are exact and batch-independent
+    * (additive df/stats merges; frozen-centroid assignment), so each
+    * leg's final serve is bit-identical to its one-shot batch append —
+    * the entry literally shares t14's and t17's oracles, unioned
+    * under a member column, served at the LAST collection snapshot's
+    * pins. */
+  def t21CollectionIngestStream(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.lit
+    val colDir = s"$scratchBase/t21_collection"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 0),
+        "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(
+        env.embeddings.filter($"vec_id" % 7 =!= 0), ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val stream = streamRead(env, "documents")
+      .filter($"doc_id" % 7 === 0)
+      .select($"doc_id", $"text")
+    withStreamPartitions(spark) {
+      val q = stream.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val docs = batch.persist()
+            try CollectionCommit.commit(spark, colDir) { (_, _) =>
+              Bm25.appendIndex(spark, bmDir, docs, "doc_id", "text",
+                retainGens = Int.MaxValue)
+              VectorSearch.ivfAppendIndex(spark, ivfDir,
+                env.embeddings
+                  .join(docs.select($"doc_id".as("vec_id")),
+                    Seq("vec_id"), "left_semi")
+                  .select($"vec_id", $"embedding"),
+                retainGens = Int.MaxValue)
+              Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+            } finally { docs.unpersist(); () }
+          }
+      }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    CollectionCommit.gc(spark, colDir, keepGens = 1)
+    val m = CollectionCommit.currentManifest(spark, colDir).get
+    val bm = Bm25.serve(spark, bmDir, TextQueries.Bm25Workload, k = 10,
+        atGen = Some(m.members("bm25")))
+      .select(lit("bm25").as("member"), $"qid", $"rank",
+        $"doc_id".as("id"), $"score")
+    val ivf = VectorSearch.ivfServe(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embedding".as("qe")),
+        k = 5, atGen = Some(m.members("ivf")))
+      .select(lit("ivf").as("member"), $"qid".cast("string").as("qid"),
+        $"rank", $"vec_id".as("id"), $"cos".as("score"))
+    bm.unionByName(ivf).orderBy($"member", $"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -876,6 +952,22 @@ object StreamQueries {
     // — shares ann_mrl_append's oracle
     Q.sql("t20_mrl_ingest_stream", t20MrlIngestStream,
       AnnQueries.mrlRerankSql),
+
+    // collection-level streaming ingest: every micro-batch appends to
+    // BOTH hybrid legs inside one collection flip; each leg's exact
+    // append algebra composes across any batch slicing, so the entry
+    // shares t14's and t17's oracles unioned under a member column
+    Q.sql("t21_collection_ingest_stream", t21CollectionIngestStream,
+      s"""SELECT * FROM (
+         |  SELECT 'bm25' AS member, qid, rank,
+         |         CAST(doc_id AS BIGINT) AS id, score
+         |  FROM (${TextQueries.bm25TopkSql.linesIterator
+             .mkString("\n         |")}) b
+         |  UNION ALL
+         |  SELECT 'ivf', CAST(qid AS VARCHAR), rank, vec_id, cos
+         |  FROM (${AnnQueries.ivfAppendSql.linesIterator
+             .mkString("\n         |")}) v)
+         |ORDER BY member, qid, rank""".stripMargin),
 
     Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),

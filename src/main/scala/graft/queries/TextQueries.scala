@@ -1291,6 +1291,90 @@ object TextQueries {
       .orderBy($"col_gen", $"qid", $"rank")
   }
 
+  /** The COLLECTION MAINTENANCE RUN executed — the health cards'
+    * `compact_recommended` signal wired to action
+    * ([[graft.operators.CollectionMaintenance.run]]): build the
+    * hybrid deployment with real debt (bm25 built on a third +
+    * two appends = 3 postings segments; ivf built full, then a cross-
+    * index takedown of the % 17 == 3 set leaves ~5.9% tombstone mass
+    * on both), then run the nightly job at deployment thresholds
+    * (maxSegments 2, maxMaskedFrac 0.05) that flag BOTH members. The
+    * job compacts exactly the flagged members and flips ONE
+    * collection generation; the entry serves the hybrid workload at
+    * the post-maintenance pins with the flagged-member set stamped on
+    * every row. Compaction is pure reorganization, so the oracle is
+    * the from-scratch ranking over the surviving corpus — the same
+    * SQL the pre-maintenance snapshot serves (bit-equal by contract;
+    * the card-quiets-after and pre≡post serve equalities are pinned
+    * in CollectionCommitSpec). */
+  def collectionMaintenanceRun(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, CollectionMaintenance,
+      IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.{lit, slice, split}
+    val spark = env.spark
+    val terms: Seq[(String, Seq[String])] = env.documents
+      .filter($"doc_id" % 100 === 0 && $"doc_id" < 5000)
+      .select($"doc_id", slice(split($"text", " "), 1, 6).as("t6"))
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
+      .toSeq
+    val vq = env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val colDir = s"${StreamQueries.scratchBase}/col_maint"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    // one snapshot accumulates the week's debt: two keyword appends
+    // (exact additive merge) + the cross-index takedown in one flip
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.deleteDocs(spark, bmDir,
+        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+        retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+        retainGens = Int.MaxValue)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val flagged = CollectionMaintenance.run(spark, colDir,
+      Map("bm25" -> CollectionMaintenance.KeywordFamily,
+        "ivf" -> CollectionMaintenance.VectorFamily("cells", "cell")),
+      maxSegments = 2, maxMaskedFrac = 0.05)
+    val maintained = flagged.filter(_._2).keys.toSeq.sorted.mkString(",")
+    val m = CollectionCommit.currentManifest(spark, colDir).get
+    val text = Bm25
+      .serve(spark, bmDir, terms, k = 10, atGen = Some(m.members("bm25")))
+      .select($"qid".cast("long").as("qid"), $"doc_id",
+        $"rank".as("trank"))
+      .filter($"doc_id" =!= $"qid")
+    val ivfGen = m.members("ivf")
+    val nCells = IndexCommit
+      .readTableAt(spark, ivfDir, "centroids", ivfGen).count().toInt
+    val vec = VectorSearch
+      .ivfServe(spark, ivfDir, vq, k = 10, nProbe = nCells,
+        atGen = Some(ivfGen))
+      .select($"qid", $"vec_id".as("doc_id"), $"rank".as("vrank"))
+    fuseRrf(text, vec)
+      .withColumn("maintained", lit(maintained))
+      .select($"qid", $"rank", $"doc_id", $"rrf", $"maintained")
+      .orderBy($"qid", $"rank")
+  }
+
   /** Winnowing fingerprints over the corpus — see
     * [[graft.operators.TextAnalysis.winnowFingerprints]] for the
     * algorithm, guarantees, and the h52 hash recipe the oracle
@@ -2293,6 +2377,14 @@ object TextQueries {
     // snapshots served from pinned member generations; oracle = the
     // two from-scratch rankings (full corpus, surviving corpus)
     Q.sql("text_hybrid_takedown", textHybridTakedown, hybridTakedownSql),
+    // the nightly maintenance job executed: health cards flag both
+    // members, the job compacts exactly those and flips one collection
+    // generation; compaction is pure reorganization so the oracle is
+    // the surviving-corpus ranking (same core as the takedown serve)
+    Q.sql("collection_maintenance_run", collectionMaintenanceRun,
+      s"""SELECT s.*, 'bm25,ivf' AS maintained FROM (
+         |${hybridRrfCore("doc_id % 17 <> 3", "vec_id % 17 <> 3")}) s
+         |ORDER BY qid, rank""".stripMargin),
 
     // the maintenance advisor: segment/tombstone debt per manifest
     // table, flag → compactIndex → verified recovery; the oracle

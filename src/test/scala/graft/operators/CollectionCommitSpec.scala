@@ -417,6 +417,64 @@ class CollectionCommitSpec extends SparkSpec {
     } finally { rmRf(colDir); rmRf(idxDir) }
   }
 
+  test("maintenance run: compacts exactly the flagged members in one " +
+       "collection flip, serve is bit-equal, cards quiet after; a " +
+       "no-flag night flips nothing") {
+    val colDir = tmpDir("graft_col_maint")
+    try {
+      buildBoth(colDir)
+      // give ONLY the bm25 member segment debt (two appends of new
+      // docs) + a takedown masking both; ivf stays single-segment
+      // with a sub-threshold mask
+      CollectionCommit.commit(spark, colDir) { (_, cur) =>
+        Bm25.appendIndex(spark, CollectionCommit.memberDir(colDir, "bm25"),
+          Seq((5L, "red value table"), (6L, "blue fast")).toDF("doc_id", "text"),
+          "doc_id", "text", retainGens = Int.MaxValue)
+        Bm25.appendIndex(spark, CollectionCommit.memberDir(colDir, "bm25"),
+          Seq((7L, "green scan")).toDF("doc_id", "text"),
+          "doc_id", "text", retainGens = Int.MaxValue)
+        cur.get.members + ("bm25" ->
+          IndexCommit.currentManifest(spark,
+            CollectionCommit.memberDir(colDir, "bm25")).get.gen)
+      }
+      val preGen = CollectionCommit.currentManifest(spark, colDir).get.gen
+      val pre = servedDocs(colDir, preGen)
+      // thresholds: bm25's 3 postings segments > 2 flags it; ivf has
+      // 1 segment and no tombstones — quiet
+      val flagged = CollectionMaintenance.run(spark, colDir,
+        Map("bm25" -> CollectionMaintenance.KeywordFamily,
+          "ivf" -> CollectionMaintenance.VectorFamily("cells", "cell")),
+        maxSegments = 2)
+      assert(flagged == Map("bm25" -> true, "ivf" -> false))
+      val m = CollectionCommit.currentManifest(spark, colDir).get
+      assert(m.gen == preGen + 1, "maintenance must flip ONE generation")
+      // selective: the un-flagged member's pin carried forward verbatim
+      assert(m.members("ivf") ==
+        CollectionCommit.manifestAt(spark, colDir, preGen).members("ivf"))
+      // serve at the new pins is bit-equal to the pre-maintenance serve
+      assert(servedDocs(colDir, m.gen) == pre)
+      // the compacted member's card is quiet: one segment per table
+      val card = Bm25.healthCard(spark,
+          CollectionCommit.memberDir(colDir, "bm25"), maxSegments = 2)
+        .collect().map(r => r.getString(0) ->
+          (r.getInt(1), r.getBoolean(5))).toMap
+      assert(card.values.forall { case (segs, rec) => segs == 1 && !rec },
+        s"post-maintenance card must be quiet: $card")
+      // a second night with nothing flagged flips NO generation
+      val again = CollectionMaintenance.run(spark, colDir,
+        Map("bm25" -> CollectionMaintenance.KeywordFamily,
+          "ivf" -> CollectionMaintenance.VectorFamily("cells", "cell")),
+        maxSegments = 2)
+      assert(again == Map("bm25" -> false, "ivf" -> false))
+      assert(CollectionCommit.currentManifest(spark, colDir).get.gen
+        == m.gen, "a no-flag night must be a no-op")
+      // unknown member is a loud error
+      val ex = intercept[RuntimeException](CollectionMaintenance.run(
+        spark, colDir, Map("nope" -> CollectionMaintenance.KeywordFamily)))
+      assert(ex.getMessage.contains("pins no member"), ex.getMessage)
+    } finally rmRf(colDir)
+  }
+
   test("collection clone promotes every member at its pinned " +
        "generation; time travel composes") {
     val colDir = tmpDir("graft_col_clone_src")

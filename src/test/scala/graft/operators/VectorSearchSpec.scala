@@ -783,4 +783,74 @@ class VectorSearchSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("ivfFsck: clean lifecycle is all-ok; injected occupancy drift, " +
+       "duplicate ingest, and orphan tombstones flip the right flags") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 60).map { i =>
+      (i.toLong, i % 4, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fsck").toString
+    def fsck(): Map[String, (Long, Long, Boolean)] =
+      VectorSearch.ivfFsck(spark, dir, dim = 8).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    try {
+      VectorSearch.ivfWriteIndex(emb.filter($"vec_id" % 3 === 0), dir,
+        dim = 8)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 3 === 1), dim = 8)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 3 === 2), dim = 8)
+      VectorSearch.deleteVectors(spark, dir,
+        emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
+      val clean = fsck()
+      assert(clean.size == 7 && clean.values.forall(_._3),
+        s"clean lifecycle must fsck all-ok: $clean")
+      assert(clean("live_vecs") == (54L, 54L, true))
+      // INJECT occupancy drift: rewrite one append segment with one
+      // row moved to a wrong (but existing) cell — file-level
+      // corruption the commit protocol never produces
+      val seg = graft.operators.IndexCommit
+        .currentManifest(spark, dir).get.tables("cells")(1)
+      val rows = spark.read.option("basePath", s"$dir/$seg")
+        .parquet(s"$dir/$seg")
+        .select($"vec_id", $"embedding", $"cell".cast("int").as("cell"))
+        .as[(Long, Array[Float], Int)].collect()
+      val drifted = rows.zipWithIndex.map { case ((v, e, c), i) =>
+        (v, e, if (i == 0) (c + 1) % 4 else c)
+      }.toSeq.toDF("vec_id", "embedding", "cell")
+      drifted.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$seg")
+      val driftRun = fsck()
+      assert(driftRun("append_assignment_mismatches") == (0L, 1L, false),
+        s"injected drift must flip the assignment recount: $driftRun")
+      assert(driftRun("tombstones_orphaned")._3 &&
+        driftRun("duplicate_vec_rows")._3,
+        "drift injection must not flip unrelated invariants")
+      // INJECT duplicate ingest: re-append an id already present (the
+      // tombstone-disjointness gate doesn't see it — it's not deleted)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" === 1L), dim = 8)
+      val dupRun = fsck()
+      assert(dupRun("duplicate_vec_rows") == (0L, 1L, false),
+        s"duplicate ingest must flip the row/id recount: $dupRun")
+      assert(!dupRun("live_vecs")._3,
+        "a duplicate also breaks the masked/live algebra")
+      // INJECT an orphan tombstone: delete an id that was never
+      // ingested — it masks nothing
+      VectorSearch.deleteVectors(spark, dir,
+        Seq(999L).toDF("vec_id"))
+      val orphanRun = fsck()
+      assert(orphanRun("tombstones_orphaned")._2 == 1L &&
+        !orphanRun("tombstones_orphaned")._3,
+        s"an orphan tombstone must flip the recount: $orphanRun")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
