@@ -32,12 +32,16 @@ import org.apache.spark.sql.types._
   * stbl — codecs, sample tables, durations) and [[webmMeta]] walks
   * the EBML tree (DocType, TimecodeScale, TrackEntry, CodecID,
   * dimensions) as pure-JDK byte parsing — the triage-without-decode
-  * probe an intake pipeline runs to route video. Only the frame/
-  * pixel DECODE for these two stays STUBBED (no JDK VP8/VP9/H.264
-  * codec): [[sampleFrames]] chunks the payload deterministically;
-  * its Spark-side contract — schema, batching, partitioning,
-  * generator shape — is real and tested, and a codec implementation
-  * replaces only the body marked "STUB".
+  * probe an intake pipeline runs to route video. The MP4 DEMUX layer
+  * is real too: [[mp4Samples]] locates every sample's bytes through
+  * the stco/stsc/stsz algebra, and for the `raw ` rawvideo codec
+  * [[sampleMp4RawFrames]] turns those samples into true RGB24 pixels
+  * — so MP4 produces real pixels end to end for uncompressed video.
+  * Only the COMPRESSED-codec decode (VP8/VP9/H.264 — no JDK codec)
+  * stays STUBBED: [[sampleFrames]] chunks the payload
+  * deterministically; its Spark-side contract — schema, batching,
+  * partitioning, generator shape — is real and tested, and a codec
+  * implementation replaces only the body marked "STUB".
   */
 object Multimodal {
 
@@ -906,11 +910,22 @@ object Multimodal {
     * [[mp4Meta]] recovers counts/durations/codecs from a genuine box
     * walk, exactly what a corpus-intake probe runs before deciding
     * whether to decode at all.
+    *
+    * The chunk-offset table (stco) is REAL: each track's samples land
+    * consecutively in mdat as one chunk (the stsc shape declared
+    * below), and stco carries the chunk's true file offset — computed
+    * by a two-pass build (stco values are fixed-width, so the moov
+    * length is offset-independent). `payload` supplies the actual
+    * mdat body (must match the declared total sample bytes) — the
+    * rawvideo path stores real pixels there and [[mp4Samples]] gets
+    * them back by the same offsets a real demuxer would use; None
+    * keeps the deterministic opaque filler.
     * Tracks: (handlerType "vide"|"soun", codecFourcc, timescale,
     * sampleDelta, sampleSizes, width, height). */
   def mp4Bytes(movieTimescale: Long, movieDuration: Long,
                tracks: Seq[(String, String, Long, Long, Seq[Int], Int, Int)],
-               version1: Boolean = false)
+               version1: Boolean = false,
+               payload: Option[Array[Byte]] = None)
       : Array[Byte] = {
     // v1 full boxes carry 64-bit creation/modification/duration — the
     // layout real long-duration files use; mp4Meta must parse both
@@ -931,7 +946,7 @@ object Multimodal {
       be32(0L), be32(0L), be32(0x40000000L),
       Array.fill[Byte](24)(0),       // pre_defined
       be32(tracks.length + 1L))      // next_track_ID
-    val traks = tracks.zipWithIndex.map {
+    def buildTraks(chunkOffs: Seq[Long]) = tracks.zipWithIndex.map {
       case ((handler, codec, timescale, delta, sizes, w, h), i) =>
         val durTicks = sizes.length.toLong * delta
         val tkhd = mp4Box("tkhd",
@@ -967,20 +982,34 @@ object Multimodal {
           Array.concat(sizes.map(s => be32(s.toLong)): _*))
         val stsc = mp4Box("stsc", be32(0L), be32(1L),
           be32(1L), be32(sizes.length.toLong), be32(1L))
-        val stco = mp4Box("stco", be32(0L), be32(1L), be32(0L))
+        val stco = mp4Box("stco", be32(0L), be32(1L),
+          be32(chunkOffs(i)))
         val stbl = mp4Box("stbl", stsd, stts, stsz, stsc, stco)
         val minf = mp4Box("minf", stbl)
         val mdia = mp4Box("mdia", mdhd, hdlr, minf)
         mp4Box("trak", tkhd, mdia)
     }
-    val moov = mp4Box("moov", (mvhd +: traks): _*)
     val ftyp = mp4Box("ftyp", fourcc("isom"), be32(512L),
       fourcc("isom"), fourcc("mp41"))
-    // opaque sample payload: deterministic filler of the declared size
-    val mdatLen = tracks.flatMap(_._5).map(_.toLong).sum
-    val mdat = mp4Box("mdat",
+    // pass 1 sizes the moov (stco values are fixed-width, so the
+    // length is offset-independent); pass 2 writes the true offsets:
+    // track i's single chunk starts where the prior tracks' payloads
+    // end inside the mdat body
+    val moov0 = mp4Box("moov",
+      (mvhd +: buildTraks(Seq.fill(tracks.length)(0L))): _*)
+    val mdatBody = ftyp.length.toLong + moov0.length + 8L
+    val cum = tracks.map(_._5.map(_.toLong).sum).scanLeft(0L)(_ + _)
+    val moov = mp4Box("moov",
+      (mvhd +: buildTraks(tracks.indices.map(i => mdatBody + cum(i)))): _*)
+    require(moov.length == moov0.length,
+      "mp4Bytes: offset pass changed the moov length")
+    val mdatLen = cum.last
+    val body = payload.getOrElse(
       Array.tabulate[Byte](mdatLen.toInt)(i => (i % 251).toByte))
-    Array.concat(ftyp, moov, mdat)
+    require(body.length.toLong == mdatLen,
+      s"mp4Bytes: payload is ${body.length} bytes, the sample tables " +
+        s"declare $mdatLen")
+    Array.concat(ftyp, moov, mp4Box("mdat", body))
   }
 
   /** One parsed MP4 track: handler ("vide"/"soun"), codec fourcc from
@@ -1105,6 +1134,158 @@ object Multimodal {
       case _ => ()
     }
     (brand, mts, mdur, tracks.result())
+  }
+
+  /** One track's EXTRACTED sample payloads: handler/codec/dims from
+    * stsd, and each sample's bytes located through the real demuxer
+    * algebra — stco chunk offsets, stsc sample→chunk mapping, stsz
+    * sizes, consecutive within a chunk. */
+  final case class Mp4TrackSamples(handler: String, codec: String,
+                                   width: Int, height: Int,
+                                   samples: Seq[Array[Byte]])
+
+  /** Extract every track's sample payloads from an MP4 container —
+    * the demuxer step between [[mp4Meta]]'s triage probe and a codec:
+    * resolve each sample's file position from the sample tables
+    * (chunk offsets are ABSOLUTE file offsets per ISO 14496-12, so no
+    * mdat bookkeeping is needed) and slice the bytes out. Handles
+    * multi-entry stsc (runs of chunks sharing a samples-per-chunk)
+    * and both uniform and per-sample stsz. A sample whose resolved
+    * span leaves the buffer aborts that track's extraction (returns
+    * the samples located so far) — hostile tables never read out of
+    * bounds. For the `raw ` rawvideo codec the samples ARE the
+    * pixels, which is what makes [[sampleMp4RawFrames]] a real
+    * pixel-true MP4 path; compressed codecs still need the (stubbed)
+    * decoder downstream. */
+  def mp4Samples(bytes: Array[Byte]): Seq[Mp4TrackSamples] = {
+    val out = Seq.newBuilder[Mp4TrackSamples]
+    mp4Walk(bytes, 0, bytes.length) {
+      case ("moov", mfrom, mto) =>
+        mp4Walk(bytes, mfrom, mto) {
+          case ("trak", tfrom, tto) =>
+            var handler = ""; var codec = ""
+            var w = 0; var h = 0
+            var sizes: Array[Long] = Array.empty
+            var stscEntries: Array[(Long, Long)] = Array.empty
+            var chunkOffs: Array[Long] = Array.empty
+            mp4Walk(bytes, tfrom, tto) {
+              case ("mdia", dfrom, dto) =>
+                mp4Walk(bytes, dfrom, dto) {
+                  case ("hdlr", from, _) => handler = cc4(bytes, from + 8)
+                  case ("minf", ifrom, ito) =>
+                    mp4Walk(bytes, ifrom, ito) {
+                      case ("stbl", sfrom, sto) =>
+                        mp4Walk(bytes, sfrom, sto) {
+                          case ("stsd", from, _) =>
+                            if (u32(bytes, from + 4) >= 1L) {
+                              codec = cc4(bytes, from + 12)
+                              w = u16(bytes, from + 16 + 24)
+                              h = u16(bytes, from + 16 + 26)
+                            }
+                          case ("stsz", from, _) =>
+                            val uniform = u32(bytes, from + 4)
+                            val n = u32(bytes, from + 8).toInt
+                            sizes =
+                              if (uniform != 0L) Array.fill(n)(uniform)
+                              else Array.tabulate(n)(i =>
+                                u32(bytes, from + 12 + i * 4))
+                          case ("stsc", from, _) =>
+                            val n = u32(bytes, from + 4).toInt
+                            stscEntries = Array.tabulate(n)(i => (
+                              u32(bytes, from + 8 + i * 12),
+                              u32(bytes, from + 12 + i * 12)))
+                          case ("stco", from, _) =>
+                            val n = u32(bytes, from + 4).toInt
+                            chunkOffs = Array.tabulate(n)(i =>
+                              u32(bytes, from + 8 + i * 4))
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            // resolve samples chunk by chunk: chunk c (1-based) takes
+            // its samples-per-chunk from the last stsc entry whose
+            // first_chunk <= c; samples are consecutive from the
+            // chunk's stco offset
+            val samples = Seq.newBuilder[Array[Byte]]
+            var si = 0
+            var c = 0
+            var aborted = false
+            while (c < chunkOffs.length && si < sizes.length && !aborted) {
+              val perChunk = stscEntries
+                .filter(_._1 <= c + 1)
+                .lastOption.map(_._2.toInt).getOrElse(0)
+              var off = chunkOffs(c)
+              var j = 0
+              while (j < perChunk && si < sizes.length && !aborted) {
+                val len = sizes(si)
+                if (off < 0 || len < 0 || off + len > bytes.length)
+                  aborted = true // hostile table: never read past the buffer
+                else {
+                  samples += java.util.Arrays.copyOfRange(bytes,
+                    off.toInt, (off + len).toInt)
+                  off += len
+                  si += 1
+                  j += 1
+                }
+              }
+              c += 1
+            }
+            if (handler == "soun") { w = 0; h = 0 }
+            out += Mp4TrackSamples(handler, codec, w, h, samples.result())
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** REAL pixel decode from an MP4 container — the rawvideo path that
+    * shrinks the video stub to compressed codecs only: demux the
+    * `raw ` video track's samples ([[mp4Samples]]), interpret each as
+    * an RGB24 frame (w·h·3 bytes, row-major — the uncompressed
+    * sample-entry layout; size-mismatched samples are skipped, the
+    * honest malformed-input posture), keep every `everyN`-th, and
+    * report decoded dims + mean channel value (6dp HALF_UP, as
+    * [[sampleGifFrames]]). Lossless by construction, so the oracle
+    * pins the per-pixel means bit-exactly — unlike the MJPEG path's
+    * measured-through-a-lossy-codec contract. */
+  def sampleMp4RawFrames(media: DataFrame, everyN: Int = 2): DataFrame = {
+    require(everyN > 0,
+      s"sampleMp4RawFrames: everyN must be positive ($everyN)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        if (bytes == null) Nil
+        else try {
+          mp4Samples(bytes)
+            .filter(t => t.handler == "vide" && t.codec == "raw " &&
+              t.width > 0 && t.height > 0)
+            .flatMap { t =>
+              val frameLen = t.width.toLong * t.height * 3
+              (0 until t.samples.length by everyN).flatMap { f =>
+                val s = t.samples(f)
+                if (s.length.toLong != frameLen) None
+                else {
+                  var sum = 0L
+                  var i = 0
+                  while (i < s.length) { sum += s(i) & 0xff; i += 1 }
+                  val mean = java.math.BigDecimal
+                    .valueOf(sum.toDouble / frameLen)
+                    .setScale(6, java.math.RoundingMode.HALF_UP)
+                    .doubleValue()
+                  Some((id, f, t.width, t.height, mean))
+                }
+              }
+            }
+        } catch { case _: Exception => Nil }
+      }
+      .toDF("media_id", "frame_ordinal", "width", "height", "mean_rgb")
   }
 
   // ---- WebM (EBML) ----

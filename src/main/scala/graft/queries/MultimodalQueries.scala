@@ -235,6 +235,50 @@ object MultimodalQueries {
         $"n_samples", $"sample_bytes", $"width", $"height")
       .orderBy($"media_id", $"track_ordinal")
 
+  /** Deterministic RAWVIDEO MP4 corpus over `part`: per key a
+    * two-track container (a `raw ` RGB24 video track whose mdat
+    * payload IS the pixels, plus an opaque audio track so the chunk
+    * offsets cross track boundaries for real) with REAL stco file
+    * offsets. Pixel (x, y) of frame f carries
+    * (key·41 + f·23 + x·7 + y·3) mod 256 in all three channels — a
+    * per-pixel gradient, so the oracle's mean pins true pixel-level
+    * decode, not just frame slicing. */
+  private[graft] def mp4RawMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val n = (2 + key % 4).toInt
+        val w = (4 + key % 5).toInt
+        val h = (3 + key % 4).toInt
+        val frames = (0 until n).map { f =>
+          Array.tabulate[Byte](w * h * 3) { i =>
+            val p = i / 3
+            ((key * 41 + f * 23 + (p % w) * 7 + (p / w) * 3) % 256).toByte
+          }
+        }
+        val aN = (3 + key % 2).toInt
+        val aSizes = Seq.tabulate(aN)(i => (10 + (key + i) % 20).toInt)
+        val audio = Array.tabulate[Byte](aSizes.sum)(i =>
+          ((key + i) % 256).toByte)
+        (key, Multimodal.mp4Bytes(1000L, n * 100L, Seq(
+          ("vide", "raw ", 1000L, 100L, frames.map(_.length), w, h),
+          ("soun", "mp4a", 8000L, 1024L, aSizes, 0, 0)),
+          payload = Some(Array.concat(frames :+ audio: _*))))
+      }.toDF("media_id", "content")
+  }
+
+  /** REAL pixels out of an MP4 end to end: container write (true stco
+    * offsets) → sample-table demux ([[Multimodal.mp4Samples]]) →
+    * RGB24 interpretation → per-frame dims + gradient mean, every 2nd
+    * frame. Lossless, so the oracle recomputes the means bit-exactly
+    * from the planted per-pixel pattern — the video stub now covers
+    * compressed codecs only. */
+  def mmVideoRawFrames(env: Env): DataFrame =
+    Multimodal.sampleMp4RawFrames(mp4RawMedia(env), everyN = 2)
+      .orderBy($"media_id", $"frame_ordinal")
+
   /** Deterministic WebM corpus over `part`: per key one video
     * TrackEntry whose codec, dimensions and float64 duration follow
     * fixed recurrences; real EBML varint encoding throughout. */
@@ -375,6 +419,26 @@ object MultimodalQueries {
         |  FROM k)
         |SELECT * FROM (SELECT * FROM v UNION ALL SELECT * FROM a)
         |ORDER BY media_id, track_ordinal""".stripMargin),
+
+    // real pixels through the MP4 demux algebra: the oracle replants
+    // the per-pixel gradient and recomputes every kept frame's mean
+    Q.sql("mm_video_raw_frames", mmVideoRawFrames,
+      """WITH k AS (SELECT CAST(p_partkey AS BIGINT) AS key FROM part),
+        |m AS (SELECT key, CAST(2 + key % 4 AS INT) AS n,
+        |        CAST(4 + key % 5 AS INT) AS w,
+        |        CAST(3 + key % 4 AS INT) AS h
+        |      FROM k),
+        |f AS (SELECT key, w, h,
+        |        CAST(unnest(range(0, n)) AS INT) AS frame_ordinal
+        |      FROM m)
+        |SELECT key AS media_id, frame_ordinal, w AS width, h AS height,
+        |  round(CAST(list_sum(list_transform(range(0, w * h), i ->
+        |      (key * 41 + frame_ordinal * 23 + (i % w) * 7
+        |       + (i // w) * 3) % 256)) AS DOUBLE) / (w * h), 6)
+        |    AS mean_rgb
+        |FROM f
+        |WHERE frame_ordinal % 2 = 0
+        |ORDER BY media_id, frame_ordinal""".stripMargin),
 
     Q.sql("mm_video_webm_meta", mmVideoWebmMeta,
       """SELECT CAST(p_partkey AS BIGINT) AS media_id,

@@ -319,6 +319,75 @@ class MultimodalSpec extends SparkSpec {
       v1._4.head.durationTicks == 12000L)
   }
 
+  test("MP4 demux: stco/stsc/stsz algebra recovers every sample's " +
+       "exact bytes across tracks; hostile offsets never read out") {
+    // two tracks with per-sample sizes: the payload is the tracks'
+    // samples concatenated in track order
+    val v = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5),
+      Array[Byte](6, 7, 8, 9))
+    val a = Seq(Array[Byte](10), Array[Byte](11, 12))
+    val payload = Array.concat((v ++ a): _*)
+    val bytes = Multimodal.mp4Bytes(1000L, 300L, Seq(
+      ("vide", "raw ", 1000L, 100L, v.map(_.length), 1, 1),
+      ("soun", "mp4a", 8000L, 1024L, a.map(_.length), 0, 0)),
+      payload = Some(payload))
+    val tracks = Multimodal.mp4Samples(bytes)
+    assert(tracks.length == 2)
+    assert(tracks(0).handler == "vide" && tracks(0).codec == "raw ")
+    assert(tracks(0).samples.map(_.toSeq) == v.map(_.toSeq))
+    assert(tracks(1).handler == "soun")
+    assert(tracks(1).samples.map(_.toSeq) == a.map(_.toSeq))
+    // a payload that disagrees with the declared sizes is a loud error
+    intercept[IllegalArgumentException](Multimodal.mp4Bytes(1000L, 300L,
+      Seq(("vide", "raw ", 1000L, 100L, Seq(5), 1, 1)),
+      payload = Some(Array[Byte](1, 2))))
+    // hostile stco (offset past the buffer) aborts that track's
+    // extraction without reading out of bounds
+    val hostile = bytes.clone()
+    // find the first stco payload (offset field lives 8 bytes into
+    // its body) and poison it
+    val idx = {
+      val pat = "stco".getBytes("US-ASCII")
+      (0 until hostile.length - 4).find(i =>
+        pat.indices.forall(j => hostile(i + j) == pat(j))).get
+    }
+    hostile(idx + 12) = 0x7f.toByte // first offset byte -> huge
+    val tr = Multimodal.mp4Samples(hostile)
+    assert(tr.head.samples.isEmpty,
+      "a poisoned chunk offset must yield no samples, not a crash")
+  }
+
+  test("MP4 rawvideo frames: demuxed samples decode to true RGB24 " +
+       "pixel means; mismatched and compressed tracks are skipped") {
+    import spark.implicits._
+    val w = 3; val h = 2
+    def frame(f: Int): Array[Byte] =
+      Array.tabulate[Byte](w * h * 3) { i =>
+        val p = i / 3
+        ((f * 50 + (p % w) * 10 + (p / w) * 5) % 256).toByte
+      }
+    val frames = (0 until 4).map(frame)
+    val good = Multimodal.mp4Bytes(1000L, 400L, Seq(
+      ("vide", "raw ", 1000L, 100L, frames.map(_.length), w, h)),
+      payload = Some(Array.concat(frames: _*)))
+    // an avc1 (compressed) track must NOT be pixel-decoded
+    val compressed = Multimodal.mp4Bytes(1000L, 400L, Seq(
+      ("vide", "avc1", 1000L, 100L, frames.map(_.length), w, h)),
+      payload = Some(Array.concat(frames: _*)))
+    val media = Seq((1L, good), (2L, compressed))
+      .toDF("media_id", "content")
+    val out = Multimodal.sampleMp4RawFrames(media, everyN = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))).toSet
+    def mean(f: Int): Double = {
+      val s = frame(f).map(_ & 0xff).map(_.toLong).sum
+      java.math.BigDecimal.valueOf(s.toDouble / (w * h * 3))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(out == Set((1L, 0, w, h, mean(0)), (1L, 2, w, h, mean(2))),
+      s"raw frames must decode to exact means: $out")
+  }
+
   test("WebM unknown-size Segment (streamed form): the all-ones VINT " +
        "resolves to the enclosing region end") {
     val streamed = Multimodal.webmBytes("V_VP8", 640, 360, 4200.0,
