@@ -46,11 +46,35 @@ object ShuffleStats {
     Tables.names.foreach(t =>
       try warmEnv.table(t).count() catch { case _: Throwable => () })
 
+    // Deliberately hub-skewed closure (pseudo-query "j9_hub_skew"):
+    // the sf-derived equivalency graph PLUS one celebrity identifier
+    // owning 10^4 edges — the skew shape the closure's Scaladoc argues
+    // AQE absorbs; this measures it (SCALING.md row). Seeds include
+    // the hub so its edges sit on the hot path at every level.
+    def hubSkewClosure(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, max => smax}
+      val env = Env(spark, sfDir)
+      val n = env.customer.agg(smax(col("c_custkey"))).head().getLong(0) + 1
+      val base = env.customer.select(
+        col("c_custkey").as("src"),
+        ((col("c_custkey") * 3 + 7) % n).as("dst"),
+        (lit(0.75) + (col("c_custkey") % 5).cast("double") * 0.05)
+          .as("strength"))
+      val hub = spark.range(1, 10001).select(
+        lit(0L).as("src"), ((col("id") * 37 + 11) % n).as("dst"),
+        lit(0.9).as("strength"))
+      val seeds = env.customer.filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("seed"))
+      graft.operators.EquivalencyClosure.closure(
+        base.unionByName(hub), seeds, levels = 6, threshold = 0.5)
+    }
+
     def mb(b: Long): String = f"${b / 1e6}%.1f"
     for (name <- names) {
       stages.synchronized(stages.clear())
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      (if (name == "j9_hub_skew") hubSkewClosure()
+       else SparkEntry.queries(name)(spark, sfDir)).count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // listener bus drains asynchronously
       val rows = stages.synchronized(stages.toVector)

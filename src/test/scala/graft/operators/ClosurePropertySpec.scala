@@ -112,4 +112,90 @@ class ClosurePropertySpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("hub skew: per-level partition balance is measured — AQE bounds " +
+       "any task's join input; without it one task owns the hub") {
+    // The closure's Scaladoc argues AQE absorbs celebrity-identifier
+    // skew; this measures the per-LEVEL task balance with a listener:
+    // per-task shuffle-read records of the level-join stages. With the
+    // skew split enabled no task reads more than a bounded slice of
+    // the hub's rows; with it disabled a single task reads the whole
+    // hub partition — the contrast that makes the posture measured,
+    // not asserted.
+    val hub = (1 to 3000).map(i => (0L, i.toLong, 0.9))
+    val rest = (3001 to 3999).map(i => (i.toLong, i.toLong + 1, 0.9))
+    val edges = (hub ++ rest).toDF("src", "dst", "strength")
+    val bi = edges.unionByName(
+      edges.select($"dst".as("src"), $"src".as("dst"), $"strength"))
+    val nodes = (0L to 4000L).toDF("seed")
+      .select($"seed", $"seed".as("node"),
+              org.apache.spark.sql.functions.lit(1.0).as("strength"))
+    val reads =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) reads.synchronized {
+          reads += ((te.stageId,
+            te.taskMetrics.shuffleReadMetrics.recordsRead)): Unit
+        }
+    }
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    // per-task reads of the LEVEL-JOIN stage alone: the stage reading
+    // both exchanged inputs is the one whose task reads sum to at
+    // least the join's total input (frontier 4001 + bi 7998 rows,
+    // plus any skew-split duplication) — the downstream agg/count
+    // stages read far less (grouped rows)
+    def measure(): Seq[Long] = {
+      reads.synchronized(reads.clear())
+      EquivalencyClosure.step(nodes, bi, 0.0).count(): Unit
+      Thread.sleep(1000) // the listener bus drains asynchronously
+      reads.synchronized(reads.toSeq)
+        .groupBy(_._1).values.map(_.map(_._2).filter(_ > 0))
+        .filter(_.sum >= 11000L)
+        .minByOption(_.sum) // the join stage, not a wider downstream sum
+        .getOrElse(Seq.empty)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "3KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "3KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val balanced = measure()
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val lopsided = measure()
+      // without the split one task owns the hub partition (~3000 hub
+      // rows + its hash share + the frontier side)
+      assert(lopsided.max >= 3000L,
+        s"without the split one task must own the hub partition " +
+          s"(max=${lopsided.max}) — otherwise this test measures nothing")
+      // with the split the join runs MORE tasks and the heaviest one
+      // reads a strictly bounded fraction of the unsplit hub task —
+      // split granularity is per-mapper shuffle blocks, so the bound
+      // is relative, not an absolute slice size
+      assert(balanced.size > lopsided.size,
+        s"the hub partition must split across more tasks: " +
+          s"${balanced.size} vs ${lopsided.size}")
+      assert(balanced.nonEmpty && balanced.max < (lopsided.max * 3) / 4,
+        s"AQE skew split must bound per-task join input: " +
+          s"max=${balanced.max} vs unsplit max=${lopsided.max}")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
