@@ -542,9 +542,12 @@ object Bm25 {
     * Run it after any maintenance window; a FALSE row is corruption
     * (or a bug in a delta path) caught before it serves. */
   def fsck(spark: org.apache.spark.sql.SparkSession,
-           dir: String): DataFrame = {
-    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
-      s"fsck: no committed index at $dir"))
+           dir: String, atGen: Option[Long] = None): DataFrame = {
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"fsck: no committed index at $dir"))
+    }
     def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
     val postings = table("postings")
     val live =

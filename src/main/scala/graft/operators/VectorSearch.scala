@@ -1474,10 +1474,13 @@ object VectorSearch {
     * window; a FALSE row is corruption (or a bug in a delta path)
     * caught before it serves. */
   def ivfFsck(spark: org.apache.spark.sql.SparkSession, dir: String,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, atGen: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val m = IndexCommit.currentManifest(spark, dir).getOrElse(sys.error(
-      s"ivfFsck: no committed index at $dir"))
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"ivfFsck: no committed index at $dir"))
+    }
     def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
     val cells = table("cells").select(col("cell").cast("int").as("cell"),
       col("vec_id"), col("embedding"))
@@ -1576,6 +1579,102 @@ object VectorSearch {
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
       .unionByName(check("zero_norm_rows", lit(0L), col("zero_norm")))
+  }
+
+  /** FSCK for the IVFPQ family — the structural/meta algebra of the
+    * two-stage-quantized index CHECKED against the physical files
+    * ([[ivfFsck]]'s discipline; the codes table stores encodings, not
+    * embeddings, so the checkable surface is the quantization
+    * geometry rather than an assignment recount):
+    *
+    *  - `live_vecs`: physical code rows − tombstones vs the
+    *    tombstone-masked distinct-id recount;
+    *  - `duplicate_vec_rows`: one code row per vector;
+    *  - `cells_without_centroid`: every coarse cell in the codes
+    *    table has a centroid row (a serve could never probe an
+    *    orphan cell);
+    *  - `code_width_violations`: every codes array has exactly
+    *    meta's m entries;
+    *  - `code_range_violations`: every code indexes a valid codebook
+    *    entry (0 ≤ code < nCells);
+    *  - `codebook_duplicate_entries`: one codebook centroid per
+    *    (subspace, code);
+    *  - `codebook_subspaces`: the codebook covers exactly meta's m
+    *    subspaces;
+    *  - `tombstones_orphaned`: every tombstone masks a physical row.
+    *
+    * All distributed aggregates under the constant-key scalar join;
+    * the only driver read is the one-row meta. */
+  def ivfPqFsck(spark: org.apache.spark.sql.SparkSession, dir: String,
+                atGen: Option[Long] = None): DataFrame = {
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"ivfPqFsck: no committed index at $dir"))
+    }
+    def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val meta = table("meta").head()
+    val (mm, nCells) = (meta.getInt(0), meta.getInt(1))
+    val codes = table("codes").select(col("cell").cast("int").as("cell"),
+      col("vec_id"), col("codes"))
+    val hasTomb = m.tables.contains("tombstones")
+    val rowAgg = codes.agg(
+      count(lit(1)).cast("long").as("phys_rows"),
+      countDistinct(col("vec_id")).cast("long").as("phys_ids"),
+      sum(when(size(col("codes")) =!= mm, 1L).otherwise(0L))
+        .cast("long").as("width_bad"),
+      sum(when(exists(col("codes"),
+          c => c < 0 || c >= nCells), 1L).otherwise(0L))
+        .cast("long").as("range_bad"))
+    val maskedAgg =
+      if (hasTomb) table("tombstones")
+        .agg(count(lit(1)).cast("long").as("masked"))
+      else spark.range(1).select(col("id").as("masked"))
+    val liveAgg =
+      (if (hasTomb) codes.join(table("tombstones"), Seq("vec_id"),
+        "left_anti")
+       else codes)
+        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
+    val orphanAgg =
+      if (hasTomb) table("tombstones")
+        .join(codes.select(col("vec_id")).distinct(), Seq("vec_id"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("orphaned"))
+      else spark.range(1).select(col("id").as("orphaned"))
+    val noCentAgg = codes.select(col("cell")).distinct()
+      .join(table("centroids")
+        .select(col("cell").cast("int").as("cell")), Seq("cell"),
+        "left_anti")
+      .agg(count(lit(1)).cast("long").as("cells_wo_centroid"))
+    val cbAgg = table("codebooks").agg(
+      count(lit(1)).cast("long").as("cb_rows"),
+      countDistinct(col("subspace"), col("cell")).cast("long")
+        .as("cb_keys"),
+      countDistinct(col("subspace")).cast("long").as("cb_subspaces"))
+    val seed = spark.range(1).toDF("_one")
+    val scalars = Seq(rowAgg, maskedAgg, liveAgg, orphanAgg, noCentAgg,
+      cbAgg).foldLeft(seed)(PlanHints.withScalars)
+    def check(name: String, expected: Column,
+              actual: Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        expected.cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (expected === actual).as("ok"))
+    check("cells_without_centroid", lit(0L), col("cells_wo_centroid"))
+      .unionByName(check("code_range_violations", lit(0L),
+        col("range_bad")))
+      .unionByName(check("code_width_violations", lit(0L),
+        col("width_bad")))
+      .unionByName(check("codebook_duplicate_entries", lit(0L),
+        col("cb_rows") - col("cb_keys")))
+      .unionByName(check("codebook_subspaces", lit(mm.toLong),
+        col("cb_subspaces")))
+      .unionByName(check("duplicate_vec_rows", lit(0L),
+        col("phys_rows") - col("phys_ids")))
+      .unionByName(check("live_vecs", col("phys_rows") - col("masked"),
+        col("live_re")))
+      .unionByName(check("tombstones_orphaned", lit(0L),
+        col("orphaned")))
   }
 
   /** [[ivfServe]] at a probe budget DERIVED from a recall floor — the

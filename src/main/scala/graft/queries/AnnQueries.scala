@@ -378,6 +378,31 @@ object AnnQueries {
     bm.unionByName(ivf).orderBy($"member", $"qid")
   }
 
+  /** IVFPQ FSCK as a verified entry — [[annIndexFsck]]'s discipline
+    * on the two-stage-quantized family
+    * ([[graft.operators.VectorSearch.ivfPqFsck]]): after a build +
+    * append + takedown, check the codes table's structural algebra
+    * (one row per vector, every codes array exactly m wide, every
+    * code a valid codebook index, every coarse cell backed by a
+    * centroid), the codebook's (subspace, code) uniqueness and
+    * subspace coverage against the maintained meta, and the
+    * tombstone mask against a live recount. The codes table stores
+    * encodings, not embeddings, so this is the honest checkable
+    * surface for the quantized leg. */
+  def annIvfPqFsck(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/ivfpq_fsck_index"
+    VectorSearch.ivfPqWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    VectorSearch.ivfPqAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.ivfPqFsck(spark, dir)
+      .withColumnRenamed("check", "invariant")
+      .orderBy($"invariant")
+  }
+
   /** Promotion of the VECTOR index — [[annIvfDelete]]'s state
     * (build + takedown) cloned into a fresh serving directory via
     * [[graft.operators.IndexCommit.cloneSnapshot]] and served from
@@ -2525,6 +2550,30 @@ object AnnQueries {
          |  UNION ALL
          |  SELECT 'ivf', * FROM ivfcard)
          |ORDER BY member, qid""".stripMargin),
+    // the quantized leg's structural fsck: codes-table, codebook and
+    // tombstone algebra vs the maintained meta, recounted from disk
+    Q.sql("ann_ivfpq_fsck", annIvfPqFsck,
+      """WITH v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 <> 3) AS live)
+        |SELECT * FROM (
+        |  SELECT 'cells_without_centroid' AS invariant,
+        |         CAST(0 AS BIGINT) AS expected,
+        |         CAST(0 AS BIGINT) AS actual, TRUE AS ok
+        |  UNION ALL SELECT 'code_range_violations', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'code_width_violations', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'codebook_duplicate_entries',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'codebook_subspaces', CAST(8 AS BIGINT),
+        |         CAST(8 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'duplicate_vec_rows', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'live_vecs', live, live, TRUE FROM v
+        |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE)
+        |ORDER BY invariant""".stripMargin),
     // compaction is pure reorganization: same rows, same oracle
     Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),
 

@@ -1291,6 +1291,70 @@ object TextQueries {
       .orderBy($"col_gen", $"qid", $"rank")
   }
 
+  /** COLLECTION-level FSCK — the whole hybrid deployment's
+    * recount-vs-maintained audit in one report: [[graft.operators
+    * .Bm25.fsck]] (stats/df recounts over tombstone-masked postings)
+    * and [[graft.operators.VectorSearch.ivfFsck]] (occupancy/
+    * assignment/tombstone recounts over the cell files) unioned under
+    * a `member` column, each leg checked AT THE GENERATION the
+    * collection manifest pins — so the audit describes one consistent
+    * cross-index snapshot (the pinning discipline of
+    * `collection_index_health` applied to the integrity check an
+    * operator runs after every maintenance window). Scenario: both
+    * members built on a third, grown by two appends and hit by the
+    * % 17 == 3 takedown inside one collection flip — the full delta
+    * algebra on both legs, then CHECKED against the physical files. */
+  def collectionFsck(env: Env): DataFrame = {
+    import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.lit
+    val spark = env.spark
+    val colDir = s"${StreamQueries.scratchBase}/col_fsck"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
+        "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(
+        env.embeddings.filter($"vec_id" % 3 === 0), ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.appendIndex(spark, bmDir,
+        env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+        retainGens = Int.MaxValue)
+      Bm25.deleteDocs(spark, bmDir,
+        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+        retainGens = Int.MaxValue)
+      VectorSearch.ivfAppendIndex(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 3 === 1),
+        retainGens = Int.MaxValue)
+      VectorSearch.ivfAppendIndex(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 3 === 2),
+        retainGens = Int.MaxValue)
+      VectorSearch.deleteVectors(spark, ivfDir,
+        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+        retainGens = Int.MaxValue)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    val pins = CollectionCommit.currentManifest(spark, colDir).get.members
+    val bm = Bm25.fsck(spark, bmDir, atGen = Some(pins("bm25")))
+      .select(lit("bm25").as("member"), $"check".as("invariant"),
+        $"expected", $"actual", $"ok")
+    val ivf = VectorSearch.ivfFsck(spark, ivfDir,
+        atGen = Some(pins("ivf")))
+      .select(lit("ivf").as("member"), $"check".as("invariant"),
+        $"expected", $"actual", $"ok")
+    bm.unionByName(ivf).orderBy($"member", $"invariant")
+  }
+
   /** The COLLECTION MAINTENANCE RUN executed — the health cards'
     * `compact_recommended` signal wired to action
     * ([[graft.operators.CollectionMaintenance.run]]): build the
@@ -2288,6 +2352,50 @@ object TextQueries {
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE FROM v)
         |ORDER BY invariant""".stripMargin),
+
+    // the whole hybrid deployment's integrity audit at pinned
+    // collection generations: both members' recount-vs-maintained
+    // invariants under one member column
+    Q.sql("collection_fsck", collectionFsck,
+      """WITH t AS (SELECT doc_id,
+        |             string_split(coalesce(text, ''), ' ') AS s
+        |           FROM documents WHERE doc_id % 17 <> 3),
+        |d AS (SELECT doc_id, len(s) AS dl FROM t),
+        |pairs AS (SELECT DISTINCT doc_id, u.term AS term
+        |          FROM t, unnest(s) AS u(term)),
+        |v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+        |  (SELECT CAST(sum(dl) AS BIGINT) FROM d) AS sum_dl,
+        |  (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM pairs)
+        |    AS n_terms,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 <> 3) AS live_v)
+        |SELECT * FROM (
+        |  SELECT 'bm25' AS member, 'stats_n_docs' AS invariant,
+        |         n_docs AS expected, n_docs AS actual, TRUE AS ok FROM v
+        |  UNION ALL SELECT 'bm25', 'stats_sum_dl', sum_dl, sum_dl,
+        |         TRUE FROM v
+        |  UNION ALL SELECT 'bm25', 'df_terms', n_terms, n_terms,
+        |         TRUE FROM v
+        |  UNION ALL SELECT 'bm25', 'df_mismatch_terms',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'bm25', 'tombstones_orphaned',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'append_assignment_mismatches',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'cells_without_centroid',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'centroid_duplicate_cells',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'duplicate_vec_rows',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'live_vecs', live_v, live_v,
+        |         TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'tombstones_orphaned',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT 'ivf', 'zero_norm_rows',
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v)
+        |ORDER BY member, invariant""".stripMargin),
 
     // per-query live vs physical candidate volume from the df deltas
     // — the takedown read-amplification, quantified per workload query

@@ -853,4 +853,60 @@ class VectorSearchSpec extends SparkSpec {
       rm(new java.io.File(dir))
     }
   }
+
+  test("ivfPqFsck: clean lifecycle is all-ok; a poisoned code value " +
+       "and an orphan tombstone flip the right flags") {
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 120).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+      .withColumn("label", ($"vec_id" % 4).cast("int"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_fsck").toString
+    def fsck(): Map[String, (Long, Long, Boolean)] =
+      VectorSearch.ivfPqFsck(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    try {
+      VectorSearch.ivfPqWriteIndex(emb.filter($"vec_id" % 7 =!= 0), dir,
+        m = 4, nCells = 8, dim = 16)
+      VectorSearch.ivfPqAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 7 === 0))
+      VectorSearch.deleteVectors(spark, dir,
+        emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
+      val clean = fsck()
+      assert(clean.size == 8 && clean.values.forall(_._3),
+        s"clean lifecycle must fsck all-ok: $clean")
+      assert(clean("codebook_subspaces") == (4L, 4L, true))
+      assert(clean("live_vecs") == (108L, 108L, true))
+      // INJECT a poisoned code (out of the codebook's range) into the
+      // append segment — file-level corruption the commit never writes
+      val seg = graft.operators.IndexCommit
+        .currentManifest(spark, dir).get.tables("codes")(1)
+      val rows = spark.read.option("basePath", s"$dir/$seg")
+        .parquet(s"$dir/$seg")
+        .select($"vec_id", $"codes", $"cell".cast("int").as("cell"))
+        .as[(Long, Array[Int], Int)].collect()
+      val poisoned = rows.zipWithIndex.map { case ((v, c, cell), i) =>
+        (v, if (i == 0) c.updated(0, 99) else c, cell)
+      }.toSeq.toDF("vec_id", "codes", "cell")
+      poisoned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$seg")
+      val bad = fsck()
+      assert(bad("code_range_violations") == (0L, 1L, false),
+        s"a poisoned code must flip the range check: $bad")
+      assert(bad("code_width_violations")._3,
+        "the width check must not flip on a range poison")
+      // INJECT an orphan tombstone
+      VectorSearch.deleteVectors(spark, dir, Seq(999L).toDF("vec_id"))
+      val orphan = fsck()
+      assert(orphan("tombstones_orphaned")._2 == 1L &&
+        !orphan("tombstones_orphaned")._3, s"orphan must flip: $orphan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
