@@ -381,6 +381,112 @@ object TextDedup {
                            retainGens: Int = 1): Unit =
     IndexCommit.appendTombstones(spark, dir, ids, "doc_id", retainGens)
 
+  /** FSCK for the persisted dedup index — the recount-vs-maintained
+    * audit ([[Bm25.fsck]]'s discipline) with a FULL derivation
+    * recount: band keys are pure functions of the stored shingle sets
+    * under the frozen (k, bands) geometry, so the audit re-derives
+    * every document's keys from the `shingles` table (the exact
+    * [[bandKeysOf]] the build/append kernels use) and compares them
+    * against the physical `bands` rows. One row per invariant:
+    *
+    *  - `band_key_mismatches`: stored key ≠ re-derived key (a drifted
+    *    band row would admit/miss candidates silently);
+    *  - `n_sh_mismatches`: the bands table's maintained shingle count
+    *    vs the stored set's true size (the length prefilter's input);
+    *  - `band_count_violations`: docs with ≠ `bands` band rows
+    *    (missing or duplicated rows both admit wrong candidates);
+    *  - `band_shingle_unmatched`: (doc, band) present on one side of
+    *    the bands⋈shingles join only — a torn write;
+    *  - `duplicate_shingle_rows`: one shingle set per doc;
+    *  - `tombstones_orphaned`: every tombstone masks a physical doc;
+    *  - `live_docs`: physical docs − tombstones vs the masked
+    *    recount.
+    *
+    * All distributed (the recount is one kernel pass over shingles);
+    * composed into one lazy plan via the constant-key scalar join. */
+  def dedupFsck(spark: org.apache.spark.sql.SparkSession, dir: String,
+                atGen: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"dedupFsck: no committed index at $dir"))
+    }
+    def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val meta = table("meta").head()
+    val (k, bands) =
+      (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val bandsT = table("bands").select(col("doc_id"),
+      col("band").cast("int").as("band"), col("key"),
+      col("n_sh").cast("int").as("n_sh"))
+    val shT = table("shingles").select(col("doc_id"), col("sh"))
+    val hasTomb = m.tables.contains("tombstones")
+    val recomputed = shT.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val (as, bs) = bandSeeds(k)
+        it.flatMap { case (d, hs) =>
+          val keys = bandKeysOf(hs, k, bands, as, bs)
+          (0 until bands).iterator.map(b => (d, b, keys(b), hs.length))
+        }
+      }
+      .toDF("doc_id", "band", "rkey", "rn_sh")
+    val cmpAgg = bandsT.join(recomputed, Seq("doc_id", "band"),
+        "full_outer")
+      .agg(
+        coalesce(sum(when(col("key").isNull || col("rkey").isNull, 1L)
+          .otherwise(0L)), lit(0L)).cast("long").as("unmatched"),
+        coalesce(sum(when(col("key").isNotNull && col("rkey").isNotNull
+          && col("key") =!= col("rkey"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("key_mm"),
+        coalesce(sum(when(col("n_sh").isNotNull && col("rn_sh").isNotNull
+          && col("n_sh") =!= col("rn_sh"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("nsh_mm"))
+    val perDocAgg = bandsT.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"))
+      .agg(
+        coalesce(sum(when(col("nb") =!= bands, 1L).otherwise(0L)),
+          lit(0L)).cast("long").as("band_count_bad"),
+        count(lit(1)).cast("long").as("phys_docs"))
+    val dupShAgg = shT.agg(
+      (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
+        .as("dup_sh"))
+    val maskedAgg =
+      if (hasTomb) table("tombstones")
+        .agg(count(lit(1)).cast("long").as("masked"))
+      else spark.range(1).select(col("id").as("masked"))
+    val liveAgg =
+      (if (hasTomb) bandsT.select(col("doc_id")).distinct()
+        .join(table("tombstones"), Seq("doc_id"), "left_anti")
+       else bandsT.select(col("doc_id")).distinct())
+        .agg(count(lit(1)).cast("long").as("live_re"))
+    val orphanAgg =
+      if (hasTomb) table("tombstones")
+        .join(bandsT.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("orphaned"))
+      else spark.range(1).select(col("id").as("orphaned"))
+    val seed = spark.range(1).toDF("_one")
+    val scalars = Seq(cmpAgg, perDocAgg, dupShAgg, maskedAgg, liveAgg,
+      orphanAgg).foldLeft(seed)(PlanHints.withScalars)
+    def check(name: String, expected: Column,
+              actual: Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        expected.cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (expected === actual).as("ok"))
+    check("band_count_violations", lit(0L), col("band_count_bad"))
+      .unionByName(check("band_key_mismatches", lit(0L), col("key_mm")))
+      .unionByName(check("band_shingle_unmatched", lit(0L),
+        col("unmatched")))
+      .unionByName(check("duplicate_shingle_rows", lit(0L),
+        col("dup_sh")))
+      .unionByName(check("live_docs", col("phys_docs") - col("masked"),
+        col("live_re")))
+      .unionByName(check("n_sh_mismatches", lit(0L), col("nsh_mm")))
+      .unionByName(check("tombstones_orphaned", lit(0L),
+        col("orphaned")))
+  }
+
   /** Serve an increment against the persisted dedup index — the
     * build-once/check-nightly twin of [[minhashNearDupAgainst]]:
     * increment band keys equi-join the persisted `bands` table
@@ -542,37 +648,56 @@ object TextDedup {
       .toDF("doc_id", "sh")
   }
 
+  /** Per-band LSH keys from a document's distinct shingle hashes
+    * under the frozen (k, bands) geometry — the single derivation
+    * shared by the build/append kernels AND [[dedupFsck]]'s recount
+    * (the fsck re-derives keys from the STORED shingle sets, so build
+    * and audit cannot silently drift apart). Seed constants are fixed
+    * odd multipliers/offsets; keys fold per band via FNV-1a. */
+  /** The fixed minhash seed mix for a k-permutation geometry —
+    * computed once per partition, never per document. */
+  private[graft] def bandSeeds(k: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(k)(i => (0x9E3779B97F4A7C15L * (i + 1)) | 1L),
+    Array.tabulate(k)(i => 0xC2B2AE3D27D4EB4FL * (i + 7)))
+
+  private[graft] def bandKeysOf(hs: Array[Long], k: Int, bands: Int,
+                                as: Array[Long],
+                                bs: Array[Long]): Array[Long] = {
+    val rows = k / bands
+    val sig = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    while (s < hs.length) {
+      val h = hs(s)
+      var j = 0
+      while (j < k) {
+        val hj = as(j) * h + bs(j)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+      s += 1
+    }
+    Array.tabulate(bands) { b =>
+      var key = 0xCBF29CE484222325L ^ b
+      var r = 0
+      while (r < rows) {
+        key = (key ^ sig(b * rows + r)) * 0x100000001B3L; r += 1
+      }
+      key
+    }
+  }
+
   private def bandKeysKernel(docs: DataFrame, n: Int, k: Int,
                              bands: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = k / bands
-    // Deterministic odd multipliers/offsets from a fixed seed mix.
-    val as = Array.tabulate(k)(i => (0x9E3779B97F4A7C15L * (i + 1)) | 1L)
-    val bs = Array.tabulate(k)(i => 0xC2B2AE3D27D4EB4FL * (i + 7))
     docs.as[(Long, String)]
       .mapPartitions { it =>
+        val (as, bs) = bandSeeds(k)
         it.flatMap { case (docId, text) =>
           val hs = distinctShingleHashes(text, n)
-          val sig = Array.fill(k)(Long.MaxValue)
-          var s = 0
-          while (s < hs.length) {
-            val h = hs(s)
-            var j = 0
-            while (j < k) {
-              val hj = as(j) * h + bs(j)
-              if (hj < sig(j)) sig(j) = hj
-              j += 1
-            }
-            s += 1
-          }
+          val keys = bandKeysOf(hs, k, bands, as, bs)
           (0 until bands).iterator.map { b =>
-            var key = 0xCBF29CE484222325L ^ b
-            var r = 0
-            while (r < rows) {
-              key = (key ^ sig(b * rows + r)) * 0x100000001B3L; r += 1
-            }
-            (docId, b, key, hs.length)
+            (docId, b, keys(b), hs.length)
           }
         }
       }

@@ -1677,6 +1677,142 @@ object VectorSearch {
         col("orphaned")))
   }
 
+  /** FSCK for the LSH family — the STRONGEST recount of the vector
+    * fscks, because the quantizer is stateless: hyperplanes derive
+    * from the persisted (bits, dim) geometry alone and the buckets
+    * table stores the embeddings, so EVERY row's bucket and norm are
+    * fully re-derivable. One kernel pass recomputes both and compares
+    * against the stored columns; plus the shared mask/duplicate/
+    * orphan algebra. A drifted bucket would silently mis-route
+    * serve-time probes — this catches it before it serves. */
+  def lshFsck(spark: org.apache.spark.sql.SparkSession, dir: String,
+              atGen: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"lshFsck: no committed index at $dir"))
+    }
+    def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val meta = table("meta").head()
+    val (bits, dim) = (meta.getInt(0), meta.getInt(1))
+    val planes = hyperplanes(bits, dim).map(_.toArray).toArray
+    val bcP = spark.sparkContext.broadcast(planes)
+    val buckets = table("buckets").select(
+      col("bkt").cast("int").as("bkt"), col("vec_id"), col("embedding"),
+      col("nv"))
+    val hasTomb = m.tables.contains("tombstones")
+    val recAgg = buckets
+      .as[(Int, Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val ps = bcP.value
+        it.map { case (bkt, _, e, nv) =>
+          if (e == null) (1L, 1L, 1L)
+          else {
+            val rn = normK(e, dim)
+            ((if (bucketK(e, ps, dim) != bkt) 1L else 0L),
+             (if (rn != nv) 1L else 0L),
+             (if (rn == 0.0) 1L else 0L))
+          }
+        }
+      }
+      .toDF("bm", "nm", "zn")
+      .agg(coalesce(sum(col("bm")), lit(0L)).cast("long")
+          .as("bucket_mm"),
+        coalesce(sum(col("nm")), lit(0L)).cast("long").as("norm_mm"),
+        coalesce(sum(col("zn")), lit(0L)).cast("long").as("zero_norm"))
+    val rowAgg = buckets.agg(
+      count(lit(1)).cast("long").as("phys_rows"),
+      countDistinct(col("vec_id")).cast("long").as("phys_ids"))
+    val maskedAgg =
+      if (hasTomb) table("tombstones")
+        .agg(count(lit(1)).cast("long").as("masked"))
+      else spark.range(1).select(col("id").as("masked"))
+    val liveAgg =
+      (if (hasTomb) buckets.join(table("tombstones"), Seq("vec_id"),
+        "left_anti")
+       else buckets)
+        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
+    val orphanAgg =
+      if (hasTomb) table("tombstones")
+        .join(buckets.select(col("vec_id")).distinct(), Seq("vec_id"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("orphaned"))
+      else spark.range(1).select(col("id").as("orphaned"))
+    val seed = spark.range(1).toDF("_one")
+    val scalars = Seq(recAgg, rowAgg, maskedAgg, liveAgg, orphanAgg)
+      .foldLeft(seed)(PlanHints.withScalars)
+    def check(name: String, expected: Column,
+              actual: Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        expected.cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (expected === actual).as("ok"))
+    check("bucket_mismatches", lit(0L), col("bucket_mm"))
+      .unionByName(check("duplicate_vec_rows", lit(0L),
+        col("phys_rows") - col("phys_ids")))
+      .unionByName(check("live_vecs", col("phys_rows") - col("masked"),
+        col("live_re")))
+      .unionByName(check("norm_mismatches", lit(0L), col("norm_mm")))
+      .unionByName(check("tombstones_orphaned", lit(0L),
+        col("orphaned")))
+      .unionByName(check("zero_norm_rows", lit(0L), col("zero_norm")))
+  }
+
+  /** FSCK for the MRL prefix family — the prefix table stores
+    * truncations, not sources, so the checkable surface is the
+    * geometry contract (every prefix exactly meta's prefix_dim wide)
+    * plus the shared duplicate/orphan/mask algebra. */
+  def mrlFsck(spark: org.apache.spark.sql.SparkSession, dir: String,
+              atGen: Option[Long] = None): DataFrame = {
+    val m = atGen match {
+      case Some(g) => IndexCommit.manifestAt(spark, dir, g)
+      case None => IndexCommit.currentManifest(spark, dir).getOrElse(
+        sys.error(s"mrlFsck: no committed index at $dir"))
+    }
+    def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    val prefixDim = table("meta").head().getInt(0)
+    val prefix = table("prefix").select(col("vec_id"), col("prefix"))
+    val hasTomb = m.tables.contains("tombstones")
+    val rowAgg = prefix.agg(
+      count(lit(1)).cast("long").as("phys_rows"),
+      countDistinct(col("vec_id")).cast("long").as("phys_ids"),
+      coalesce(sum(when(size(col("prefix")) =!= prefixDim, 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("width_bad"))
+    val maskedAgg =
+      if (hasTomb) table("tombstones")
+        .agg(count(lit(1)).cast("long").as("masked"))
+      else spark.range(1).select(col("id").as("masked"))
+    val liveAgg =
+      (if (hasTomb) prefix.join(table("tombstones"), Seq("vec_id"),
+        "left_anti")
+       else prefix)
+        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
+    val orphanAgg =
+      if (hasTomb) table("tombstones")
+        .join(prefix.select(col("vec_id")).distinct(), Seq("vec_id"),
+          "left_anti")
+        .agg(count(lit(1)).cast("long").as("orphaned"))
+      else spark.range(1).select(col("id").as("orphaned"))
+    val seed = spark.range(1).toDF("_one")
+    val scalars = Seq(rowAgg, maskedAgg, liveAgg, orphanAgg)
+      .foldLeft(seed)(PlanHints.withScalars)
+    def check(name: String, expected: Column,
+              actual: Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        expected.cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (expected === actual).as("ok"))
+    check("duplicate_vec_rows", lit(0L),
+        col("phys_rows") - col("phys_ids"))
+      .unionByName(check("live_vecs", col("phys_rows") - col("masked"),
+        col("live_re")))
+      .unionByName(check("prefix_width_violations", lit(0L),
+        col("width_bad")))
+      .unionByName(check("tombstones_orphaned", lit(0L),
+        col("orphaned")))
+  }
+
   /** [[ivfServe]] at a probe budget DERIVED from a recall floor — the
     * [[ivfAdaptiveTopK]] contract moved to the PERSISTED index: the
     * probe sweep runs against the index's own cells/centroids tables

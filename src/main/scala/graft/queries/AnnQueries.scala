@@ -403,6 +403,46 @@ object AnnQueries {
       .orderBy($"invariant")
   }
 
+  /** LSH FSCK as a verified entry — the STRONGEST vector recount
+    * ([[graft.operators.VectorSearch.lshFsck]]): the hyperplanes are
+    * seed-derived from the persisted geometry and the buckets table
+    * stores the embeddings, so after a build + append + takedown
+    * EVERY row's bucket and norm re-derive from first principles and
+    * compare against the stored columns, alongside the shared
+    * duplicate/orphan/mask algebra. */
+  def annLshFsck(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/lsh_fsck_index"
+    VectorSearch.lshWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    VectorSearch.lshAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.lshFsck(spark, dir)
+      .withColumnRenamed("check", "invariant")
+      .orderBy($"invariant")
+  }
+
+  /** MRL FSCK as a verified entry
+    * ([[graft.operators.VectorSearch.mrlFsck]]): the prefix family's
+    * geometry contract (every prefix exactly prefix_dim wide) plus
+    * the duplicate/orphan/mask algebra after a build + append +
+    * takedown. */
+  def annMrlFsck(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/mrl_fsck_index"
+    VectorSearch.mrlWriteIndex(
+      env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
+    VectorSearch.mrlAppendIndex(spark, dir,
+      env.embeddings.filter($"vec_id" % 7 === 0))
+    VectorSearch.deleteVectors(spark, dir,
+      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.mrlFsck(spark, dir)
+      .withColumnRenamed("check", "invariant")
+      .orderBy($"invariant")
+  }
+
   /** Promotion of the VECTOR index — [[annIvfDelete]]'s state
     * (build + takedown) cloned into a fresh serving directory via
     * [[graft.operators.IndexCommit.cloneSnapshot]] and served from
@@ -2550,6 +2590,41 @@ object AnnQueries {
          |  UNION ALL
          |  SELECT 'ivf', * FROM ivfcard)
          |ORDER BY member, qid""".stripMargin),
+    // the stateless-quantizer recount: every bucket and norm
+    // re-derived from the stored embeddings + seed geometry
+    Q.sql("ann_lsh_fsck", annLshFsck,
+      """WITH v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 <> 3) AS live)
+        |SELECT * FROM (
+        |  SELECT 'bucket_mismatches' AS invariant,
+        |         CAST(0 AS BIGINT) AS expected,
+        |         CAST(0 AS BIGINT) AS actual, TRUE AS ok
+        |  UNION ALL SELECT 'duplicate_vec_rows', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'live_vecs', live, live, TRUE FROM v
+        |  UNION ALL SELECT 'norm_mismatches', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'zero_norm_rows', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE)
+        |ORDER BY invariant""".stripMargin),
+    // the prefix family's geometry contract + mask algebra
+    Q.sql("ann_mrl_fsck", annMrlFsck,
+      """WITH v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        |   WHERE vec_id % 17 <> 3) AS live)
+        |SELECT * FROM (
+        |  SELECT 'duplicate_vec_rows' AS invariant,
+        |         CAST(0 AS BIGINT) AS expected,
+        |         CAST(0 AS BIGINT) AS actual, TRUE AS ok
+        |  UNION ALL SELECT 'live_vecs', live, live, TRUE FROM v
+        |  UNION ALL SELECT 'prefix_width_violations', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE)
+        |ORDER BY invariant""".stripMargin),
     // the quantized leg's structural fsck: codes-table, codebook and
     // tombstone algebra vs the maintained meta, recounted from disk
     Q.sql("ann_ivfpq_fsck", annIvfPqFsck,

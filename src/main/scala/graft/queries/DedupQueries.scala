@@ -203,6 +203,27 @@ object DedupQueries {
     serveIncAgainst(env, dir)
   }
 
+  /** Dedup-index FSCK as a verified entry
+    * ([[graft.operators.TextDedup.dedupFsck]]): after a build + append
+    * + takedown, re-derive every document's band keys from its STORED
+    * shingle set under the frozen geometry and compare against the
+    * physical bands rows — plus the shared count/duplicate/orphan/mask
+    * algebra. Completes the fsck family across every persisted index
+    * (BM25, IVF, IVFPQ, LSH, MRL, dedup). */
+  def dedupIndexFsck(env: Env): DataFrame = {
+    val spark = env.spark
+    val dir = s"${StreamQueries.scratchBase}/dedup_fsck_index"
+    graft.operators.TextDedup.writeDedupIndex(
+      env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
+    graft.operators.TextDedup.appendDedupIndex(spark, dir,
+      env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text")
+    graft.operators.TextDedup.deleteFromDedupIndex(spark, dir,
+      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"))
+    graft.operators.TextDedup.dedupFsck(spark, dir)
+      .withColumnRenamed("check", "invariant")
+      .orderBy($"invariant")
+  }
+
   /** N-gram Jaccard near-dup via min-shingle blocking — same ground
     * truth as dedup_minhash (brute-force oracle), different candidate
     * scheme; verified at 0.8 for the same recall-guarantee reason. */
@@ -393,6 +414,29 @@ object DedupQueries {
       dedupIncrementalSqlFor("b.doc_id % 7 <> 0")),
     Q.sql("dedup_index_delete", dedupIndexDelete,
       dedupIncrementalSqlFor("b.doc_id % 7 <> 0 AND b.doc_id % 5 <> 2")),
+    // band keys re-derived from the stored shingle sets vs the
+    // physical bands rows — the dedup index's delta algebra checked
+    // against disk
+    Q.sql("dedup_index_fsck", dedupIndexFsck,
+      """WITH v AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 17 <> 3) AS live)
+        |SELECT * FROM (
+        |  SELECT 'band_count_violations' AS invariant,
+        |         CAST(0 AS BIGINT) AS expected,
+        |         CAST(0 AS BIGINT) AS actual, TRUE AS ok
+        |  UNION ALL SELECT 'band_key_mismatches', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'band_shingle_unmatched', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'duplicate_shingle_rows', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'live_docs', live, live, TRUE FROM v
+        |  UNION ALL SELECT 'n_sh_mismatches', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE)
+        |ORDER BY invariant""".stripMargin),
 
     Q.sql("dedup_minhash", dedupMinhash,
       s"""$shingleCte

@@ -298,6 +298,58 @@ class TextDedupSpec extends SparkSpec with PropSupport {
     } finally rmRfDir(dir)
   }
 
+  test("dedupFsck: clean lifecycle is all-ok; a poisoned band key and " +
+       "a dropped shingle row flip the right flags") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} common words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_fsck").toString
+    def fsck(): Map[String, (Long, Long, Boolean)] =
+      TextDedup.dedupFsck(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    try {
+      TextDedup.writeDedupIndex(docs.filter($"doc_id" % 3 =!= 0),
+        "doc_id", "text", dir)
+      TextDedup.appendDedupIndex(spark, dir,
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text")
+      TextDedup.deleteFromDedupIndex(spark, dir,
+        Seq(1L, 2L).toDF("doc_id"))
+      val clean = fsck()
+      assert(clean.size == 7 && clean.values.forall(_._3),
+        s"clean lifecycle must fsck all-ok: $clean")
+      assert(clean("live_docs") == (28L, 28L, true))
+      // INJECT a poisoned band key into the append segment
+      val m = IndexCommit.currentManifest(spark, dir).get
+      val bseg = m.tables("bands")(1)
+      val rows = spark.read.parquet(s"$dir/$bseg")
+        .as[(Long, Int, Long, Int)].collect()
+      val poisoned = rows.zipWithIndex.map { case ((d, b, key, ns), i) =>
+        (d, b, if (i == 0) key ^ 0x5aL else key, ns)
+      }.toSeq.toDF("doc_id", "band", "key", "n_sh")
+      poisoned.write.mode("overwrite").parquet(s"$dir/$bseg")
+      val bad = fsck()
+      assert(bad("band_key_mismatches") == (0L, 1L, false),
+        s"a poisoned key must flip the recount: $bad")
+      assert(bad("band_count_violations")._3 &&
+        bad("n_sh_mismatches")._3,
+        "a key poison must not flip unrelated invariants")
+      // INJECT a torn write: drop one doc's shingles row entirely
+      val sseg = m.tables("shingles")(1)
+      val sh = spark.read.parquet(s"$dir/$sseg")
+        .as[(Long, Array[Long])].collect()
+      sh.drop(1).toSeq.toDF("doc_id", "sh")
+        .write.mode("overwrite").parquet(s"$dir/$sseg")
+      val torn = fsck()
+      // the dropped doc's `bands` rows (one per band) now match nothing
+      assert(torn("band_shingle_unmatched")._2 > 0 &&
+        !torn("band_shingle_unmatched")._3,
+        s"a dropped shingle row must flip the join audit: $torn")
+    } finally rmRfDir(dir)
+  }
+
   private def rmRfDir(dir: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit

@@ -854,6 +854,56 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("lshFsck: clean lifecycle is all-ok; a poisoned bucket flips " +
+       "the bucket recount alone") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_fsck").toString
+    def fsck(): Map[String, (Long, Long, Boolean)] =
+      VectorSearch.lshFsck(spark, dir).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    try {
+      VectorSearch.lshWriteIndex(emb.filter($"vec_id" % 3 =!= 0), dir,
+        bits = 6, dim = 8)
+      VectorSearch.lshAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 3 === 0))
+      VectorSearch.deleteVectors(spark, dir,
+        emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
+      val clean = fsck()
+      assert(clean.size == 6 && clean.values.forall(_._3),
+        s"clean lifecycle must fsck all-ok: $clean")
+      assert(clean("live_vecs") == (72L, 72L, true))
+      // INJECT: move one append-segment row to a wrong bucket — the
+      // corruption that silently mis-routes probes
+      val seg = graft.operators.IndexCommit
+        .currentManifest(spark, dir).get.tables("buckets")(1)
+      val rows = spark.read.option("basePath", s"$dir/$seg")
+        .parquet(s"$dir/$seg")
+        .select($"vec_id", $"embedding", $"nv",
+          $"bkt".cast("int").as("bkt"))
+        .as[(Long, Array[Float], Double, Int)].collect()
+      val drifted = rows.zipWithIndex.map { case ((v, e, nv, b), i) =>
+        (v, e, nv, if (i == 0) (b + 1) % 64 else b)
+      }.toSeq.toDF("vec_id", "embedding", "nv", "bkt")
+      drifted.write.mode("overwrite").partitionBy("bkt")
+        .parquet(s"$dir/$seg")
+      val bad = fsck()
+      assert(bad("bucket_mismatches") == (0L, 1L, false),
+        s"a poisoned bucket must flip the recount: $bad")
+      assert(bad("norm_mismatches")._3 && bad("duplicate_vec_rows")._3,
+        "a bucket poison must not flip unrelated invariants")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("ivfPqFsck: clean lifecycle is all-ok; a poisoned code value " +
        "and an orphan tombstone flip the right flags") {
     val rnd = new scala.util.Random(17)
