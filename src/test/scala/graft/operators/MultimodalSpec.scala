@@ -357,6 +357,61 @@ class MultimodalSpec extends SparkSpec {
       "a poisoned chunk offset must yield no samples, not a crash")
   }
 
+  test("MP4 demux: multi-entry stsc (chunk runs with different " +
+       "samples-per-chunk) resolves every sample span") {
+    // Hand-assembled box tree — the generator only writes the
+    // single-chunk shape, so the stsc run algebra needs its own
+    // fixture: 3 chunks, entries [(first=1, perChunk=2), (first=3,
+    // perChunk=1)] -> chunks 1,2 carry 2 samples each, chunk 3 one;
+    // 5 samples with distinct per-sample sizes, chunks deliberately
+    // laid out OUT OF ORDER in the payload region.
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val p = Array.concat(body: _*)
+      Array.concat(be32(p.length + 8L), typ.getBytes("US-ASCII"), p)
+    }
+    val samples = Seq(
+      Array[Byte](1), Array[Byte](2, 2), Array[Byte](3, 3, 3),
+      Array[Byte](4, 4, 4, 4), Array[Byte](5, 5, 5, 5, 5))
+    // chunk 1 = samples 0,1; chunk 2 = samples 2,3; chunk 3 = sample 4
+    val c1 = Array.concat(samples(0), samples(1))
+    val c2 = Array.concat(samples(2), samples(3))
+    val c3 = samples(4)
+    val entryBody = new Array[Byte](78); entryBody(7) = 1
+    val stsd = box("stsd", be32(0L), be32(1L), box("raw ", entryBody))
+    val stsz = box("stsz", be32(0L), be32(0L), be32(5L),
+      Array.concat(samples.map(s => be32(s.length.toLong)): _*))
+    val stsc = box("stsc", be32(0L), be32(2L),
+      be32(1L), be32(2L), be32(1L),   // chunks 1.. : 2 samples
+      be32(3L), be32(1L), be32(1L))   // chunks 3.. : 1 sample
+    val hdlr = box("hdlr", be32(0L), be32(0L),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12),
+      "vide".getBytes("US-ASCII"), Array[Byte](0))
+    def assemble(offs: (Long, Long, Long),
+                 payload: Array[Byte]): Array[Byte] = {
+      val stco = box("stco", be32(0L), be32(3L),
+        be32(offs._1), be32(offs._2), be32(offs._3))
+      box("moov", box("trak", box("mdia", hdlr,
+        box("minf", box("stbl", stsd, stsz, stsc, stco))))) ++ payload
+    }
+    // measure the moov once (stco values are fixed-width)
+    val probe = assemble((0L, 0L, 0L), Array.emptyByteArray)
+    val base = probe.length.toLong
+    // payload laid out c3 | c1 | c2 — offsets must be honored, not
+    // assumed sequential
+    val bytes = assemble(
+      (base + c3.length, base + c3.length + c1.length, base),
+      Array.concat(c3, c1, c2))
+    val tracks = Multimodal.mp4Samples(bytes)
+    assert(tracks.length == 1)
+    assert(tracks.head.codec == "raw ")
+    assert(tracks.head.samples.map(_.toSeq) == samples.map(_.toSeq),
+      s"stsc run algebra must recover all 5 samples in order: " +
+        s"${tracks.head.samples.map(_.toSeq)}")
+  }
+
   test("MP4 rawvideo frames: demuxed samples decode to true RGB24 " +
        "pixel means; mismatched and compressed tracks are skipped") {
     import spark.implicits._
