@@ -1152,8 +1152,12 @@ object Multimodal {
     * multi-entry stsc (runs of chunks sharing a samples-per-chunk)
     * and both uniform and per-sample stsz. A sample whose resolved
     * span leaves the buffer aborts that track's extraction (returns
-    * the samples located so far) — hostile tables never read out of
-    * bounds. For the `raw ` rawvideo codec the samples ARE the
+    * the samples located so far), and a table whose DECLARED entry
+    * count exceeds what physically fits in its box (or, for uniform
+    * stsz, in the whole file) aborts the track before any allocation
+    * — hostile tables never read out of bounds and never drive a
+    * forged-count allocation. For the `raw ` rawvideo codec the
+    * samples ARE the
     * pixels, which is what makes [[sampleMp4RawFrames]] a real
     * pixel-true MP4 path; compressed codecs still need the (stubbed)
     * decoder downstream. */
@@ -1168,6 +1172,11 @@ object Multimodal {
             var sizes: Array[Long] = Array.empty
             var stscEntries: Array[(Long, Long)] = Array.empty
             var chunkOffs: Array[Long] = Array.empty
+            // a table whose declared entry count can't physically fit
+            // in its box (or, for uniform stsz, in the whole file) is
+            // hostile: abort the track BEFORE allocating — a forged
+            // sample_count of 2^31-1 must not drive Array.fill
+            var hostileTables = false
             mp4Walk(bytes, tfrom, tto) {
               case ("mdia", dfrom, dto) =>
                 mp4Walk(bytes, dfrom, dto) {
@@ -1176,27 +1185,43 @@ object Multimodal {
                     mp4Walk(bytes, ifrom, ito) {
                       case ("stbl", sfrom, sto) =>
                         mp4Walk(bytes, sfrom, sto) {
-                          case ("stsd", from, _) =>
-                            if (u32(bytes, from + 4) >= 1L) {
+                          case ("stsd", from, to) =>
+                            if (u32(bytes, from + 4) >= 1L &&
+                                to - from >= 16) {
                               codec = cc4(bytes, from + 12)
-                              w = u16(bytes, from + 16 + 24)
-                              h = u16(bytes, from + 16 + 26)
+                              if (to - from >= 16 + 28) {
+                                w = u16(bytes, from + 16 + 24)
+                                h = u16(bytes, from + 16 + 26)
+                              }
                             }
-                          case ("stsz", from, _) =>
+                          case ("stsz", from, to) =>
                             val uniform = u32(bytes, from + 4)
-                            val n = u32(bytes, from + 8).toInt
-                            sizes =
-                              if (uniform != 0L) Array.fill(n)(uniform)
-                              else Array.tabulate(n)(i =>
+                            val n = u32(bytes, from + 8)
+                            // uniform: n samples of `uniform` bytes
+                            // each can't exceed the file; per-sample:
+                            // n u32 entries must fit in the box
+                            val cap =
+                              if (uniform != 0L) bytes.length / uniform
+                              else math.max(to - (from + 12), 0).toLong / 4
+                            if (n > cap) hostileTables = true
+                            else sizes =
+                              if (uniform != 0L)
+                                Array.fill(n.toInt)(uniform)
+                              else Array.tabulate(n.toInt)(i =>
                                 u32(bytes, from + 12 + i * 4))
-                          case ("stsc", from, _) =>
-                            val n = u32(bytes, from + 4).toInt
-                            stscEntries = Array.tabulate(n)(i => (
-                              u32(bytes, from + 8 + i * 12),
-                              u32(bytes, from + 12 + i * 12)))
-                          case ("stco", from, _) =>
-                            val n = u32(bytes, from + 4).toInt
-                            chunkOffs = Array.tabulate(n)(i =>
+                          case ("stsc", from, to) =>
+                            val n = u32(bytes, from + 4)
+                            val cap = math.max(to - (from + 8), 0).toLong / 12
+                            if (n > cap) hostileTables = true
+                            else stscEntries =
+                              Array.tabulate(n.toInt)(i => (
+                                u32(bytes, from + 8 + i * 12),
+                                u32(bytes, from + 12 + i * 12)))
+                          case ("stco", from, to) =>
+                            val n = u32(bytes, from + 4)
+                            val cap = math.max(to - (from + 8), 0).toLong / 4
+                            if (n > cap) hostileTables = true
+                            else chunkOffs = Array.tabulate(n.toInt)(i =>
                               u32(bytes, from + 8 + i * 4))
                           case _ => ()
                         }
@@ -1213,7 +1238,7 @@ object Multimodal {
             val samples = Seq.newBuilder[Array[Byte]]
             var si = 0
             var c = 0
-            var aborted = false
+            var aborted = hostileTables
             while (c < chunkOffs.length && si < sizes.length && !aborted) {
               val perChunk = stscEntries
                 .filter(_._1 <= c + 1)

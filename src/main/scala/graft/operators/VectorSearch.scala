@@ -1540,8 +1540,11 @@ object VectorSearch {
               .map { case (c, v) => (c, v, normKD(v, dim)) }
               .filter(_._3 > 0)
             it.map { case (cell, _, e) =>
-              val ne = normK(e, dim)
-              // appends never write zero-norm rows: one here is drift
+              // appends never write null or zero-norm rows: either is
+              // drift — report it as a mismatch rather than crashing
+              // the audit on the very corruption it exists to find
+              // (matches lshFsck's null posture)
+              val ne = if (e == null) 0.0 else normK(e, dim)
               if (ne == 0.0) 1L
               else {
                 var bestSim = Double.NegativeInfinity
@@ -1621,11 +1624,11 @@ object VectorSearch {
     val rowAgg = codes.agg(
       count(lit(1)).cast("long").as("phys_rows"),
       countDistinct(col("vec_id")).cast("long").as("phys_ids"),
-      sum(when(size(col("codes")) =!= mm, 1L).otherwise(0L))
-        .cast("long").as("width_bad"),
-      sum(when(exists(col("codes"),
-          c => c < 0 || c >= nCells), 1L).otherwise(0L))
-        .cast("long").as("range_bad"))
+      coalesce(sum(when(size(col("codes")) =!= mm, 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("width_bad"),
+      coalesce(sum(when(exists(col("codes"),
+          c => c < 0 || c >= nCells), 1L).otherwise(0L)),
+        lit(0L)).cast("long").as("range_bad"))
     val maskedAgg =
       if (hasTomb) table("tombstones")
         .agg(count(lit(1)).cast("long").as("masked"))

@@ -357,6 +357,53 @@ class MultimodalSpec extends SparkSpec {
       "a poisoned chunk offset must yield no samples, not a crash")
   }
 
+  test("MP4 demux: forged table entry counts (stsz/stsc/stco) abort " +
+       "the track before allocating — no OOM, no out-of-box reads") {
+    val v = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5))
+    val clean = Multimodal.mp4Bytes(1000L, 300L, Seq(
+      ("vide", "raw ", 1000L, 100L, v.map(_.length), 1, 1)),
+      payload = Some(Array.concat(v: _*)))
+    def find(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      (0 until clean.length - 4).find(i =>
+        p.indices.forall(j => clean(i + j) == p(j))).get
+    }
+    // each table's declared count lives 12 bytes past its fourcc for
+    // stsc/stco (version+count) and for stsz (version+uniform+count)
+    for ((tbl, countOff) <- Seq(("stsz", 12), ("stsc", 8),
+                                ("stco", 8))) {
+      val forged = clean.clone()
+      val at = find(tbl) + 4 + countOff
+      forged(at) = 0x7f.toByte; forged(at + 1) = 0xff.toByte
+      forged(at + 2) = 0xff.toByte; forged(at + 3) = 0xff.toByte
+      val tr = Multimodal.mp4Samples(forged)
+      assert(tr.head.samples.isEmpty,
+        s"a forged $tbl count (2^31-1) must abort the track, " +
+          "not allocate a multi-GB array or read past the box")
+    }
+    // uniform stsz: count capped by what n*uniform bytes the FILE can
+    // hold, since the box itself carries no per-entry data
+    def be32(x: Long): Array[Byte] = Array(
+      ((x >> 24) & 0xff).toByte, ((x >> 16) & 0xff).toByte,
+      ((x >> 8) & 0xff).toByte, (x & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val p = Array.concat(body: _*)
+      Array.concat(be32(p.length + 8L), typ.getBytes("US-ASCII"), p)
+    }
+    val entryBody = new Array[Byte](78); entryBody(7) = 1
+    val hdlr = box("hdlr", be32(0L), be32(0L),
+      "vide".getBytes("US-ASCII"), new Array[Byte](12),
+      "vide".getBytes("US-ASCII"), Array[Byte](0))
+    val uniformForged = box("moov", box("trak", box("mdia", hdlr,
+      box("minf", box("stbl",
+        box("stsd", be32(0L), be32(1L), box("raw ", entryBody)),
+        box("stsz", be32(0L), be32(3L), be32(0x40000000L)),
+        box("stsc", be32(0L), be32(1L), be32(1L), be32(1L), be32(1L)),
+        box("stco", be32(0L), be32(1L), be32(0L)))))))
+    assert(Multimodal.mp4Samples(uniformForged).head.samples.isEmpty,
+      "a uniform stsz whose count*size exceeds the file must abort")
+  }
+
   test("MP4 demux: multi-entry stsc (chunk runs with different " +
        "samples-per-chunk) resolves every sample span") {
     // Hand-assembled box tree — the generator only writes the

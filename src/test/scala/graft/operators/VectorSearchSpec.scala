@@ -854,6 +854,47 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("ivfFsck: a null embedding in an append segment is reported " +
+       "as an assignment mismatch, not an fsck crash") {
+    val rnd = new scala.util.Random(29)
+    val emb = (0 until 40).map { i =>
+      (i.toLong, i % 4, Array.fill(8)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fsck_null").toString
+    try {
+      VectorSearch.ivfWriteIndex(emb.filter($"vec_id" % 2 === 0), dir,
+        dim = 8)
+      VectorSearch.ivfAppendIndex(spark, dir,
+        emb.filter($"vec_id" % 2 === 1), dim = 8)
+      // INJECT a null embedding into the append segment — exactly the
+      // corruption class an fsck exists to survive and report
+      val seg = graft.operators.IndexCommit
+        .currentManifest(spark, dir).get.tables("cells")(1)
+      val rows = spark.read.option("basePath", s"$dir/$seg")
+        .parquet(s"$dir/$seg")
+        .select($"vec_id", $"embedding", $"cell".cast("int").as("cell"))
+        .as[(Long, Array[Float], Int)].collect()
+      val nulled = rows.zipWithIndex.map { case ((v, e, c), i) =>
+        (v, if (i == 0) null: Array[Float] else e, c)
+      }.toSeq.toDF("vec_id", "embedding", "cell")
+      nulled.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$seg")
+      val run = VectorSearch.ivfFsck(spark, dir, dim = 8).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      assert(run("append_assignment_mismatches") == (0L, 1L, false),
+        s"a null embedding must surface as a mismatch row: $run")
+      assert(run("zero_norm_rows") == (0L, 1L, false),
+        "the null row is also a zero-norm violation")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("lshFsck: clean lifecycle is all-ok; a poisoned bucket flips " +
        "the bucket recount alone") {
     val rnd = new scala.util.Random(23)
@@ -952,6 +993,27 @@ class VectorSearchSpec extends SparkSpec {
       val orphan = fsck()
       assert(orphan("tombstones_orphaned")._2 == 1L &&
         !orphan("tombstones_orphaned")._3, s"orphan must flip: $orphan")
+      // EMPTY the codes table entirely: width/range sums over zero
+      // rows must coalesce to 0 and report ok=TRUE, not NULL
+      val allSegs = graft.operators.IndexCommit
+        .currentManifest(spark, dir).get.tables("codes")
+      for (s <- allSegs)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("codes",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.IntegerType)),
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType))))
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$dir/$s")
+      val empty = fsck()
+      assert(empty("code_width_violations") == (0L, 0L, true) &&
+        empty("code_range_violations") == (0L, 0L, true),
+        s"an empty codes table must report ok=TRUE, not NULL: $empty")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
