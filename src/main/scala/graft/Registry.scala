@@ -20,4 +20,21 @@ final case class Q(name: String, run: Env => DataFrame, oracle: Option[String] =
 object Q {
   def sql(name: String, run: Env => DataFrame, oracle: String): Q =
     Q(name, run, Some(oracle))
+
+  /** The four bit-rot rows [[graft.operators.IndexCommit.checksumCard]]
+    * appends to every family fsck card, as oracle SQL UNION ALL
+    * branches (all-zero on an uncorrupted index by construction —
+    * the constructive part of those invariants is the stamps
+    * themselves, re-hashed engine-side). Interpolate inside an
+    * `s\"\"\"...\"\"\".stripMargin` oracle right before the closing
+    * paren of the row union. */
+  val fsckRotRows: String =
+    """  UNION ALL SELECT 'segment_checksum_mismatches', CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), TRUE
+      |  UNION ALL SELECT 'segment_files_missing', CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), TRUE
+      |  UNION ALL SELECT 'segment_files_unstamped', CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), TRUE
+      |  UNION ALL SELECT 'segment_length_mismatches', CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), TRUE""".stripMargin
 }

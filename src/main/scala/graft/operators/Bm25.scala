@@ -599,6 +599,7 @@ object Bm25 {
         col("mismatch_terms")))
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
+      .unionByName(IndexCommit.checksumCard(spark, dir, m))
   }
 
   /** SERVE-COST card — the capacity-planning view of a query

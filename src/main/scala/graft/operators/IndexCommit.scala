@@ -67,14 +67,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexCommit {
 
-  /** The current state of an index directory: manifest generation and,
-    * per logical table, the segment dirs (relative names) composing it. */
-  final case class Manifest(gen: Long, tables: Map[String, Seq[String]])
+  /** The current state of an index directory: manifest generation,
+    * per logical table the segment dirs (relative names) composing it,
+    * and per physical file (relative `segment/child...` path) the
+    * (length, CRC32C) stamp taken when the file entered the index —
+    * the bit-rot baseline every fsck re-hashes against
+    * ([[checksumCard]]). */
+  final case class Manifest(gen: Long, tables: Map[String, Seq[String]],
+                            files: Map[String, (Long, Long)] = Map.empty)
 
   private val ManifestRe = "_manifest_g(\\d+)".r
   private val ClaimRe = "_claim_g(\\d+)".r
   private val SegmentRe = "(.+)-g(\\d+)".r
-  private val Header = "graft-index-manifest-v1"
+  private val HeaderV1 = "graft-index-manifest-v1"
+  private val Header = "graft-index-manifest-v2"
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -95,15 +101,26 @@ object IndexCommit {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     val lines = text.linesIterator.toSeq
-    require(lines.headOption.contains(Header),
+    require(lines.headOption.exists(h => h == Header || h == HeaderV1),
       s"unrecognized manifest header in $dir: ${lines.headOption}")
-    val tables = lines.drop(1).filter(_.nonEmpty).map { line =>
+    // v2 appends `#f\t<rel>\t<len>\t<crc32c>` stamp lines; unknown
+    // `#`-prefixed lines are reserved and skipped so a v2 reader stays
+    // forward-tolerant
+    val (meta, tableLines) =
+      lines.drop(1).filter(_.nonEmpty).partition(_.startsWith("#"))
+    val tables = tableLines.map { line =>
       val i = line.indexOf('=')
       require(i > 0, s"malformed manifest line in $dir: $line")
       line.substring(0, i) ->
         line.substring(i + 1).split(',').toSeq.filter(_.nonEmpty)
     }.toMap
-    Manifest(gen, tables)
+    val files = meta.filter(_.startsWith("#f\t")).map { line =>
+      val parts = line.split('\t')
+      require(parts.length == 4,
+        s"malformed manifest file-stamp line in $dir: $line")
+      parts(1) -> (parts(2).toLong, parts(3).toLong)
+    }.toMap
+    Manifest(gen, tables, files)
   }
 
   /** Highest-generation manifest in `dir`, or None for an empty /
@@ -147,8 +164,24 @@ object IndexCommit {
     * with `mode("overwrite")`) and returns the FULL table→segments map
     * the new manifest should carry (carrying forward untouched tables'
     * prior segment lists verbatim). Only after `stage` returns is the
-    * marker flipped. A `stage` that throws commits nothing. */
-  def commit(spark: SparkSession, dir: String)(
+    * marker flipped. A `stage` that throws commits nothing.
+    *
+    * Every physical file under a NEWLY staged segment is stamped with
+    * its (length, CRC32C) in the manifest before the flip — the
+    * content baseline the fsck family's [[checksumCard]] re-hashes
+    * against, catching bit rot a length-only audit can't (a flipped
+    * byte keeps the length). Stamping is COMMIT-SIZED work, not
+    * index-sized: carried-forward segments keep their prior stamps
+    * verbatim (their bytes are immutable by the protocol), only the
+    * increment is hashed, and the hashing is a distributed job over
+    * the new files (one task per ~[[CloneBytesPerTask]], same packing
+    * as promotion copies) — never a driver byte loop.
+    * `precomputedFiles` lets a stage that already streamed the bytes
+    * (the clone's copy tasks) supply stamps it computed in flight
+    * instead of paying a second read. */
+  def commit(spark: SparkSession, dir: String,
+             precomputedFiles: () => Map[String, (Long, Long)] =
+               () => Map.empty)(
       stage: (Long, Option[Manifest]) => Map[String, Seq[String]]): Unit = {
     val cur = currentManifest(spark, dir)
     val gen = cur.map(_.gen).getOrElse(0L) + 1
@@ -176,11 +209,33 @@ object IndexCommit {
     try {
       val tables = stage(gen, cur)
       require(tables.nonEmpty, s"commit to $dir staged no tables")
-      val body = (Header +: tables.toSeq.sortBy(_._1).map { case (t, segs) =>
+      // file stamps: carry forward immutable retained segments' stamps,
+      // take the stage's in-flight stamps where offered, hash the rest
+      // of the newly staged files in one distributed job
+      val segSet = tables.values.flatten.toSet
+      val prevSegs =
+        cur.map(_.tables.values.flatten.toSet).getOrElse(Set.empty)
+      val carried = cur.map(_.files).getOrElse(Map.empty)
+        .filter { case (rel, _) =>
+          val i = rel.indexOf('/')
+          i > 0 && segSet.contains(rel.substring(0, i))
+        }
+      val provided = precomputedFiles()
+      val toHash = (segSet -- prevSegs).toSeq.sorted
+        .flatMap(seg => listSegmentFiles(fs, p, seg))
+        .filterNot { case (_, rel, _) =>
+          provided.contains(rel) || carried.contains(rel) }
+      val fileMap = carried ++ provided ++ checksumFiles(spark, toHash)
+      val stampLines = fileMap.toSeq.sortBy(_._1).map {
+        case (rel, (len, crc)) =>
+          require(!rel.contains('\t'), s"bad file name: $rel")
+          s"#f\t$rel\t$len\t$crc"
+      }
+      val body = ((Header +: tables.toSeq.sortBy(_._1).map { case (t, segs) =>
         require(!t.contains('=') && !t.contains(','), s"bad table name: $t")
         segs.foreach(s => require(!s.contains(','), s"bad segment name: $s"))
         s"$t=${segs.mkString(",")}"
-      }).mkString("", "\n", "\n")
+      }) ++ stampLines).mkString("", "\n", "\n")
       val tmp = new Path(p, s"._manifest_g$gen.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -259,7 +314,8 @@ object IndexCommit {
         .getOrElse(sys.error(s"cloneSnapshot: no committed index at $src"))
     }
     val (sfs, sp) = fsOf(spark, src)
-    commit(spark, dest) { (gen, cur) =>
+    var copied: Map[String, (Long, Long)] = Map.empty
+    commit(spark, dest, () => copied) { (gen, cur) =>
       require(cur.isEmpty,
         s"cloneSnapshot: destination $dest already holds a committed " +
           "index (gen " + cur.map(_.gen).getOrElse(0L) + ") — clones " +
@@ -269,25 +325,191 @@ object IndexCommit {
       }
       // the exact file list, from the manifest's segment dirs: driver
       // work is directory listings only
-      val files: Seq[(String, String, Long)] = renames.flatMap {
-        case (seg, name) =>
-          val segRoot = sfs.makeQualified(new Path(sp, seg))
-          val it = sfs.listFiles(segRoot, true)
-          val buf = Seq.newBuilder[(String, String, Long)]
-          while (it.hasNext) {
-            val st = it.next()
-            val full = st.getPath.toString
-            val rel = full.stripPrefix(segRoot.toString).stripPrefix("/")
-            require(full != rel, s"cloneSnapshot: $full not under $segRoot")
-            buf += ((full, s"$dest/$name/$rel", st.getLen))
+      val files: Seq[(String, String, String, String, Long)] =
+        renames.flatMap { case (seg, name) =>
+          listSegmentFiles(sfs, sp, seg).map { case (abs, rel, len) =>
+            val child = rel.stripPrefix(seg + "/")
+            (abs, s"$dest/$name/$child", rel, s"$name/$child", len)
           }
-          buf.result()
+        }
+      val landed = copyDistributed(spark,
+        files.map { case (a, d, _, dr, l) => (a, d, dr, l) })
+      // the copy tasks hash what they stream; verify against the
+      // source's stamps BEFORE the flip — promotion is exactly where
+      // serving rotted bytes would start, so it is exactly where a
+      // stamp mismatch must abort
+      val srcRelOf = files.map { case (_, _, sr, dr, _) => dr -> sr }.toMap
+      landed.foreach { case (dr, len, crc) =>
+        m.files.get(srcRelOf(dr)).foreach { case (slen, scrc) =>
+          require(slen == len && scrc == crc,
+            s"cloneSnapshot: ${srcRelOf(dr)} hashed crc=$crc len=$len " +
+              s"in flight but the source manifest stamps crc=$scrc " +
+              s"len=$slen — bit rot at the source (run the family fsck) " +
+              "or a torn copy; aborting before the clone's flip")
+        }
       }
-      copyDistributed(spark, files)
+      copied = landed.map { case (dr, len, crc) => dr -> (len, crc) }.toMap
       m.tables.map { case (t, segs) =>
         t -> segs.indices.map(i => s"$t-c$i-g$gen")
       }
     }
+  }
+
+  /** Visible physical files under segment `seg` of the index rooted at
+    * `p`: (absolute path, relative `seg/child...` name, length). Driver
+    * work is directory listing only — names and lengths, never bytes. */
+  private def listSegmentFiles(fs: FileSystem, p: Path,
+                               seg: String): Seq[(String, String, Long)] = {
+    val segRoot = fs.makeQualified(new Path(p, seg))
+    if (!fs.exists(segRoot)) return Nil
+    val it = fs.listFiles(segRoot, true)
+    val buf = Seq.newBuilder[(String, String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toString
+      val rel = full.stripPrefix(segRoot.toString).stripPrefix("/")
+      require(full != rel, s"listSegmentFiles: $full not under $segRoot")
+      buf += ((full, s"$seg/$rel", st.getLen))
+    }
+    buf.result()
+  }
+
+  /** CRC32C of a stream's bytes (the stamp function — hardware-
+    * accelerated on modern JVMs, collision-adequate for rot detection;
+    * not a cryptographic integrity claim). */
+  private def crcOfStream(in: java.io.InputStream): Long = {
+    val c = new java.util.zip.CRC32C
+    val buf = new Array[Byte](1 << 20)
+    var n = in.read(buf)
+    while (n >= 0) { if (n > 0) c.update(buf, 0, n); n = in.read(buf) }
+    c.getValue
+  }
+
+  /** Distributed (length, CRC32C) stamps for `(abs, rel, len)` files —
+    * one task per ~[[CloneBytesPerTask]] of payload, files packed
+    * largest-first so one fat parquet file can't serialize the job;
+    * the driver sees names and stamps, never bytes. */
+  private def checksumFiles(spark: SparkSession,
+      files: Seq[(String, String, Long)]): Map[String, (Long, Long)] = {
+    if (files.isEmpty) return Map.empty
+    val slices = cloneSlices(files.map(_._3).sum, files.size,
+      spark.sparkContext.defaultParallelism)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sessionState.newHadoopConf()))
+    spark.sparkContext.parallelize(
+        files.sortBy(-_._3).zipWithIndex.map { case (f, i) =>
+          (i % slices, f) }, slices)
+      .partitionBy(new org.apache.spark.HashPartitioner(slices))
+      .values
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { case (abs, rel, _) =>
+          val path = new Path(abs)
+          val pfs = path.getFileSystem(conf)
+          val len = pfs.getFileStatus(path).getLen
+          val in = pfs.open(path)
+          val crc = try crcOfStream(in) finally in.close()
+          (rel, len, crc)
+        }
+      }
+      .collect()
+      .map { case (r, l, c) => r -> (l, c) }.toMap
+  }
+
+  /** The BIT-ROT leg of the fsck family, shared by every index family:
+    * re-hash every manifest-stamped physical file under `m`'s segments
+    * and compare (length, CRC32C) against the stamps taken at commit/
+    * append/compact/clone time. The algebra recounts the family cards
+    * make (occupancy, tombstone masks, band keys, file counts) cannot
+    * see a flipped byte that keeps its file length — this card can.
+    * Rows, in the family cards' (check, expected, actual, ok) schema,
+    * expected 0 everywhere:
+    *
+    *  - `segment_checksum_mismatches`: stamped files whose re-hash
+    *    differs (a length-intact file the filesystem refuses to read —
+    *    e.g. a stale local-FS checksum sidecar — counts here too: both
+    *    ARE rot evidence, and an fsck must report the corruption it
+    *    exists to find, never crash on it);
+    *  - `segment_files_missing`: stamped files absent on disk;
+    *  - `segment_files_unstamped`: on-disk files under a listed
+    *    segment with no manifest stamp (a foreign write, or a
+    *    pre-checksum legacy segment);
+    *  - `segment_length_mismatches`: stamped files whose length
+    *    drifted — the only physical corruption the pre-stamp audits
+    *    could catch.
+    *
+    * The re-hash is a distributed job over the stamped file list
+    * (driver work is listing names; tasks packed largest-first by
+    * payload), composed into the lazy card via the constant-key
+    * scalar join like every sibling aggregate. */
+  def checksumCard(spark: SparkSession, dir: String,
+                   m: Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    import spark.implicits._
+    val (fs, p) = fsOf(spark, dir)
+    val qualified = fs.makeQualified(p).toString
+    val segs = m.tables.values.flatten.toSeq.distinct
+    val onDisk = segs.flatMap(s => listSegmentFiles(fs, p, s).map(_._2))
+      .toSet
+    val unstamped = (onDisk -- m.files.keySet).size.toLong
+    val entries = m.files.toSeq.sortBy(_._1)
+    val mismAgg =
+      if (entries.isEmpty)
+        // range(1)'s id IS the zero (a literal would fold the
+        // constant-key scalar join back into a nested-loop cross)
+        spark.range(1).select(col("id").as("miss_n"),
+          col("id").as("len_mm"), col("id").as("crc_mm"))
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.SerializableWritable(
+            spark.sessionState.newHadoopConf()))
+        val slices = cloneSlices(entries.map(_._2._1).sum, entries.size,
+          spark.sparkContext.defaultParallelism)
+        spark.sparkContext.parallelize(
+            entries.map { case (rel, (len, crc)) => (rel, len, crc) },
+            slices)
+          .mapPartitions { it =>
+            val conf = confBc.value.value
+            it.map { case (rel, len, crc) =>
+              val path = new Path(s"$qualified/$rel")
+              try {
+                val pfs = path.getFileSystem(conf)
+                if (!pfs.exists(path)) (1L, 0L, 0L)
+                else if (pfs.getFileStatus(path).getLen != len)
+                  (0L, 1L, 0L)
+                else {
+                  val in = pfs.open(path)
+                  val h = try crcOfStream(in) finally in.close()
+                  (0L, 0L, if (h != crc) 1L else 0L)
+                }
+              } catch {
+                case _: java.io.IOException => (0L, 0L, 1L)
+              }
+            }
+          }
+          .toDF("m", "l", "c")
+          .agg(
+            coalesce(sum(col("m")), lit(0L)).cast("long").as("miss_n"),
+            coalesce(sum(col("l")), lit(0L)).cast("long").as("len_mm"),
+            coalesce(sum(col("c")), lit(0L)).cast("long").as("crc_mm"))
+      }
+    val seed = spark.range(1).toDF("_one")
+    val scalars = PlanHints.withScalars(seed, mismAgg)
+    def check(name: String,
+              actual: org.apache.spark.sql.Column): DataFrame =
+      scalars.select(lit(name).as("check"),
+        lit(0L).cast("long").as("expected"),
+        actual.cast("long").as("actual"),
+        (lit(0L) === actual).as("ok"))
+    check("segment_checksum_mismatches", col("crc_mm"))
+      .unionByName(check("segment_files_missing", col("miss_n")))
+      .unionByName(scalars.select(
+        lit("segment_files_unstamped").as("check"),
+        lit(0L).cast("long").as("expected"),
+        lit(unstamped).cast("long").as("actual"),
+        lit(unstamped == 0L).as("ok")))
+      .unionByName(check("segment_length_mismatches", col("len_mm")))
   }
 
   /** Payload target per clone-copy task — one task per ~this many
@@ -310,40 +532,44 @@ object IndexCommit {
     }
   }
 
-  /** Stream `(srcFile, destFile, expectedLen)` triples through a
-    * cluster job: files packed largest-first round-robin into
+  /** Stream `(srcFile, destFile, destRel, expectedLen)` tuples through
+    * a cluster job: files packed largest-first round-robin into
     * [[cloneSlices]] bins, each task opening the filesystems from the
-    * shipped Hadoop conf, copying raw bytes, and verifying the landed
-    * length. Re-runnable: destination files are created with
-    * overwrite. */
+    * shipped Hadoop conf, copying raw bytes while hashing them
+    * (CRC32C), and verifying the landed length. Returns the landed
+    * `(destRel, length, crc)` stamps — file-count-sized metadata, the
+    * same scale as the driver's listing. Re-runnable: destination
+    * files are created with overwrite. */
   private def copyDistributed(spark: SparkSession,
-                              files: Seq[(String, String, Long)]): Unit = {
-    if (files.isEmpty) return
-    val slices = cloneSlices(files.map(_._3).sum, files.size,
+      files: Seq[(String, String, String, Long)])
+      : Seq[(String, Long, Long)] = {
+    if (files.isEmpty) return Nil
+    val slices = cloneSlices(files.map(_._4).sum, files.size,
       spark.sparkContext.defaultParallelism)
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(
         spark.sessionState.newHadoopConf()))
-    val binned = files.sortBy(-_._3).zipWithIndex
+    val binned = files.sortBy(-_._4).zipWithIndex
       .map { case (f, i) => (i % slices, f) }
     spark.sparkContext.parallelize(binned, slices)
       .partitionBy(new org.apache.spark.HashPartitioner(slices))
       .values
-      .foreachPartition { (it: Iterator[(String, String, Long)]) =>
+      .mapPartitions { (it: Iterator[(String, String, String, Long)]) =>
         val conf = confBc.value.value
         val buf = new Array[Byte](1 << 20)
-        it.foreach { case (s, d, len) =>
+        it.map { case (s, d, rel, len) =>
           val spath = new Path(s)
           val dpath = new Path(d)
           val sfs = spath.getFileSystem(conf)
           val dfs = dpath.getFileSystem(conf)
+          val crc = new java.util.zip.CRC32C
           val in = sfs.open(spath)
           try {
             val out = dfs.create(dpath, true)
             try {
               var n = in.read(buf)
               while (n >= 0) {
-                if (n > 0) out.write(buf, 0, n)
+                if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
                 n = in.read(buf)
               }
             } finally out.close()
@@ -351,8 +577,10 @@ object IndexCommit {
           val landed = dfs.getFileStatus(dpath).getLen
           require(landed == len,
             s"cloneSnapshot: $d landed $landed bytes, expected $len")
+          (rel, landed, crc.getValue)
         }
       }
+      .collect().toSeq
   }
 
   /** Per-table segment debt under `m`: (tbl, segments, n_rows) — the

@@ -485,6 +485,7 @@ object TextDedup {
       .unionByName(check("n_sh_mismatches", lit(0L), col("nsh_mm")))
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
+      .unionByName(IndexCommit.checksumCard(spark, dir, m))
   }
 
   /** Serve an increment against the persisted dedup index — the

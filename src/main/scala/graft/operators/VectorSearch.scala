@@ -1582,6 +1582,7 @@ object VectorSearch {
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
       .unionByName(check("zero_norm_rows", lit(0L), col("zero_norm")))
+      .unionByName(IndexCommit.checksumCard(spark, dir, m))
   }
 
   /** FSCK for the IVFPQ family — the structural/meta algebra of the
@@ -1678,6 +1679,7 @@ object VectorSearch {
         col("live_re")))
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
+      .unionByName(IndexCommit.checksumCard(spark, dir, m))
   }
 
   /** FSCK for the LSH family — the STRONGEST recount of the vector
@@ -1760,6 +1762,7 @@ object VectorSearch {
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
       .unionByName(check("zero_norm_rows", lit(0L), col("zero_norm")))
+      .unionByName(IndexCommit.checksumCard(spark, dir, m))
   }
 
   /** FSCK for the MRL prefix family — the prefix table stores
@@ -1814,6 +1817,7 @@ object VectorSearch {
         col("width_bad")))
       .unionByName(check("tombstones_orphaned", lit(0L),
         col("orphaned")))
+      .unionByName(IndexCommit.checksumCard(spark, dir, m))
   }
 
   /** [[ivfServe]] at a probe budget DERIVED from a recall floor — the

@@ -2523,7 +2523,7 @@ object AnnQueries {
     // maintenance window — the keyword fsck's twin; the oracle
     // recomputes the expected values from the op sequence
     Q.sql("ann_index_fsck", annIndexFsck,
-      """WITH v AS (SELECT
+      s"""WITH v AS (SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS total,
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 17 <> 3) AS live)
@@ -2541,7 +2541,8 @@ object AnnQueries {
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE
         |  UNION ALL SELECT 'zero_norm_rows', CAST(0 AS BIGINT),
-        |         CAST(0 AS BIGINT), TRUE)
+        |         CAST(0 AS BIGINT), TRUE
+        |${Q.fsckRotRows})
         |ORDER BY invariant""".stripMargin),
     // the whole hybrid deployment's capacity console: both members'
     // per-query live vs physical candidate volume at the pinned
@@ -2593,7 +2594,7 @@ object AnnQueries {
     // the stateless-quantizer recount: every bucket and norm
     // re-derived from the stored embeddings + seed geometry
     Q.sql("ann_lsh_fsck", annLshFsck,
-      """WITH v AS (SELECT
+      s"""WITH v AS (SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 17 <> 3) AS live)
         |SELECT * FROM (
@@ -2608,11 +2609,12 @@ object AnnQueries {
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE
         |  UNION ALL SELECT 'zero_norm_rows', CAST(0 AS BIGINT),
-        |         CAST(0 AS BIGINT), TRUE)
+        |         CAST(0 AS BIGINT), TRUE
+        |${Q.fsckRotRows})
         |ORDER BY invariant""".stripMargin),
     // the prefix family's geometry contract + mask algebra
     Q.sql("ann_mrl_fsck", annMrlFsck,
-      """WITH v AS (SELECT
+      s"""WITH v AS (SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 17 <> 3) AS live)
         |SELECT * FROM (
@@ -2623,12 +2625,13 @@ object AnnQueries {
         |  UNION ALL SELECT 'prefix_width_violations', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
-        |         CAST(0 AS BIGINT), TRUE)
+        |         CAST(0 AS BIGINT), TRUE
+        |${Q.fsckRotRows})
         |ORDER BY invariant""".stripMargin),
     // the quantized leg's structural fsck: codes-table, codebook and
     // tombstone algebra vs the maintained meta, recounted from disk
     Q.sql("ann_ivfpq_fsck", annIvfPqFsck,
-      """WITH v AS (SELECT
+      s"""WITH v AS (SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings
         |   WHERE vec_id % 17 <> 3) AS live)
         |SELECT * FROM (
@@ -2647,7 +2650,8 @@ object AnnQueries {
         |         CAST(0 AS BIGINT), TRUE
         |  UNION ALL SELECT 'live_vecs', live, live, TRUE FROM v
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
-        |         CAST(0 AS BIGINT), TRUE)
+        |         CAST(0 AS BIGINT), TRUE
+        |${Q.fsckRotRows})
         |ORDER BY invariant""".stripMargin),
     // compaction is pure reorganization: same rows, same oracle
     Q.sql("ann_ivf_compact", annIvfCompact, ivfAppendSql),

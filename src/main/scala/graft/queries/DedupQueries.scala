@@ -418,7 +418,7 @@ object DedupQueries {
     // physical bands rows — the dedup index's delta algebra checked
     // against disk
     Q.sql("dedup_index_fsck", dedupIndexFsck,
-      """WITH v AS (SELECT
+      s"""WITH v AS (SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents
         |   WHERE doc_id % 17 <> 3) AS live)
         |SELECT * FROM (
@@ -435,7 +435,8 @@ object DedupQueries {
         |  UNION ALL SELECT 'n_sh_mismatches', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
-        |         CAST(0 AS BIGINT), TRUE)
+        |         CAST(0 AS BIGINT), TRUE
+        |${Q.fsckRotRows})
         |ORDER BY invariant""".stripMargin),
 
     Q.sql("dedup_minhash", dedupMinhash,

@@ -2331,7 +2331,7 @@ object TextQueries {
     // recount-vs-maintained invariants after a maintenance window;
     // the oracle recomputes expected values from the surviving corpus
     Q.sql("text_index_fsck", textIndexFsck,
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |             string_split(coalesce(text, ''), ' ') AS s
         |           FROM documents WHERE doc_id % 17 <> 3),
         |d AS (SELECT doc_id, len(s) AS dl FROM t),
@@ -2350,7 +2350,8 @@ object TextQueries {
         |  UNION ALL SELECT 'df_mismatch_terms', CAST(0 AS BIGINT),
         |         CAST(0 AS BIGINT), TRUE FROM v
         |  UNION ALL SELECT 'tombstones_orphaned', CAST(0 AS BIGINT),
-        |         CAST(0 AS BIGINT), TRUE FROM v)
+        |         CAST(0 AS BIGINT), TRUE FROM v
+        |${Q.fsckRotRows})
         |ORDER BY invariant""".stripMargin),
 
     // the whole hybrid deployment's integrity audit at pinned
@@ -2394,7 +2395,13 @@ object TextQueries {
         |  UNION ALL SELECT 'ivf', 'tombstones_orphaned',
         |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
         |  UNION ALL SELECT 'ivf', 'zero_norm_rows',
-        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v)
+        |         CAST(0 AS BIGINT), CAST(0 AS BIGINT), TRUE FROM v
+        |  UNION ALL SELECT m.member, r.invariant, CAST(0 AS BIGINT),
+        |         CAST(0 AS BIGINT), TRUE
+        |  FROM (VALUES ('bm25'), ('ivf')) AS m(member)
+        |  CROSS JOIN (VALUES ('segment_checksum_mismatches'),
+        |         ('segment_files_missing'), ('segment_files_unstamped'),
+        |         ('segment_length_mismatches')) AS r(invariant))
         |ORDER BY member, invariant""".stripMargin),
 
     // per-query live vs physical candidate volume from the df deltas

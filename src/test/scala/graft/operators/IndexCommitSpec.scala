@@ -727,9 +727,10 @@ class IndexCommitSpec extends SparkSpec {
         "doc_id", "text", retainGens = 4)
       Bm25.deleteDocs(spark, dir, Seq(2L).toDF("doc_id"),
         retainGens = 4)
-      // every invariant holds after the maintenance window
+      // every invariant holds after the maintenance window (5 family
+      // rows + the 4 shared bit-rot rows)
       val ok = Bm25.fsck(spark, dir).collect()
-      assert(ok.length == 5 && ok.forall(_.getAs[Boolean]("ok")),
+      assert(ok.length == 9 && ok.forall(_.getAs[Boolean]("ok")),
         ok.mkString("; "))
       // diff gen 1 -> current: 3 and 4 were added, 2 was taken down
       val d = Bm25.diffIndex(spark, dir, 1L,
@@ -765,6 +766,79 @@ class IndexCommitSpec extends SparkSpec {
       assert(card.nonEmpty)
       assert(card.forall(!_.getAs[Boolean]("compact_recommended")),
         card.mkString("; "))
+    } finally rmRf(dir)
+  }
+
+  test("bit rot: a flipped byte (length intact) trips ONLY the checksum " +
+       "row; stamps carry through append + compact; a rotted clone aborts") {
+    val dir = tmpDir("graft_rot")
+    try {
+      Bm25.writeIndex(docs.filter($"doc_id" <= 2), "doc_id", "text", dir)
+      Bm25.appendIndex(spark, dir, docs.filter($"doc_id" > 2),
+        "doc_id", "text")
+      val m = IndexCommit.currentManifest(spark, dir).get
+      // every physical file under every segment is stamped, including
+      // the base build's files carried forward through the append
+      val segs = m.tables.values.flatten.toSet
+      assert(m.files.nonEmpty &&
+        segs.forall(s => m.files.keys.exists(_.startsWith(s + "/"))),
+        s"all segments stamped; got ${m.files.keys.toSeq.sorted}")
+      def card(): Map[String, (Long, Long, Boolean)] =
+        IndexCommit.checksumCard(spark, dir,
+            IndexCommit.currentManifest(spark, dir).get)
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      val clean = card()
+      assert(clean.values.forall(_._3), s"clean index all-ok: $clean")
+      // corrupt ONE byte of a postings file, SAME length, through the
+      // filesystem (fresh local-FS sidecar): the OS-level read stays
+      // happy — only the manifest stamp can catch this
+      val (rel, (len, _)) = m.files
+        .filter { case (r, (l, _)) =>
+          r.startsWith("postings") && r.endsWith(".parquet") && l > 100 }
+        .head
+      val fsPath = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val orig = new Array[Byte](len.toInt)
+      val in = fs.open(fsPath)
+      try in.readFully(0L, orig) finally in.close()
+      val bytes = orig.clone()
+      bytes(len.toInt / 2) = (bytes(len.toInt / 2) ^ 0x01).toByte
+      val out = fs.create(fsPath, true)
+      try out.write(bytes) finally out.close()
+      val rotted = card()
+      assert(rotted("segment_checksum_mismatches") == (0L, 1L, false),
+        s"the flipped byte must trip the checksum row: $rotted")
+      assert(rotted("segment_length_mismatches") == (0L, 0L, true),
+        "the length-only audit stays green on a flipped byte — " +
+          "exactly the gap the stamps exist to close")
+      assert(rotted("segment_files_missing")._3 &&
+        rotted("segment_files_unstamped")._3, s"$rotted")
+      // promotion of rotted bytes aborts BEFORE the clone's flip: the
+      // copy tasks hash in flight and the stamps disagree
+      val dest = tmpDir("graft_rot_clone")
+      try {
+        val ex = intercept[Exception](
+          IndexCommit.cloneSnapshot(spark, dir, dest))
+        assert(ex.getMessage.contains("bit rot"), ex.getMessage)
+        assert(IndexCommit.currentManifest(spark, dest).isEmpty,
+          "nothing may flip at the destination")
+      } finally rmRf(dest)
+      // restore the replica's bytes (rot recovery is restore-from-
+      // replica, never compaction — a compaction READS the rot); then
+      // compaction re-stages every table, so the new manifest stamps
+      // fresh bytes and drops the dereferenced segments' entries
+      val out2 = fs.create(fsPath, true)
+      try out2.write(orig) finally out2.close()
+      assert(card().values.forall(_._3), "restored bytes re-verify")
+      Bm25.compactIndex(spark, dir)
+      val m2 = IndexCommit.currentManifest(spark, dir).get
+      val segs2 = m2.tables.values.flatten.toSet
+      assert(m2.files.keys.forall(r =>
+        segs2.contains(r.substring(0, r.indexOf('/')))),
+        "compaction drops stamps of dereferenced segments")
+      val healed = card()
+      assert(healed.values.forall(_._3), s"post-compact all-ok: $healed")
     } finally rmRf(dir)
   }
 }

@@ -318,7 +318,7 @@ class TextDedupSpec extends SparkSpec with PropSupport {
       TextDedup.deleteFromDedupIndex(spark, dir,
         Seq(1L, 2L).toDF("doc_id"))
       val clean = fsck()
-      assert(clean.size == 7 && clean.values.forall(_._3),
+      assert(clean.size == 11 && clean.values.forall(_._3),
         s"clean lifecycle must fsck all-ok: $clean")
       assert(clean("live_docs") == (28L, 28L, true))
       // INJECT a poisoned band key into the append segment

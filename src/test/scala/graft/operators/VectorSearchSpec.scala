@@ -806,7 +806,7 @@ class VectorSearchSpec extends SparkSpec {
       VectorSearch.deleteVectors(spark, dir,
         emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
       val clean = fsck()
-      assert(clean.size == 7 && clean.values.forall(_._3),
+      assert(clean.size == 11 && clean.values.forall(_._3),
         s"clean lifecycle must fsck all-ok: $clean")
       assert(clean("live_vecs") == (54L, 54L, true))
       // INJECT occupancy drift: rewrite one append segment with one
@@ -829,6 +829,10 @@ class VectorSearchSpec extends SparkSpec {
       assert(driftRun("tombstones_orphaned")._3 &&
         driftRun("duplicate_vec_rows")._3,
         "drift injection must not flip unrelated invariants")
+      assert(!driftRun("segment_files_missing")._3 &&
+        !driftRun("segment_files_unstamped")._3,
+        "a file-level rewrite also trips the bit-rot stamps: the " +
+          s"stamped part files are gone, foreign ones appeared: $driftRun")
       // INJECT duplicate ingest: re-append an id already present (the
       // tombstone-disjointness gate doesn't see it — it's not deleted)
       VectorSearch.ivfAppendIndex(spark, dir,
@@ -915,7 +919,7 @@ class VectorSearchSpec extends SparkSpec {
       VectorSearch.deleteVectors(spark, dir,
         emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
       val clean = fsck()
-      assert(clean.size == 6 && clean.values.forall(_._3),
+      assert(clean.size == 10 && clean.values.forall(_._3),
         s"clean lifecycle must fsck all-ok: $clean")
       assert(clean("live_vecs") == (72L, 72L, true))
       // INJECT: move one append-segment row to a wrong bucket — the
@@ -966,7 +970,7 @@ class VectorSearchSpec extends SparkSpec {
       VectorSearch.deleteVectors(spark, dir,
         emb.filter($"vec_id" % 10 === 7).select($"vec_id"))
       val clean = fsck()
-      assert(clean.size == 8 && clean.values.forall(_._3),
+      assert(clean.size == 12 && clean.values.forall(_._3),
         s"clean lifecycle must fsck all-ok: $clean")
       assert(clean("codebook_subspaces") == (4L, 4L, true))
       assert(clean("live_vecs") == (108L, 108L, true))
