@@ -258,9 +258,13 @@ object CollectionCommit {
     * `keepGens` collection manifests, then GC each member index down
     * to exactly the generations some retained collection manifest
     * still pins (plus anything newer — orphans of a crashed stage are
-    * superseded, not resurrected). `graceMs` forwards the member
-    * layer's time-based reader lease. Call after a commit, never
-    * before — post-commit GC can only orphan, not corrupt. */
+    * superseded, not resurrected). `graceMs` is the time-based reader
+    * lease at BOTH layers: a collection manifest superseded less than
+    * graceMs ago stays retained past `keepGens` (so a long-running
+    * reader's pinned snapshot survives an aggressive trim), and the
+    * same lease forwards to each member's gcUnreferenced. Call after
+    * a commit, never before — post-commit GC can only orphan, not
+    * corrupt. */
   def gc(spark: SparkSession, colDir: String, keepGens: Int = 1,
          graceMs: Long = 0L): Unit = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
@@ -276,7 +280,22 @@ object CollectionCommit {
       clearAgedClaims(fs, p, graceMs)
       return
     }
-    val retained = all.take(keepGens).map(parse(fs, p, _, colDir))
+    val cutoff = System.currentTimeMillis() - graceMs
+    // `graceMs` is the reader lease at THIS layer too, not only the
+    // member layer's: a collection reader pins a COLLECTION manifest,
+    // so a generation stays retained until it has been superseded for
+    // at least graceMs (measured from its successor manifest's mtime
+    // — the instant it stopped being current), regardless of
+    // keepGens. Without this, an aggressive keepGens trim would
+    // delete the very manifest a long-running reader resolved while
+    // the member gens it pins survive — the lease would protect the
+    // legs but not the snapshot naming them.
+    val retainedGens = all.zipWithIndex.filter { case (_, i) =>
+      i < keepGens || (graceMs > 0 &&
+        fs.getFileStatus(new Path(p, manifestName(all(i - 1))))
+          .getModificationTime >= cutoff)
+    }.map(_._1)
+    val retained = retainedGens.map(parse(fs, p, _, colDir))
     val retainedMembers = retained.flatMap(_.members.keys).toSet
     retainedMembers.foreach { member =>
       val mDir = memberDir(colDir, member)
@@ -288,11 +307,10 @@ object CollectionCommit {
         IndexCommit.gcUnreferenced(spark, mDir, span.toInt, graceMs)
       }
     }
-    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val dead = n match {
-        case ManifestRe(g) => !all.take(keepGens).contains(g.toLong)
+        case ManifestRe(g) => !retainedGens.contains(g.toLong)
         // stranded claims only once aged past graceMs — a younger one
         // may belong to a LIVE committer (an out-of-contract
         // concurrent GC must not reopen the interleave race)

@@ -1460,8 +1460,11 @@ object AnnQueries {
   /** The incremental-index replay: centroids trained on the BASE only,
     * increment vectors assigned to the frozen centroids with the
     * refine sweep's exact rule, merged cells served through the
-    * standard probe/top-k chain. */
-  private[queries] val ivfAppendSql: String =
+    * standard probe/top-k chain. `incPred` restricts WHICH of the
+    * % 7 = 0 increment has been appended — "TRUE" for all of it; a
+    * narrower predicate replays a time-travel serve of a generation
+    * that had ingested only part of the stream (t22's phase pins). */
+  private[queries] def ivfAppendSqlFor(incPred: String): String =
     s"""WITH cent AS (
        |  SELECT cell, list(c ORDER BY d) AS centroid FROM (
        |    SELECT CAST(label AS INT) AS cell, t.d AS d,
@@ -1470,7 +1473,8 @@ object AnnQueries {
        |    WHERE vec_id % 7 <> 0
        |    GROUP BY cell, t.d)
        |  GROUP BY cell),
-       |inc AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 0),
+       |inc AS (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 7 = 0 AND ($incPred)),
        |isim AS (
        |  SELECT i.vec_id, c.cell,
        |    round(
@@ -1531,6 +1535,8 @@ object AnnQueries {
        |SELECT qid, CAST(rn AS INT) AS rank, vec_id, cos
        |FROM ranked WHERE rn <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  private[queries] val ivfAppendSql: String = ivfAppendSqlFor("TRUE")
 
   // The plane weight for bit b, dimension d (1-based i = d+1) is ±1 by
   // the md5 hex digit of the seed string — identical to

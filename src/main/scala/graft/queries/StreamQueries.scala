@@ -765,6 +765,131 @@ object StreamQueries {
     bm.unionByName(ivf).orderBy($"member", $"qid", $"rank")
   }
 
+  /** T22 — INGEST WHILE MAINTAINING: the full operational timeline no
+    * single entry exercised before. Micro-batch collection ingest
+    * (t21's two-leg flips) runs, then the NIGHTLY MAINTENANCE RUN
+    * (health-card-driven compaction of both flagged members + one
+    * collection flip + GC), then MORE micro-batch ingest — with
+    * readers pinned at collection generations taken BEFORE the
+    * maintenance (g1), AT the maintenance flip (g2) and at the final
+    * state (g3), all three served at the END of the timeline. What
+    * the phases prove, each replayed bit-equal by the oracle:
+    *
+    *  - `g1_before`: the pre-maintenance pins STILL SERVE after the
+    *    compaction rewrote both members, more ingest landed, and two
+    *    GC passes ran. The first GC trims the streamed delta
+    *    generations by COUNT (`keepGens = 2` spans the pinned
+    *    snapshot); the final GC keeps only ONE generation by count —
+    *    g1/g2 survive it purely through the `graceMs` READER LEASE
+    *    (their successor manifests are younger than the lease), so a
+    *    long-running reader's snapshot outliving an aggressive trim
+    *    is exercised by the entry itself, not just asserted in specs.
+    *  - `g2_maint`: the post-maintenance pins serve BIT-EQUAL to g1 —
+    *    compaction is pure reorganization, so the same SQL oracles
+    *    both phases.
+    *  - `g3_after`: base + BOTH streamed increments — appends after a
+    *    compaction land beside the folded segments and the serve
+    *    algebra composes across the maintenance boundary.
+    *
+    * The mid-compaction reader consistency (a reader pinned at g1
+    * never observes a mixed generation while the maintenance commit
+    * is mid-flight) is pinned in CollectionCommitSpec. */
+  def t22IngestWhileMaintain(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    import graft.operators.{Bm25, CollectionCommit, CollectionMaintenance,
+      IndexCommit, VectorSearch}
+    import org.apache.spark.sql.functions.lit
+    val colDir = s"$scratchBase/t22_collection"
+    val colPath = new org.apache.hadoop.fs.Path(colDir)
+    val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(colPath)) fs.delete(colPath, true): Unit
+    val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+    val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+    def memberGen(dir: String): Long =
+      IndexCommit.currentManifest(spark, dir).get.gen
+    CollectionCommit.commit(spark, colDir) { (_, _) =>
+      Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 0),
+        "doc_id", "text", bmDir)
+      VectorSearch.ivfWriteIndex(
+        env.embeddings.filter($"vec_id" % 7 =!= 0), ivfDir)
+      Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+    }
+    // one streamed ingest window: every micro-batch appends to BOTH
+    // legs inside one collection flip (t21's shape)
+    def ingest(half: Long): Unit = {
+      val stream = streamRead(env, "documents")
+        .filter($"doc_id" % 7 === 0 && $"doc_id" % 2 === half)
+        .select($"doc_id", $"text")
+      withStreamPartitions(spark) {
+        val q = stream.writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val docs = batch.persist()
+              try CollectionCommit.commit(spark, colDir) { (_, _) =>
+                Bm25.appendIndex(spark, bmDir, docs, "doc_id", "text",
+                  retainGens = Int.MaxValue)
+                VectorSearch.ivfAppendIndex(spark, ivfDir,
+                  env.embeddings
+                    .join(docs.select($"doc_id".as("vec_id")),
+                      Seq("vec_id"), "left_semi")
+                    .select($"vec_id", $"embedding"),
+                  retainGens = Int.MaxValue)
+                Map("bm25" -> memberGen(bmDir),
+                  "ivf" -> memberGen(ivfDir))
+              } finally { docs.unpersist(); () }
+            }
+        }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+    }
+    ingest(0L)
+    val gBefore = CollectionCommit.currentManifest(spark, colDir).get.gen
+    // the nightly window: both members carry streaming segment debt
+    // (> 1 segment), so the cards flag both and the run flips exactly
+    // one collection generation; the count-retention GC then trims
+    // the streamed delta generations while sparing the pinned g1
+    val flagged = CollectionMaintenance.run(spark, colDir,
+      Map("bm25" -> CollectionMaintenance.KeywordFamily,
+        "ivf" -> CollectionMaintenance.VectorFamily("cells", "cell")),
+      maxSegments = 1, maxMaskedFrac = 0.05)
+    require(flagged.values.forall(identity),
+      s"streamed segment debt must flag both members: $flagged")
+    CollectionCommit.gc(spark, colDir, keepGens = 2)
+    val gMaint = CollectionCommit.currentManifest(spark, colDir).get.gen
+    require(gMaint == gBefore + 1,
+      s"maintenance must flip exactly once (g$gBefore -> g$gMaint)")
+    ingest(1L)
+    val gAfter = CollectionCommit.currentManifest(spark, colDir).get.gen
+    // aggressive trim with a reader lease: count-retention keeps ONLY
+    // the newest generation; g1/g2 survive solely because their
+    // successors are younger than the grace window — the serves below
+    // would fail loudly if the lease did not hold
+    CollectionCommit.gc(spark, colDir, keepGens = 1,
+      graceMs = 3600L * 1000)
+    def phaseServe(phase: String, gen: Long): DataFrame = {
+      val m = CollectionCommit.manifestAt(spark, colDir, gen)
+      val bm = Bm25.serve(spark, bmDir, TextQueries.Bm25Workload, k = 10,
+          atGen = Some(m.members("bm25")))
+        .select(lit(phase).as("phase"), lit("bm25").as("member"),
+          $"qid", $"rank", $"doc_id".as("id"), $"score")
+      val ivf = VectorSearch.ivfServe(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 50 === 0)
+            .select($"vec_id".as("qid"), $"embedding".as("qe")),
+          k = 5, atGen = Some(m.members("ivf")))
+        .select(lit(phase).as("phase"), lit("ivf").as("member"),
+          $"qid".cast("string").as("qid"), $"rank",
+          $"vec_id".as("id"), $"cos".as("score"))
+      bm.unionByName(ivf)
+    }
+    phaseServe("g1_before", gBefore)
+      .unionByName(phaseServe("g2_maint", gMaint))
+      .unionByName(phaseServe("g3_after", gAfter))
+      .orderBy($"phase", $"member", $"qid", $"rank")
+  }
+
   def t13QualityStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
@@ -968,6 +1093,37 @@ object StreamQueries {
          |  FROM (${AnnQueries.ivfAppendSql.linesIterator
              .mkString("\n         |")}) v)
          |ORDER BY member, qid, rank""".stripMargin),
+
+    // ingest → maintain → ingest, served at three pinned collection
+    // generations: g1 (pre-maintenance: base + half the stream) must
+    // survive the compaction and both GC passes, g2 (the maintenance
+    // flip) is pure reorganization and shares g1's SQL bit-equal, g3
+    // is the full corpus (the one-shot append replay)
+    Q.sql("t22_ingest_while_maintain", t22IngestWhileMaintain,
+      s"""WITH g1 AS (
+         |  SELECT 'bm25' AS member, qid, rank,
+         |         CAST(doc_id AS BIGINT) AS id, score
+         |  FROM (${TextQueries.bm25TopkSqlFor(
+               "WHERE doc_id % 7 <> 0 OR doc_id % 2 = 0").linesIterator
+               .mkString("\n         |")}) b
+         |  UNION ALL
+         |  SELECT 'ivf', CAST(qid AS VARCHAR), rank, vec_id, cos
+         |  FROM (${AnnQueries.ivfAppendSqlFor("vec_id % 2 = 0")
+               .linesIterator.mkString("\n         |")}) v),
+         |g3 AS (
+         |  SELECT 'bm25' AS member, qid, rank,
+         |         CAST(doc_id AS BIGINT) AS id, score
+         |  FROM (${TextQueries.bm25TopkSql.linesIterator
+             .mkString("\n         |")}) b
+         |  UNION ALL
+         |  SELECT 'ivf', CAST(qid AS VARCHAR), rank, vec_id, cos
+         |  FROM (${AnnQueries.ivfAppendSql.linesIterator
+             .mkString("\n         |")}) v)
+         |SELECT * FROM (
+         |  SELECT 'g1_before' AS phase, * FROM g1
+         |  UNION ALL SELECT 'g2_maint', * FROM g1
+         |  UNION ALL SELECT 'g3_after', * FROM g3)
+         |ORDER BY phase, member, qid, rank""".stripMargin),
 
     Q.sql("t8_windowed_counts_stream", t8WindowedCountsStream,
       """WITH e AS (SELECT epoch_us(ts) AS tus, event_type FROM events),

@@ -746,7 +746,7 @@ object TextQueries {
   /** The BM25 oracle parameterized by a documents predicate — "" for
     * the full corpus; a doc_id filter replays a TIME-TRAVEL serve of
     * the index generation that indexed only those docs. */
-  private def bm25TopkSqlFor(docsWhere: String): String =
+  private[queries] def bm25TopkSqlFor(docsWhere: String): String =
     bm25TopkSqlFrom(s"SELECT doc_id, text FROM documents $docsWhere")
 
   /** [[bm25TopkSqlFor]] generalized to an arbitrary (doc_id, text)

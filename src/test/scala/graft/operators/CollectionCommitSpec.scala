@@ -362,7 +362,10 @@ class CollectionCommitSpec extends SparkSpec {
       assert(CollectionCommit.currentManifest(spark, colDir)
         .get.members.contains("ivf2"))
       // an AGED unpinned directory (decommissioned leg) still clears
-      // even under the same grace window
+      // even under the same grace window — once the superseded
+      // manifests that pinned it have aged past the reader lease too
+      // (the lease retains a just-superseded collection manifest, and
+      // a retained manifest's pins are not garbage)
       CollectionCommit.commit(spark, colDir) { (_, cur) =>
         cur.get.members - "ivf2"
       }
@@ -373,6 +376,10 @@ class CollectionCommitSpec extends SparkSpec {
         Option(f.listFiles()).foreach(_.foreach(age))
       }
       age(dead)
+      new java.io.File(colDir).listFiles()
+        .filter(_.getName.startsWith("_collection_g"))
+        .foreach(f => f.setLastModified(
+          System.currentTimeMillis() - 120000L): Unit)
       CollectionCommit.gc(spark, colDir, keepGens = 1, graceMs = 60000L)
       assert(!dead.exists(),
         "aged unpinned member directory must still clear under grace")
@@ -506,5 +513,79 @@ class CollectionCommitSpec extends SparkSpec {
       assert(!servedAt(dest, 1L)._1.contains(4L))
       assert(servedAt(dest, 1L)._1.nonEmpty)
     } finally { rmRf(colDir); rmRf(dest); rmRf(destOld) }
+  }
+
+  test("mid-compaction reader: resolving the collection WHILE the " +
+       "maintenance commit is mid-flight yields the prior committed " +
+       "pair — never a mixed generation — and serves bit-equal") {
+    val colDir = tmpDir("graft_col_midmaint")
+    try {
+      buildBoth(colDir)
+      val bmDir = CollectionCommit.memberDir(colDir, "bm25")
+      val ivfDir = CollectionCommit.memberDir(colDir, "ivf")
+      def memberGen(dir: String): Long =
+        IndexCommit.currentManifest(spark, dir).get.gen
+      // segment debt so the compaction has something to fold
+      CollectionCommit.commit(spark, colDir) { (_, _) =>
+        Bm25.appendIndex(spark, bmDir,
+          Seq((5L, "red value table"), (6L, "blue scan"))
+            .toDF("doc_id", "text"), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        VectorSearch.ivfAppendIndex(spark, ivfDir,
+          Seq((5L, Array(0.8f, 0.2f)), (6L, Array(0.2f, 0.8f)))
+            .toDF("vec_id", "embedding"), dim = 2,
+          retainGens = Int.MaxValue)
+        Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+      }
+      val before = servedDocs(colDir, 2L)
+      var mid: (Set[Long], Set[Long]) = null
+      CollectionCommit.commit(spark, colDir) { (_, cur) =>
+        Bm25.compactIndex(spark, bmDir, retainGens = Int.MaxValue)
+        // MID-FLIGHT: the keyword member has already advanced, the
+        // vector member has not. A reader resolving the collection
+        // at this instant must see the PRIOR committed pair — the
+        // torn state (compacted bm25 beside pre-compaction ivf pins)
+        // must be unobservable through the collection manifest.
+        assert(memberGen(bmDir) > cur.get.members("bm25"),
+          "the keyword member really has moved underneath the reader")
+        val seen = CollectionCommit.currentManifest(spark, colDir).get
+        assert(seen.gen == cur.get.gen &&
+          seen.members == cur.get.members,
+          s"mid-flight reader must see the committed pair, got $seen")
+        mid = servedDocs(colDir, seen.gen)
+        VectorSearch.compactIndexTable(spark, ivfDir, "cells", "cell",
+          retainGens = Int.MaxValue)
+        Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
+      }
+      assert(mid == before,
+        "the mid-flight serve is bit-equal to the pre-maintenance one")
+      val after = servedDocs(colDir,
+        CollectionCommit.currentManifest(spark, colDir).get.gen)
+      assert(after == before, "compaction is pure reorganization")
+    } finally rmRf(colDir)
+  }
+
+  test("collection gc: the graceMs reader lease retains a just-" +
+       "superseded COLLECTION manifest past keepGens; without the " +
+       "lease the same trim collects it") {
+    val colDir = tmpDir("graft_col_lease")
+    try {
+      buildBoth(colDir)
+      takedown(colDir)
+      // aggressive count-trim + lease: g1 was superseded milliseconds
+      // ago, so the lease keeps BOTH the collection manifest and the
+      // member generations it pins — the pinned reader still serves
+      CollectionCommit.gc(spark, colDir, keepGens = 1,
+        graceMs = 3600L * 1000)
+      assert(servedDocs(colDir, 1L)._1 == Set(1L, 2L, 3L, 4L),
+        "the leased snapshot serves its full pre-takedown corpus")
+      // the same trim with no lease collects g1 (and the member layer
+      // trims the gens only g1 pinned); the current snapshot serves on
+      CollectionCommit.gc(spark, colDir, keepGens = 1)
+      val gone = intercept[Exception](
+        CollectionCommit.manifestAt(spark, colDir, 1L))
+      assert(gone.getMessage.contains("no manifest"), gone.getMessage)
+      assert(servedDocs(colDir, 2L)._1 == Set(1L, 2L, 3L))
+    } finally rmRf(colDir)
   }
 }
