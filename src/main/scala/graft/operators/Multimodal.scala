@@ -968,11 +968,21 @@ object Multimodal {
           be32(0L), be32(0L), fourcc(handler),
           Array.fill[Byte](12)(0), fourcc(handler), Array[Byte](0))
         // sample entry: 6 reserved + u16 data_ref_index, then the
-        // visual-sample fields (width/height at body offsets 24/26)
+        // handler's fields — visual entries carry width/height at body
+        // offsets 24/26; audio entries carry channelcount/samplesize
+        // at 16/18 and the 16.16 sample rate at 24 (ISO 14496-12
+        // AudioSampleEntry — for a soun track the (w, h) tuple slots
+        // carry channels and bits-per-sample)
         val entryBody = new Array[Byte](78)
         entryBody(7) = 1             // data_reference_index = 1
-        System.arraycopy(be16(w), 0, entryBody, 24, 2)
-        System.arraycopy(be16(h), 0, entryBody, 26, 2)
+        if (handler == "soun") {
+          System.arraycopy(be16(w), 0, entryBody, 16, 2)
+          System.arraycopy(be16(h), 0, entryBody, 18, 2)
+          System.arraycopy(be32(timescale << 16), 0, entryBody, 24, 4)
+        } else {
+          System.arraycopy(be16(w), 0, entryBody, 24, 2)
+          System.arraycopy(be16(h), 0, entryBody, 26, 2)
+        }
         val stsd = mp4Box("stsd", be32(0L), be32(1L),
           mp4Box(codec, entryBody))
         val stts = mp4Box("stts", be32(0L), be32(1L),
@@ -1142,7 +1152,10 @@ object Multimodal {
     * sizes, consecutive within a chunk. */
   final case class Mp4TrackSamples(handler: String, codec: String,
                                    width: Int, height: Int,
-                                   samples: Seq[Array[Byte]])
+                                   samples: Seq[Array[Byte]],
+                                   timescale: Long = 0L,
+                                   channels: Int = 0,
+                                   sampleBits: Int = 0)
 
   /** Extract every track's sample payloads from an MP4 container —
     * the demuxer step between [[mp4Meta]]'s triage probe and a codec:
@@ -1169,6 +1182,7 @@ object Multimodal {
           case ("trak", tfrom, tto) =>
             var handler = ""; var codec = ""
             var w = 0; var h = 0
+            var timescale = 0L; var ach = 0; var abits = 0
             var sizes: Array[Long] = Array.empty
             var stscEntries: Array[(Long, Long)] = Array.empty
             var chunkOffs: Array[Long] = Array.empty
@@ -1181,6 +1195,13 @@ object Multimodal {
               case ("mdia", dfrom, dto) =>
                 mp4Walk(bytes, dfrom, dto) {
                   case ("hdlr", from, _) => handler = cc4(bytes, from + 8)
+                  case ("mdhd", from, _) =>
+                    // media timescale — for uncompressed PCM this IS
+                    // the sample rate; v1 boxes carry 64-bit times so
+                    // the field moves +12 → +20 (mp4Meta's rule)
+                    timescale =
+                      if ((bytes(from) & 0xff) == 1) u32(bytes, from + 20)
+                      else u32(bytes, from + 12)
                   case ("minf", ifrom, ito) =>
                     mp4Walk(bytes, ifrom, ito) {
                       case ("stbl", sfrom, sto) =>
@@ -1192,6 +1213,12 @@ object Multimodal {
                               if (to - from >= 16 + 28) {
                                 w = u16(bytes, from + 16 + 24)
                                 h = u16(bytes, from + 16 + 26)
+                                // AudioSampleEntry layout of the same
+                                // region: channelcount/samplesize at
+                                // body offsets 16/18 (used only when
+                                // the hdlr says soun)
+                                ach = u16(bytes, from + 16 + 16)
+                                abits = u16(bytes, from + 16 + 18)
                               }
                             }
                           case ("stsz", from, to) =>
@@ -1260,7 +1287,9 @@ object Multimodal {
               c += 1
             }
             if (handler == "soun") { w = 0; h = 0 }
-            out += Mp4TrackSamples(handler, codec, w, h, samples.result())
+            else { ach = 0; abits = 0 }
+            out += Mp4TrackSamples(handler, codec, w, h,
+              samples.result(), timescale, ach, abits)
           case _ => ()
         }
       case _ => ()
@@ -1311,6 +1340,68 @@ object Multimodal {
         } catch { case _: Exception => Nil }
       }
       .toDF("media_id", "frame_ordinal", "width", "height", "mean_rgb")
+  }
+
+  /** REAL PCM out of an MP4 container — the audio twin of
+    * [[sampleMp4RawFrames]], shrinking the declared stub to
+    * COMPRESSED codecs on both media types: demux the `soun` track
+    * whose stsd declares uncompressed 16-bit PCM (`sowt`
+    * little-endian / `twos` big-endian — the QuickTime raw-PCM
+    * fourcc pair) through the same stco/stsc/stsz algebra, honor the
+    * AudioSampleEntry's channel count / sample size and the stsd
+    * byte order, take the sample rate from the mdhd timescale (the
+    * PCM convention), and fold the interleaved stream through the
+    * WAV path's exact peak/RMS kernel ([[decodeAudio]] — sequential
+    * sum of 16-bit squares, 6-dp HALF_UP RMS, so the output is
+    * SQL-oracle-reproducible). Containers with no decodable PCM
+    * track degrade to the -1 sentinel row, the [[decodeAudio]]
+    * posture; compressed audio (mp4a/opus) stays the declared stub
+    * exactly like compressed video. */
+  def decodeMp4PcmAudio(media: DataFrame): Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val pcm =
+            if (bytes == null) None
+            else try mp4Samples(bytes).find(t =>
+              t.handler == "soun" &&
+                (t.codec == "sowt" || t.codec == "twos") &&
+                t.channels > 0 && t.sampleBits == 16 && t.timescale > 0)
+            catch { case _: Exception => None }
+          pcm match {
+            case None => DecodedAudio(id, -1, -1, -1, -1L, -1, -1.0)
+            case Some(tr) =>
+              val le = tr.codec == "sowt"
+              var peak = 0
+              var sumSq = 0L // exact: 16-bit squares, < 2^53 per clip
+              var n = 0L
+              tr.samples.foreach { s =>
+                var i = 0
+                while (i + 1 < s.length) {
+                  val v =
+                    (if (le) (s(i + 1) << 8) | (s(i) & 0xff)
+                     else (s(i) << 8) | (s(i + 1) & 0xff)).toShort.toInt
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  sumSq += v.toLong * v
+                  n += 1
+                  i += 2
+                }
+              }
+              val rms =
+                if (n == 0) 0.0
+                else java.math.BigDecimal
+                  .valueOf(math.sqrt(sumSq.toDouble / n))
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .doubleValue()
+              DecodedAudio(id, tr.timescale.toInt, tr.channels,
+                tr.sampleBits, n / tr.channels, peak, rms)
+          }
+        }
+      }
   }
 
   // ---- WebM (EBML) ----

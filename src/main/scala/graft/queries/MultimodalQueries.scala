@@ -51,6 +51,94 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The per-clip audio-stats oracle: recomputes peak/RMS from the
+    * planted 16-bit tone recurrence — shared verbatim by the WAV
+    * corpus (mm_audio_stats) and the PCM-in-MP4 corpus (mm_audio_mp4),
+    * which plant the SAME samples behind different containers. */
+  private val audioStatsSql: String =
+    """WITH m AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
+      |    CAST(8000 + (p_partkey % 3) * 4000 AS INT) AS sample_rate,
+      |    CAST(1 + p_partkey % 2 AS INT) AS channels,
+      |    CAST(50 + p_partkey % 100 AS BIGINT) AS n_frames
+      |  FROM part),
+      |s AS (SELECT media_id, sample_rate, channels, n_frames,
+      |        unnest(range(0, n_frames * channels)) AS i
+      |      FROM m),
+      |v AS (SELECT media_id, sample_rate, channels, n_frames,
+      |        (media_id * 31 + i * 17) % 65536 - 32768 AS sample
+      |      FROM s)
+      |SELECT media_id, sample_rate, channels,
+      |  CAST(16 AS INT) AS bits_per_sample, n_frames,
+      |  CAST(max(abs(sample)) AS INT) AS peak,
+      |  round(sqrt(CAST(sum(sample * sample) AS DOUBLE) / count(*)), 6)
+      |    AS rms
+      |FROM v
+      |GROUP BY media_id, sample_rate, channels, n_frames
+      |ORDER BY media_id""".stripMargin
+
+  /** Deterministic PCM-in-MP4 corpus over `part`: per key a two-track
+    * container — an opaque compressed video track (so chunk offsets
+    * cross track boundaries for real) plus a `soun` track whose stsd
+    * declares uncompressed 16-bit PCM, `sowt` (little-endian) for
+    * even keys and `twos` (big-endian) for odd — the SAME planted
+    * tone as [[audioMedia]] serialized in both byte orders, sliced
+    * into frame-aligned byte runs so the stco/stsc/stsz algebra does
+    * real work. */
+  private[graft] def mp4PcmMedia(env: Env): DataFrame = {
+    val spark = env.spark
+    import spark.implicits._
+    env.part.select(col("p_partkey").cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism) // see audioMedia
+      .map { key =>
+        val sampleRate = 8000L + (key % 3) * 4000L
+        val channels = (1 + key % 2).toInt
+        val nFrames = (50 + key % 100).toInt
+        val codec = if (key % 2 == 0) "sowt" else "twos"
+        val le = codec == "sowt"
+        val pcm = new Array[Byte](nFrames * channels * 2)
+        var i = 0
+        while (i < nFrames * channels) {
+          val v = ((key * 31 + i.toLong * 17) % 65536 - 32768).toShort
+          if (le) {
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          } else {
+            pcm(2 * i) = ((v >> 8) & 0xff).toByte
+            pcm(2 * i + 1) = (v & 0xff).toByte
+          }
+          i += 1
+        }
+        val aN = (3 + key % 3).toInt
+        val aSizes = Seq.tabulate(aN)(j =>
+          (nFrames / aN + (if (j < nFrames % aN) 1 else 0)) * channels * 2)
+        val vN = (2 + key % 4).toInt
+        val vSizes = Seq.tabulate(vN)(j => (30 + (key + j) % 40).toInt)
+        val video = Array.tabulate[Byte](vSizes.sum)(j =>
+          ((key + j) % 256).toByte)
+        (key, Multimodal.mp4Bytes(1000L, vN * 100L, Seq(
+          ("vide", "avc1", 1000L, 100L, vSizes, 16, 16),
+          ("soun", codec, sampleRate, 1L, aSizes, channels, 16)),
+          payload = Some(Array.concat(video, pcm))))
+      }.toDF("media_id", "content")
+  }
+
+  /** Real PCM decode out of an MP4 end to end: container write (true
+    * stco offsets across a video track) → sample-table demux → byte-
+    * order-honoring s16 fold → the WAV path's peak/RMS stats. Shares
+    * [[audioStatsSql]] with mm_audio_stats — same tones, different
+    * container — so the audio stub now covers compressed codecs only,
+    * matching the video side. */
+  def mmAudioMp4(env: Env): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    Multimodal.decodeMp4PcmAudio(mp4PcmMedia(env)).toDF()
+      .select(col("mediaId").as("media_id"),
+              col("sampleRate").as("sample_rate"), col("channels"),
+              col("bitsPerSample").as("bits_per_sample"),
+              col("nFrames").as("n_frames"), col("peak"), col("rms"))
+      .orderBy(col("media_id"))
+  }
+
   def mmAudioWindows(env: Env): DataFrame =
     Multimodal.sampleAudioWindows(audioMedia(env),
         windowFrames = 32, everyN = 2)
@@ -454,27 +542,13 @@ object MultimodalQueries {
         |FROM part
         |ORDER BY media_id""".stripMargin),
 
-    Q.sql("mm_audio_stats", mmAudioStats,
-      """WITH m AS (
-        |  SELECT CAST(p_partkey AS BIGINT) AS media_id,
-        |    CAST(8000 + (p_partkey % 3) * 4000 AS INT) AS sample_rate,
-        |    CAST(1 + p_partkey % 2 AS INT) AS channels,
-        |    CAST(50 + p_partkey % 100 AS BIGINT) AS n_frames
-        |  FROM part),
-        |s AS (SELECT media_id, sample_rate, channels, n_frames,
-        |        unnest(range(0, n_frames * channels)) AS i
-        |      FROM m),
-        |v AS (SELECT media_id, sample_rate, channels, n_frames,
-        |        (media_id * 31 + i * 17) % 65536 - 32768 AS sample
-        |      FROM s)
-        |SELECT media_id, sample_rate, channels,
-        |  CAST(16 AS INT) AS bits_per_sample, n_frames,
-        |  CAST(max(abs(sample)) AS INT) AS peak,
-        |  round(sqrt(CAST(sum(sample * sample) AS DOUBLE) / count(*)), 6)
-        |    AS rms
-        |FROM v
-        |GROUP BY media_id, sample_rate, channels, n_frames
-        |ORDER BY media_id""".stripMargin),
+    Q.sql("mm_audio_stats", mmAudioStats, audioStatsSql),
+
+    // the audio twin of mm_video_raw_frames: real 16-bit PCM demuxed
+    // out of the MP4 sample tables (sowt AND twos byte orders), stats
+    // matched against the SAME planted tones as the WAV corpus — one
+    // oracle, two containers
+    Q.sql("mm_audio_mp4", mmAudioMp4, audioStatsSql),
 
     Q.sql("mm_audio_windows", mmAudioWindows,
       """WITH m AS (

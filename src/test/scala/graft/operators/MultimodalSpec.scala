@@ -404,6 +404,57 @@ class MultimodalSpec extends SparkSpec {
       "a uniform stsz whose count*size exceeds the file must abort")
   }
 
+  test("MP4 PCM decode: sowt and twos byte orders yield identical " +
+       "stats, equal to the WAV path on the same samples; a container " +
+       "with only compressed audio degrades to the sentinel") {
+    val channels = 2
+    val samples = Array.tabulate[Short](120 * channels)(i =>
+      ((i.toLong * 7919) % 65536 - 32768).toShort)
+    def mp4For(codec: String): Array[Byte] = {
+      val le = codec == "sowt"
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        val v = samples(i)
+        if (le) {
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        } else {
+          pcm(2 * i) = ((v >> 8) & 0xff).toByte
+          pcm(2 * i + 1) = (v & 0xff).toByte
+        }
+      }
+      // three frame-aligned sample runs so the demux walks real table
+      // entries; (w, h) slots carry (channels, bits) for soun tracks
+      val third = samples.length / channels / 3 * channels * 2
+      Multimodal.mp4Bytes(1000L, 120L, Seq(
+        ("soun", codec, 8000L, 1L,
+          Seq(third, third, pcm.length - 2 * third), channels, 16)),
+        payload = Some(pcm))
+    }
+    val media = Seq(
+      (1L, mp4For("sowt")), (2L, mp4For("twos")),
+      (3L, Multimodal.mp4Bytes(1000L, 120L, Seq(
+        ("soun", "mp4a", 8000L, 1024L, Seq(40, 40), 2, 16))))
+    ).toDF("media_id", "content")
+    val got = Multimodal.decodeMp4PcmAudio(media).collect()
+      .map(a => a.mediaId -> a).toMap
+    val wav = Multimodal.decodeAudio(
+        Seq((9L, Multimodal.wavBytes(8000, channels, samples)))
+          .toDF("media_id", "content"))
+      .collect().head
+    for (id <- Seq(1L, 2L)) {
+      val a = got(id)
+      assert((a.sampleRate, a.channels, a.bitsPerSample, a.nFrames,
+        a.peak, a.rms) ==
+        (wav.sampleRate, wav.channels, wav.bitsPerSample, wav.nFrames,
+          wav.peak, wav.rms),
+        s"MP4 PCM ($id) must decode byte-order-correct and equal the " +
+          s"WAV path: $a vs $wav")
+    }
+    assert(got(3L).sampleRate == -1,
+      "compressed-only audio stays the declared stub (sentinel row)")
+  }
+
   test("MP4 demux: multi-entry stsc (chunk runs with different " +
        "samples-per-chunk) resolves every sample span") {
     // Hand-assembled box tree — the generator only writes the
