@@ -41,6 +41,13 @@ object BpeTrain {
     * SEPARATOR — not a plausible corpus character; guarded anyway). */
   val Delim = "␟"
 
+  /** Max merges learned per pair-count job by the batched selection
+    * (the non-interacting-prefix rule in [[trainState]]): 256 merges
+    * cost ~256/8 = 32 corpus-free vocab jobs instead of 256 — the
+    * standard batched-BPE trick, here with the conservative cut that
+    * keeps the learned table bit-identical to sequential greedy. */
+  val SelectBatch = 8
+
   /** Learn `merges` BPE merges over the whitespace words of `textCol`.
     *
     * @return one row per learned merge:
@@ -128,24 +135,76 @@ object BpeTrain {
                 "array<struct<l:string,r:string>>"))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wc")).as("cnt"))
+      // BATCHED selection (one count job learns up to `SelectBatch`
+      // merges): take the sorted prefix and accept pairs while they
+      // are pairwise NON-INTERACTING — then sequential greedy would
+      // have picked exactly the same pairs in the same order, so the
+      // merge table (and the DuckDB oracle's sequential replay) is
+      // bit-identical. The proof obligations, each enforced below:
+      //  - accepted pairs share no symbol and no merged-string
+      //    collision → their counts are invariant under each other's
+      //    replaces (a replace only destroys pairs touching l/r, and
+      //    only creates pairs containing the merged symbol);
+      //  - a created pair (x, l·r) needs an original adjacency (x, l)
+      //    — an INTERACTING pair present in the count table — so every
+      //    created count is ≤ the first interacting row's count
+      //    (`cutCount`, where the scan stops); trimming accepted rows
+      //    that TIE cutCount makes the bound strict, and interacting
+      //    originals can only lose count, so nothing overtakes the
+      //    accepted prefix mid-batch;
+      //  - the one hole in that bound is a self-pair (l == r): its
+      //    bounding pair (r, l) is ITSELF, so its creations (e.g.
+      //    (cc,cc) from a c-run) are not cut-bounded — self-pairs
+      //    therefore always run as singleton steps (old behavior);
+      //  - a singleton batch is trivially sequential, the fallback
+      //    whenever trimming empties the prefix.
+      val want = math.min(SelectBatch, merges - step)
       val top = pairs
         .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .limit(want + 1).collect()
+        .map(t => (t.getString(0), t.getString(1), t.getLong(2)))
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        learned += ((step, l, r, l + r, c))
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, Long)]
+        var cutCount = -1L // -1 = pair table exhausted, no bound needed
+        var halted = false
+        val it = top.iterator
+        while (!halted && it.hasNext) {
+          val (cl, cr, cnt) = it.next()
+          val interacting = (cl == cr && accepted.nonEmpty) ||
+            accepted.exists { case (al, ar, _) =>
+              cl == al || cl == ar || cr == al || cr == ar ||
+              al + ar == cl || al + ar == cr ||
+              cl + cr == al || cl + cr == ar || al + ar == cl + cr
+            }
+          if (accepted.size == want || interacting) {
+            cutCount = cnt; halted = true
+          } else {
+            accepted += ((cl, cr, cnt))
+            if (cl == cr) halted = true // self-pair: singleton step
+          }
+        }
+        val kept0 =
+          if (accepted.nonEmpty && accepted.head._1 == accepted.head._2)
+            accepted.take(1) // self-pair singleton, never trimmed away
+          else if (cutCount >= 0)
+            accepted.takeWhile(_._3 > cutCount)
+          else accepted
+        val kept = if (kept0.isEmpty) accepted.take(1) else kept0
         // `␟l␟␟r␟` → `␟lr␟`: consumes only the inner halves of the
         // outer boundaries, so adjacent occurrences are
-        // character-disjoint and one replace pass IS greedy.
-        seqs = seqs
-          .select(col("word"),
+        // character-disjoint and one replace pass IS greedy. Batched
+        // replaces apply in selection order — exactly the sequence of
+        // states sequential training walks through.
+        seqs = kept.foldLeft(seqs) { case (s, (l, r, c)) =>
+          learned += ((step, l, r, l + r, c))
+          step += 1
+          s.select(col("word"),
             replace(col("seq"),
               lit(d + l + dd + r + d), lit(d + l + r + d)).as("seq"),
             col("wc"))
-          .localCheckpoint(eager = false)
-        step += 1
+        }.localCheckpoint(eager = false)
       }
     }
     import spark.implicits._

@@ -227,11 +227,12 @@ object TextDedup {
     val banded = bandKeysKernel(
       docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), n, k, bands)
       .localCheckpoint(eager = false)
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id") && sizeBand(threshold))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Skew-guarded band join (BandJoin.selfPairs): identical pair set
+    // to the plain (band, key) self-join, but a degenerate hot bucket
+    // is block-decomposed instead of enumerating its m²/2 candidates
+    // in one task. sizeBand is symmetric, as the hot path requires.
+    val cands = BandJoin.selfPairs(banded, Seq("band", "key"), "doc_id",
+        "doc_a", "doc_b", extraCond = Some(sizeBand(threshold)))
       .distinct()
     verifyPairs(cands, sh, sh, "doc_a", "doc_b", threshold)
   }
@@ -686,6 +687,15 @@ object TextDedup {
       key
     }
   }
+
+  /** Public view of the MinHash band-key table (doc_id, band, key,
+    * n_sh) the candidate join shuffles on — `tools/LshBandStats`
+    * audits its bucket occupancy for the SCALING.md skew evidence. */
+  def bandKeys(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, k: Int = 64, bands: Int = 16): DataFrame =
+    bandKeysKernel(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      n, k, bands)
 
   private def bandKeysKernel(docs: DataFrame, n: Int, k: Int,
                              bands: Int): DataFrame = {

@@ -1980,17 +1980,20 @@ object VectorSearch {
     * expected bucket-collision mass — at the defaults ~2-3% on the
     * test embeddings.
     */
-  def cosineThresholdPairsLsh(vectors: DataFrame, threshold: Double,
-                              dim: Int = 64, bits: Int = 8,
-                              tables: Int = 8): DataFrame = {
+  /** The banded OR-construction signature table behind
+    * [[cosineThresholdPairsLsh]]: one (bkey, vec_id) row per (table,
+    * vector), bkey = table · 2^bits + that table's `bits`-bit
+    * hyperplane bucket. Public so `tools/LshBandStats` audits the
+    * same bucket occupancy the candidate join will shuffle on. */
+  def lshBandKeys(vectors: DataFrame, dim: Int = 64, bits: Int = 8,
+                  tables: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    // per-table plane slices so the signature loop is the shared bucketK
     val tablePlanes = hyperplanes(bits * tables, dim).map(_.toArray)
       .grouped(bits).map(_.toArray).toArray
-    val emb = vectors.select(col("vec_id"), col("embedding"))
+    vectors.select(col("vec_id"), col("embedding"))
       .filter(col("embedding").isNotNull)
-    val keyed = emb.as[(Long, Array[Float])]
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, e) =>
           (0 until tables).iterator.map { t =>
@@ -1998,10 +2001,25 @@ object VectorSearch {
           }
         }
       }.toDF("bkey", "vec_id")
-    val cands = keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.bkey") === col("b.bkey") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+  }
+
+  def cosineThresholdPairsLsh(vectors: DataFrame, threshold: Double,
+                              dim: Int = 64, bits: Int = 8,
+                              tables: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+    val keyed = lshBandKeys(vectors, dim, bits, tables)
+      // pinned: the occupancy agg + both guard paths of the skew-safe
+      // self-join read this — materialize the signature pass once
+      .localCheckpoint(eager = false)
+    // Skew-guarded (BandJoin.selfPairs): same candidate set as the
+    // plain bkey self-join; a degenerate bucket (constant embedding
+    // region collapsing a table's signatures) is block-decomposed
+    // instead of serializing its pair mass on one task.
+    val cands = BandJoin.selfPairs(keyed, Seq("bkey"), "vec_id",
+        "vec_a", "vec_b")
       .distinct()
     cands
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),

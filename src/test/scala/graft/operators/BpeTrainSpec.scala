@@ -68,4 +68,66 @@ class BpeTrainSpec extends SparkSpec {
     }
     assert(deepMessages(ex).contains("reserved delimiter"), deepMessages(ex))
   }
+
+  /** Driver-side SEQUENTIAL greedy BPE — the reference the batched
+    * selection must reproduce bit-for-bit: per step, count adjacent
+    * pairs over the word-frequency table, pick (count desc, l asc,
+    * r asc), apply one left-to-right non-overlapping merge pass. */
+  private def refTrain(texts: Seq[String], k: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    val wc = texts.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var seqs: Seq[(List[String], Long)] =
+      wc.toSeq.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, c) <- seqs; Seq(a, b) <- s.sliding(2) if s.length >= 2)
+        counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.toSeq
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head
+        out += ((step, l, r, l + r, c))
+        seqs = seqs.map { case (s, wcnt) =>
+          val b = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += s(i); i += 1 }
+          }
+          (b.toList, wcnt)
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("batched selection ≡ sequential greedy on adversarial corpora") {
+    // ties, self-pairs, runs, and interaction chains — every shape the
+    // batch cut rules exist for: (a) c-runs force the self-pair
+    // singleton path, (b) equal counts exercise the tie trim, (c)
+    // chained "abab" creates merged-symbol pairs mid-round
+    val corpora = Seq(
+      Seq("ccccc ccccc", "ab ab ab", "xy xy"),
+      Seq("abab abab abab", "cd cd cd", "ef ef"),
+      Seq("low low low", "low low lower lower", "new new new new new new",
+        "wider wider wide"),
+      Seq("aaa bbb aaa bbb", "ab ba ab ba", "cc cc cc"),
+      Seq("the quick brown fox jumps over the lazy dog",
+        "the quick brown cat naps under the warm sun",
+        "a quick brown fox and a quick brown cat"),
+      Seq("zz zz zz yy yy xx"))
+    for (texts <- corpora; k <- Seq(3, 8, 14)) {
+      val ref = refTrain(texts, k)
+      val got = merges(texts, k).toSeq
+      assert(got == ref,
+        s"k=$k corpus=${texts.take(1)}…\n got=$got\n ref=$ref")
+    }
+  }
 }
