@@ -26,6 +26,13 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // same between-query hygiene as graft.Bench: entries are
+        // independent, so lazily-localCheckpointed blocks (fsck pins,
+        // shared-subplan checkpoints) are dead state a 285-query run
+        // would otherwise accumulate in the block manager
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

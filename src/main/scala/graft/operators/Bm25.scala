@@ -170,26 +170,32 @@ object Bm25 {
     // term extraction runs once for postings AND df
     val dfWidth = IndexCommit.writeWidth(tfPlan.groupBy(col("term"))
       .agg(count(lit(1)).as("df")))
-    val tfAll = tfPlan.localCheckpoint(eager = false)
+    // EAGER: both parallel branches below read the materialized blocks
+    // instead of racing to compute a lazy checkpoint twice
+    val tfAll = tfPlan.localCheckpoint(eager = true)
     IndexCommit.commit(spark, dir) { (gen, _) =>
-      tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
-        .repartition(IndexCommit.writeWidth(docs), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "postings", gen))
-      // df is vocab-sized, not corpus-sized, but a web corpus's vocab
-      // is 10⁸–10⁹ terms — size-derived width and a term sort (row-
-      // group pruning for the serve-time term filter), never one file
-      tfAll.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .repartition(dfWidth, col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "df", gen))
-      base.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl").cast("long")).as("sum_dl"))
-        .coalesce(1).write.mode("overwrite") // genuinely one row
-        .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+      // the three staged tables are independent targets — overlap
+      // their writes (guide §2.6); the corpus term extraction already
+      // ran once into tfAll above
+      Par.all(Seq[() => Unit](
+        () => tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+          .repartition(IndexCommit.writeWidth(docs), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "postings", gen)),
+        // df is vocab-sized, not corpus-sized, but a web corpus's vocab
+        // is 10⁸–10⁹ terms — size-derived width and a term sort (row-
+        // group pruning for the serve-time term filter), never one file
+        () => tfAll.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .repartition(dfWidth, col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "df", gen)),
+        () => base.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl").cast("long")).as("sum_dl"))
+          .coalesce(1).write.mode("overwrite") // genuinely one row
+          .parquet(IndexCommit.segmentPath(dir, "stats", gen))))
       Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
     }
     IndexCommit.gcUnreferenced(spark, dir)
@@ -231,30 +237,33 @@ object Bm25 {
       .agg(count(lit(1)).as("tf"))
     val dfWidth = IndexCommit.deltaWidth(tfPlan.groupBy(col("term"))
       .agg(count(lit(1)).as("df")))
-    val tfInc = tfPlan.localCheckpoint(eager = false) // postings AND df
+    // EAGER pin: postings AND df branches read materialized blocks
+    val tfInc = tfPlan.localCheckpoint(eager = true)
     IndexCommit.commit(spark, dir) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"appendIndex: no committed index at $dir — writeIndex first"))
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         base.select(col("doc_id")), "doc_id", "appendIndex")
-      tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
-        .repartition(IndexCommit.writeWidth(docs), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "postings", gen))
-      tfInc.groupBy(col("term"))
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .repartition(dfWidth, col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "df", gen))
-      IndexCommit.readTable(spark, dir, "stats")
-        .unionByName(base.agg(count(lit(1)).as("n_docs"),
-          sum(col("dl").cast("long")).as("sum_dl")))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("sum_dl")).as("sum_dl"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+      // three independent staged tables — overlap the writes
+      Par.all(Seq[() => Unit](
+        () => tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+          .repartition(IndexCommit.writeWidth(docs), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "postings", gen)),
+        () => tfInc.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .repartition(dfWidth, col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "df", gen)),
+        () => IndexCommit.readTable(spark, dir, "stats")
+          .unionByName(base.agg(count(lit(1)).as("n_docs"),
+            sum(col("dl").cast("long")).as("sum_dl")))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "stats", gen))))
       prev.tables ++ Map(
         "postings" -> (prev.tables("postings") :+ s"postings-g$gen"),
         "df" -> (prev.tables("df") :+ s"df-g$gen"),
@@ -290,39 +299,44 @@ object Bm25 {
       val priorTombs =
         if (hasTombs) IndexCommit.readTable(spark, dir, "tombstones")
         else newIds.limit(0)
+      // EAGER pins: both feed two parallel branches each
       val fresh = newIds.join(priorTombs, Seq("doc_id"), "left_anti")
-        .localCheckpoint(eager = false) // feeds decrements + tombstones
+        .localCheckpoint(eager = true) // feeds decrements + tombstones
       // the deleted docs' exact contributions, recovered from postings
       val delRows = IndexCommit.readTable(spark, dir, "postings")
         .join(fresh, Seq("doc_id"))
-        .localCheckpoint(eager = false) // feeds df AND stats decrements
-      // a NEGATIVE df delta — delete-sized write volume no matter the
-      // vocabulary size; [[foldDf]] nets it out at read, compaction
-      // materializes
-      delRows.groupBy(col("term"))
-        .agg((-countDistinct(col("doc_id"))).as("df"))
-        .repartition(IndexCommit.deltaWidth(newIds), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "df", gen))
-      val delStats = delRows.groupBy(col("doc_id"))
-        .agg(first(col("dl")).as("dl"))
-        .agg(count(lit(1)).as("dn"),
-          // sum over zero rows is NULL, not 0 — an empty delete set
-          // must leave the stats untouched, not null them
-          coalesce(sum(col("dl").cast("long")), lit(0L)).as("ddl"))
-      PlanHints.withScalars(
-          IndexCommit.readTable(spark, dir, "stats"), delStats)
-        .select((col("n_docs") - col("dn")).as("n_docs"),
-          (col("sum_dl") - col("ddl")).as("sum_dl"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "stats", gen))
-      // the fresh ids alone, as a DELTA segment beside any prior ones
-      // (anti-join masking works on the un-folded union)
-      fresh
-        .repartition(IndexCommit.deltaWidth(newIds))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
+        .localCheckpoint(eager = true) // feeds df AND stats decrements
+      // three independent staged tables — overlap the writes
+      Par.all(Seq[() => Unit](
+        // a NEGATIVE df delta — delete-sized write volume no matter
+        // the vocabulary size; [[foldDf]] nets it out at read,
+        // compaction materializes
+        () => delRows.groupBy(col("term"))
+          .agg((-countDistinct(col("doc_id"))).as("df"))
+          .repartition(IndexCommit.deltaWidth(newIds), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "df", gen)),
+        () => {
+          val delStats = delRows.groupBy(col("doc_id"))
+            .agg(first(col("dl")).as("dl"))
+            .agg(count(lit(1)).as("dn"),
+              // sum over zero rows is NULL, not 0 — an empty delete
+              // set must leave the stats untouched, not null them
+              coalesce(sum(col("dl").cast("long")), lit(0L)).as("ddl"))
+          PlanHints.withScalars(
+              IndexCommit.readTable(spark, dir, "stats"), delStats)
+            .select((col("n_docs") - col("dn")).as("n_docs"),
+              (col("sum_dl") - col("ddl")).as("sum_dl"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+        },
+        // the fresh ids alone, as a DELTA segment beside any prior
+        // ones (anti-join masking works on the un-folded union)
+        () => fresh
+          .repartition(IndexCommit.deltaWidth(newIds))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))))
       prev.tables ++ Map(
         "df" -> (prev.tables("df") :+ s"df-g$gen"),
         "stats" -> Seq(s"stats-g$gen"),
@@ -360,16 +374,18 @@ object Bm25 {
           postings.join(IndexCommit.readTable(spark, dir, "tombstones"),
             Seq("doc_id"), "left_anti")
         else postings
-      live
-        .repartition(IndexCommit.writeWidth(postings), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "postings", gen))
-      foldDf(dfRaw)
-        .repartition(IndexCommit.writeWidth(dfRaw), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "df", gen))
+      // two independent staged tables — overlap the rewrites
+      Par.all(Seq[() => Unit](
+        () => live
+          .repartition(IndexCommit.writeWidth(postings), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "postings", gen)),
+        () => foldDf(dfRaw)
+          .repartition(IndexCommit.writeWidth(dfRaw), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "df", gen))))
       (prev.tables - "tombstones")
         .updated("postings", Seq(s"postings-g$gen"))
         .updated("df", Seq(s"df-g$gen"))
@@ -414,18 +430,20 @@ object Bm25 {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl"))
     IndexCommit.commit(spark, dest) { (gen, _) =>
-      postings
-        .repartition(IndexCommit.writeWidth(postings), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dest, "postings", gen))
-      foldDf(dfAll)
-        .repartition(IndexCommit.writeWidth(dfAll), col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dest, "df", gen))
-      stats.coalesce(1).write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dest, "stats", gen))
+      // three independent staged tables — overlap the writes
+      Par.all(Seq[() => Unit](
+        () => postings
+          .repartition(IndexCommit.writeWidth(postings), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dest, "postings", gen)),
+        () => foldDf(dfAll)
+          .repartition(IndexCommit.writeWidth(dfAll), col("term"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dest, "df", gen)),
+        () => stats.coalesce(1).write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dest, "stats", gen))))
       Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
     }
     IndexCommit.gcUnreferenced(spark, dest, retainGens)
@@ -506,10 +524,14 @@ object Bm25 {
       val m = IndexCommit.manifestAt(spark, dir, gen)
       val docs = IndexCommit.readTableAt(spark, dir, "postings", gen)
         .select(col("doc_id")).distinct()
-      if (m.tables.contains("tombstones"))
-        docs.join(IndexCommit.readTableAt(spark, dir, "tombstones", gen),
-          Seq("doc_id"), "left_anti")
-      else docs
+      val present =
+        if (m.tables.contains("tombstones"))
+          docs.join(IndexCommit.readTableAt(spark, dir, "tombstones", gen),
+            Seq("doc_id"), "left_anti")
+        else docs
+      // each generation's present-set anchors BOTH anti-joins below —
+      // pin it so each gen's postings union is scanned once, not twice
+      present.localCheckpoint(eager = true)
     }
     val a = presentAt(genA)
     val b = presentAt(genB)
@@ -549,7 +571,11 @@ object Bm25 {
         sys.error(s"fsck: no committed index at $dir"))
     }
     def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
-    val postings = table("postings")
+    // the postings union feeds the stats recount, the df recount AND
+    // the orphan check, each its own scalar-subtree job — pin it once
+    // (lazy localCheckpoint) so the audit reads the multi-segment
+    // union from disk ONCE instead of once per invariant
+    val postings = table("postings").localCheckpoint(eager = true)
     val live =
       if (m.tables.contains("tombstones"))
         postings.join(table("tombstones"), Seq("doc_id"), "left_anti")

@@ -385,6 +385,22 @@ object IndexCommit {
     c.getValue
   }
 
+  /** Pack work items into `slices` bins, largest-first round-robin,
+    * as ONE LIST PER BIN — `parallelize(bins, bins.size)` then puts
+    * exactly one bin in each partition, so the binning happens on the
+    * driver (file-count-sized metadata) and the job is a single
+    * shuffle-free stage. The former shape (`parallelize` +
+    * `partitionBy(HashPartitioner)`) paid a full RDD shuffle per
+    * commit just to route items to bins the driver had already
+    * decided (guide §2.4: remove shuffles outright). */
+  private def packBins[T](items: Seq[T], slices: Int,
+                          len: T => Long): IndexedSeq[Seq[T]] = {
+    val bins = IndexedSeq.fill(slices)(Seq.newBuilder[T])
+    items.sortBy(f => -len(f)).zipWithIndex
+      .foreach { case (f, i) => bins(i % slices) += f }
+    bins.map(_.result())
+  }
+
   /** Distributed (length, CRC32C) stamps for `(abs, rel, len)` files —
     * one task per ~[[CloneBytesPerTask]] of payload, files packed
     * largest-first so one fat parquet file can't serialize the job;
@@ -398,10 +414,8 @@ object IndexCommit {
       new org.apache.spark.SerializableWritable(
         spark.sessionState.newHadoopConf()))
     spark.sparkContext.parallelize(
-        files.sortBy(-_._3).zipWithIndex.map { case (f, i) =>
-          (i % slices, f) }, slices)
-      .partitionBy(new org.apache.spark.HashPartitioner(slices))
-      .values
+        packBins[(String, String, Long)](files, slices, _._3), slices)
+      .flatMap(identity)
       .mapPartitions { it =>
         val conf = confBc.value.value
         it.map { case (abs, rel, _) =>
@@ -467,8 +481,10 @@ object IndexCommit {
         val slices = cloneSlices(entries.map(_._2._1).sum, entries.size,
           spark.sparkContext.defaultParallelism)
         spark.sparkContext.parallelize(
-            entries.map { case (rel, (len, crc)) => (rel, len, crc) },
-            slices)
+            packBins[(String, Long, Long)](
+              entries.map { case (rel, (len, crc)) => (rel, len, crc) },
+              slices, _._2), slices)
+          .flatMap(identity)
           .mapPartitions { it =>
             val conf = confBc.value.value
             it.map { case (rel, len, crc) =>
@@ -549,11 +565,10 @@ object IndexCommit {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(
         spark.sessionState.newHadoopConf()))
-    val binned = files.sortBy(-_._4).zipWithIndex
-      .map { case (f, i) => (i % slices, f) }
-    spark.sparkContext.parallelize(binned, slices)
-      .partitionBy(new org.apache.spark.HashPartitioner(slices))
-      .values
+    spark.sparkContext.parallelize(
+        packBins[(String, String, String, Long)](files, slices, _._4),
+        slices)
+      .flatMap(identity)
       .mapPartitions { (it: Iterator[(String, String, String, Long)]) =>
         val conf = confBc.value.value
         val buf = new Array[Byte](1 << 20)
@@ -794,6 +809,31 @@ object IndexCommit {
         "scan-backed sizeHint, not a checkpointed/RDD-backed frame")
     val byBytes = (est + targetBytesPerFile - 1) / targetBytesPerFile
     math.max(floor, byBytes.min(BigInt(MaxWidth)).toInt)
+  }
+
+  /** [[writeWidth]] for a PARTITIONED write (`partitionBy(partCol)`):
+    * the file count there is fixed by the partition column's
+    * cardinality (each partition value owns ≥ 1 file whatever the
+    * task count), so width buys only PARALLELISM of file creation —
+    * the measured bottleneck on bucket/cell segment writes was each
+    * task creating its ~16 partition files serially (parquet writer
+    * open + footer ≈ 100 ms each), not the hashing. Use the full
+    * cluster parallelism as the floor instead of [[writeWidth]]'s
+    * 16-task floor; large tables keep the size-derived width. */
+  def partitionedWriteWidth(sizeHint: DataFrame,
+                            targetBytesPerFile: Long = 128L << 20): Int = {
+    val par = sizeHint.sparkSession.sparkContext.defaultParallelism
+    math.min(MaxWidth,
+      math.max(writeWidth(sizeHint, targetBytesPerFile), par))
+  }
+
+  /** [[partitionedWriteWidth]] with [[deltaWidth]]'s tolerance for
+    * checkpoint-backed size hints (increment-sized deltas). */
+  def partitionedDeltaWidth(sizeHint: DataFrame,
+                            targetBytesPerFile: Long = 128L << 20): Int = {
+    val par = sizeHint.sparkSession.sparkContext.defaultParallelism
+    math.min(MaxWidth,
+      math.max(deltaWidth(sizeHint, targetBytesPerFile), par))
   }
 
   /** [[writeWidth]] for DELTA segments (per-append df deltas, per-

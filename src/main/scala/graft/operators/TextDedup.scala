@@ -417,10 +417,15 @@ object TextDedup {
     val meta = table("meta").head()
     val (k, bands) =
       (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    // both unions feed several invariant aggregates each (own scalar-
+    // subtree jobs) — pin once so the segment union is read from disk
+    // once per table, not once per invariant
     val bandsT = table("bands").select(col("doc_id"),
       col("band").cast("int").as("band"), col("key"),
       col("n_sh").cast("int").as("n_sh"))
+      .localCheckpoint(eager = true)
     val shT = table("shingles").select(col("doc_id"), col("sh"))
+      .localCheckpoint(eager = true)
     val hasTomb = m.tables.contains("tombstones")
     val recomputed = shT.as[(Long, Array[Long])]
       .mapPartitions { it =>

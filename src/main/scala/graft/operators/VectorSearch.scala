@@ -437,7 +437,7 @@ object VectorSearch {
       // dominated the roundtrip at sf0.1); the width is size-derived
       // ([[IndexCommit.writeWidth]]), no fixed 16-writer ceiling
       lshVectorBuckets(vectors, bits, dim)
-        .repartition(IndexCommit.writeWidth(vectors), col("bkt"))
+        .repartition(IndexCommit.partitionedWriteWidth(vectors), col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(IndexCommit.segmentPath(dir, "buckets", gen))
       Seq((bits, dim)).toDF("bits", "dim")
@@ -487,7 +487,7 @@ object VectorSearch {
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         increment.select("vec_id"), "vec_id", "lshAppendIndex")
       lshVectorBuckets(increment, bits, dim)
-        .repartition(IndexCommit.writeWidth(increment), col("bkt"))
+        .repartition(IndexCommit.partitionedWriteWidth(increment), col("bkt"))
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(IndexCommit.segmentPath(dir, "buckets", gen))
       prev.tables.updated("buckets",
@@ -1047,7 +1047,7 @@ object VectorSearch {
       // parallel per-cell file creation (see lshWriteIndex), width
       // size-derived from the source table
       assigned.toDF("cell", "vec_id", "embedding")
-        .repartition(IndexCommit.writeWidth(vectors), col("cell"))
+        .repartition(IndexCommit.partitionedWriteWidth(vectors), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "cells", gen))
       spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
@@ -1109,7 +1109,7 @@ object VectorSearch {
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         increment.select("vec_id"), "vec_id", "ivfAppendIndex")
       assignedInc
-        .repartition(IndexCommit.writeWidth(increment), col("cell"))
+        .repartition(IndexCommit.partitionedWriteWidth(increment), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "cells", gen))
       prev.tables.updated("cells", prev.tables("cells") :+ s"cells-g$gen")
@@ -1163,7 +1163,7 @@ object VectorSearch {
           live.join(IndexCommit.readTable(spark, dir, "tombstones"),
             Seq("vec_id"), "left_anti")
         else live
-      rows.repartition(IndexCommit.writeWidth(live), col(partCol))
+      rows.repartition(IndexCommit.partitionedWriteWidth(live), col(partCol))
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(IndexCommit.segmentPath(dir, table, gen))
       (prev.tables - "tombstones").updated(table, Seq(s"$table-g$gen"))
@@ -1254,7 +1254,7 @@ object VectorSearch {
     IndexCommit.commit(spark, dest) { (gen, _) =>
       val w = partCol match {
         case Some(c) => rows
-          .repartition(IndexCommit.writeWidth(rows), col(c))
+          .repartition(IndexCommit.partitionedWriteWidth(rows), col(c))
           .write.mode("overwrite").partitionBy(c)
         case None => rows
           .repartition(IndexCommit.writeWidth(rows))
@@ -1422,10 +1422,14 @@ object VectorSearch {
       val m = IndexCommit.manifestAt(spark, dir, gen)
       val ids = IndexCommit.readTableAt(spark, dir, rowsTable, gen)
         .select(col("vec_id")).distinct()
-      if (m.tables.contains("tombstones"))
-        ids.join(IndexCommit.readTableAt(spark, dir, "tombstones", gen),
-          Seq("vec_id"), "left_anti")
-      else ids
+      val present =
+        if (m.tables.contains("tombstones"))
+          ids.join(IndexCommit.readTableAt(spark, dir, "tombstones", gen),
+            Seq("vec_id"), "left_anti")
+        else ids
+      // each generation's present-set anchors BOTH anti-joins below —
+      // pin it so each gen's segment union is scanned once, not twice
+      present.localCheckpoint(eager = true)
     }
     val a = presentAt(genA)
     val b = presentAt(genB)
@@ -1482,8 +1486,14 @@ object VectorSearch {
         sys.error(s"ivfFsck: no committed index at $dir"))
     }
     def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
+    // the cells union feeds FIVE of the invariant aggregates below,
+    // each its own scalar-subtree job — pin it once (lazy
+    // localCheckpoint) so the audit reads the many-small-file segment
+    // union from disk ONCE instead of once per invariant (guide §2.4/
+    // §5: at index scale that is five redundant full-table scans)
     val cells = table("cells").select(col("cell").cast("int").as("cell"),
       col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = true)
     val centroids = table("centroids")
       .select(col("cell").cast("int").as("cell"), col("centroid"))
     val hasTomb = m.tables.contains("tombstones")
@@ -1619,8 +1629,10 @@ object VectorSearch {
     def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
     val meta = table("meta").head()
     val (mm, nCells) = (meta.getInt(0), meta.getInt(1))
+    // pinned once for the four code-table invariants (see ivfFsck)
     val codes = table("codes").select(col("cell").cast("int").as("cell"),
       col("vec_id"), col("codes"))
+      .localCheckpoint(eager = true)
     val hasTomb = m.tables.contains("tombstones")
     val rowAgg = codes.agg(
       count(lit(1)).cast("long").as("phys_rows"),
@@ -1703,9 +1715,11 @@ object VectorSearch {
     val (bits, dim) = (meta.getInt(0), meta.getInt(1))
     val planes = hyperplanes(bits, dim).map(_.toArray).toArray
     val bcP = spark.sparkContext.broadcast(planes)
+    // pinned once for the four bucket-table invariants (see ivfFsck)
     val buckets = table("buckets").select(
       col("bkt").cast("int").as("bkt"), col("vec_id"), col("embedding"),
       col("nv"))
+      .localCheckpoint(eager = true)
     val hasTomb = m.tables.contains("tombstones")
     val recAgg = buckets
       .as[(Int, Long, Array[Float], Double)]
@@ -1778,7 +1792,9 @@ object VectorSearch {
     }
     def table(t: String) = IndexCommit.readTableAt(spark, dir, t, m.gen)
     val prefixDim = table("meta").head().getInt(0)
+    // pinned once for the three prefix-table invariants (see ivfFsck)
     val prefix = table("prefix").select(col("vec_id"), col("prefix"))
+      .localCheckpoint(eager = true)
     val hasTomb = m.tables.contains("tombstones")
     val rowAgg = prefix.agg(
       count(lit(1)).cast("long").as("phys_rows"),
@@ -2874,7 +2890,7 @@ object VectorSearch {
           }
         }
         .toDF("cell", "vec_id", "codes")
-        .repartition(IndexCommit.writeWidth(vectors), col("cell"))
+        .repartition(IndexCommit.partitionedWriteWidth(vectors), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "codes", gen))
       spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
@@ -3064,7 +3080,7 @@ object VectorSearch {
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         increment.select("vec_id"), "vec_id", "ivfPqAppendIndex")
       codesInc
-        .repartition(IndexCommit.writeWidth(increment), col("cell"))
+        .repartition(IndexCommit.partitionedWriteWidth(increment), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "codes", gen))
       prev.tables.updated("codes", prev.tables("codes") :+ s"codes-g$gen")

@@ -351,17 +351,19 @@ object AnnQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents, "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(env.embeddings, ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.deleteDocs(spark, bmDir,
-        env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"),
-        retainGens = Int.MaxValue)
-      VectorSearch.deleteVectors(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"),
-        retainGens = Int.MaxValue)
+      graft.operators.Par.both(
+        Bm25.deleteDocs(spark, bmDir,
+          env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"),
+          retainGens = Int.MaxValue),
+        VectorSearch.deleteVectors(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"),
+          retainGens = Int.MaxValue))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val pins = CollectionCommit.currentManifest(spark, colDir).get.members
@@ -528,12 +530,13 @@ object AnnQueries {
     * bit-identical to a full build: shares ann_lsh_topk's oracle. */
   def annLshShardMerge(env: Env): DataFrame = {
     val base = s"${StreamQueries.scratchBase}/lsh_shard"
-    val shards = (0 to 2).map { s =>
+    // independent shard builds — overlap them (guide §2.6)
+    val shards = graft.operators.Par.all((0 to 2).map { s => () =>
       val dir = s"${base}_$s"
       VectorSearch.lshWriteIndex(
         env.embeddings.filter($"vec_id" % 3 === s), dir)
       dir
-    }
+    })
     val dest = s"${base}_merged"
     VectorSearch.mergeStatelessIndexes(env.spark, dest, shards,
       "buckets", Some("bkt"))
@@ -545,12 +548,12 @@ object AnnQueries {
     * the stateless prefix copy; shares ann_mrl_rerank's oracle. */
   def annMrlShardMerge(env: Env): DataFrame = {
     val base = s"${StreamQueries.scratchBase}/mrl_shard"
-    val shards = (0 to 2).map { s =>
+    val shards = graft.operators.Par.all((0 to 2).map { s => () =>
       val dir = s"${base}_$s"
       VectorSearch.mrlWriteIndex(
         env.embeddings.filter($"vec_id" % 3 === s), dir)
       dir
-    }
+    })
     val dest = s"${base}_merged"
     VectorSearch.mergeStatelessIndexes(env.spark, dest, shards,
       "prefix", None)

@@ -571,8 +571,10 @@ object StreamQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      // independent member builds — overlap them (guide §2.6)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents, "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(env.embeddings, ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val stream = streamRead(env, "documents")
@@ -584,11 +586,12 @@ object StreamQueries {
           if (!batch.isEmpty) {
             val ids = batch.persist()
             try CollectionCommit.commit(spark, colDir) { (_, _) =>
-              Bm25.deleteDocs(spark, bmDir, ids,
-                retainGens = Int.MaxValue)
-              VectorSearch.deleteVectors(spark, ivfDir,
-                ids.select($"doc_id".as("vec_id")),
-                retainGens = Int.MaxValue)
+              graft.operators.Par.both(
+                Bm25.deleteDocs(spark, bmDir, ids,
+                  retainGens = Int.MaxValue),
+                VectorSearch.deleteVectors(spark, ivfDir,
+                  ids.select($"doc_id".as("vec_id")),
+                  retainGens = Int.MaxValue))
               Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
             } finally { ids.unpersist(); () }
           }
@@ -719,10 +722,11 @@ object StreamQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 0),
-        "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(
-        env.embeddings.filter($"vec_id" % 7 =!= 0), ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 0),
+          "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(
+          env.embeddings.filter($"vec_id" % 7 =!= 0), ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val stream = streamRead(env, "documents")
@@ -734,14 +738,15 @@ object StreamQueries {
           if (!batch.isEmpty) {
             val docs = batch.persist()
             try CollectionCommit.commit(spark, colDir) { (_, _) =>
-              Bm25.appendIndex(spark, bmDir, docs, "doc_id", "text",
-                retainGens = Int.MaxValue)
-              VectorSearch.ivfAppendIndex(spark, ivfDir,
-                env.embeddings
-                  .join(docs.select($"doc_id".as("vec_id")),
-                    Seq("vec_id"), "left_semi")
-                  .select($"vec_id", $"embedding"),
-                retainGens = Int.MaxValue)
+              graft.operators.Par.both(
+                Bm25.appendIndex(spark, bmDir, docs, "doc_id", "text",
+                  retainGens = Int.MaxValue),
+                VectorSearch.ivfAppendIndex(spark, ivfDir,
+                  env.embeddings
+                    .join(docs.select($"doc_id".as("vec_id")),
+                      Seq("vec_id"), "left_semi")
+                    .select($"vec_id", $"embedding"),
+                  retainGens = Int.MaxValue))
               Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
             } finally { docs.unpersist(); () }
           }
@@ -809,10 +814,11 @@ object StreamQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 0),
-        "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(
-        env.embeddings.filter($"vec_id" % 7 =!= 0), ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 0),
+          "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(
+          env.embeddings.filter($"vec_id" % 7 =!= 0), ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     // one streamed ingest window: every micro-batch appends to BOTH
@@ -827,14 +833,15 @@ object StreamQueries {
             if (!batch.isEmpty) {
               val docs = batch.persist()
               try CollectionCommit.commit(spark, colDir) { (_, _) =>
-                Bm25.appendIndex(spark, bmDir, docs, "doc_id", "text",
-                  retainGens = Int.MaxValue)
-                VectorSearch.ivfAppendIndex(spark, ivfDir,
-                  env.embeddings
-                    .join(docs.select($"doc_id".as("vec_id")),
-                      Seq("vec_id"), "left_semi")
-                    .select($"vec_id", $"embedding"),
-                  retainGens = Int.MaxValue)
+                graft.operators.Par.both(
+                  Bm25.appendIndex(spark, bmDir, docs, "doc_id", "text",
+                    retainGens = Int.MaxValue),
+                  VectorSearch.ivfAppendIndex(spark, ivfDir,
+                    env.embeddings
+                      .join(docs.select($"doc_id".as("vec_id")),
+                        Seq("vec_id"), "left_semi")
+                      .select($"vec_id", $"embedding"),
+                    retainGens = Int.MaxValue))
                 Map("bm25" -> memberGen(bmDir),
                   "ivf" -> memberGen(ivfDir))
               } finally { docs.unpersist(); () }

@@ -665,12 +665,13 @@ object TextQueries {
     * text_bm25_topk's oracle — the sharding IS the assertion. */
   def textBm25ShardMerge(env: Env): DataFrame = {
     val base = s"${StreamQueries.scratchBase}/bm25_shard"
-    val shards = (0 to 2).map { s =>
+    // independent shard builds — overlap them (guide §2.6)
+    val shards = graft.operators.Par.all((0 to 2).map { s => () =>
       val dir = s"${base}_$s"
       graft.operators.Bm25.writeIndex(
         env.documents.filter($"doc_id" % 3 === s), "doc_id", "text", dir)
       dir
-    }
+    })
     val dest = s"${base}_merged"
     graft.operators.Bm25.mergeIndexes(env.spark, dest, shards)
     graft.operators.Bm25.serve(env.spark, dest, Bm25Workload, k = 10)
@@ -916,10 +917,12 @@ object TextQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, staging) { (_, _) =>
-      Bm25.writeIndex(env.documents, "doc_id", "text",
-        CollectionCommit.memberDir(staging, "bm25"))
-      VectorSearch.ivfWriteIndex(env.embeddings,
-        CollectionCommit.memberDir(staging, "ivf"))
+      // independent member builds — overlap them (guide §2.6)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents, "doc_id", "text",
+          CollectionCommit.memberDir(staging, "bm25")),
+        VectorSearch.ivfWriteIndex(env.embeddings,
+          CollectionCommit.memberDir(staging, "ivf")))
       Map(
         "bm25" -> memberGen(CollectionCommit.memberDir(staging, "bm25")),
         "ivf" -> memberGen(CollectionCommit.memberDir(staging, "ivf")))
@@ -1093,26 +1096,32 @@ object TextQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 5),
-        "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(
-        env.embeddings.filter($"vec_id" % 7 =!= 5), ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents.filter($"doc_id" % 7 =!= 5),
+          "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(
+          env.embeddings.filter($"vec_id" % 7 =!= 5), ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     // snapshot 2: ingest + takedown on BOTH members, one atomic flip
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 7 === 5), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.deleteDocs(spark, bmDir,
-        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-        retainGens = Int.MaxValue)
-      VectorSearch.ivfAppendIndex(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 7 === 5),
-        retainGens = Int.MaxValue)
-      VectorSearch.deleteVectors(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-        retainGens = Int.MaxValue)
+      // per-member op ORDER is preserved inside each branch; the two
+      // member DIRECTORIES are independent, so the legs overlap
+      graft.operators.Par.both({
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 7 === 5), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.deleteDocs(spark, bmDir,
+          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+          retainGens = Int.MaxValue)
+      }, {
+        VectorSearch.ivfAppendIndex(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 7 === 5),
+          retainGens = Int.MaxValue)
+        VectorSearch.deleteVectors(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+          retainGens = Int.MaxValue)
+      })
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val m1 = CollectionCommit.manifestAt(spark, colDir, 1L)
@@ -1151,32 +1160,38 @@ object TextQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
-        "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(
-        env.embeddings.filter($"vec_id" % 3 === 0), ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(
+          env.embeddings.filter($"vec_id" % 3 === 0), ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     // one atomic snapshot carries BOTH members' nightly debt
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.deleteDocs(spark, bmDir,
-        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-        retainGens = Int.MaxValue)
-      VectorSearch.ivfAppendIndex(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 3 === 1),
-        retainGens = Int.MaxValue)
-      VectorSearch.ivfAppendIndex(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 3 === 2),
-        retainGens = Int.MaxValue)
-      VectorSearch.deleteVectors(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-        retainGens = Int.MaxValue)
+      // per-member op ORDER is preserved inside each branch; the two
+      // member DIRECTORIES are independent, so the legs overlap
+      graft.operators.Par.both({
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.deleteDocs(spark, bmDir,
+          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+          retainGens = Int.MaxValue)
+      }, {
+        VectorSearch.ivfAppendIndex(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 3 === 1),
+          retainGens = Int.MaxValue)
+        VectorSearch.ivfAppendIndex(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 3 === 2),
+          retainGens = Int.MaxValue)
+        VectorSearch.deleteVectors(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+          retainGens = Int.MaxValue)
+      })
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val bm = Bm25.healthCard(spark, bmDir, maxSegments = 3)
@@ -1253,19 +1268,21 @@ object TextQueries {
       IndexCommit.currentManifest(spark, dir).get.gen
     // snapshot 1: both legs built and pinned together
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents, "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(env.embeddings, ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     // snapshot 2: the takedown — both member deletes inside ONE
     // collection flip; member GC deferred to the collection layer
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.deleteDocs(spark, bmDir,
-        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-        retainGens = Int.MaxValue)
-      VectorSearch.deleteVectors(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-        retainGens = Int.MaxValue)
+      graft.operators.Par.both(
+        Bm25.deleteDocs(spark, bmDir,
+          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+          retainGens = Int.MaxValue),
+        VectorSearch.deleteVectors(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+          retainGens = Int.MaxValue))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     // trim member retention to exactly what the two snapshots pin
@@ -1317,31 +1334,37 @@ object TextQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
-        "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(
-        env.embeddings.filter($"vec_id" % 3 === 0), ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(
+          env.embeddings.filter($"vec_id" % 3 === 0), ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.deleteDocs(spark, bmDir,
-        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-        retainGens = Int.MaxValue)
-      VectorSearch.ivfAppendIndex(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 3 === 1),
-        retainGens = Int.MaxValue)
-      VectorSearch.ivfAppendIndex(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 3 === 2),
-        retainGens = Int.MaxValue)
-      VectorSearch.deleteVectors(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-        retainGens = Int.MaxValue)
+      // per-member op ORDER is preserved inside each branch; the two
+      // member DIRECTORIES are independent, so the legs overlap
+      graft.operators.Par.both({
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.deleteDocs(spark, bmDir,
+          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+          retainGens = Int.MaxValue)
+      }, {
+        VectorSearch.ivfAppendIndex(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 3 === 1),
+          retainGens = Int.MaxValue)
+        VectorSearch.ivfAppendIndex(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 3 === 2),
+          retainGens = Int.MaxValue)
+        VectorSearch.deleteVectors(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+          retainGens = Int.MaxValue)
+      })
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val pins = CollectionCommit.currentManifest(spark, colDir).get.members
@@ -1393,26 +1416,29 @@ object TextQueries {
     def memberGen(dir: String): Long =
       IndexCommit.currentManifest(spark, dir).get.gen
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
-        "doc_id", "text", bmDir)
-      VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
+      graft.operators.Par.both(
+        Bm25.writeIndex(env.documents.filter($"doc_id" % 3 === 0),
+          "doc_id", "text", bmDir),
+        VectorSearch.ivfWriteIndex(env.embeddings, ivfDir))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     // one snapshot accumulates the week's debt: two keyword appends
     // (exact additive merge) + the cross-index takedown in one flip
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.appendIndex(spark, bmDir,
-        env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-        retainGens = Int.MaxValue)
-      Bm25.deleteDocs(spark, bmDir,
-        env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-        retainGens = Int.MaxValue)
-      VectorSearch.deleteVectors(spark, ivfDir,
-        env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-        retainGens = Int.MaxValue)
+      graft.operators.Par.both({
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.appendIndex(spark, bmDir,
+          env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
+          retainGens = Int.MaxValue)
+        Bm25.deleteDocs(spark, bmDir,
+          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+          retainGens = Int.MaxValue)
+      },
+        VectorSearch.deleteVectors(spark, ivfDir,
+          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+          retainGens = Int.MaxValue))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val flagged = CollectionMaintenance.run(spark, colDir,
