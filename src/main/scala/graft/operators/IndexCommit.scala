@@ -781,6 +781,42 @@ object IndexCommit {
         "left_anti")
     else df
 
+  /** ONE-PASS tombstone audit shared by the family fscks — the
+    * (masked, live_re, orphaned) trio every fsck card reports. The
+    * former shape ran three separate scalar-subtree jobs (a count of
+    * the tombstones table, an anti-join recount of live ids, and the
+    * reverse anti-join for orphans); a single full-outer join over the
+    * distinct physical ids computes all three in one job with
+    * identical values (guide §1.2: remove redundant passes —
+    * at index scale that is two fewer full passes over the id set).
+    * `presentIds` carries the PHYSICAL (pre-mask) ids, possibly with
+    * repeats. With no tombstones table the trio degenerates to
+    * (0, distinct ids, 0), still one job. */
+  def tombstoneAuditAgg(spark: SparkSession, presentIds: DataFrame,
+                        tombstones: Option[DataFrame],
+                        keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, countDistinct, lit, sum, when}
+    tombstones match {
+      case Some(t) =>
+        val p = presentIds.select(col(keyCol)).distinct()
+          .withColumn("_p", lit(1))
+        val tt = t.select(col(keyCol)).withColumn("_t", lit(1))
+        p.join(tt, Seq(keyCol), "full_outer").agg(
+          coalesce(sum(col("_t")), lit(0L)).cast("long").as("masked"),
+          coalesce(sum(when(col("_p").isNotNull && col("_t").isNull, 1L)),
+            lit(0L)).cast("long").as("live_re"),
+          coalesce(sum(when(col("_t").isNotNull && col("_p").isNull, 1L)),
+            lit(0L)).cast("long").as("orphaned"))
+      case None =>
+        // the aggregate column stays FIRST so withScalars derives its
+        // constant key from a non-foldable column (see PlanHints)
+        presentIds.agg(
+            countDistinct(col(keyCol)).cast("long").as("live_re"))
+          .select(col("live_re"), lit(0L).cast("long").as("masked"),
+            lit(0L).cast("long").as("orphaned"))
+    }
+  }
+
   /** Cap on the derived width: 65 536 writers × the 128 MiB default
     * target ≈ 8 TiB per table per job — above that, split the build
     * (several appends) rather than one mega-job. */

@@ -456,24 +456,14 @@ object TextDedup {
     val dupShAgg = shT.agg(
       (count(lit(1)) - countDistinct(col("doc_id"))).cast("long")
         .as("dup_sh"))
-    val maskedAgg =
-      if (hasTomb) table("tombstones")
-        .agg(count(lit(1)).cast("long").as("masked"))
-      else spark.range(1).select(col("id").as("masked"))
-    val liveAgg =
-      (if (hasTomb) bandsT.select(col("doc_id")).distinct()
-        .join(table("tombstones"), Seq("doc_id"), "left_anti")
-       else bandsT.select(col("doc_id")).distinct())
-        .agg(count(lit(1)).cast("long").as("live_re"))
-    val orphanAgg =
-      if (hasTomb) table("tombstones")
-        .join(bandsT.select(col("doc_id")).distinct(), Seq("doc_id"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("orphaned"))
-      else spark.range(1).select(col("id").as("orphaned"))
+    // the mask trio in ONE fused job (see
+    // [[IndexCommit.tombstoneAuditAgg]] — formerly three scalar jobs)
+    val trioAgg = IndexCommit.tombstoneAuditAgg(spark,
+      bandsT.select(col("doc_id")),
+      if (hasTomb) Some(table("tombstones")) else None, "doc_id")
     val seed = spark.range(1).toDF("_one")
-    val scalars = Seq(cmpAgg, perDocAgg, dupShAgg, maskedAgg, liveAgg,
-      orphanAgg).foldLeft(seed)(PlanHints.withScalars)
+    val scalars = Seq(cmpAgg, perDocAgg, dupShAgg, trioAgg)
+      .foldLeft(seed)(PlanHints.withScalars)
     def check(name: String, expected: Column,
               actual: Column): DataFrame =
       scalars.select(lit(name).as("check"),

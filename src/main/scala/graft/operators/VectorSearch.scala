@@ -1497,39 +1497,28 @@ object VectorSearch {
     val centroids = table("centroids")
       .select(col("cell").cast("int").as("cell"), col("centroid"))
     val hasTomb = m.tables.contains("tombstones")
-    val rowAgg = cells.agg(
-      count(lit(1)).cast("long").as("phys_rows"),
-      countDistinct(col("vec_id")).cast("long").as("phys_ids"))
-    val maskedAgg =
-      if (hasTomb) table("tombstones")
-        .agg(count(lit(1)).cast("long").as("masked"))
-      else // range(1)'s id IS the zero (a literal would fold the
-           // constant-key scalar join back into a nested-loop cross)
-        spark.range(1).select(col("id").as("masked"))
-    val liveAgg =
-      (if (hasTomb) cells.join(table("tombstones"), Seq("vec_id"),
-        "left_anti")
-       else cells)
-        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
-    val orphanAgg =
-      if (hasTomb) table("tombstones")
-        .join(cells.select(col("vec_id")).distinct(), Seq("vec_id"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("orphaned"))
-      else spark.range(1).select(col("id").as("orphaned"))
+    // ONE kernel pass fuses the zero-norm recount with the row/id
+    // counts — formerly two full scans of the cells union (guide
+    // §1.2); the mask trio is one more fused job (tombstoneAuditAgg)
+    val rowAgg = cells.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (vid, e) =>
+        (vid, if (e == null || normK(e, dim) == 0.0) 1L else 0L)
+      })
+      .toDF("vec_id", "z")
+      .agg(
+        count(lit(1)).cast("long").as("phys_rows"),
+        countDistinct(col("vec_id")).cast("long").as("phys_ids"),
+        coalesce(sum(col("z")), lit(0L)).cast("long").as("zero_norm"))
+    val trioAgg = IndexCommit.tombstoneAuditAgg(spark,
+      cells.select(col("vec_id")),
+      if (hasTomb) Some(table("tombstones")) else None, "vec_id")
     val centAgg = centroids.agg(
       count(lit(1)).cast("long").as("cent_rows"),
       countDistinct(col("cell")).cast("long").as("cent_cells"))
     val noCentAgg = cells.select(col("cell")).distinct()
       .join(centroids.select(col("cell")), Seq("cell"), "left_anti")
       .agg(count(lit(1)).cast("long").as("cells_wo_centroid"))
-    val zeroAgg = cells.select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (_, e) =>
-        if (e == null || normK(e, dim) == 0.0) 1L else 0L
-      })
-      .toDF("z")
-      .agg(coalesce(sum(col("z")), lit(0L)).cast("long").as("zero_norm"))
     val appendSegs = m.tables("cells").drop(1)
     val mismAgg =
       if (appendSegs.isEmpty)
@@ -1572,8 +1561,8 @@ object VectorSearch {
             .as("mismatches"))
       }
     val seed = spark.range(1).toDF("_one")
-    val scalars = Seq(rowAgg, maskedAgg, liveAgg, orphanAgg, centAgg,
-      noCentAgg, zeroAgg, mismAgg).foldLeft(seed)(PlanHints.withScalars)
+    val scalars = Seq(rowAgg, trioAgg, centAgg,
+      noCentAgg, mismAgg).foldLeft(seed)(PlanHints.withScalars)
     def check(name: String, expected: Column,
               actual: Column): DataFrame =
       scalars.select(lit(name).as("check"),
@@ -1642,21 +1631,10 @@ object VectorSearch {
       coalesce(sum(when(exists(col("codes"),
           c => c < 0 || c >= nCells), 1L).otherwise(0L)),
         lit(0L)).cast("long").as("range_bad"))
-    val maskedAgg =
-      if (hasTomb) table("tombstones")
-        .agg(count(lit(1)).cast("long").as("masked"))
-      else spark.range(1).select(col("id").as("masked"))
-    val liveAgg =
-      (if (hasTomb) codes.join(table("tombstones"), Seq("vec_id"),
-        "left_anti")
-       else codes)
-        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
-    val orphanAgg =
-      if (hasTomb) table("tombstones")
-        .join(codes.select(col("vec_id")).distinct(), Seq("vec_id"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("orphaned"))
-      else spark.range(1).select(col("id").as("orphaned"))
+    // the mask trio in ONE fused job (see tombstoneAuditAgg)
+    val trioAgg = IndexCommit.tombstoneAuditAgg(spark,
+      codes.select(col("vec_id")),
+      if (hasTomb) Some(table("tombstones")) else None, "vec_id")
     val noCentAgg = codes.select(col("cell")).distinct()
       .join(table("centroids")
         .select(col("cell").cast("int").as("cell")), Seq("cell"),
@@ -1668,7 +1646,7 @@ object VectorSearch {
         .as("cb_keys"),
       countDistinct(col("subspace")).cast("long").as("cb_subspaces"))
     val seed = spark.range(1).toDF("_one")
-    val scalars = Seq(rowAgg, maskedAgg, liveAgg, orphanAgg, noCentAgg,
+    val scalars = Seq(rowAgg, trioAgg, noCentAgg,
       cbAgg).foldLeft(seed)(PlanHints.withScalars)
     def check(name: String, expected: Column,
               actual: Column): DataFrame =
@@ -1721,45 +1699,36 @@ object VectorSearch {
       col("nv"))
       .localCheckpoint(eager = true)
     val hasTomb = m.tables.contains("tombstones")
+    // ONE kernel pass fuses the recount flags (bucket/norm/zero) with
+    // the row/id counts — formerly two full scans, now one (guide
+    // §1.2); the mask trio is one more fused job (tombstoneAuditAgg)
     val recAgg = buckets
       .as[(Int, Long, Array[Float], Double)]
       .mapPartitions { it =>
         val ps = bcP.value
-        it.map { case (bkt, _, e, nv) =>
-          if (e == null) (1L, 1L, 1L)
+        it.map { case (bkt, vid, e, nv) =>
+          if (e == null) (vid, 1L, 1L, 1L)
           else {
             val rn = normK(e, dim)
-            ((if (bucketK(e, ps, dim) != bkt) 1L else 0L),
+            (vid,
+             (if (bucketK(e, ps, dim) != bkt) 1L else 0L),
              (if (rn != nv) 1L else 0L),
              (if (rn == 0.0) 1L else 0L))
           }
         }
       }
-      .toDF("bm", "nm", "zn")
+      .toDF("vec_id", "bm", "nm", "zn")
       .agg(coalesce(sum(col("bm")), lit(0L)).cast("long")
           .as("bucket_mm"),
         coalesce(sum(col("nm")), lit(0L)).cast("long").as("norm_mm"),
-        coalesce(sum(col("zn")), lit(0L)).cast("long").as("zero_norm"))
-    val rowAgg = buckets.agg(
-      count(lit(1)).cast("long").as("phys_rows"),
-      countDistinct(col("vec_id")).cast("long").as("phys_ids"))
-    val maskedAgg =
-      if (hasTomb) table("tombstones")
-        .agg(count(lit(1)).cast("long").as("masked"))
-      else spark.range(1).select(col("id").as("masked"))
-    val liveAgg =
-      (if (hasTomb) buckets.join(table("tombstones"), Seq("vec_id"),
-        "left_anti")
-       else buckets)
-        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
-    val orphanAgg =
-      if (hasTomb) table("tombstones")
-        .join(buckets.select(col("vec_id")).distinct(), Seq("vec_id"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("orphaned"))
-      else spark.range(1).select(col("id").as("orphaned"))
+        coalesce(sum(col("zn")), lit(0L)).cast("long").as("zero_norm"),
+        count(lit(1)).cast("long").as("phys_rows"),
+        countDistinct(col("vec_id")).cast("long").as("phys_ids"))
+    val trioAgg = IndexCommit.tombstoneAuditAgg(spark,
+      buckets.select(col("vec_id")),
+      if (hasTomb) Some(table("tombstones")) else None, "vec_id")
     val seed = spark.range(1).toDF("_one")
-    val scalars = Seq(recAgg, rowAgg, maskedAgg, liveAgg, orphanAgg)
+    val scalars = Seq(recAgg, trioAgg)
       .foldLeft(seed)(PlanHints.withScalars)
     def check(name: String, expected: Column,
               actual: Column): DataFrame =
@@ -1801,23 +1770,12 @@ object VectorSearch {
       countDistinct(col("vec_id")).cast("long").as("phys_ids"),
       coalesce(sum(when(size(col("prefix")) =!= prefixDim, 1L)
         .otherwise(0L)), lit(0L)).cast("long").as("width_bad"))
-    val maskedAgg =
-      if (hasTomb) table("tombstones")
-        .agg(count(lit(1)).cast("long").as("masked"))
-      else spark.range(1).select(col("id").as("masked"))
-    val liveAgg =
-      (if (hasTomb) prefix.join(table("tombstones"), Seq("vec_id"),
-        "left_anti")
-       else prefix)
-        .agg(countDistinct(col("vec_id")).cast("long").as("live_re"))
-    val orphanAgg =
-      if (hasTomb) table("tombstones")
-        .join(prefix.select(col("vec_id")).distinct(), Seq("vec_id"),
-          "left_anti")
-        .agg(count(lit(1)).cast("long").as("orphaned"))
-      else spark.range(1).select(col("id").as("orphaned"))
+    // the mask trio in ONE fused job (see tombstoneAuditAgg)
+    val trioAgg = IndexCommit.tombstoneAuditAgg(spark,
+      prefix.select(col("vec_id")),
+      if (hasTomb) Some(table("tombstones")) else None, "vec_id")
     val seed = spark.range(1).toDF("_one")
-    val scalars = Seq(rowAgg, maskedAgg, liveAgg, orphanAgg)
+    val scalars = Seq(rowAgg, trioAgg)
       .foldLeft(seed)(PlanHints.withScalars)
     def check(name: String, expected: Column,
               actual: Column): DataFrame =
