@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// Raw stdout for forked runMain: sbt's default LoggedOutput re-logs every
+// forked line with an "[info] " prefix, and the bench driver's stdout
+// parser never accepted a prefixed JSON line (every BENCH_r*.json since
+// round 1 carries parsed=null with the complete line visibly prefixed in
+// its tail capture). StdoutOutput hands the forked JVM the real stdout so
+// the bench's JSON lines land unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

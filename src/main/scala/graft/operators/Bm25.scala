@@ -173,32 +173,188 @@ object Bm25 {
     // EAGER: both parallel branches below read the materialized blocks
     // instead of racing to compute a lazy checkpoint twice
     val tfAll = tfPlan.localCheckpoint(eager = true)
-    IndexCommit.commit(spark, dir) { (gen, _) =>
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, _) =>
       // the three staged tables are independent targets — overlap
       // their writes (guide §2.6); the corpus term extraction already
-      // ran once into tfAll above
+      // ran once into tfAll above. Each branch stamps its own segment
+      // in flight, so no standalone checksum job trails the commit.
       Par.all(Seq[() => Unit](
-        () => tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
-          .repartition(IndexCommit.writeWidth(docs), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "postings", gen)),
+        () => {
+          tfAll.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+            .repartition(IndexCommit.writeWidth(docs), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+          st.stampSegment(s"postings-g$gen")
+        },
         // df is vocab-sized, not corpus-sized, but a web corpus's vocab
         // is 10⁸–10⁹ terms — size-derived width and a term sort (row-
         // group pruning for the serve-time term filter), never one file
-        () => tfAll.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .repartition(dfWidth, col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "df", gen)),
-        () => base.agg(count(lit(1)).as("n_docs"),
-            sum(col("dl").cast("long")).as("sum_dl"))
-          .coalesce(1).write.mode("overwrite") // genuinely one row
-          .parquet(IndexCommit.segmentPath(dir, "stats", gen))))
+        () => {
+          tfAll.groupBy(col("term"))
+            .agg(countDistinct(col("doc_id")).as("df"))
+            .repartition(dfWidth, col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "df", gen))
+          st.stampSegment(s"df-g$gen")
+        },
+        () => {
+          base.agg(count(lit(1)).as("n_docs"),
+              sum(col("dl").cast("long")).as("sum_dl"))
+            .coalesce(1).write.mode("overwrite") // genuinely one row
+            .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+          st.stampSegment(s"stats-g$gen")
+        }))
       Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
     }
     IndexCommit.gcUnreferenced(spark, dir)
+  }
+
+  /** ONE-COMMIT NIGHTLY CYCLE — N disjoint-id appends plus an optional
+    * takedown applied as a SINGLE atomic generation. The staged segment
+    * set matches the sequential [[appendIndex]]×N + [[deleteDocs]]
+    * chain segment for segment: one postings segment and one positive
+    * df delta per increment, one negative df delta + tombstone delta
+    * for the takedown, the stats row re-merged once with the final
+    * value — identical rows and identical per-table segment counts
+    * (health/fsck cards are unchanged), computed by the same exact
+    * integer algebra. What changes is the chain length (guide
+    * §1.2/§2.6): ONE claim + manifest flip + GC instead of N+1, every
+    * staged write overlapped, stamps hashed in flight, and the
+    * takedown's decrement recovery reads this cycle's increments from
+    * the pinned tf blocks instead of re-reading their freshly written
+    * parquet. */
+  def applyDeltas(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  increments: Seq[DataFrame], idCol: String,
+                  textCol: String, deleteIds: Option[DataFrame] = None,
+                  retainGens: Int = 1): Unit = {
+    require(increments.nonEmpty || deleteIds.nonEmpty,
+      "applyDeltas: nothing to apply")
+    val bases = increments.map(docs => corpusBase(docs, idCol, textCol))
+    val tfPlans = bases.map(_.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    // widths from the un-checkpointed, scan-backed plans (see writeIndex)
+    val dfWidths = tfPlans.map(p => IndexCommit.deltaWidth(
+      p.groupBy(col("term")).agg(count(lit(1)).as("df"))))
+    val postWidths = increments.map(IndexCommit.writeWidth(_))
+    // materialize every increment's tf ONCE, concurrently — each feeds
+    // its postings write, its df delta, the stats merge and (when a
+    // takedown rides the same cycle) the decrement recovery join
+    val tfIncs = Par.all(tfPlans.map(p =>
+      () => p.localCheckpoint(eager = true)))
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"applyDeltas: no committed index at $dir — writeIndex first"))
+      if (increments.nonEmpty)
+        IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
+          bases.map(_.select(col("doc_id"))).reduce(_ unionByName _),
+          "doc_id", "applyDeltas")
+      // takedown leg, pinned BEFORE the parallel stage ([[deleteDocs]]'
+      // shape): the decrements are recovered from the prior postings
+      // PLUS this cycle's increments — the same physical rows the
+      // sequential chain's delete read back from disk
+      val delLeg = deleteIds.map { ids =>
+        val newIds = ids.select(col(ids.columns.head).cast("long")
+          .as("doc_id")).distinct()
+        val priorTombs =
+          if (prev.tables.contains("tombstones"))
+            IndexCommit.readTable(spark, dir, "tombstones")
+          else newIds.limit(0)
+        val fresh = newIds.join(priorTombs, Seq("doc_id"), "left_anti")
+          .localCheckpoint(eager = true)
+        val post = (IndexCommit.readTable(spark, dir, "postings") +:
+          tfIncs.map(_.select(col("term"), col("doc_id"), col("dl"),
+            col("tf")))).reduce(_ unionByName _)
+        val delRows = post.join(fresh, Seq("doc_id"))
+          .localCheckpoint(eager = true)
+        (newIds, fresh, delRows)
+      }
+      val incWrites: Seq[() => Unit] =
+        tfIncs.zipWithIndex.flatMap { case (tfInc, i) =>
+          // single-delta commits keep the sequential `-g<gen>` names;
+          // multi-delta ones disambiguate with the `-d<i>` infix
+          val suffix = if (tfIncs.size == 1) "" else s"-d$i"
+          Seq[() => Unit](
+            () => {
+              tfInc.select(col("term"), col("doc_id"), col("dl"),
+                  col("tf"))
+                .repartition(postWidths(i), col("term"))
+                .sortWithinPartitions(col("term"))
+                .write.mode("overwrite")
+                .parquet(IndexCommit.segmentPath(dir, s"postings$suffix",
+                  gen))
+              st.stampSegment(s"postings$suffix-g$gen")
+            },
+            () => {
+              tfInc.groupBy(col("term"))
+                .agg(countDistinct(col("doc_id")).as("df"))
+                .repartition(dfWidths(i), col("term"))
+                .sortWithinPartitions(col("term"))
+                .write.mode("overwrite")
+                .parquet(IndexCommit.segmentPath(dir, s"df$suffix", gen))
+              st.stampSegment(s"df$suffix-g$gen")
+            })
+        }
+      val delWrites: Seq[() => Unit] = delLeg.toSeq.flatMap {
+        case (newIds, fresh, delRows) =>
+          Seq[() => Unit](
+            () => {
+              delRows.groupBy(col("term"))
+                .agg((-countDistinct(col("doc_id"))).as("df"))
+                .repartition(IndexCommit.deltaWidth(newIds), col("term"))
+                .sortWithinPartitions(col("term"))
+                .write.mode("overwrite")
+                .parquet(IndexCommit.segmentPath(dir, "df-x", gen))
+              st.stampSegment(s"df-x-g$gen")
+            },
+            () => {
+              fresh.repartition(IndexCommit.deltaWidth(newIds))
+                .write.mode("overwrite")
+                .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
+              st.stampSegment(s"tombstones-g$gen")
+            })
+      }
+      val statsWrite: () => Unit = () => {
+        val incStats = bases.map(_.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl").cast("long")).as("sum_dl")))
+        val merged = (IndexCommit.readTable(spark, dir, "stats") +: incStats)
+          .reduce(_ unionByName _)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_dl")).as("sum_dl"))
+        val finalStats = delLeg match {
+          case Some((_, _, delRows)) =>
+            val delStats = delRows.groupBy(col("doc_id"))
+              .agg(first(col("dl")).as("dl"))
+              .agg(count(lit(1)).as("dn"),
+                coalesce(sum(col("dl").cast("long")), lit(0L)).as("ddl"))
+            PlanHints.withScalars(merged, delStats)
+              .select((col("n_docs") - col("dn")).as("n_docs"),
+                (col("sum_dl") - col("ddl")).as("sum_dl"))
+          case None => merged
+        }
+        finalStats.coalesce(1).write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+        st.stampSegment(s"stats-g$gen")
+      }
+      Par.all(incWrites ++ delWrites :+ statsWrite)
+      val sfx = (i: Int) => if (tfIncs.size == 1) "" else s"-d$i"
+      val postSegs = tfIncs.indices.map(i => s"postings${sfx(i)}-g$gen")
+      val dfSegs = tfIncs.indices.map(i => s"df${sfx(i)}-g$gen") ++
+        delLeg.map(_ => s"df-x-g$gen").toSeq
+      prev.tables ++ Map(
+        "postings" -> (prev.tables("postings") ++ postSegs),
+        "df" -> (prev.tables("df") ++ dfSegs),
+        "stats" -> Seq(s"stats-g$gen")) ++
+        delLeg.map(_ => "tombstones" ->
+          (prev.tables.getOrElse("tombstones", Nil) :+
+            s"tombstones-g$gen")).toMap
+    }
+    IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
   /** APPEND an increment to a persisted inverted index — unlike the
@@ -239,31 +395,42 @@ object Bm25 {
       .agg(count(lit(1)).as("df")))
     // EAGER pin: postings AND df branches read materialized blocks
     val tfInc = tfPlan.localCheckpoint(eager = true)
-    IndexCommit.commit(spark, dir) { (gen, cur) =>
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"appendIndex: no committed index at $dir — writeIndex first"))
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         base.select(col("doc_id")), "doc_id", "appendIndex")
-      // three independent staged tables — overlap the writes
+      // three independent staged tables — overlap the writes; each
+      // branch stamps its own segment in flight
       Par.all(Seq[() => Unit](
-        () => tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
-          .repartition(IndexCommit.writeWidth(docs), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "postings", gen)),
-        () => tfInc.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .repartition(dfWidth, col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "df", gen)),
-        () => IndexCommit.readTable(spark, dir, "stats")
-          .unionByName(base.agg(count(lit(1)).as("n_docs"),
-            sum(col("dl").cast("long")).as("sum_dl")))
-          .agg(sum(col("n_docs")).as("n_docs"),
-            sum(col("sum_dl")).as("sum_dl"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "stats", gen))))
+        () => {
+          tfInc.select(col("term"), col("doc_id"), col("dl"), col("tf"))
+            .repartition(IndexCommit.writeWidth(docs), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+          st.stampSegment(s"postings-g$gen")
+        },
+        () => {
+          tfInc.groupBy(col("term"))
+            .agg(countDistinct(col("doc_id")).as("df"))
+            .repartition(dfWidth, col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "df", gen))
+          st.stampSegment(s"df-g$gen")
+        },
+        () => {
+          IndexCommit.readTable(spark, dir, "stats")
+            .unionByName(base.agg(count(lit(1)).as("n_docs"),
+              sum(col("dl").cast("long")).as("sum_dl")))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("sum_dl")).as("sum_dl"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+          st.stampSegment(s"stats-g$gen")
+        }))
       prev.tables ++ Map(
         "postings" -> (prev.tables("postings") :+ s"postings-g$gen"),
         "df" -> (prev.tables("df") :+ s"df-g$gen"),
@@ -292,7 +459,8 @@ object Bm25 {
                  ids: DataFrame, retainGens: Int = 1): Unit = {
     val newIds = ids.select(col(ids.columns.head).cast("long")
       .as("doc_id")).distinct()
-    IndexCommit.commit(spark, dir) { (gen, cur) =>
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"deleteDocs: no committed index at $dir — writeIndex first"))
       val hasTombs = prev.tables.contains("tombstones")
@@ -311,12 +479,15 @@ object Bm25 {
         // a NEGATIVE df delta — delete-sized write volume no matter
         // the vocabulary size; [[foldDf]] nets it out at read,
         // compaction materializes
-        () => delRows.groupBy(col("term"))
-          .agg((-countDistinct(col("doc_id"))).as("df"))
-          .repartition(IndexCommit.deltaWidth(newIds), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "df", gen)),
+        () => {
+          delRows.groupBy(col("term"))
+            .agg((-countDistinct(col("doc_id"))).as("df"))
+            .repartition(IndexCommit.deltaWidth(newIds), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "df", gen))
+          st.stampSegment(s"df-g$gen")
+        },
         () => {
           val delStats = delRows.groupBy(col("doc_id"))
             .agg(first(col("dl")).as("dl"))
@@ -330,13 +501,17 @@ object Bm25 {
               (col("sum_dl") - col("ddl")).as("sum_dl"))
             .coalesce(1).write.mode("overwrite")
             .parquet(IndexCommit.segmentPath(dir, "stats", gen))
+          st.stampSegment(s"stats-g$gen")
         },
         // the fresh ids alone, as a DELTA segment beside any prior
         // ones (anti-join masking works on the un-folded union)
-        () => fresh
-          .repartition(IndexCommit.deltaWidth(newIds))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))))
+        () => {
+          fresh
+            .repartition(IndexCommit.deltaWidth(newIds))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "tombstones", gen))
+          st.stampSegment(s"tombstones-g$gen")
+        }))
       prev.tables ++ Map(
         "df" -> (prev.tables("df") :+ s"df-g$gen"),
         "stats" -> Seq(s"stats-g$gen"),
@@ -364,7 +539,8 @@ object Bm25 {
                    dir: String, retainGens: Int = 1): Unit = {
     val postings = IndexCommit.readTable(spark, dir, "postings")
     val dfRaw = IndexCommit.readTable(spark, dir, "df")
-    IndexCommit.commit(spark, dir) { (gen, cur) =>
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, cur) =>
       val prev = cur.getOrElse(sys.error(
         s"compactIndex: no committed index at $dir"))
       // materialize pending deletes: the rewrite drops tombstoned rows
@@ -376,16 +552,22 @@ object Bm25 {
         else postings
       // two independent staged tables — overlap the rewrites
       Par.all(Seq[() => Unit](
-        () => live
-          .repartition(IndexCommit.writeWidth(postings), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "postings", gen)),
-        () => foldDf(dfRaw)
-          .repartition(IndexCommit.writeWidth(dfRaw), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dir, "df", gen))))
+        () => {
+          live
+            .repartition(IndexCommit.writeWidth(postings), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "postings", gen))
+          st.stampSegment(s"postings-g$gen")
+        },
+        () => {
+          foldDf(dfRaw)
+            .repartition(IndexCommit.writeWidth(dfRaw), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dir, "df", gen))
+          st.stampSegment(s"df-g$gen")
+        }))
       (prev.tables - "tombstones")
         .updated("postings", Seq(s"postings-g$gen"))
         .updated("df", Seq(s"df-g$gen"))
@@ -429,21 +611,32 @@ object Bm25 {
       .reduce(_ unionByName _)
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl"))
-    IndexCommit.commit(spark, dest) { (gen, _) =>
-      // three independent staged tables — overlap the writes
+    val st = new IndexCommit.SegmentStamper(spark, dest)
+    IndexCommit.commit(spark, dest, () => st.stamps()) { (gen, _) =>
+      // three independent staged tables — overlap the writes; stamps
+      // hashed in flight per branch
       Par.all(Seq[() => Unit](
-        () => postings
-          .repartition(IndexCommit.writeWidth(postings), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dest, "postings", gen)),
-        () => foldDf(dfAll)
-          .repartition(IndexCommit.writeWidth(dfAll), col("term"))
-          .sortWithinPartitions(col("term"))
-          .write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dest, "df", gen)),
-        () => stats.coalesce(1).write.mode("overwrite")
-          .parquet(IndexCommit.segmentPath(dest, "stats", gen))))
+        () => {
+          postings
+            .repartition(IndexCommit.writeWidth(postings), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dest, "postings", gen))
+          st.stampSegment(s"postings-g$gen")
+        },
+        () => {
+          foldDf(dfAll)
+            .repartition(IndexCommit.writeWidth(dfAll), col("term"))
+            .sortWithinPartitions(col("term"))
+            .write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dest, "df", gen))
+          st.stampSegment(s"df-g$gen")
+        },
+        () => {
+          stats.coalesce(1).write.mode("overwrite")
+            .parquet(IndexCommit.segmentPath(dest, "stats", gen))
+          st.stampSegment(s"stats-g$gen")
+        }))
       Seq("postings", "df", "stats").map(t => t -> Seq(s"$t-g$gen")).toMap
     }
     IndexCommit.gcUnreferenced(spark, dest, retainGens)

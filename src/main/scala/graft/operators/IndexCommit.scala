@@ -82,6 +82,20 @@ object IndexCommit {
   private val HeaderV1 = "graft-index-manifest-v1"
   private val Header = "graft-index-manifest-v2"
 
+  /** Opt-in step timing for the commit path (dev profiling only):
+    * -Dgraft.phase.debug=true prints per-step wall times. */
+  private val phaseDebug =
+    sys.env.get("GRAFT_PHASE_DEBUG").contains("1") ||
+      java.lang.Boolean.getBoolean("graft.phase.debug")
+  private[operators] def timed[A](label: String)(body: => A): A =
+    if (!phaseDebug) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[step] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -207,7 +221,7 @@ object IndexCommit {
           "the directory to clear stranded claims, then retry")
     }
     try {
-      val tables = stage(gen, cur)
+      val tables = timed(s"commit:stage g$gen")(stage(gen, cur))
       require(tables.nonEmpty, s"commit to $dir staged no tables")
       // file stamps: carry forward immutable retained segments' stamps,
       // take the stage's in-flight stamps where offered, hash the rest
@@ -221,11 +235,13 @@ object IndexCommit {
           i > 0 && segSet.contains(rel.substring(0, i))
         }
       val provided = precomputedFiles()
-      val toHash = (segSet -- prevSegs).toSeq.sorted
-        .flatMap(seg => listSegmentFiles(fs, p, seg))
-        .filterNot { case (_, rel, _) =>
-          provided.contains(rel) || carried.contains(rel) }
-      val fileMap = carried ++ provided ++ checksumFiles(spark, toHash)
+      val toHash = timed(s"commit:list-toHash g$gen")(
+        (segSet -- prevSegs).toSeq.sorted
+          .flatMap(seg => listSegmentFiles(fs, p, seg))
+          .filterNot { case (_, rel, _) =>
+            provided.contains(rel) || carried.contains(rel) })
+      val fileMap = carried ++ provided ++
+        timed(s"commit:checksum g$gen")(checksumFiles(spark, toHash))
       val stampLines = fileMap.toSeq.sortBy(_._1).map {
         case (rel, (len, crc)) =>
           require(!rel.contains('\t'), s"bad file name: $rel")
@@ -247,14 +263,117 @@ object IndexCommit {
       require(!fs.exists(fin),
         s"commit to $dir lost the race: generation $gen was committed " +
           "by a concurrent writer (single-writer contract violated)")
-      require(fs.rename(tmp, fin),
-        s"manifest flip failed: $tmp -> $fin (concurrent writer?)")
+      timed(s"commit:flip g$gen")(require(fs.rename(tmp, fin),
+        s"manifest flip failed: $tmp -> $fin (concurrent writer?)"))
     } finally fs.delete(claim, false): Unit
   }
 
   /** Canonical segment dir (absolute) for `table` staged at `gen`. */
   def segmentPath(dir: String, table: String, gen: Long): String =
     s"$dir/$table-g$gen"
+
+  /** IN-FLIGHT commit stamps: a staging branch calls [[stampSegment]]
+    * right after its own files land, so the (length, CRC32C) hashing
+    * of one staged segment overlaps the sibling branches' still-running
+    * writes (guide §2.6) instead of forming a standalone serial
+    * checksum job after every write finished — [[commit]] then finds
+    * nothing left to hash (`precomputedFiles` supplies these stamps).
+    * Thread-safe; Par branches call it concurrently. */
+  final class SegmentStamper(spark: SparkSession, dir: String) {
+    private val (fs, p) = fsOf(spark, dir)
+    private val acc =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    def stampSegment(seg: String): Unit =
+      timed(s"stampSegment $seg")(
+        checksumFiles(spark, listSegmentFiles(fs, p, seg))
+          .foreach { case (k, v) => acc.put(k, v): Unit })
+    def stamps(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      acc.asScala.toMap
+    }
+  }
+
+  /** ONE-COMMIT DELTA CYCLE for the single-row-table index families —
+    * N appended segments plus an optional takedown, staged in parallel
+    * and flipped as ONE generation. The round-17 profile showed the
+    * composed lifecycle entries are chains of ~60-100 small SERIAL
+    * jobs, one commit (claim, staged write, checksum job, manifest
+    * flip, GC listing) per append/delete (guide §1.2/§2.6): a nightly
+    * cycle of two appends and a takedown paid that chain three times.
+    * Here it is paid once, every staged write overlaps ([[Par]]), and
+    * stamps are hashed in flight ([[SegmentStamper]]).
+    *
+    * RESULT-PRESERVING by construction: the staged segment SET is the
+    * sequential chain's, segment for segment — one `<table>-d<i>-g<gen>`
+    * per increment (same per-table segment counts, so health cards'
+    * segment-debt numbers are unchanged) with identical rows, and the
+    * takedown's tombstone delta is exactly [[appendTombstones]]'s.
+    * Only the number of manifest generations differs; no declared
+    * query reads generation numbers (entries resolve pins from the
+    * manifests they commit).
+    *
+    * `segments` carries (table, write(destPath)) per staged increment
+    * segment — increments of one table keep their sequence order.
+    * The takedown is ordered AFTER the appends, like the sequential
+    * chain: `deleteIds` are anti-joined against PRIOR tombstones only
+    * (idempotent re-delete), and the disjointness gate checks the
+    * increments against those same prior tombstones. */
+  def commitDeltas(spark: SparkSession, dir: String, op: String,
+                   keyCol: String, incrementIds: Option[DataFrame],
+                   segments: Seq[(String, String => Unit)],
+                   deleteIds: Option[DataFrame],
+                   retainGens: Int = 1): Unit = {
+    require(segments.nonEmpty || deleteIds.nonEmpty,
+      s"$op: nothing to apply")
+    val st = new SegmentStamper(spark, dir)
+    commit(spark, dir, () => st.stamps()) { (gen, cur) =>
+      val prev = cur.getOrElse(sys.error(
+        s"$op: no committed index at $dir — build it first"))
+      incrementIds.foreach(ids =>
+        requireDisjointFromTombstones(spark, dir, prev, ids, keyCol, op))
+      val delLeg = deleteIds.map { ids =>
+        val newIds = ids.select(ids.col(ids.columns.head).cast("long")
+          .as(keyCol)).distinct()
+        val fresh =
+          if (prev.tables.contains("tombstones"))
+            newIds.join(readTable(spark, dir, "tombstones"), Seq(keyCol),
+              "left_anti")
+          else newIds
+        (newIds, fresh)
+      }
+      // per-table index so each table's deltas keep their order and a
+      // single delta of a table keeps the sequential `<table>-g<gen>`
+      // name (multiple same-gen deltas need the disambiguating infix)
+      val counts = segments.groupBy(_._1).map { case (t, s) => t -> s.size }
+      val idx = scala.collection.mutable.Map[String, Int]()
+      val named = segments.map { case (table, write) =>
+        val i = idx.getOrElse(table, 0)
+        idx(table) = i + 1
+        val seg = if (counts(table) == 1) s"$table-g$gen"
+                  else s"$table-d$i-g$gen"
+        (table, seg, write)
+      }
+      val writes: Seq[() => Unit] =
+        named.map { case (_, seg, write) => () => {
+          write(s"$dir/$seg")
+          st.stampSegment(seg)
+        }} ++ delLeg.toSeq.map { case (newIds, fresh) => () => {
+          fresh.repartition(deltaWidth(newIds))
+            .write.mode("overwrite")
+            .parquet(segmentPath(dir, "tombstones", gen))
+          st.stampSegment(s"tombstones-g$gen")
+        }}
+      Par.all(writes)
+      val appended = named.groupBy(_._1).map { case (t, segs) =>
+        t -> (prev.tables(t) ++ segs.map(_._2))
+      }
+      prev.tables ++ appended ++
+        delLeg.map(_ => "tombstones" ->
+          (prev.tables.getOrElse("tombstones", Nil) :+
+            s"tombstones-g$gen")).toMap
+    }
+    gcUnreferenced(spark, dir, retainGens)
+  }
 
   /** Absolute paths composing `table` under the current manifest. A
     * directory with no manifest falls back to the bare `dir/table`
@@ -666,7 +785,11 @@ object IndexCommit {
     * of 0 every claim GC sees is treated as stranded — the
     * single-JVM recover-after-kill path. */
   def gcUnreferenced(spark: SparkSession, dir: String,
-                     keepGens: Int = 1, graceMs: Long = 0L): Unit = {
+                     keepGens: Int = 1, graceMs: Long = 0L): Unit =
+    timed(s"gcUnreferenced $dir")(gcUnreferencedImpl(spark, dir, keepGens, graceMs))
+
+  private def gcUnreferencedImpl(spark: SparkSession, dir: String,
+                     keepGens: Int, graceMs: Long): Unit = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens")
     val (fs, p) = fsOf(spark, dir)
     if (!fs.exists(p)) return
@@ -845,6 +968,54 @@ object IndexCommit {
         "scan-backed sizeHint, not a checkpointed/RDD-backed frame")
     val byBytes = (est + targetBytesPerFile - 1) / targetBytesPerFile
     math.max(floor, byBytes.min(BigInt(MaxWidth)).toInt)
+  }
+
+  /** Cluster `df` for a `partitionBy(partCol)` write with a WRITER
+    * SUB-SPLIT for hot partitions (guide §2.5 skew / §6): repartition
+    * by (partCol) alone routes ALL of a partition value's rows through
+    * ONE task — one file per value, fine when values ≫ tasks, but a
+    * write-parallelism ceiling once the derived width exceeds the
+    * value count (a hot LSH bucket / IVF cell at 100 TB writes through
+    * a single task forever). When `width > nPartValues`, add a
+    * DETERMINISTIC salt — pmod(xxhash64(idCol), k), never rand()
+    * (SPARK-38388: retried tasks must reproduce their row-to-partition
+    * assignment) — with k = ⌈width / nPartValues⌉ sub-splits per
+    * value, so each value writes through up to k parallel tasks. The
+    * directory layout is UNCHANGED (partitionBy still groups by
+    * partCol; a value's dir just holds up to k files, and parquet
+    * readers union them identically). k = 1 — the identity, byte-for-
+    * byte the old clustering — whenever width ≤ nPartValues, which is
+    * every local-bench shape; the salt engages exactly when the
+    * cluster is wide enough to need it. */
+  def clusterForPartitionedWrite(df: DataFrame, width: Int,
+                                 partCol: String, nPartValues: Long,
+                                 idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val k = if (nPartValues <= 0) 1L
+      else (width + nPartValues - 1) / nPartValues
+    if (k <= 1L) df.repartition(width, col(partCol))
+    else df.repartition(width, col(partCol),
+      pmod(xxhash64(col(idCol)), lit(k)))
+  }
+
+  /** Distinct partition-value count of a partitioned index table, from
+    * the live segments' partition DIRECTORY NAMES (driver metadata —
+    * one listStatus per segment, no data read): the `nPartValues`
+    * input [[clusterForPartitionedWrite]] needs when the caller has no
+    * geometry artifact at hand (compaction/merge of an existing
+    * table). */
+  def partitionValueCount(spark: SparkSession, dirs: Seq[String],
+                          table: String): Long = {
+    val vals = scala.collection.mutable.Set[String]()
+    dirs.foreach { d =>
+      val (fs, p) = fsOf(spark, d)
+      if (fs.exists(p))
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.contains('=')) vals += n: Unit
+        }
+    }
+    math.max(1L, vals.size.toLong)
   }
 
   /** [[writeWidth]] for a PARTITIONED write (`partitionBy(partCol)`):

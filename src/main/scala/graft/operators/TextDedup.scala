@@ -374,6 +374,37 @@ object TextDedup {
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
+  /** ONE-COMMIT append(+takedown) cycle for the dedup index (the
+    * sequential [[appendDedupIndex]]+[[deleteFromDedupIndex]] chain
+    * under a single manifest flip; see [[IndexCommit.commitDeltas]] —
+    * identical rows and per-table segment counts, both delta tables of
+    * every increment staged in parallel). */
+  def dedupApplyDeltas(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, increments: Seq[DataFrame],
+                       idCol: String, textCol: String,
+                       deleteIds: Option[DataFrame] = None,
+                       retainGens: Int = 1): Unit = {
+    val (n, k, bands) = dedupIndexGeometry(spark, dir)
+    val named = increments.map(inc => inc.select(col(idCol).as("doc_id"),
+      col(textCol).as("text")))
+    IndexCommit.commitDeltas(spark, dir, "dedupApplyDeltas", "doc_id",
+      if (named.isEmpty) None
+      else Some(named.map(_.select(col("doc_id"))).reduce(_ unionByName _)),
+      named.flatMap { inc => Seq(
+        "bands" -> ((dest: String) =>
+          bandKeysKernel(inc, n, k, bands)
+            .repartition(IndexCommit.deltaWidth(inc), col("key"))
+            .write.mode("overwrite")
+            .parquet(dest)),
+        "shingles" -> ((dest: String) =>
+          shingleHashSets(inc, n)
+            .repartition(IndexCommit.deltaWidth(inc), col("doc_id"))
+            .write.mode("overwrite")
+            .parquet(dest)))
+      },
+      deleteIds, retainGens)
+  }
+
   /** Takedown for the dedup index — the shared tombstone layer; the
     * serve path masks deleted docs out of BOTH the candidate and
     * verify sides, so they can neither match nor be matched. */

@@ -428,24 +428,60 @@ object VectorSearch {
                     dim: Int = 64, retainGens: Int = 1): Unit = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    IndexCommit.commit(spark, dir) { (gen, _) =>
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, _) =>
       // hash-cluster rows by bucket before the partitioned write: each
       // bucket's rows land in exactly one task, so the write creates
       // one file per bucket IN PARALLEL across tasks — without this
       // the single upstream scan task wrote all 2^bits bucket files
       // serially (measured: the file-create sequence, not the hashing,
       // dominated the roundtrip at sf0.1); the width is size-derived
-      // ([[IndexCommit.writeWidth]]), no fixed 16-writer ceiling
-      lshVectorBuckets(vectors, bits, dim)
-        .repartition(IndexCommit.partitionedWriteWidth(vectors), col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt")
-        .parquet(IndexCommit.segmentPath(dir, "buckets", gen))
-      Seq((bits, dim)).toDF("bits", "dim")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+      // ([[IndexCommit.writeWidth]]), no fixed 16-writer ceiling.
+      // The two staged tables overlap, and each branch stamps its own
+      // files in flight — no standalone checksum job trails the commit.
+      Par.both({
+        IndexCommit.timed(s"lsh:bucket-write g$gen")(
+          IndexCommit.clusterForPartitionedWrite(
+              lshVectorBuckets(vectors, bits, dim),
+              IndexCommit.partitionedWriteWidth(vectors), "bkt",
+              1L << bits, "vec_id")
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(IndexCommit.segmentPath(dir, "buckets", gen)))
+        st.stampSegment(s"buckets-g$gen")
+      }, {
+        Seq((bits, dim)).toDF("bits", "dim")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "meta", gen))
+        st.stampSegment(s"meta-g$gen")
+      })
       Map("buckets" -> Seq(s"buckets-g$gen"), "meta" -> Seq(s"meta-g$gen"))
     }
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
+  /** ONE-COMMIT append(+takedown) cycle for the LSH family — the
+    * sequential [[lshAppendIndex]]+[[deleteVectors]] chain's segments
+    * staged in parallel under a single manifest flip
+    * ([[IndexCommit.commitDeltas]]; identical rows and per-table
+    * segment counts, one commit chain instead of two). */
+  def lshApplyDeltas(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, increments: Seq[DataFrame],
+                     deleteIds: Option[DataFrame] = None,
+                     retainGens: Int = 1): Unit = {
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
+    val (bits, dim) = (meta.getInt(0), meta.getInt(1))
+    IndexCommit.commitDeltas(spark, dir, "lshApplyDeltas", "vec_id",
+      if (increments.isEmpty) None
+      else Some(increments.map(_.select(col("vec_id")))
+        .reduce(_ unionByName _)),
+      increments.map(inc => "buckets" -> ((dest: String) =>
+        IndexCommit.clusterForPartitionedWrite(
+            lshVectorBuckets(inc, bits, dim),
+            IndexCommit.partitionedWriteWidth(inc), "bkt",
+            1L << bits, "vec_id")
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(dest))),
+      deleteIds, retainGens)
   }
 
   /** Serve top-k from a persisted LSH index (see [[lshWriteIndex]]).
@@ -486,8 +522,10 @@ object VectorSearch {
         s"lshAppendIndex: no committed index at $dir — lshWriteIndex first"))
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         increment.select("vec_id"), "vec_id", "lshAppendIndex")
-      lshVectorBuckets(increment, bits, dim)
-        .repartition(IndexCommit.partitionedWriteWidth(increment), col("bkt"))
+      IndexCommit.clusterForPartitionedWrite(
+          lshVectorBuckets(increment, bits, dim),
+          IndexCommit.partitionedWriteWidth(increment), "bkt",
+          1L << bits, "vec_id")
         .write.mode("overwrite").partitionBy("bkt")
         .parquet(IndexCommit.segmentPath(dir, "buckets", gen))
       prev.tables.updated("buckets",
@@ -1043,20 +1081,80 @@ object VectorSearch {
     val spark = vectors.sparkSession
     import spark.implicits._
     val (assigned, centroids) = ivfIndex(vectors, cellCol, dim, refine)
-    IndexCommit.commit(spark, dir) { (gen, _) =>
+    val st = new IndexCommit.SegmentStamper(spark, dir)
+    IndexCommit.commit(spark, dir, () => st.stamps()) { (gen, _) =>
       // parallel per-cell file creation (see lshWriteIndex), width
-      // size-derived from the source table
-      assigned.toDF("cell", "vec_id", "embedding")
-        .repartition(IndexCommit.partitionedWriteWidth(vectors), col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(IndexCommit.segmentPath(dir, "cells", gen))
-      spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(IndexCommit.segmentPath(dir, "centroids", gen))
+      // size-derived from the source table; the two staged tables
+      // overlap and stamp their own files in flight
+      Par.both({
+        IndexCommit.clusterForPartitionedWrite(
+            assigned.toDF("cell", "vec_id", "embedding"),
+            IndexCommit.partitionedWriteWidth(vectors), "cell",
+            centroids.size.toLong, "vec_id")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(IndexCommit.segmentPath(dir, "cells", gen))
+        st.stampSegment(s"cells-g$gen")
+      }, {
+        spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(IndexCommit.segmentPath(dir, "centroids", gen))
+        st.stampSegment(s"centroids-g$gen")
+      })
       Map("cells" -> Seq(s"cells-g$gen"),
         "centroids" -> Seq(s"centroids-g$gen"))
     }
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
+  /** ONE-COMMIT append(+takedown) cycle for the IVF family — the
+    * sequential [[ivfAppendIndex]]×N + [[deleteVectors]] chain staged
+    * in parallel under a single manifest flip
+    * ([[IndexCommit.commitDeltas]]): identical rows (same frozen-
+    * centroid assignment rule), identical per-table segment counts,
+    * the centroid artifact collected ONCE for all increments instead
+    * of once per append, and one claim/flip/GC chain instead of N+1. */
+  def ivfApplyDeltas(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, increments: Seq[DataFrame],
+                     deleteIds: Option[DataFrame] = None, dim: Int = 64,
+                     retainGens: Int = 1): Unit = {
+    import spark.implicits._
+    val centroids = IndexCommit.readTable(spark, dir, "centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(centroids)
+    def assign(increment: DataFrame): DataFrame =
+      increment.select(col("vec_id"), col("embedding"))
+        .filter(col("embedding").isNotNull)
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cents = bcC.value
+            .map { case (cell, c) => (cell, c, normKD(c, dim)) }
+            .filter(_._3 > 0)
+          it.flatMap { case (vid, e) =>
+            val ne = normK(e, dim)
+            if (ne == 0.0) Iterator.empty // cosine undefined: unservable
+            else {
+              var bestSim = Double.NegativeInfinity
+              var bestCell = Int.MaxValue
+              cents.foreach { case (cell, c, nc) =>
+                val sim = round6(dotKD(e, c, dim) / (ne * nc))
+                if (sim > bestSim) { bestSim = sim; bestCell = cell }
+              }
+              Iterator.single((bestCell, vid, e))
+            }
+          }
+        }
+        .toDF("cell", "vec_id", "embedding")
+    IndexCommit.commitDeltas(spark, dir, "ivfApplyDeltas", "vec_id",
+      if (increments.isEmpty) None
+      else Some(increments.map(_.select(col("vec_id")))
+        .reduce(_ unionByName _)),
+      increments.map(inc => "cells" -> ((dest: String) =>
+        IndexCommit.clusterForPartitionedWrite(assign(inc),
+            IndexCommit.partitionedWriteWidth(inc), "cell",
+            centroids.length.toLong, "vec_id")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dest))),
+      deleteIds, retainGens)
   }
 
   /** APPEND an increment to a persisted IVF index without rebuilding —
@@ -1108,8 +1206,9 @@ object VectorSearch {
         s"ivfAppendIndex: no committed index at $dir — ivfWriteIndex first"))
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         increment.select("vec_id"), "vec_id", "ivfAppendIndex")
-      assignedInc
-        .repartition(IndexCommit.partitionedWriteWidth(increment), col("cell"))
+      IndexCommit.clusterForPartitionedWrite(assignedInc,
+          IndexCommit.partitionedWriteWidth(increment), "cell",
+          centroids.length.toLong, "vec_id")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "cells", gen))
       prev.tables.updated("cells", prev.tables("cells") :+ s"cells-g$gen")
@@ -1163,7 +1262,10 @@ object VectorSearch {
           live.join(IndexCommit.readTable(spark, dir, "tombstones"),
             Seq("vec_id"), "left_anti")
         else live
-      rows.repartition(IndexCommit.partitionedWriteWidth(live), col(partCol))
+      IndexCommit.clusterForPartitionedWrite(rows,
+          IndexCommit.partitionedWriteWidth(live), partCol,
+          IndexCommit.partitionValueCount(spark,
+            IndexCommit.tablePaths(spark, dir, table), table), "vec_id")
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(IndexCommit.segmentPath(dir, table, gen))
       (prev.tables - "tombstones").updated(table, Seq(s"$table-g$gen"))
@@ -1253,8 +1355,11 @@ object VectorSearch {
     }.reduce(_ unionByName _)
     IndexCommit.commit(spark, dest) { (gen, _) =>
       val w = partCol match {
-        case Some(c) => rows
-          .repartition(IndexCommit.partitionedWriteWidth(rows), col(c))
+        case Some(c) => IndexCommit.clusterForPartitionedWrite(rows,
+            IndexCommit.partitionedWriteWidth(rows), c,
+            IndexCommit.partitionValueCount(spark,
+              sources.flatMap(IndexCommit.tablePaths(spark, _, table)),
+              table), "vec_id")
           .write.mode("overwrite").partitionBy(c)
         case None => rows
           .repartition(IndexCommit.writeWidth(rows))
@@ -2848,7 +2953,9 @@ object VectorSearch {
           }
         }
         .toDF("cell", "vec_id", "codes")
-        .repartition(IndexCommit.partitionedWriteWidth(vectors), col("cell"))
+        .transform(IndexCommit.clusterForPartitionedWrite(_,
+          IndexCommit.partitionedWriteWidth(vectors), "cell",
+          centroids.size.toLong, "vec_id"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "codes", gen))
       spark.createDataset(centroids.toSeq).toDF("cell", "centroid")
@@ -2970,6 +3077,33 @@ object VectorSearch {
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
   }
 
+  /** ONE-COMMIT append(+takedown) cycle for the MRL prefix family
+    * (the sequential [[mrlAppendIndex]]+[[deleteVectors]] chain under
+    * a single manifest flip; see [[IndexCommit.commitDeltas]]). */
+  def mrlApplyDeltas(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, increments: Seq[DataFrame],
+                     deleteIds: Option[DataFrame] = None,
+                     retainGens: Int = 1): Unit = {
+    import spark.implicits._
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
+    val prefixDim = meta.getInt(0)
+    IndexCommit.commitDeltas(spark, dir, "mrlApplyDeltas", "vec_id",
+      if (increments.isEmpty) None
+      else Some(increments.map(_.select(col("vec_id")))
+        .reduce(_ unionByName _)),
+      increments.map(inc => "prefix" -> ((dest: String) =>
+        inc.select(col("vec_id"), col("embedding"))
+          .filter(col("embedding").isNotNull)
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.map { case (vid, e) =>
+            (vid, java.util.Arrays.copyOf(e, prefixDim))
+          })
+          .toDF("vec_id", "prefix")
+          .write.mode("overwrite")
+          .parquet(dest))),
+      deleteIds, retainGens)
+  }
+
   /** Serve Matryoshka two-stage top-k from a persisted prefix table
     * (see [[mrlWriteIndex]]): coarse scan over the prefix artifact
     * (prefixDim/dim of the bytes read from disk), exact full-dim
@@ -3037,13 +3171,64 @@ object VectorSearch {
           "ivfPqWriteIndex first"))
       IndexCommit.requireDisjointFromTombstones(spark, dir, prev,
         increment.select("vec_id"), "vec_id", "ivfPqAppendIndex")
-      codesInc
-        .repartition(IndexCommit.partitionedWriteWidth(increment), col("cell"))
+      IndexCommit.clusterForPartitionedWrite(codesInc,
+          IndexCommit.partitionedWriteWidth(increment), "cell",
+          nCells.toLong, "vec_id")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(IndexCommit.segmentPath(dir, "codes", gen))
       prev.tables.updated("codes", prev.tables("codes") :+ s"codes-g$gen")
     }
     IndexCommit.gcUnreferenced(spark, dir, retainGens)
+  }
+
+  /** ONE-COMMIT append(+takedown) cycle for the IVFPQ family (the
+    * sequential [[ivfPqAppendIndex]]+[[deleteVectors]] chain under a
+    * single manifest flip; see [[IndexCommit.commitDeltas]] — the
+    * frozen centroid/codebook artifacts are collected once). */
+  def ivfPqApplyDeltas(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, increments: Seq[DataFrame],
+                       deleteIds: Option[DataFrame] = None,
+                       cellCol: String = "label",
+                       retainGens: Int = 1): Unit = {
+    import spark.implicits._
+    val meta = IndexCommit.readTable(spark, dir, "meta").head()
+    val (m, nCells, dim) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val sub = dim / m
+    val bcCent = spark.sparkContext.broadcast(
+      IndexCommit.readTable(spark, dir, "centroids")
+        .as[(Int, Array[Double])].collect().toMap)
+    val bcCb = spark.sparkContext.broadcast(
+      readPqCodebooks(spark, dir, m, nCells))
+    def encode(increment: DataFrame): DataFrame = increment
+      .select(col(cellCol).cast("int").as("cell"), col("vec_id"),
+        col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .as[(Int, Long, Array[Float])]
+      .mapPartitions { it =>
+        val cents = bcCent.value
+        val cbv = bcCb.value
+        it.flatMap { case (cell, vid, e) =>
+          if (normK(e, dim) == 0) None // excluded from the served set
+          else cents.get(cell).map { c =>
+            val r = new Array[Double](dim)
+            var i = 0
+            while (i < dim) { r(i) = e(i).toDouble - c(i); i += 1 }
+            (cell, vid, pqAssignKD(cbv, r, m, nCells, sub))
+          }
+        }
+      }
+      .toDF("cell", "vec_id", "codes")
+    IndexCommit.commitDeltas(spark, dir, "ivfPqApplyDeltas", "vec_id",
+      if (increments.isEmpty) None
+      else Some(increments.map(_.select(col("vec_id")))
+        .reduce(_ unionByName _)),
+      increments.map(inc => "codes" -> ((dest: String) =>
+        IndexCommit.clusterForPartitionedWrite(encode(inc),
+            IndexCommit.partitionedWriteWidth(inc), "cell",
+            nCells.toLong, "vec_id")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(dest))),
+      deleteIds, retainGens)
   }
 
   /** All vector pairs with cosine ≥ threshold — embedding near-dup.

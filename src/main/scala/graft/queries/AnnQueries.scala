@@ -13,7 +13,7 @@ import org.apache.spark.sql.DataFrame
   */
 object AnnQueries {
 
-  private def queriesDf(env: Env) =
+  private[graft] def queriesDf(env: Env) =
     env.embeddings.filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
 
@@ -32,15 +32,15 @@ object AnnQueries {
   def annIndexHealth(env: Env): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/ivf_health_index"
+    val dir = StreamQueries.freshScratch("ivf_health_index")
     VectorSearch.ivfWriteIndex(
       env.embeddings.filter($"vec_id" % 3 === 0), dir)
-    VectorSearch.ivfAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 3 === 1))
-    VectorSearch.ivfAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 3 === 2))
-    VectorSearch.deleteVectors(spark, dir,
-      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    // the nightly cycle — two appends + the takedown — lands as ONE
+    // commit (identical segments/rows, one flip; guide §1.2/§2.6)
+    VectorSearch.ivfApplyDeltas(spark, dir,
+      Seq(env.embeddings.filter($"vec_id" % 3 === 1),
+        env.embeddings.filter($"vec_id" % 3 === 2)),
+      Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")))
     val pre = VectorSearch.healthCard(spark, dir, "cells", maxSegments = 2)
       .withColumn("phase", lit("pre"))
     VectorSearch.compactIndexTable(spark, dir, "cells", "cell",
@@ -117,7 +117,7 @@ object AnnQueries {
     * like the s8 sink round trip.
     */
   def annIndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_index"
+    val dir = StreamQueries.freshScratch("ivf_index")
     VectorSearch.ivfWriteIndex(env.embeddings, dir)
     VectorSearch.ivfServe(env.spark, dir, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
@@ -132,7 +132,7 @@ object AnnQueries {
     * (6dp cosine, lowest cell ties), and the standard probe/top-k
     * chain. */
   def annIvfAppend(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_append_index"
+    val dir = StreamQueries.freshScratch("ivf_append_index")
     VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.ivfAppendIndex(env.spark, dir,
@@ -158,7 +158,7 @@ object AnnQueries {
     * is one count-by-cell aggregate over the cells table; the recall
     * leg is the fixed-size calibration workload, never the corpus. */
   def annRetrainCard(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_retrain_index"
+    val dir = StreamQueries.freshScratch("ivf_retrain_index")
     VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.ivfAppendIndex(env.spark, dir,
@@ -177,7 +177,7 @@ object AnnQueries {
     * posture. Card → action → verified recovery: the full maintenance
     * loop. Oracle replays the full-corpus training card. */
   def annRetrainRebuild(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_rebuild_index"
+    val dir = StreamQueries.freshScratch("ivf_rebuild_index")
     VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.ivfAppendIndex(env.spark, dir,
@@ -199,12 +199,11 @@ object AnnQueries {
     * Oracle: the IVF replay with training AND candidates restricted
     * to the base docs. */
   def annIvfTimeTravel(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_tt_index"
+    val dir = StreamQueries.freshScratch("ivf_tt_index")
     VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
-    // the generation the base build just committed — not a literal 1:
-    // the scratch dir persists across in-process reruns (bench runs
-    // every query twice), so each rerun's base lands at a higher gen
+    // the generation the base build just committed — read, not a
+    // literal, so the entry never depends on the scratch dir's history
     val baseGen = graft.operators.IndexCommit
       .currentManifest(env.spark, dir).get.gen
     VectorSearch.ivfAppendIndex(env.spark, dir,
@@ -222,7 +221,7 @@ object AnnQueries {
     * reorganization: rows are byte-identical, so the entry shares
     * ann_ivf_append's oracle — the compaction IS the assertion. */
   def annIvfCompact(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_compact_index"
+    val dir = StreamQueries.freshScratch("ivf_compact_index")
     VectorSearch.ivfWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.ivfAppendIndex(env.spark, dir,
@@ -239,7 +238,7 @@ object AnnQueries {
     * replays full-corpus training with the deleted vectors excluded
     * from candidates. */
   def annIvfDelete(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_delete_index"
+    val dir = StreamQueries.freshScratch("ivf_delete_index")
     VectorSearch.ivfWriteIndex(env.embeddings, dir)
     VectorSearch.deleteVectors(env.spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
@@ -258,7 +257,7 @@ object AnnQueries {
     * aggregate. */
   def annServeCostCard(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/ivf_cost_index"
+    val dir = StreamQueries.freshScratch("ivf_cost_index")
     VectorSearch.ivfWriteIndex(env.embeddings, dir)
     VectorSearch.deleteVectors(spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
@@ -274,19 +273,16 @@ object AnnQueries {
     * anti-joins over pinned immutable tables. */
   def annIndexDiff(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/ivf_diff_index"
+    val dir = StreamQueries.freshScratch("ivf_diff_index")
     VectorSearch.ivfWriteIndex(
       env.embeddings.filter($"vec_id" % 3 === 0), dir)
-    // a re-run rebuilds at a higher generation (prior run GC'd) —
-    // diff against the build's own gen, never a literal
+    // diff against the build's own committed gen, never a literal
     val g0 = graft.operators.IndexCommit
       .currentManifest(spark, dir).get.gen
-    VectorSearch.ivfAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 3 === 1), retainGens = 4)
-    VectorSearch.ivfAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 3 === 2), retainGens = 4)
-    VectorSearch.deleteVectors(spark, dir,
-      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
+    VectorSearch.ivfApplyDeltas(spark, dir,
+      Seq(env.embeddings.filter($"vec_id" % 3 === 1),
+        env.embeddings.filter($"vec_id" % 3 === 2)),
+      Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")),
       retainGens = 4)
     VectorSearch.diffIndex(spark, dir, genA = g0,
         genB = graft.operators.IndexCommit
@@ -311,15 +307,13 @@ object AnnQueries {
     * vector leg's was only asserted. */
   def annIndexFsck(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/ivf_fsck_index"
+    val dir = StreamQueries.freshScratch("ivf_fsck_index")
     VectorSearch.ivfWriteIndex(
       env.embeddings.filter($"vec_id" % 3 === 0), dir)
-    VectorSearch.ivfAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 3 === 1))
-    VectorSearch.ivfAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 3 === 2))
-    VectorSearch.deleteVectors(spark, dir,
-      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.ivfApplyDeltas(spark, dir,
+      Seq(env.embeddings.filter($"vec_id" % 3 === 1),
+        env.embeddings.filter($"vec_id" % 3 === 2)),
+      Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")))
     VectorSearch.ivfFsck(spark, dir)
       .withColumnRenamed("check", "invariant")
       .orderBy($"invariant")
@@ -342,7 +336,7 @@ object AnnQueries {
     import graft.operators.{Bm25, CollectionCommit, IndexCommit}
     import org.apache.spark.sql.functions.lit
     val spark = env.spark
-    val colDir = s"${StreamQueries.scratchBase}/col_cost"
+    val colDir = StreamQueries.freshScratch("col_cost")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -393,13 +387,12 @@ object AnnQueries {
     * surface for the quantized leg. */
   def annIvfPqFsck(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/ivfpq_fsck_index"
+    val dir = StreamQueries.freshScratch("ivfpq_fsck_index")
     VectorSearch.ivfPqWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
-    VectorSearch.ivfPqAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 7 === 0))
-    VectorSearch.deleteVectors(spark, dir,
-      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.ivfPqApplyDeltas(spark, dir,
+      Seq(env.embeddings.filter($"vec_id" % 7 === 0)),
+      Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")))
     VectorSearch.ivfPqFsck(spark, dir)
       .withColumnRenamed("check", "invariant")
       .orderBy($"invariant")
@@ -414,13 +407,12 @@ object AnnQueries {
     * duplicate/orphan/mask algebra. */
   def annLshFsck(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/lsh_fsck_index"
+    val dir = StreamQueries.freshScratch("lsh_fsck_index")
     VectorSearch.lshWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
-    VectorSearch.lshAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 7 === 0))
-    VectorSearch.deleteVectors(spark, dir,
-      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.lshApplyDeltas(spark, dir,
+      Seq(env.embeddings.filter($"vec_id" % 7 === 0)),
+      Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")))
     VectorSearch.lshFsck(spark, dir)
       .withColumnRenamed("check", "invariant")
       .orderBy($"invariant")
@@ -433,13 +425,12 @@ object AnnQueries {
     * takedown. */
   def annMrlFsck(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/mrl_fsck_index"
+    val dir = StreamQueries.freshScratch("mrl_fsck_index")
     VectorSearch.mrlWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
-    VectorSearch.mrlAppendIndex(spark, dir,
-      env.embeddings.filter($"vec_id" % 7 === 0))
-    VectorSearch.deleteVectors(spark, dir,
-      env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"))
+    VectorSearch.mrlApplyDeltas(spark, dir,
+      Seq(env.embeddings.filter($"vec_id" % 7 === 0)),
+      Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")))
     VectorSearch.mrlFsck(spark, dir)
       .withColumnRenamed("check", "invariant")
       .orderBy($"invariant")
@@ -457,8 +448,8 @@ object AnnQueries {
     * the partitioned layout. */
   def annIvfCloneServe(env: Env): DataFrame = {
     val spark = env.spark
-    val src = s"${StreamQueries.scratchBase}/ivf_clone_src"
-    val dst = s"${StreamQueries.scratchBase}/ivf_clone_dst"
+    val src = StreamQueries.freshScratch("ivf_clone_src")
+    val dst = StreamQueries.freshScratch("ivf_clone_dst")
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     val fs = dstPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dstPath)) fs.delete(dstPath, true): Unit // fresh dest
@@ -475,7 +466,7 @@ object AnnQueries {
     * dropped) and the serve must not change — same oracle as
     * [[annIvfDelete]]. */
   def annIvfDeleteCompact(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivf_delc_index"
+    val dir = StreamQueries.freshScratch("ivf_delc_index")
     VectorSearch.ivfWriteIndex(env.embeddings, dir)
     VectorSearch.deleteVectors(env.spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
@@ -490,7 +481,7 @@ object AnnQueries {
     * so the oracle is just the standard serve with the deleted
     * vectors excluded from candidates. */
   def annLshDelete(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/lsh_delete_index"
+    val dir = StreamQueries.freshScratch("lsh_delete_index")
     VectorSearch.lshWriteIndex(env.embeddings, dir)
     VectorSearch.deleteVectors(env.spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
@@ -502,7 +493,7 @@ object AnnQueries {
     * out of the persisted prefix table before the coarse scan (they
     * can never reach the re-rank), same generic tombstone layer. */
   def annMrlDelete(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/mrl_delete_index"
+    val dir = StreamQueries.freshScratch("mrl_delete_index")
     VectorSearch.mrlWriteIndex(env.embeddings, dir)
     VectorSearch.deleteVectors(env.spark, dir,
       env.embeddings.filter($"vec_id" % 5 === 2).select($"vec_id"))
@@ -516,7 +507,7 @@ object AnnQueries {
     * parquet + the one-row geometry, served back bit-exactly (shares
     * ann_lsh_topk's oracle). */
   def annLshIndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/lsh_index"
+    val dir = StreamQueries.freshScratch("lsh_index")
     VectorSearch.lshWriteIndex(env.embeddings, dir)
     VectorSearch.lshServe(env.spark, dir, queriesDf(env), k = 5)
       .orderBy($"qid", $"rank")
@@ -529,7 +520,7 @@ object AnnQueries {
     * trained — so every shard assigned identically and the merge is
     * bit-identical to a full build: shares ann_lsh_topk's oracle. */
   def annLshShardMerge(env: Env): DataFrame = {
-    val base = s"${StreamQueries.scratchBase}/lsh_shard"
+    val base = StreamQueries.freshScratch("lsh_shard")
     // independent shard builds — overlap them (guide §2.6)
     val shards = graft.operators.Par.all((0 to 2).map { s => () =>
       val dir = s"${base}_$s"
@@ -547,7 +538,7 @@ object AnnQueries {
   /** SHARD-PARALLEL MRL prefix-table construction — the same merge on
     * the stateless prefix copy; shares ann_mrl_rerank's oracle. */
   def annMrlShardMerge(env: Env): DataFrame = {
-    val base = s"${StreamQueries.scratchBase}/mrl_shard"
+    val base = StreamQueries.freshScratch("mrl_shard")
     val shards = graft.operators.Par.all((0 to 2).map { s => () =>
       val dir = s"${base}_$s"
       VectorSearch.mrlWriteIndex(
@@ -571,7 +562,7 @@ object AnnQueries {
     * shares ann_lsh_topk's oracle, and the split itself is the
     * assertion. */
   def annLshAppend(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/lsh_append_index"
+    val dir = StreamQueries.freshScratch("lsh_append_index")
     VectorSearch.lshWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.lshAppendIndex(env.spark, dir,
@@ -586,7 +577,7 @@ object AnnQueries {
     * re-rank candidates do). Bit-exact vs [[annPqRerank]] — shares
     * its oracle. */
   def annPqIndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/pq_index"
+    val dir = StreamQueries.freshScratch("pq_index")
     VectorSearch.pqWriteIndex(env.embeddings, dir)
     VectorSearch.pqServe(env.spark, dir, env.embeddings, queriesDf(env),
         k = 5)
@@ -603,7 +594,7 @@ object AnnQueries {
     * story across all three index families (IVF cells, LSH buckets,
     * PQ codes). */
   def annPqAppend(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/pq_append_index"
+    val dir = StreamQueries.freshScratch("pq_append_index")
     VectorSearch.pqWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.pqAppendIndex(env.spark, dir,
@@ -694,7 +685,7 @@ object AnnQueries {
     * the standard query set from the codes table. Bit-exact vs
     * [[annIvfPqTopK]] — shares its oracle. */
   def annIvfPqIndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivfpq_index"
+    val dir = StreamQueries.freshScratch("ivfpq_index")
     VectorSearch.ivfPqWriteIndex(env.embeddings, dir)
     VectorSearch.ivfPqServe(env.spark, dir, env.embeddings, queriesDf(env),
         k = 5)
@@ -711,7 +702,7 @@ object AnnQueries {
     * (IVF cells, LSH buckets, PQ codes, IVFPQ residual codes) carry
     * the same nightly-ingest discipline. */
   def annIvfPqAppend(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/ivfpq_append_index"
+    val dir = StreamQueries.freshScratch("ivfpq_append_index")
     VectorSearch.ivfPqWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
     VectorSearch.ivfPqAppendIndex(env.spark, dir,
@@ -891,7 +882,7 @@ object AnnQueries {
     * [[annMrlRerank]] (floats round-trip parquet), so it shares its
     * oracle. */
   def annMrlIndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/mrl_index"
+    val dir = StreamQueries.freshScratch("mrl_index")
     VectorSearch.mrlWriteIndex(env.embeddings, dir)
     VectorSearch.mrlServe(env.spark, dir, env.embeddings, queriesDf(env),
         k = 5)
@@ -906,7 +897,7 @@ object AnnQueries {
     * bit-identical to a full build) and serve the standard workload.
     * Shares ann_mrl_rerank's oracle — the split is the assertion. */
   def annMrlAppend(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/mrl_append_index"
+    val dir = StreamQueries.freshScratch("mrl_append_index")
     VectorSearch.mrlWriteIndex(env.embeddings.filter($"vec_id" % 7 =!= 0),
       dir)
     VectorSearch.mrlAppendIndex(env.spark, dir,

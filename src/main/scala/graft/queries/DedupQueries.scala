@@ -168,7 +168,7 @@ object DedupQueries {
     * the nightly increment served against them — bit-identical to the
     * inline [[dedupIncremental]], whose oracle it shares. */
   def dedupIndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/dedup_minhash_index"
+    val dir = StreamQueries.freshScratch("dedup_minhash_index")
     graft.operators.TextDedup.writeDedupIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
     serveIncAgainst(env, dir)
@@ -179,7 +179,7 @@ object DedupQueries {
     * under the frozen geometry, so build+append ≡ full build and the
     * entry shares the roundtrip oracle. */
   def dedupIndexAppend(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/dedup_minhash_append_index"
+    val dir = StreamQueries.freshScratch("dedup_minhash_append_index")
     graft.operators.TextDedup.writeDedupIndex(
       env.documents.filter($"doc_id" % 7 =!= 0 && $"doc_id" % 2 === 1),
       "doc_id", "text", dir)
@@ -194,7 +194,7 @@ object DedupQueries {
     * exactly those against the surviving base, which is what the
     * oracle's tightened base predicate replays. */
   def dedupIndexDelete(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/dedup_minhash_delete_index"
+    val dir = StreamQueries.freshScratch("dedup_minhash_delete_index")
     graft.operators.TextDedup.writeDedupIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
     graft.operators.TextDedup.deleteFromDedupIndex(env.spark, dir,
@@ -212,13 +212,13 @@ object DedupQueries {
     * (BM25, IVF, IVFPQ, LSH, MRL, dedup). */
   def dedupIndexFsck(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/dedup_fsck_index"
+    val dir = StreamQueries.freshScratch("dedup_fsck_index")
     graft.operators.TextDedup.writeDedupIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
-    graft.operators.TextDedup.appendDedupIndex(spark, dir,
-      env.documents.filter($"doc_id" % 7 === 0), "doc_id", "text")
-    graft.operators.TextDedup.deleteFromDedupIndex(spark, dir,
-      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"))
+    // append + takedown in ONE commit (identical segments/rows)
+    graft.operators.TextDedup.dedupApplyDeltas(spark, dir,
+      Seq(env.documents.filter($"doc_id" % 7 === 0)), "doc_id", "text",
+      Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")))
     graft.operators.TextDedup.dedupFsck(spark, dir)
       .withColumnRenamed("check", "invariant")
       .orderBy($"invariant")

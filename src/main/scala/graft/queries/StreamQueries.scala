@@ -320,7 +320,7 @@ object StreamQueries {
     // batch — the anti-pattern index persistence exists to remove);
     // ivfServe is bit-exact vs the inline path, so the shared oracle
     // is unchanged.
-    val idxDir = s"$scratchBase/t9_ivf_index"
+    val idxDir = freshScratch("t9_ivf_index")
     graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, idxDir)
     val out = s"$scratchBase/t9_ann_${System.nanoTime()}"
     withStreamPartitions(spark) {
@@ -352,7 +352,7 @@ object StreamQueries {
     val queries = streamRead(env, "embeddings")
       .filter($"vec_id" % 50 === 0)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val idxDir = s"$scratchBase/t12_ivfpq_index"
+    val idxDir = freshScratch("t12_ivfpq_index")
     graft.operators.VectorSearch.ivfPqWriteIndex(env.embeddings, idxDir)
     val out = s"$scratchBase/t12_ivfpq_${System.nanoTime()}"
     withStreamPartitions(spark) {
@@ -428,7 +428,7 @@ object StreamQueries {
   def t14Bm25IngestStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val dir = s"$scratchBase/t14_bm25_index"
+    val dir = freshScratch("t14_bm25_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
     val stream = streamRead(env, "documents")
@@ -463,7 +463,7 @@ object StreamQueries {
   def t15TakedownStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val dir = s"$scratchBase/t15_bm25_index"
+    val dir = freshScratch("t15_bm25_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
     val stream = streamRead(env, "documents")
       .filter($"doc_id" % 5 === 2)
@@ -492,7 +492,7 @@ object StreamQueries {
   def t16AnnTakedownStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val dir = s"$scratchBase/t16_ivf_index"
+    val dir = freshScratch("t16_ivf_index")
     graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, dir)
     val stream = streamRead(env, "embeddings")
       .filter($"vec_id" % 5 === 2)
@@ -524,7 +524,7 @@ object StreamQueries {
   def t17AnnIngestStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val dir = s"$scratchBase/t17_ivf_index"
+    val dir = freshScratch("t17_ivf_index")
     graft.operators.VectorSearch.ivfWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
     val stream = streamRead(env, "embeddings")
@@ -562,7 +562,7 @@ object StreamQueries {
     val spark = env.spark
     import spark.implicits._
     import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
-    val colDir = s"$scratchBase/t18_collection"
+    val colDir = freshScratch("t18_collection")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -638,7 +638,7 @@ object StreamQueries {
   def t19IvfPqIngestStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val dir = s"$scratchBase/t19_ivfpq_index"
+    val dir = freshScratch("t19_ivfpq_index")
     graft.operators.VectorSearch.ivfPqWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
     val stream = streamRead(env, "embeddings")
@@ -670,7 +670,7 @@ object StreamQueries {
   def t20MrlIngestStream(env: Env): DataFrame = {
     val spark = env.spark
     import spark.implicits._
-    val dir = s"$scratchBase/t20_mrl_index"
+    val dir = freshScratch("t20_mrl_index")
     graft.operators.VectorSearch.mrlWriteIndex(
       env.embeddings.filter($"vec_id" % 7 =!= 0), dir)
     val stream = streamRead(env, "embeddings")
@@ -713,7 +713,7 @@ object StreamQueries {
     import spark.implicits._
     import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
     import org.apache.spark.sql.functions.lit
-    val colDir = s"$scratchBase/t21_collection"
+    val colDir = freshScratch("t21_collection")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -805,7 +805,7 @@ object StreamQueries {
     import graft.operators.{Bm25, CollectionCommit, CollectionMaintenance,
       IndexCommit, VectorSearch}
     import org.apache.spark.sql.functions.lit
-    val colDir = s"$scratchBase/t22_collection"
+    val colDir = freshScratch("t22_collection")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -985,9 +985,24 @@ object StreamQueries {
     spark.read.parquet(out).orderBy($"doc_id")
   }
 
+  /** Per-INVOCATION scratch dir for the index-lifecycle entries: a
+    * fixed name reused across in-process reruns makes every rebuild
+    * land at a HIGHER generation on top of the prior run's segments,
+    * so the bench's warm pass silently pays an extra workload the cold
+    * pass never had — GC-ing the prior pass's ~hundreds of small
+    * bucket/cell files inside the timed window (the round-17 driver
+    * captures flagged exactly the LSH family with warm ≫ cold). A
+    * fresh dir per invocation makes warm and cold runs do IDENTICAL
+    * work — each invocation builds its index from the parquet inputs,
+    * nothing is reused — and generation numbering deterministic. The
+    * whole per-process root is deleted on JVM exit (below). */
+  private val invocationSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] def freshScratch(name: String): String =
+    s"$scratchBase/${name}_i${invocationSeq.incrementAndGet()}"
+
   /** Per-process scratch root, deleted on JVM exit so repeated Verify
     * runs don't accumulate orphaned pid-suffixed trees in tmpdir. */
-  private[queries] lazy val scratchBase: String = {
+  private[graft] lazy val scratchBase: String = {
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_sink_roundtrip_${ProcessHandle.current().pid()}"
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {

@@ -475,7 +475,7 @@ object TextQueries {
     * oracle — the text-retrieval analog of the ANN index round
     * trips. */
   def textBm25IndexRoundtrip(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/bm25_index"
+    val dir = StreamQueries.freshScratch("bm25_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
     graft.operators.Bm25.serve(env.spark, dir, Bm25Workload, k = 10)
       .orderBy($"qid", $"rank")
@@ -489,7 +489,7 @@ object TextQueries {
     * rebuild) and serve the standard workload. Shares
     * text_bm25_topk's oracle — the split itself is the assertion. */
   def textBm25Append(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/bm25_append_index"
+    val dir = StreamQueries.freshScratch("bm25_append_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
     graft.operators.Bm25.appendIndex(env.spark, dir,
@@ -506,7 +506,7 @@ object TextQueries {
     * and serve the standard workload. Pure reorganization: shares
     * text_bm25_topk's oracle — the compaction IS the assertion. */
   def textBm25Compact(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/bm25_compact_index"
+    val dir = StreamQueries.freshScratch("bm25_compact_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
     graft.operators.Bm25.appendIndex(env.spark, dir,
@@ -528,8 +528,8 @@ object TextQueries {
     * because promotion must be invisible to results. */
   def textBm25CloneServe(env: Env): DataFrame = {
     val spark = env.spark
-    val src = s"${StreamQueries.scratchBase}/bm25_clone_src"
-    val dst = s"${StreamQueries.scratchBase}/bm25_clone_dst"
+    val src = StreamQueries.freshScratch("bm25_clone_src")
+    val dst = StreamQueries.freshScratch("bm25_clone_dst")
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     val fs = dstPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dstPath)) fs.delete(dstPath, true): Unit // fresh dest
@@ -556,7 +556,7 @@ object TextQueries {
   def textBm25Reingest(env: Env): DataFrame = {
     import org.apache.spark.sql.functions.{concat, lit}
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/bm25_reingest_index"
+    val dir = StreamQueries.freshScratch("bm25_reingest_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
     val takedown = env.documents.filter($"doc_id" % 17 === 3)
     graft.operators.Bm25.deleteDocs(spark, dir,
@@ -596,15 +596,15 @@ object TextQueries {
   def textIndexHealth(env: Env): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/bm25_health_index"
+    val dir = StreamQueries.freshScratch("bm25_health_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
-    graft.operators.Bm25.appendIndex(spark, dir,
-      env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text")
-    graft.operators.Bm25.appendIndex(spark, dir,
-      env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text")
-    graft.operators.Bm25.deleteDocs(spark, dir,
-      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"))
+    // the nightly cycle — two appends + the takedown — lands as ONE
+    // commit (identical segments/rows, one flip; guide §1.2/§2.6)
+    graft.operators.Bm25.applyDeltas(spark, dir,
+      Seq(env.documents.filter($"doc_id" % 3 === 1),
+        env.documents.filter($"doc_id" % 3 === 2)), "doc_id", "text",
+      Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")))
     val pre = graft.operators.Bm25.healthCard(spark, dir, maxSegments = 3)
       .withColumn("phase", lit("pre"))
     graft.operators.Bm25.compactIndex(spark, dir, retainGens = 2)
@@ -664,7 +664,7 @@ object TextQueries {
     * bit-identical to a single full build and the entry shares
     * text_bm25_topk's oracle — the sharding IS the assertion. */
   def textBm25ShardMerge(env: Env): DataFrame = {
-    val base = s"${StreamQueries.scratchBase}/bm25_shard"
+    val base = StreamQueries.freshScratch("bm25_shard")
     // independent shard builds — overlap them (guide §2.6)
     val shards = graft.operators.Par.all((0 to 2).map { s => () =>
       val dir = s"${base}_$s"
@@ -686,7 +686,7 @@ object TextQueries {
     * docs — the delete is bit-identical to never having indexed
     * them. */
   def textBm25Delete(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/bm25_delete_index"
+    val dir = StreamQueries.freshScratch("bm25_delete_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
     graft.operators.Bm25.deleteDocs(env.spark, dir,
       env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
@@ -698,7 +698,7 @@ object TextQueries {
     * rewritten minus deleted rows, tombstones table dropped) and the
     * serve must not change — same oracle as [[textBm25Delete]]. */
   def textBm25DeleteCompact(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/bm25_delc_index"
+    val dir = StreamQueries.freshScratch("bm25_delc_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
     graft.operators.Bm25.deleteDocs(env.spark, dir,
       env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
@@ -718,13 +718,11 @@ object TextQueries {
     * pipeline needs when a run must be traced to the exact index
     * state that produced it. */
   def textBm25TimeTravel(env: Env): DataFrame = {
-    val dir = s"${StreamQueries.scratchBase}/bm25_tt_index"
+    val dir = StreamQueries.freshScratch("bm25_tt_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 7 =!= 0), "doc_id", "text", dir)
-    // the generation the base build just committed — NOT a hard-coded
-    // 1: the scratch dir persists across in-process reruns (the bench
-    // runs every query twice), so each rerun's base lands at a higher
-    // gen and the literal raced past its own retention window
+    // the generation the base build just committed — read, not a
+    // hard-coded literal, so the entry never depends on dir history
     val baseGen = graft.operators.IndexCommit
       .currentManifest(env.spark, dir).get.gen
     graft.operators.Bm25.appendIndex(env.spark, dir,
@@ -862,13 +860,13 @@ object TextQueries {
       .collect()
       .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
       .toSeq
-    val bmDir = s"${StreamQueries.scratchBase}/hybrid_bm25_index"
+    val bmDir = StreamQueries.freshScratch("hybrid_bm25_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
     val text = graft.operators.Bm25.serve(spark, bmDir, terms, k = 10)
       .select($"qid".cast("long").as("qid"), $"doc_id",
               $"rank".as("trank"))
       .filter($"doc_id" =!= $"qid")
-    val ivfDir = s"${StreamQueries.scratchBase}/hybrid_ivf_index"
+    val ivfDir = StreamQueries.freshScratch("hybrid_ivf_index")
     graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
     val nCells = graft.operators.IndexCommit
       .readTable(spark, ivfDir, "centroids").count().toInt
@@ -906,8 +904,8 @@ object TextQueries {
       .collect()
       .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
       .toSeq
-    val staging = s"${StreamQueries.scratchBase}/hybrid_clone_staging"
-    val serving = s"${StreamQueries.scratchBase}/hybrid_clone_serving"
+    val staging = StreamQueries.freshScratch("hybrid_clone_staging")
+    val serving = StreamQueries.freshScratch("hybrid_clone_serving")
     val fs = new org.apache.hadoop.fs.Path(staging)
       .getFileSystem(spark.sessionState.newHadoopConf())
     Seq(staging, serving).foreach { d =>
@@ -970,13 +968,13 @@ object TextQueries {
       .collect()
       .map(r => (r.getLong(0).toString, r.getSeq[String](1).distinct))
       .toSeq
-    val bmDir = s"${StreamQueries.scratchBase}/hybrid_adpt_bm25_index"
+    val bmDir = StreamQueries.freshScratch("hybrid_adpt_bm25_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", bmDir)
     val text = graft.operators.Bm25.serve(spark, bmDir, terms, k = 10)
       .select($"qid".cast("long").as("qid"), $"doc_id",
               $"rank".as("trank"))
       .filter($"doc_id" =!= $"qid")
-    val ivfDir = s"${StreamQueries.scratchBase}/hybrid_adpt_ivf_index"
+    val ivfDir = StreamQueries.freshScratch("hybrid_adpt_ivf_index")
     graft.operators.VectorSearch.ivfWriteIndex(env.embeddings, ivfDir)
     val calib = env.embeddings.filter($"vec_id" % 100 === 50)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
@@ -1005,22 +1003,16 @@ object TextQueries {
     * long as retention holds. */
   def textIndexDiff(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/bm25_diff_index"
+    val dir = StreamQueries.freshScratch("bm25_diff_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
-    // on a re-run the rebuild lands at a HIGHER generation (the prior
-    // run's manifests were GC'd) — diff against the build's own gen,
-    // never a literal
+    // diff against the build's own committed gen, never a literal
     val g0 = graft.operators.IndexCommit
       .currentManifest(spark, dir).get.gen
-    graft.operators.Bm25.appendIndex(spark, dir,
-      env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-      retainGens = 4)
-    graft.operators.Bm25.appendIndex(spark, dir,
-      env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-      retainGens = 4)
-    graft.operators.Bm25.deleteDocs(spark, dir,
-      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
+    graft.operators.Bm25.applyDeltas(spark, dir,
+      Seq(env.documents.filter($"doc_id" % 3 === 1),
+        env.documents.filter($"doc_id" % 3 === 2)), "doc_id", "text",
+      Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")),
       retainGens = 4)
     graft.operators.Bm25.diffIndex(spark, dir, genA = g0,
         genB = graft.operators.IndexCommit
@@ -1040,15 +1032,15 @@ object TextQueries {
     * fails BOTH the ok flags and the hash. */
   def textIndexFsck(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/bm25_fsck_index"
+    val dir = StreamQueries.freshScratch("bm25_fsck_index")
     graft.operators.Bm25.writeIndex(
       env.documents.filter($"doc_id" % 3 === 0), "doc_id", "text", dir)
-    graft.operators.Bm25.appendIndex(spark, dir,
-      env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text")
-    graft.operators.Bm25.appendIndex(spark, dir,
-      env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text")
-    graft.operators.Bm25.deleteDocs(spark, dir,
-      env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"))
+    // the nightly cycle — two appends + the takedown — lands as ONE
+    // commit (identical segments/rows, one flip; guide §1.2/§2.6)
+    graft.operators.Bm25.applyDeltas(spark, dir,
+      Seq(env.documents.filter($"doc_id" % 3 === 1),
+        env.documents.filter($"doc_id" % 3 === 2)), "doc_id", "text",
+      Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")))
     graft.operators.Bm25.fsck(spark, dir)
       .withColumnRenamed("check", "invariant")
       .orderBy($"invariant")
@@ -1065,7 +1057,7 @@ object TextQueries {
     * scans alone. */
   def textServeCostCard(env: Env): DataFrame = {
     val spark = env.spark
-    val dir = s"${StreamQueries.scratchBase}/bm25_cost_index"
+    val dir = StreamQueries.freshScratch("bm25_cost_index")
     graft.operators.Bm25.writeIndex(env.documents, "doc_id", "text", dir)
     graft.operators.Bm25.deleteDocs(spark, dir,
       env.documents.filter($"doc_id" % 5 === 2).select($"doc_id"))
@@ -1087,7 +1079,7 @@ object TextQueries {
     import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
     import org.apache.spark.sql.functions.lit
     val spark = env.spark
-    val colDir = s"${StreamQueries.scratchBase}/col_diff"
+    val colDir = StreamQueries.freshScratch("col_diff")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -1107,21 +1099,17 @@ object TextQueries {
     CollectionCommit.commit(spark, colDir) { (_, _) =>
       // per-member op ORDER is preserved inside each branch; the two
       // member DIRECTORIES are independent, so the legs overlap
-      graft.operators.Par.both({
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 7 === 5), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.deleteDocs(spark, bmDir,
-          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-          retainGens = Int.MaxValue)
-      }, {
-        VectorSearch.ivfAppendIndex(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 7 === 5),
-          retainGens = Int.MaxValue)
-        VectorSearch.deleteVectors(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-          retainGens = Int.MaxValue)
-      })
+      // each member's append + takedown is ONE commit; the two member
+      // directories are independent, so the legs overlap
+      graft.operators.Par.both(
+        Bm25.applyDeltas(spark, bmDir,
+          Seq(env.documents.filter($"doc_id" % 7 === 5)), "doc_id", "text",
+          Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")),
+          retainGens = Int.MaxValue),
+        VectorSearch.ivfApplyDeltas(spark, ivfDir,
+          Seq(env.embeddings.filter($"vec_id" % 7 === 5)),
+          Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")),
+          retainGens = Int.MaxValue))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val m1 = CollectionCommit.manifestAt(spark, colDir, 1L)
@@ -1151,7 +1139,7 @@ object TextQueries {
     import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
     import org.apache.spark.sql.functions.lit
     val spark = env.spark
-    val colDir = s"${StreamQueries.scratchBase}/col_health"
+    val colDir = StreamQueries.freshScratch("col_health")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -1171,27 +1159,20 @@ object TextQueries {
     CollectionCommit.commit(spark, colDir) { (_, _) =>
       // per-member op ORDER is preserved inside each branch; the two
       // member DIRECTORIES are independent, so the legs overlap
-      graft.operators.Par.both({
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.deleteDocs(spark, bmDir,
-          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-          retainGens = Int.MaxValue)
-      }, {
-        VectorSearch.ivfAppendIndex(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 3 === 1),
-          retainGens = Int.MaxValue)
-        VectorSearch.ivfAppendIndex(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 3 === 2),
-          retainGens = Int.MaxValue)
-        VectorSearch.deleteVectors(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-          retainGens = Int.MaxValue)
-      })
+      // each member's nightly cycle (two appends + takedown) is ONE
+      // commit; the member directories are independent, so the legs
+      // overlap (guide §1.2/§2.6 — same segments/rows, one flip each)
+      graft.operators.Par.both(
+        Bm25.applyDeltas(spark, bmDir,
+          Seq(env.documents.filter($"doc_id" % 3 === 1),
+            env.documents.filter($"doc_id" % 3 === 2)), "doc_id", "text",
+          Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")),
+          retainGens = Int.MaxValue),
+        VectorSearch.ivfApplyDeltas(spark, ivfDir,
+          Seq(env.embeddings.filter($"vec_id" % 3 === 1),
+            env.embeddings.filter($"vec_id" % 3 === 2)),
+          Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")),
+          retainGens = Int.MaxValue))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val bm = Bm25.healthCard(spark, bmDir, maxSegments = 3)
@@ -1257,7 +1238,7 @@ object TextQueries {
       .toSeq
     val vq = env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val colDir = s"${StreamQueries.scratchBase}/hybrid_collection"
+    val colDir = StreamQueries.freshScratch("hybrid_collection")
     // deterministic rebuild per run: wipe so collection gens are 1/2
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1325,7 +1306,7 @@ object TextQueries {
     import graft.operators.{Bm25, CollectionCommit, IndexCommit, VectorSearch}
     import org.apache.spark.sql.functions.lit
     val spark = env.spark
-    val colDir = s"${StreamQueries.scratchBase}/col_fsck"
+    val colDir = StreamQueries.freshScratch("col_fsck")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -1344,27 +1325,20 @@ object TextQueries {
     CollectionCommit.commit(spark, colDir) { (_, _) =>
       // per-member op ORDER is preserved inside each branch; the two
       // member DIRECTORIES are independent, so the legs overlap
-      graft.operators.Par.both({
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.deleteDocs(spark, bmDir,
-          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-          retainGens = Int.MaxValue)
-      }, {
-        VectorSearch.ivfAppendIndex(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 3 === 1),
-          retainGens = Int.MaxValue)
-        VectorSearch.ivfAppendIndex(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 3 === 2),
-          retainGens = Int.MaxValue)
-        VectorSearch.deleteVectors(spark, ivfDir,
-          env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
-          retainGens = Int.MaxValue)
-      })
+      // each member's nightly cycle (two appends + takedown) is ONE
+      // commit; the member directories are independent, so the legs
+      // overlap (guide §1.2/§2.6 — same segments/rows, one flip each)
+      graft.operators.Par.both(
+        Bm25.applyDeltas(spark, bmDir,
+          Seq(env.documents.filter($"doc_id" % 3 === 1),
+            env.documents.filter($"doc_id" % 3 === 2)), "doc_id", "text",
+          Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")),
+          retainGens = Int.MaxValue),
+        VectorSearch.ivfApplyDeltas(spark, ivfDir,
+          Seq(env.embeddings.filter($"vec_id" % 3 === 1),
+            env.embeddings.filter($"vec_id" % 3 === 2)),
+          Some(env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id")),
+          retainGens = Int.MaxValue))
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val pins = CollectionCommit.currentManifest(spark, colDir).get.members
@@ -1407,7 +1381,7 @@ object TextQueries {
       .toSeq
     val vq = env.embeddings.filter($"vec_id" % 100 === 0 && $"vec_id" < 5000)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val colDir = s"${StreamQueries.scratchBase}/col_maint"
+    val colDir = StreamQueries.freshScratch("col_maint")
     val colPath = new org.apache.hadoop.fs.Path(colDir)
     val fs = colPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(colPath)) fs.delete(colPath, true): Unit
@@ -1425,17 +1399,14 @@ object TextQueries {
     // one snapshot accumulates the week's debt: two keyword appends
     // (exact additive merge) + the cross-index takedown in one flip
     CollectionCommit.commit(spark, colDir) { (_, _) =>
-      graft.operators.Par.both({
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 3 === 1), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.appendIndex(spark, bmDir,
-          env.documents.filter($"doc_id" % 3 === 2), "doc_id", "text",
-          retainGens = Int.MaxValue)
-        Bm25.deleteDocs(spark, bmDir,
-          env.documents.filter($"doc_id" % 17 === 3).select($"doc_id"),
-          retainGens = Int.MaxValue)
-      },
+      graft.operators.Par.both(
+        // the keyword leg's week of debt — two appends + the takedown
+        // — is ONE commit (same segments/rows, one flip)
+        Bm25.applyDeltas(spark, bmDir,
+          Seq(env.documents.filter($"doc_id" % 3 === 1),
+            env.documents.filter($"doc_id" % 3 === 2)), "doc_id", "text",
+          Some(env.documents.filter($"doc_id" % 17 === 3).select($"doc_id")),
+          retainGens = Int.MaxValue),
         VectorSearch.deleteVectors(spark, ivfDir,
           env.embeddings.filter($"vec_id" % 17 === 3).select($"vec_id"),
           retainGens = Int.MaxValue))
