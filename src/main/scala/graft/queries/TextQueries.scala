@@ -1114,12 +1114,16 @@ object TextQueries {
     }
     val m1 = CollectionCommit.manifestAt(spark, colDir, 1L)
     val m2 = CollectionCommit.manifestAt(spark, colDir, 2L)
-    val bm = Bm25.diffIndex(spark, bmDir,
-        m1.members("bm25"), m2.members("bm25"))
-      .select(lit("bm25").as("member"), $"status", $"doc_id".as("id"))
-    val iv = VectorSearch.diffIndex(spark, ivfDir,
-        m1.members("ivf"), m2.members("ivf"))
-      .select(lit("ivf").as("member"), $"status", $"vec_id".as("id"))
+    // diff CONSTRUCTION pins each generation's present-set eagerly —
+    // four independent pin jobs across two directories; overlap them
+    val (bm0, iv0) = graft.operators.Par.both(
+      Bm25.diffIndex(spark, bmDir, m1.members("bm25"), m2.members("bm25")),
+      VectorSearch.diffIndex(spark, ivfDir,
+        m1.members("ivf"), m2.members("ivf")))
+    val bm = bm0.select(lit("bm25").as("member"), $"status",
+      $"doc_id".as("id"))
+    val iv = iv0.select(lit("ivf").as("member"), $"status",
+      $"vec_id".as("id"))
     bm.unionByName(iv).orderBy($"member", $"status", $"id")
   }
 
@@ -1342,13 +1346,15 @@ object TextQueries {
       Map("bm25" -> memberGen(bmDir), "ivf" -> memberGen(ivfDir))
     }
     val pins = CollectionCommit.currentManifest(spark, colDir).get.members
-    val bm = Bm25.fsck(spark, bmDir, atGen = Some(pins("bm25")))
-      .select(lit("bm25").as("member"), $"check".as("invariant"),
-        $"expected", $"actual", $"ok")
-    val ivf = VectorSearch.ivfFsck(spark, ivfDir,
-        atGen = Some(pins("ivf")))
-      .select(lit("ivf").as("member"), $"check".as("invariant"),
-        $"expected", $"actual", $"ok")
+    // card CONSTRUCTION runs each member's eager base-table pin jobs —
+    // independent directories, so overlap them (guide §2.6)
+    val (bm0, ivf0) = graft.operators.Par.both(
+      Bm25.fsck(spark, bmDir, atGen = Some(pins("bm25"))),
+      VectorSearch.ivfFsck(spark, ivfDir, atGen = Some(pins("ivf"))))
+    val bm = bm0.select(lit("bm25").as("member"), $"check".as("invariant"),
+      $"expected", $"actual", $"ok")
+    val ivf = ivf0.select(lit("ivf").as("member"), $"check".as("invariant"),
+      $"expected", $"actual", $"ok")
     bm.unionByName(ivf).orderBy($"member", $"invariant")
   }
 
